@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the graft engine. */
+object Util {
+
+  /** Backtick-quote a column name so dots (e.g. `QuestionText.2025`,
+    * reference varinfo-update.R:40-42) are treated as part of the name,
+    * not as struct-field access. */
+  def q(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** Column by exact (possibly dotted) name. */
+  def qcol(name: String): Column = col(q(name))
+
+  /** R treats both NA and "" as missing in recency logic
+    * (reference varinfo-update.R:176,198): map "" to NULL. */
+  def nullifEmpty(c: Column): Column =
+    when(c.cast("string") === lit(""), lit(null).cast("string"))
+      .otherwise(c.cast("string"))
+
+  /** Load one of the driver's parquet testdata tables.
+    *
+    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects outright (PARQUET_TYPE_ILLEGAL) — nanos have no TimestampType
+    * representation. The only read path is the `nanosAsLong` escape hatch;
+    * the long nanos are then floored to microseconds with integer `DIV`
+    * (a double division would lose precision above 2^53) and rebuilt into a
+    * proper TimestampType column, matching engines that read nanos natively
+    * at micro resolution. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+}

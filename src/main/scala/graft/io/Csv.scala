@@ -1,0 +1,45 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S1/S4 — CSV scan & sink options in one place
+  * (reference varinfo-update.R:54,150,152,232,239,247,253 readr
+  * `read_csv`/`write_csv`).
+  *
+  * `multiLine` + escape `"` reproduce RFC-4180 quoting including embedded
+  * newlines in quoted fields (the CONSENT rows of both reference fixtures).
+  * `multiLine` disables input splitting — fine at codebook scale; large
+  * inputs should arrive as many files (one split each) or as parquet.
+  */
+object Csv {
+
+  def read(spark: SparkSession, path: String,
+           inferSchema: Boolean = true): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .option("inferSchema", inferSchema.toString)
+      .csv(path)
+
+  /** All-strings read: matching-critical columns must keep R character
+    * semantics (SURVEY.md §1.4 — `25-2`-style admin values). */
+  def readAsStrings(spark: SparkSession, path: String): DataFrame =
+    read(spark, path, inferSchema = false)
+
+  /** S4 — single-file sink with header (the human-edit checkpoint contract
+    * requires ONE file at an exact path, like `write_csv`). Writes through a
+    * temp dir then renames the single part file. */
+  def writeSingle(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".__graft_tmp"
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = new Path(tmp).getFileSystem(conf)
+    val part = fs.globStatus(new Path(tmp, "part-*.csv"))(0).getPath
+    val target = new Path(path)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(part, target)
+    fs.delete(new Path(tmp), true)
+  }
+}

@@ -1,0 +1,158 @@
+package graft.llm
+
+import graft.llm.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * sophistication: exact (hash group-by), n-gram Jaccard (grouped
+  * self-join), MinHash+LSH (band-bucket join — the 100 TB path), SimHash
+  * (pigeonhole-banded Hamming join).
+  *
+  * Scale notes: exact dedup is a single hash aggregate (map-side partial
+  * combine). The all-pairs Jaccard join is bounded to an explicit grouping
+  * key — never all-pairs across the corpus. MinHash-LSH and SimHash banding
+  * both turn the quadratic candidate space into equi-joins on bucket keys,
+  * so candidates shuffle-hash-join on a key whose fan-out is controlled by
+  * the band parameters.
+  */
+object Dedup {
+
+  /** Exact duplicates: one row per distinct text hash with its cardinality
+    * and keeper (minimum) id. */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Jaccard similarity of two pre-deduplicated arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Distinct-word-set Jaccard pairs within an explicit group (blocking
+    * key): self-equi-join on the group column (co-partitioned, no cross
+    * product across groups), id-ordered to emit each pair once. */
+  def jaccardPairsWithinGroup(df: DataFrame, idCol: String, textCol: String,
+                              groupCol: String, threshold: Double)
+      : DataFrame = {
+    // Words are hashed to longs up front (one codegen'd xxhash64 per token);
+    // the per-pair set ops then compare 8-byte values instead of strings.
+    // Jaccard over the hashed sets equals Jaccard over the words absent a
+    // 64-bit collision inside one document pair — negligible.
+    val sets = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      array_sort(array_distinct(
+        transform(tokens(col(textCol)), t => xxhash64(t)))).as("ws"))
+      .withColumn("n", size(col("ws")))
+    val a = sets.alias("a")
+    val b = sets.alias("b")
+    // Sound size-band prefilter (prefix-filtering family): Jaccard <=
+    // min(|A|,|B|)/max(|A|,|B|), so jac >= t requires each size >= t × the
+    // other. Evaluated on two ints before the set ops — prunes pairs without
+    // ever touching the arrays, and never prunes a true match.
+    val sizeBand =
+      col("a.n") >= col("b.n") * threshold &&
+        col("b.n") >= col("a.n") * threshold
+    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+        sizeBand)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        jaccard(col("a.ws"), col("b.ws")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
+    * equi-join → verify true shingle-set Jaccard. Output: (id_a, id_b, jac)
+    * with id_a < id_b, each candidate pair verified exactly once.
+    *
+    * The signature is computed relationally — explode shingles, one
+    * codegen'd xxhash64 per shingle, then a single hash aggregate with
+    * `numHashes` min(a_i*h+b_i) columns — instead of nested higher-order
+    * lambdas, which run interpreted and re-hash per permutation. Map-side
+    * partial aggregation collapses each doc before the shuffle. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val docs = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exploded = docs.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    // seeded re-hash of the 8-byte shingle hash — overflow-free under ANSI
+    // mode (a*h+b universal hashing would throw ARITHMETIC_OVERFLOW)
+    val minCols = (0 until numHashes).map { i =>
+      min(xxhash64(lit(i + 1), col("h"))).as(s"m$i")
+    }
+    val sigs = exploded.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until bands).map { bnd =>
+      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(i => col(s"m$i"))
+      struct(lit(bnd).as("band"), hash(cols: _*).as("key"))
+    }
+    val buckets = sigs.select(col("id"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val da = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val db = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(da, "id_a").join(db, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** SimHash near-duplicate pairs with Hamming distance <= maxHamming
+    * (<= 3 with 4 chunks): pigeonhole banding — two hashes within Hamming d
+    * share at least one of d+1 equal chunks — then exact popcount verify. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPerChunk = 64 / chunks
+    // Relational SimHash: explode tokens, hash once in codegen, then one
+    // hash aggregate with 64 bit-vote sums — same rationale as the MinHash
+    // path (interpreted HOF lambdas are the slow shape).
+    val exploded = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val voteCols = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        .as(s"v$b")
+    }
+    val votes = exploded.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+    val simCol = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, c) => a.bitwiseOR(c))
+    val sigs = votes.select(col("id"), simCol.as("sim"))
+    val chunkStructs = (0 until chunks).map { k =>
+      struct(lit(k).as("chunk"),
+        shiftright(col("sim"), k * bitsPerChunk)
+          .bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("ckey"))
+    }
+    val banded = sigs.select(col("id"), col("sim"),
+        explode(array(chunkStructs: _*)).as("c"))
+      .select(col("id"), col("sim"), col("c.chunk").as("chunk"),
+        col("c.ckey").as("ckey"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b, col("a.chunk") === col("b.chunk") &&
+        col("a.ckey") === col("b.ckey") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicates: cosine >= threshold via the Similarity
+    * module's LSH-bucketed kernel (exact verify on candidates). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double): DataFrame =
+    Similarity.lshPairsAbove(df, idCol, vecCol, threshold)
+}

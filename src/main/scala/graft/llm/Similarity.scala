@@ -1,0 +1,116 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — exact, a broadcast nested-loop of
+  * |Q|×|C| dot products; right only when the query set is small. Scale path:
+  * random-hyperplane LSH — signature bits from seeded deterministic planes,
+  * equi-join on (table, bucket) keys, cosine verified on candidates only.
+  * Dot products are `zip_with`+`aggregate` higher-order functions (JVM
+  * codegen'd per element, no UDF, no collect).
+  */
+object Similarity {
+
+  /** Cast an array<float> column to array<double> for stable arithmetic. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k neighbors for each query vector: broadcast the (small)
+    * query side, score all corpus rows, window top-k with id tiebreak.
+    * Output: (query_id, rank, neighbor_id, cos). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     queryIdCol: String, corpusIdCol: String,
+                     vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(corpusIdCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    graft.ops.BestMatch.topKPerKey(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .withColumnRenamed("__graft_rank", "rank")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Exact all-pairs with cosine >= threshold. O(n²) — small corpora and
+    * oracle checks only; the scale path is `lshPairsAbove`. */
+  def allPairsAbove(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val a = v.alias("a")
+    val b = v.alias("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Deterministic random hyperplanes: `tables` independent sets of
+    * `planesPerTable` unit-free gaussian planes, seeded — identical across
+    * executors and runs. */
+  def hyperplanes(dim: Int, planesPerTable: Int, tables: Int,
+                  seed: Long = 42L): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(planesPerTable)(
+      Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** (table, bucket) keys for one vector: bucket = sign-bit string of the
+    * table's hyperplane dot products, folded into an int. */
+  def lshKeys(vec: Column, planes: Seq[Seq[Array[Double]]]): Column =
+    array(planes.zipWithIndex.map { case (tablePlanes, t) =>
+      val bucket = tablePlanes.zipWithIndex.map { case (p, i) =>
+        val planeCol = array(p.map(lit).toSeq: _*)
+        when(dot(vec, planeCol) > 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(t).as("table"), bucket.as("bucket"))
+    }: _*)
+
+  /** Approximate pairs with cosine >= threshold: candidates = pairs sharing
+    * any (table, bucket), verified exactly. Recall grows with `tables`,
+    * candidate volume shrinks with `planesPerTable` — both join-key-bounded
+    * equi-joins, no all-pairs stage. */
+  def lshPairsAbove(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, planesPerTable: Int = 8,
+                    tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val dim = headDim(df, vecCol)
+    val planes = hyperplanes(dim, planesPerTable, tables, seed)
+    val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+    val keyed = v.select(col("id"), col("v"),
+        explode(lshKeys(col("v"), planes)).as("k"))
+      .select(col("id"), col("v"), col("k.table").as("t"),
+        col("k.bucket").as("bkt"))
+    val a = keyed.alias("a")
+    val b = keyed.alias("b")
+    val candidates = a.join(b,
+        col("a.t") === col("b.t") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val va = v.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vb = v.select(col("id").as("id_b"), col("v").as("v_b"))
+    candidates.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  private def headDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+}

@@ -1,0 +1,123 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a large-scale training-data pipeline:
+  * tokenization, n-gram shingles, quality signals, language-ID scoring,
+  * SimHash / MinHash signatures, rolling-hash fingerprints.
+  *
+  * Everything is built-in expressions / higher-order functions (no UDFs), so
+  * it stays inside Tungsten and scales with ordinary narrow transformations
+  * — per-document work, no shuffle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish regex tokens: letter runs, digit runs, or single symbols. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Sorted distinct tokens — the set used for Jaccard similarity. */
+  def distinctTokens(text: Column): Column =
+    array_sort(array_distinct(tokens(text)))
+
+  /** Word n-gram shingles ("a b c", n=2 → ["a b", "b c"]). */
+  def wordNGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct word n-gram shingle set. */
+  def shingles(text: Column, n: Int): Column =
+    array_sort(array_distinct(wordNGrams(tokens(text), n)))
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "data")
+
+  /** Fraction of tokens that are stopwords (0 for empty docs). */
+  def stopwordRatio(toks: Column,
+                    stop: Seq[String] = DefaultStopwords): Column = {
+    val n = size(toks)
+    when(n === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(stop.map(lit): _*))).cast("double") /
+        n.cast("double"))
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def avgTokenLength(toks: Column): Column = {
+    val n = size(toks)
+    when(n === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .cast("double") / n.cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: length sweet-spot × lexical
+    * diversity × (1 − stopword excess). Deterministic, tunable weights. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val lengthScore = least(n / lit(50.0), lit(1.0))
+    val diversity =
+      when(n === 0, lit(0.0))
+        .otherwise(size(array_distinct(toks)).cast("double") / n)
+    val stopPenalty = lit(1.0) - least(stopwordRatio(toks), lit(1.0))
+    round(lengthScore * diversity * stopPenalty, 6)
+  }
+
+  /** Language-ID by function-word evidence: score each candidate language
+    * by its marker-token hits, predict the arg-max (ties → "und"). An
+    * n-gram-frequency heuristic, not a model — adequate for routing. */
+  def langIdScore(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(text)
+    val scored = profiles.map { case (lang, markers) =>
+      struct(langIdScore(toks, markers).as("s"), lit(lang).as("l"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** 64-bit SimHash over tokens: per bit, majority vote of the tokens'
+    * xxhash64 bits. Token hashes are materialized once; the 64 bit-vote
+    * aggregates are unrolled driver-side (shift amounts must be static in
+    * the Scala API). All built-in expressions — per-row work, no shuffle. */
+  def simhash64(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    val bitVotes = (0 until 64).map { b =>
+      aggregate(hashes, lit(0L), (acc, h) =>
+        acc + (shiftright(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+    }
+    bitVotes.zipWithIndex.map { case (c, b) =>
+      when(c > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** MinHash signature: `numHashes` independent permutations approximated by
+    * seeded xxhash64; entry i = min hash of the shingle set under seed i.
+    * Null (not 0) for empty shingle sets. */
+  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
+    transform(sequence(lit(1), lit(numHashes)),
+      i => array_min(transform(shingleSet, s => xxhash64(i, s))))
+
+  /** LSH band keys: the signature is cut into `bands` rows-per-band chunks;
+    * each chunk hashes to one bucket key. Docs sharing ANY (band, key) pair
+    * become candidates. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("key"))
+    }: _*)
+
+  /** Rolling-hash document fingerprint (winnowing-lite): min xxhash64 over
+    * the document's word w-gram windows. Equal fingerprints ⇒ likely shared
+    * window content. */
+  def rollingFingerprint(text: Column, window: Int = 8): Column =
+    array_min(transform(wordNGrams(tokens(text), window), g => xxhash64(g)))
+}

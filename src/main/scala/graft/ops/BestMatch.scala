@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** J2/W2/O1 — best-match-per-key selection
+  * (reference varinfo-update.R:106-107: `arrange(row_id, string_distance)`
+  * then `distinct(row_id, .keep_all = TRUE)`).
+  *
+  * R keeps the first-encountered row per key after a stable sort, which is
+  * nondeterministic in a distributed engine; callers must therefore pass a
+  * deterministic tiebreaker in `orderCols` (e.g. the right side's own id).
+  * `dropDuplicates` is deliberately NOT used — it keeps an arbitrary row.
+  */
+object BestMatch {
+
+  /** Window top-1: one row per key, smallest `orderCols` first.
+    * Null ordering: pass e.g. `col(d).asc_nulls_last` to match R's
+    * NA-last `arrange`. */
+  def topOnePerKey(df: DataFrame, partitionCols: Seq[Column],
+                   orderCols: Seq[Column]): DataFrame =
+    topKPerKey(df, partitionCols, orderCols, 1).drop("__graft_rank")
+
+  /** Window top-k; rank kept in `__graft_rank` (1-based). */
+  def topKPerKey(df: DataFrame, partitionCols: Seq[Column],
+                 orderCols: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
+    df.withColumn("__graft_rank", row_number().over(w))
+      .filter(col("__graft_rank") <= k)
+  }
+
+  /** Scale variant (SURVEY.md §4.3(3)): single-pass hash aggregate via
+    * `min_by` over a packed struct — avoids the per-key sort a window
+    * implies. `ordCol` should be a struct including a tiebreaker. Payload
+    * columns are re-exposed with their original names. */
+  def argMinPerKey(df: DataFrame, keyCols: Seq[String], ordCol: Column,
+                   payloadCols: Seq[String]): DataFrame = {
+    val packed = struct(payloadCols.map(c => df(c)): _*)
+    df.groupBy(keyCols.map(c => df(c)): _*)
+      .agg(min_by(packed, ordCol).as("__graft_best"))
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"__graft_best.`$c`").as(c)): _*)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupState
+
+/** Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is strictly batch (SURVEY.md §2.9), so this module is part
+  * of the beyond-parity track: the same tumbling-window aggregation is
+  * expressed once for batch (oracle-checkable) and once as a Structured
+  * Streaming query (file source → watermark → windowed agg), plus a typed
+  * stateful operator via `mapGroupsWithState`.
+  */
+object EventsStream {
+
+  /** Batch tumbling-window aggregation — identical semantics to the
+    * streaming variant below, checkable against a SQL oracle. */
+  def tumblingCounts(events: DataFrame, duration: String = "1 day"): DataFrame =
+    events
+      .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming variant: parquet file source (schema from a static read),
+    * 1-hour watermark, tumbling window. Run with Trigger.AvailableNow for
+    * a bounded backfill, or continuously on a live directory. */
+  def streamingTumblingCounts(spark: SparkSession, dir: String,
+                              duration: String = "1 hour"): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"))
+  }
+
+  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Typed stateful aggregation: running per-user totals via
+    * `mapGroupsWithState` (KeyValueGroupedDataset). In batch the state
+    * starts empty and the result equals a plain groupBy — the test locks
+    * that equivalence. */
+  def userRunningTotals(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserStats, UserStats] {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          it.foreach { e => n += 1; tot += e.value }
+          val next = UserStats(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}
