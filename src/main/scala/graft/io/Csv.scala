@@ -20,6 +20,11 @@ object Csv {
       .option("header", "true")
       .option("multiLine", "true")
       .option("escape", "\"")
+      // readr's default na = c("", "NA"): literal NA cells are missing.
+      // Spark supports one nullValue; "" survives as empty string, which
+      // every downstream op already treats as a second missing marker
+      // (nullifEmpty / replace_na), converging with R semantics.
+      .option("nullValue", "NA")
       .option("inferSchema", inferSchema.toString)
       .csv(path)
 
@@ -33,7 +38,15 @@ object Csv {
     * temp dir then renames the single part file. */
   def writeSingle(df: DataFrame, path: String): Unit = {
     val tmp = path + ".__graft_tmp"
-    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true")
+      // RFC-4180 output, symmetric with `read`: quotes are escaped by
+      // doubling (Spark's write default is backslash-escape, which our own
+      // multiLine reader — and readr — would mis-parse), and nulls round-
+      // trip as NA like readr's write_csv.
+      .option("escape", "\"")
+      .option("nullValue", "NA")
+      .csv(tmp)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val fs = new Path(tmp).getFileSystem(conf)
     val part = fs.globStatus(new Path(tmp, "part-*.csv"))(0).getPath

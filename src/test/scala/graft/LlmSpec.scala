@@ -1,0 +1,130 @@
+package graft
+
+import graft.llm.{Dedup, Multimodal, Similarity, TextFunctions}
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = Util.table(spark, sf, "documents")
+  private def embs = Util.table(spark, sf, "embeddings")
+
+  test("minhash-LSH pairs are a subset of naive threshold pairs (no false positives)") {
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive: all-pairs true shingle-set jaccard
+    val sets = docs.select(col("doc_id"),
+      TextFunctions.shingles(col("text"), 3).as("sh"))
+    val a = sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val naive = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(naive), "verified LSH pairs must all be true pairs")
+    if (naive.nonEmpty) {
+      val recall = lsh.size.toDouble / naive.size
+      info(s"LSH recall at jac>=0.5: $recall (${lsh.size}/${naive.size})")
+      assert(recall > 0.5, "banding should catch most high-jaccard pairs")
+    }
+  }
+
+  test("simhash pairs equal naive hamming-distance pairs (pigeonhole exact)") {
+    val viaLsh = Dedup.simhashPairs(docs, "doc_id", "text", 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = docs.select(col("doc_id"),
+      TextFunctions.simhash64(TextFunctions.tokens(col("text"))).as("sim"))
+    val a = sigs.select(col("doc_id").as("id_a"), col("sim").as("sim_a"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sim").as("sim_b"))
+    val naive = a.join(b, col("id_a") < col("id_b"))
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pigeonhole banding is exact for hamming<=3 with 4 chunks: no loss
+    assert(viaLsh === naive)
+  }
+
+  test("LSH ANN pairs ⊆ brute force, with measurable recall") {
+    val brute = Similarity.allPairsAbove(embs, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshPairsAbove(embs, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    if (brute.nonEmpty) {
+      info(s"ANN recall at cos>=0.4: ${lsh.size.toDouble / brute.size}")
+      assert(lsh.nonEmpty, "buckets should catch some true pairs")
+    }
+  }
+
+  test("brute-force top-k is exact and deterministically ordered") {
+    val out = Similarity.bruteForceTopK(
+        embs.filter(col("vec_id") < 3), embs, "vec_id", "vec_id",
+        "embedding", 5)
+      .collect()
+    assert(out.length === 15)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cosines = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDuplicates(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getLong(1) === 2 && out(0).getLong(2) === 1)
+  }
+
+  test("jaccard pair join respects the sound size-band prefilter") {
+    val df = Seq(
+      (1L, "a b c d", "g"), (2L, "a b c d", "g"),
+      (3L, "a b", "g"), (4L, "x y z w", "h"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.jaccardPairsWithinGroup(df, "doc_id", "text", "source", 0.9)
+      .collect()
+    assert(out.length === 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) === (1L, 2L))
+    assert(out(0).getDouble(2) === 1.0)
+  }
+
+  test("text quality and fingerprint functions are deterministic and bounded") {
+    val out = docs.select(
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.rollingFingerprint(col("text")).as("fp"),
+        TextFunctions.langId(col("text"), Seq(
+          "x" -> Seq("table", "row"), "y" -> Seq("stream", "batch")))
+          .as("lang"))
+      .collect()
+    assert(out.forall { r =>
+      val q = r.getDouble(0); q >= 0.0 && q <= 1.0
+    })
+    assert(out.forall(r => Set("x", "y", "und").contains(r.getString(2))))
+  }
+
+  test("multimodal plumbing: payload bytes, stub features, frame samples") {
+    val media = Multimodal.withFakeMedia(docs.limit(50), "text")
+    assert(media.schema("media").dataType.typeName === "struct")
+    val feats = Multimodal.extractFeatures(media, "doc_id").collect()
+    assert(feats.length === 50)
+    assert(feats.forall(_.feature.length === 16))
+    // histogram is L1-normalized
+    assert(feats.forall(f => math.abs(f.feature.sum - 1.0f) < 1e-3))
+    // deterministic: same input -> same features
+    val again = Multimodal.extractFeatures(media, "doc_id").collect()
+    assert(feats.sortBy(_.id).zip(again.sortBy(_.id))
+      .forall { case (x, y) => x.feature.sameElements(y.feature) })
+    val frames = Multimodal.sampleFrames(media, "doc_id", frames = 4).collect()
+    assert(frames.length === 200)
+    assert(frames.groupBy(_.id).forall(_._2.map(_.frame).sorted.sameElements(
+      Array(0, 1, 2, 3))))
+  }
+}

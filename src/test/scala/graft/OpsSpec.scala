@@ -1,0 +1,161 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RowId assigns dense 1-based ids in sort order") {
+    val df = Seq("c", "a", "b").toDF("v")
+    val out = RowId.withRowId1(df, "row_id", Seq(col("v"))).collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+  }
+
+  test("SimilarityJoin left join keeps unmatched lefts with null distance") {
+    val l = Seq("kitten", "zzzzzzzzzzzz").toDF("a")
+    val r = Seq("sitting", "mitten").toDF("b")
+    val out = SimilarityJoin.leftJoin(l, r, "a", "b", 3)
+      .select("a", "b", "string_distance").collect()
+    val kitten = out.filter(_.getString(0) == "kitten")
+      .map(x => (x.getString(1), x.getInt(2))).sortBy(_._1)
+    assert(kitten === Seq(("mitten", 1), ("sitting", 3)))
+    val zzz = out.filter(_.getString(0) == "zzzzzzzzzzzz")
+    assert(zzz.length === 1 && zzz(0).isNullAt(1) && zzz(0).isNullAt(2))
+  }
+
+  test("blocked similarity join == naive on random strings (soundness)") {
+    val rnd = new scala.util.Random(7)
+    def randStr() = (0 until (3 + rnd.nextInt(8)))
+      .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val left = Seq.fill(60)(randStr()).distinct.toDF("a")
+    val right = Seq.fill(60)(randStr()).distinct.toDF("b")
+    val naive = left.join(right, levenshtein(col("a"), col("b")) <= 2)
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    val blocked = SimilarityJoin.blockedInnerJoin(left, right, "a", "b", 2)
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(blocked === naive)
+  }
+
+  test("blocked LEFT join keeps unmatched lefts") {
+    val l = Seq("abc", "qqqqqqqqqq").toDF("a")
+    val r = Seq("abd").toDF("b")
+    val out = SimilarityJoin.blockedLeftJoin(l, r, "a", "b", 1).collect()
+    assert(out.length === 2)
+    val unmatched = out.filter(_.getString(0) == "qqqqqqqqqq")
+    assert(unmatched.length === 1 && unmatched(0).isNullAt(1))
+  }
+
+  test("BestMatch topOne is deterministic under ties") {
+    val df = Seq((1, "b", 5), (1, "a", 5), (2, "c", 1)).toDF("k", "v", "d")
+    val out = BestMatch.topOnePerKey(df, Seq(col("k")),
+      Seq(col("d"), col("v"))).orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "a"), (2, "c")))
+  }
+
+  test("BestMatch argMinPerKey matches window top-1") {
+    val df = Seq((1, "x", 3), (1, "y", 1), (2, "z", 9), (2, "w", 9))
+      .toDF("k", "v", "d")
+    val win = BestMatch.topOnePerKey(df, Seq(col("k")),
+        Seq(col("d"), col("v"))).select("k", "v", "d")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val agg = BestMatch.argMinPerKey(df, Seq("k"),
+        struct(col("d"), col("v")), Seq("v", "d"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(win === agg)
+  }
+
+  test("CoalesceJoin: schema law + left wins + right fills nulls") {
+    val left = Seq((1, Some("L"), "only_l"), (2, None, "only_l2"))
+      .toDF("k", "shared", "lcol")
+    val right = Seq((1, "R1", 10), (2, "R2", 20), (3, "R3", 30))
+      .toDF("k", "shared", "rcol")
+    val out = CoalesceJoin.coalesceLeftJoin(left, right, "k", "k")
+    // output schema = union(left, right) in first-seen order
+    assert(out.columns.toSeq === Seq("k", "shared", "lcol", "rcol"))
+    val rows = out.orderBy("k").collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("L", "R2")) // left wins, right fills
+    assert(rows.map(_.getInt(3)).toSeq === Seq(10, 20))
+    assert(rows.length === 2) // left join: row 3 absent
+  }
+
+  test("AntiJoin matches NULL keys like dplyr na_matches='na'") {
+    val left = Seq(Some("a"), Some("b"), None).toDF("k")
+    val right = Seq(Some("a"), None).toDF("k")
+    // null-safe: left NULL row matches right NULL row -> excluded
+    val ns = AntiJoin.antiJoin(left, right, "k").collect().map(_.getString(0))
+    assert(ns.toSeq === Seq("b"))
+    // plain SQL semantics: NULL never matches -> NULL row kept
+    val plain = AntiJoin.antiJoin(left, right, "k", "k", naMatches = false)
+      .collect().map(r => Option(r.getString(0))).toSet
+    assert(plain === Set(Some("b"), None))
+  }
+
+  test("Recency digit keys and newest-first ordering") {
+    assert(Recency.digitKey("SurveyAdminTerm25-2") === 252L)
+    assert(Recency.digitKey("SurveyAdminYear2023") === 2023L)
+    // reference semantics (varinfo-update.R:166-170): key is the plain
+    // integer of concatenated digits, so 2021 outranks 252 ("25-2")
+    assert(Recency.sortedNewestFirst(
+      Seq("SurveyAdminYear2021", "SurveyAdminYear2023", "SurveyAdminTerm25-2"))
+      === Seq("SurveyAdminYear2023", "SurveyAdminYear2021",
+        "SurveyAdminTerm25-2"))
+  }
+
+  test("Recency most_recent picks min-rank value across columns") {
+    // value strays across columns: newest column holds an OLD value — the
+    // arg-min over ranks must still win (not a naive first-non-null).
+    val rank = Seq("2025" -> 1, "2023" -> 2, "2021" -> 3)
+    val df = Seq(
+      ("r1", "2021", "2023"), // newest col has old value; 2023 has lower rank
+      ("r2", "", "2021"),     // "" treated as missing
+      ("r3", "xxxx", "yyyy")  // nothing rankable -> null
+    ).toDF("id", "SurveyAdminA", "SurveyAdminB")
+    val out = df.withColumn("mr",
+        Recency.mostRecentCol(Seq("SurveyAdminA", "SurveyAdminB"), rank))
+      .orderBy("id").collect()
+    assert(Option(out(0).getString(3)) === Some("2023"))
+    assert(Option(out(1).getString(3)) === Some("2021"))
+    assert(out(2).isNullAt(3))
+  }
+
+  test("Recency sortVarinfo: admin/metadata first, NULLS LAST, stable") {
+    val df = Seq(
+      ("v1", "question", "2021"),
+      ("v2", "metadata", "2025"),
+      ("v3", "question", "2025"),
+      ("v4", "question", ""),   // no recency value -> NULL priority -> last
+      ("v5", "administrative", "")
+    ).toDF("ITEM_NAME", "ITEM_TYPE", "SurveyAdminYear2025")
+      .withColumn("SurveyAdminYear2021",
+        when(col("SurveyAdminYear2025") === "2021", "x"))
+    // single admin column with >1 distinct value (2021,2025) -> first by row
+    val out = Recency.sortVarinfo(df).select("ITEM_NAME").collect()
+      .map(_.getString(0))
+    // v2/v5 admin/meta first (stable: v2 then v5), then ranked, then NULLs
+    assert(out.take(2).toSeq === Seq("v2", "v5"))
+    assert(out.last === "v4" || out.takeRight(2).contains("v4"))
+  }
+
+  test("Dashboard filter keeps NULL ITEM_TYPE, drops CONSENT") {
+    val df = Seq(
+      (Some("question"), "q1"),
+      (Some("administrative"), "q2"),
+      (None: Option[String], "q3"),
+      (Some("question"), "CONSENT")
+    ).toDF("ITEM_TYPE", "ITEM_NAME")
+    val out = Dashboard.dashboard(df).collect().map(_.getString(0)).toSet
+    assert(out === Set("q1", "q3"))
+  }
+
+  test("Dashboard selectAnyOf skips absent columns silently") {
+    val df = Seq((1, "a")).toDF("x", "y")
+    assert(Dashboard.selectAnyOf(df, Seq("y", "missing", "x"))
+      .columns.toSeq === Seq("y", "x"))
+  }
+}

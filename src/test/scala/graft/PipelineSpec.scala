@@ -1,0 +1,132 @@
+package graft
+
+import graft.io.{Csv, QualtricsReader}
+import graft.ops.{Dashboard, Recency}
+import graft.pipeline.{VarinfoConfig, VarinfoUpdate}
+import org.apache.spark.sql.functions._
+
+/** End-to-end golden test on the reference's own example fixtures
+  * (read in place from /root/reference/examples — read-only). Asserts the
+  * invariants SURVEY.md §5.2 derives from the semantics. */
+class PipelineSpec extends SparkSpec {
+
+  private val responses =
+    "/root/reference/examples/Qualtrics_raw_UCGSES2025.csv"
+  private val prior =
+    "/root/reference/examples/experience_cumulative-varinfo_updated-2024.csv"
+
+  private def fixturesPresent: Boolean =
+    new java.io.File(responses).exists && new java.io.File(prior).exists
+
+  private lazy val cfg = VarinfoConfig(
+    surveyYear = "2025",
+    joinColumnText = "QuestionText.2023",
+    joinColumnVar = "ITEM_NAME",
+    maxStringDistance = 6)
+
+  test("Qualtrics ingest: 262 variables + sentinel, multiline text intact") {
+    assume(fixturesPresent)
+    val ci = QualtricsReader.loadSurveyColumnInfo(spark, responses, "2025")
+    assert(ci.count() === 263)
+    assert(ci.columns.toSeq === Seq("QualtricsVariableName.2025",
+      "QuestionText.2025", "SurveyAdminYear.2025"))
+    // sentinel: NULL variable name, "" question text
+    val sentinel = ci.filter(col("`QualtricsVariableName.2025`").isNull)
+    assert(sentinel.count() === 1)
+    assert(sentinel.select("`QuestionText.2025`").head().getString(0) === "")
+    // the consent question text (column Q2) spans multiple lines in the
+    // raw CSV — multiLine parsing must keep the embedded newlines
+    val consent = ci.filter(col("`QualtricsVariableName.2025`") === "Q2")
+      .select("`QuestionText.2025`").head().getString(0)
+    assert(consent != null && consent.contains("\n"))
+    assert(consent.startsWith("CONSENT TO PARTICIPATE"))
+  }
+
+  test("joinVarinfo: one row per prior codebook row, sane match stats") {
+    assume(fixturesPresent)
+    val ci = QualtricsReader.loadSurveyColumnInfo(spark, responses, "2025")
+    val priorDf = Csv.readAsStrings(spark, prior)
+    assert(priorDf.count() === 420)
+    val (joined, unmatched, stats) =
+      VarinfoUpdate.joinVarinfo(priorDf, ci, cfg)
+    // left join + top-1 per row_id: exactly one output row per prior row
+    assert(joined.count() === 420)
+    assert(stats.totalVars === 263)
+    assert(stats.exact > 0)       // identical question texts exist
+    assert(stats.totalMatched >= stats.exact + stats.fuzzy - 1)
+    // joined carries the dynamic columns + bookkeeping
+    Seq("QualtricsVariableName.2025", "QuestionText.2025",
+      "SurveyAdminYear.2025", "row_id", "string_distance").foreach { c =>
+      assert(joined.columns.contains(c), s"missing $c")
+    }
+    // no unmatched variable appears among the matched ones
+    val matchedVars = joined
+      .select(col("`QualtricsVariableName.2025`")).na.drop()
+      .collect().map(_.getString(0)).toSet
+    val unmatchedVars = unmatched
+      .select(col("`QualtricsVariableName.2025`")).na.drop()
+      .collect().map(_.getString(0)).toSet
+    assert(unmatchedVars.intersect(matchedVars).isEmpty)
+    assert(unmatchedVars.nonEmpty)
+  }
+
+  test("sort_varinfo on the joined codebook: admin/meta first, ranked recency") {
+    assume(fixturesPresent)
+    val ci = QualtricsReader.loadSurveyColumnInfo(spark, responses, "2025")
+    val priorDf = Csv.readAsStrings(spark, prior)
+    val (joined, _, _) = VarinfoUpdate.joinVarinfo(priorDf, ci, cfg)
+    val sorted = Recency.sortVarinfo(joined)
+    assert(sorted.count() === 420)
+    assert(sorted.columns.contains("most_recent"))
+    // phase-1 bookkeeping (row_id/string_distance) survives into the full
+    // codebook, as in the reference's written manual-update file; only the
+    // internal sort helpers are dropped
+    assert(!sorted.columns.contains("__graft_row_id"))
+    assert(!sorted.columns.contains("__graft_priority"))
+    val rows = sorted.select("ITEM_TYPE", "most_recent").collect()
+    // every most_recent is a year the codebook knows, or null
+    val years = Set("2021", "2022", "2023", "2024", "2025")
+    assert(rows.forall(r => r.isNullAt(1) || years.contains(r.getString(1))))
+    // the admin/metadata block is a prefix of the output
+    val types = rows.map(r => Option(r.getString(0)).getOrElse(""))
+    val firstNonAdmin = types.indexWhere(t =>
+      t != "administrative" && t != "metadata")
+    assert(types.drop(firstNonAdmin)
+      .forall(t => t != "administrative" && t != "metadata"))
+  }
+
+  test("dashboard trim: no admin/meta/CONSENT, allow-listed columns only") {
+    assume(fixturesPresent)
+    val ci = QualtricsReader.loadSurveyColumnInfo(spark, responses, "2025")
+    val priorDf = Csv.readAsStrings(spark, prior)
+    val (joined, _, _) = VarinfoUpdate.joinVarinfo(priorDf, ci, cfg)
+    val sorted = Recency.sortVarinfo(joined)
+    val dash = Dashboard.dashboard(sorted, cfg.joinColumnVar)
+    val allowed = (cfg.joinColumnVar +: Dashboard.DefaultColumns).toSet
+    assert(dash.columns.forall(allowed.contains))
+    val bad = dash.filter(col("ITEM_TYPE").isin("administrative", "metadata") ||
+      col("ITEM_NAME") === "CONSENT")
+    assert(bad.count() === 0)
+  }
+
+  test("two-phase checkpoint protocol writes single-file CSVs") {
+    assume(fixturesPresent)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val c = cfg.copy(responseFile = responses, priorVarinfoFile = prior,
+      workDir = tmp, varinfoFolder = tmp)
+    VarinfoUpdate.phase1(spark, c)
+    assert(new java.io.File(c.needsManualUpdateFile).isFile)
+    assert(new java.io.File(c.unmatchedVarsFile).isFile)
+    // simulate the human edit: accept the file unchanged
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(c.needsManualUpdateFile),
+      java.nio.file.Paths.get(c.manuallyUpdatedFile))
+    val sorted = VarinfoUpdate.phase2(spark, c)
+    assert(new java.io.File(c.outputFile).isFile)
+    assert(new java.io.File(c.trimmedOutputFile).isFile)
+    assert(sorted.count() === 420)
+    // resumed file round-trips through CSV with embedded newlines intact
+    val reread = Csv.readAsStrings(spark, c.outputFile)
+    assert(reread.count() === 420)
+  }
+}

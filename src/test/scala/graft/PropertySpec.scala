@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style tests (seeded exhaustive/random sweeps) for the soundness
+  * claims the scale optimizations rest on (SURVEY.md §7.4 risk list).
+  * Pure JVM — no Spark session needed. */
+class PropertySpec extends AnyFunSuite {
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private val rnd = new scala.util.Random(1234)
+  private def randStr(maxLen: Int, alphabet: Int = 3): String =
+    (0 until rnd.nextInt(maxLen + 1))
+      .map(_ => ('a' + rnd.nextInt(alphabet)).toChar).mkString
+
+  test("length band never prunes a true Levenshtein match (10k samples)") {
+    (1 to 10000).foreach { _ =>
+      val (a, b, d) = (randStr(8), randStr(8), rnd.nextInt(6))
+      if (lev(a, b) <= d)
+        assert(math.abs(a.length - b.length) <= d,
+          s"band pruned true match: '$a' '$b' d=$d lev=${lev(a, b)}")
+    }
+  }
+
+  test("Jaccard size band never prunes a true match (10k samples)") {
+    (1 to 10000).foreach { _ =>
+      val a = Set.fill(rnd.nextInt(15))(rnd.nextInt(20))
+      val b = Set.fill(rnd.nextInt(15))(rnd.nextInt(20))
+      val t = (rnd.nextInt(10) + 1) / 10.0
+      val union = (a ++ b).size
+      if (union > 0) {
+        val jac = a.intersect(b).size.toDouble / union
+        if (jac >= t) {
+          val (mn, mx) = (math.min(a.size, b.size), math.max(a.size, b.size))
+          assert(mn + 1e-9 >= t * mx,
+            s"size band pruned true match: |a|=${a.size} |b|=${b.size} t=$t jac=$jac")
+        }
+      }
+    }
+  }
+
+  test("recency rank: first occurrence wins for duplicate values") {
+    import graft.ops.Recency
+    val r = Recency.recencyRank(Seq(Some("2025"), Some("2023"),
+      Some("2025"), None, Some("2021")))
+    assert(r.toMap === Map("2025" -> 1, "2023" -> 2, "2021" -> 5))
+    assert(r.map(_._1) === Seq("2025", "2023", "2021"))
+  }
+
+  test("digit key concatenates all digit runs") {
+    import graft.ops.Recency
+    assert(Recency.digitKey("SurveyAdminTerm25-2") === 252L)
+    assert(Recency.digitKey("SurveyAdminYear2023") === 2023L)
+    assert(Recency.digitKey("NoDigitsHere") === Long.MinValue)
+    // digit overflow clamps instead of throwing
+    assert(Recency.digitKey("X99999999999999999999999") === Long.MaxValue)
+  }
+}
