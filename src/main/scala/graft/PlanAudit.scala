@@ -19,6 +19,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.catalyst.GraftExtensions.install(spark)
     val names =
       if (wanted.nonEmpty) SparkEntry.queries.keys.filter(wanted).toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted

@@ -27,6 +27,15 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Native codegen'd cosine when GraftExtensions is installed on the
+    * session, else the built-in HOF composition. Both accumulate in
+    * ascending index order, so the results are bit-identical. */
+  private def cosineFor(spark: org.apache.spark.sql.SparkSession)
+                       (a: Column, b: Column): Column =
+    if (graft.catalyst.GraftExtensions.isInstalled(spark))
+      graft.catalyst.GraftExtensions.cosineSim(a, b)
+    else cosine(a, b)
+
   /** Exact top-k neighbors for each query vector: broadcast the (small)
     * query side, score all corpus rows, window top-k with id tiebreak.
     * Output: (query_id, rank, neighbor_id, cos). */
@@ -41,7 +50,7 @@ object Similarity {
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        cosineFor(queries.sparkSession)(col("qv"), col("cv")).as("cos"))
     graft.ops.BestMatch.topKPerKey(scored, Seq(col("query_id")),
         Seq(col("cos").desc, col("neighbor_id").asc), k)
       .withColumnRenamed("__graft_rank", "rank")
@@ -57,7 +66,7 @@ object Similarity {
     val b = v.alias("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        cosineFor(df.sparkSession)(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -107,7 +116,7 @@ object Similarity {
     val vb = v.select(col("id").as("id_b"), col("v").as("v_b"))
     candidates.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
-        cosine(col("v_a"), col("v_b")).as("cos"))
+        cosineFor(df.sparkSession)(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

@@ -33,6 +33,7 @@ object Main {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.catalyst.GraftExtensions.install(spark)
     try VarinfoUpdate.run(spark, cfg)
     finally spark.stop()
   }

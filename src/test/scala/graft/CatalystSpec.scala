@@ -1,0 +1,66 @@
+package graft
+
+import graft.catalyst.GraftExtensions
+import graft.llm.Similarity
+import org.apache.spark.sql.functions._
+
+class CatalystSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def withFixture(test: NoArgTest) = {
+    GraftExtensions.install(spark)
+    super.withFixture(test)
+  }
+
+  test("cosine_sim equals the HOF composition bit-for-bit") {
+    val emb = Util.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(100)
+    val a = emb.select(col("vec_id").as("ia"),
+      Similarity.toDouble(col("embedding")).as("va"))
+    val b = emb.select(col("vec_id").as("ib"),
+      Similarity.toDouble(col("embedding")).as("vb"))
+    val both = a.join(b, col("ia") < col("ib"))
+      .select(
+        GraftExtensions.cosineSim(col("va"), col("vb")).as("native"),
+        Similarity.cosine(col("va"), col("vb")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("cosine_sim handles nulls, zero vectors, and float input") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(2.0f, 4.0f))),
+      (Some(Seq(0.0f, 0.0f)), Some(Seq(1.0f, 1.0f))),
+      (None, Some(Seq(1.0f, 1.0f)))
+    ).toDF("a", "b")
+    val out = df.select(GraftExtensions.cosineSim(col("a"), col("b"))).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12) // parallel vectors
+    assert(out(1).getDouble(0) === 0.0)                 // zero norm
+    assert(out(2).isNullAt(0))                          // null propagates
+  }
+
+  test("LevenshteinBandRule rewrites naive predicates and preserves results") {
+    val l = Seq("kitten", "apple", "zzzzzzzzzzzzzz").toDF("a")
+    val r = Seq("sitting", "apples", "mitten").toDF("b")
+    // naive theta join written WITHOUT the band (raw functions.levenshtein)
+    val joined = l.join(r, levenshtein(col("a"), col("b")) <= 3)
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("levenshtein(a"),
+      s"expected levenshtein in plan:\n$optimized")
+    assert(optimized.contains("length"),
+      s"band rewrite missing — no length() in optimized plan:\n$optimized")
+    assert(optimized.contains("Some(3)) >= 0"),
+      s"bounded levenshtein missing in optimized plan:\n$optimized")
+    val rows = joined.collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(rows === Set(("kitten", "sitting"), ("kitten", "mitten"),
+      ("apple", "apples")))
+  }
+
+  test("rule also fires through raw spark.sql text") {
+    val res = spark.sql(
+      "SELECT levenshtein('kitten', x) <= 2 AS m FROM VALUES ('mitten'), " +
+        "('aaaaaaaaaaaa') AS t(x)").collect().map(_.getBoolean(0))
+    assert(res.toSeq.sorted === Seq(false, true))
+  }
+}
