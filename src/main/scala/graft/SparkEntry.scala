@@ -325,6 +325,14 @@ object SparkEntry {
       Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // LLM: near-dup pairs → dedup clusters via min-label connected
+    // components (rows-only; ScalaTest checks against local union-find)
+    "q_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsWithinGroup(table(s, dir, "documents"),
+        "doc_id", "text", "source", 0.9)
+      Dedup.connectedComponents(pairs).orderBy(col("id"))
+    }),
+
     // LLM: brute-force cosine top-5 for 10 query vectors
     "q_embed_cosine_topk" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
@@ -350,6 +358,8 @@ object SparkEntry {
       table(s, dir, "documents").select(
         col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
+        size(TextFunctions.regexTokens(col("text"))).cast("long")
+          .as("n_regex_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
         TextFunctions.avgTokenLength(toks).as("avg_token_len"),
         TextFunctions.stopwordRatio(toks).as("stopword_ratio"))
@@ -604,9 +614,11 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
 
     "q_text_quality" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |    AS BIGINT) AS n_regex_tokens,
         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
         |  CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
         |    / len(toks) AS avg_token_len,

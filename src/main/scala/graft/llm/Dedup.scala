@@ -155,4 +155,45 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double): DataFrame =
     Similarity.lshPairsAbove(df, idCol, vecCol, threshold)
+
+  /** Connected components over near-duplicate pairs — turns pairwise
+    * matches into dedup clusters whose representative (the component label)
+    * is the minimum member id.
+    *
+    * Min-label propagation: each round every node takes the minimum label
+    * among itself and its neighbors; converges in O(diameter) rounds. Each
+    * round is one equi-join + hash aggregate (shuffle on id), and the
+    * result is `localCheckpoint`ed so the plan does not grow with the
+    * iteration count — without the checkpoint the lineage doubles per round
+    * and the driver dies re-optimizing it long before 100 TB does.
+    * Output: (id, component) for every id appearing in `pairs`. */
+  def connectedComponents(pairs: DataFrame, idColA: String = "id_a",
+                          idColB: String = "id_b",
+                          maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fwd = pairs.select(col(idColA).as("src"), col(idColB).as("dst"))
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("comp"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -96,6 +96,34 @@ class LlmSpec extends SparkSpec {
     assert(out(0).getDouble(2) === 1.0)
   }
 
+  test("connected components equal local union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L), (3L, 1L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 7L -> 7L))
+    // against union-find on real near-dup pairs
+    val real = Dedup.jaccardPairsWithinGroup(docs, "doc_id", "text",
+      "source", 0.8).select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (real.nonEmpty) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      real.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.connectedComponents(real.toSeq.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === expected)
+    }
+  }
+
   test("text quality and fingerprint functions are deterministic and bounded") {
     val out = docs.select(
         TextFunctions.qualityScore(col("text")).as("q"),
