@@ -258,6 +258,16 @@ object SparkEntry {
         regexp_extract(col("event_type"), "^([a-z]+)", 1).as("type_word"))
         .orderBy(col("event_id"))),
 
+    // Semi-structured: JSON extraction from the events props column,
+    // aggregated per type (schema-on-read over string payloads)
+    "q_json_extract" -> ((s, dir) =>
+      table(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // Headline agg: TPC-H Q1 shape, decimal-exact sums
     "q_agg_pricing" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -549,6 +559,13 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS k_value,
         |  regexp_extract(event_type, '^([a-z]+)', 1) AS type_word
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,

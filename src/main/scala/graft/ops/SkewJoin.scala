@@ -1,0 +1,36 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigated equi-join by key salting.
+  *
+  * AQE's skew-join handling (on by default) splits oversized shuffle
+  * partitions at runtime, but it only helps sort-merge joins and only after
+  * the skewed partition materialized. Salting attacks the skew at the
+  * source: the fact side gets a random-but-deterministic salt in [0, n),
+  * the dimension side is exploded across all n salts, and the join key
+  * becomes (key, salt) — one hot key now spreads over n tasks.
+  *
+  * Deterministic: the salt is `pmod(xxhash64(row fingerprint), n)`, not
+  * `rand()`, so replays and retries see identical assignments.
+  */
+object SkewJoin {
+
+  def saltedInnerJoin(fact: DataFrame, dim: DataFrame,
+                      factKey: String, dimKey: String,
+                      salts: Int = 8,
+                      fingerprint: Seq[String] = Nil): DataFrame = {
+    val fpCols: Seq[Column] =
+      if (fingerprint.nonEmpty) fingerprint.map(col)
+      else fact.columns.toSeq.map(col)
+    val saltedFact = fact.withColumn("__graft_salt",
+      pmod(xxhash64(fpCols: _*), lit(salts)).cast("int"))
+    val saltedDim = dim.withColumn("__graft_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(saltedDim,
+        saltedFact(factKey) === saltedDim(dimKey) &&
+          saltedFact("__graft_salt") === saltedDim("__graft_salt"))
+      .drop("__graft_salt")
+  }
+}

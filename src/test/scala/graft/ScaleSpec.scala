@@ -1,0 +1,46 @@
+package graft
+
+import graft.ops.SkewJoin
+import org.apache.spark.sql.functions._
+
+/** Tests for the scale utilities: salted skew join and bucketed co-located
+  * joins (the pre-partitioning strategy for repeated big-big joins). */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join and spreads the hot key") {
+    // heavy skew: 5000 of 5020 rows share key 1
+    val fact = ((1 to 5000).map(i => (1L, s"v$i")) ++
+      (1 to 20).map(i => (i.toLong + 1, s"w$i"))).toDF("k", "payload")
+    val dim = (1 to 30).map(i => (i.toLong, s"dim$i")).toDF("dk", "attr")
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("k", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val salted = SkewJoin.saltedInnerJoin(fact, dim, "k", "dk", salts = 8)
+      .select("k", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(salted === plain)
+    assert(plain.size === 5020)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_cust")
+    spark.sql("DROP TABLE IF EXISTS graft_bucketed_ord")
+    Util.table(spark, "/root/testdata/sf0.001", "customer")
+      .write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("graft_bucketed_cust")
+    Util.table(spark, "/root/testdata/sf0.001", "orders")
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("graft_bucketed_ord")
+    val joined = spark.table("graft_bucketed_cust")
+      .join(spark.table("graft_bucketed_ord"),
+        col("c_custkey") === col("o_custkey"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located bucketing: the join itself requires no shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    info("bucketed join plan is exchange-free on the join keys")
+  }
+}
