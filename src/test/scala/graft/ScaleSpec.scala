@@ -24,9 +24,17 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed tables join without a shuffle exchange") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_cust")
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_ord")
+    // a fresh JVM's catalog does not know tables left by a previous run,
+    // so DROP is a no-op while the location still exists — clear it
+    val wh = java.net.URI.create(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("graft_bucketed_cust", "graft_bucketed_ord").foreach { t =>
+      val dir = new java.io.File(wh, t)
+      if (dir.exists())
+        scala.reflect.io.Directory(dir).deleteRecursively()
+    }
     Util.table(spark, "/root/testdata/sf0.001", "customer")
       .write.bucketBy(4, "c_custkey").sortBy("c_custkey")
       .mode("overwrite").saveAsTable("graft_bucketed_cust")
