@@ -318,6 +318,20 @@ object SparkEntry {
       EventsStream.sessionize(table(s, dir, "events"), "30 minutes")
         .orderBy(col("user_id"), col("session_start"))),
 
+    // As-of join — each event matched to the customer's latest order at or
+    // before the event time; union+window composition, DuckDB ASOF oracle
+    "q_asof_join" -> ((s, dir) => {
+      val latestPerDate = table(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin.asofLeftJoin(
+          table(s, dir, "events").select("event_id", "user_id", "ts"),
+          latestPerDate, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // LLM: exact dedup by content hash
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(table(s, dir, "documents"), "doc_id", "text")
@@ -606,6 +620,15 @@ object SparkEntry {
       """SELECT date_trunc('day', ts) AS window_start, event_type,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate,
+        |    max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, r.o_orderkey
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH m AS (

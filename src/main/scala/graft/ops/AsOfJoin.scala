@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (time-travel) left join: for each left row, the single right row
+  * with the greatest right timestamp <= the left timestamp, per key.
+  * Spark has no native ASOF JOIN; the naive formulation is a per-row
+  * correlated subquery or an exploding range join. This operator composes
+  * built-ins instead:
+  *
+  *   union both sides tagged → one window per key ordered by
+  *   (ts, right-before-left) → `last_value(..., ignoreNulls)` carries the
+  *   most recent right payload forward → keep the left rows.
+  *
+  * One shuffle on the key, one per-key sort, zero row explosion — the
+  * shape that survives a 100 TB fact side. Ties at the same (key, ts) on
+  * the right must be pre-deduplicated by the caller for determinism.
+  */
+object AsOfJoin {
+
+  /** Output: all left columns + the requested right payload columns
+    * (null when no right row is at-or-before the left timestamp). */
+  def asofLeftJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__graft_key", col(leftKey))
+      .withColumn("__graft_ts", col(leftTs))
+      .withColumn("__graft_is_left", lit(1))
+    val lPadded = payload.foldLeft(l)((df, c) =>
+      df.withColumn(s"__graft_p_$c", lit(null)))
+    val r = right
+      .withColumn("__graft_key", col(rightKey))
+      .withColumn("__graft_ts", col(rightTs))
+      .withColumn("__graft_is_left", lit(0))
+    val rProjected = payload.foldLeft(r)((df, c) =>
+        df.withColumn(s"__graft_p_$c", col(c)))
+      .select(("__graft_key" +: "__graft_ts" +: "__graft_is_left" +:
+        payload.map(c => s"__graft_p_$c")).map(col): _*)
+    val lProjected = lPadded.select(
+      (leftCols ++ Seq("__graft_key", "__graft_ts", "__graft_is_left") ++
+        payload.map(c => s"__graft_p_$c")).map(col): _*)
+    val unioned = lProjected.unionByName(rProjected,
+      allowMissingColumns = true)
+    // right rows sort before left rows at equal ts, so a right row AT the
+    // left timestamp matches (ts >= semantics)
+    val w = Window.partitionBy(col("__graft_key"))
+      .orderBy(col("__graft_ts"), col("__graft_is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned)((df, c) =>
+      df.withColumn(c,
+        last(col(s"__graft_p_$c"), ignoreNulls = true).over(w)))
+    carried.filter(col("__graft_is_left") === 1)
+      .select((leftCols ++ payload).map(col): _*)
+  }
+}

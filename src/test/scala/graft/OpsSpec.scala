@@ -96,6 +96,26 @@ class OpsSpec extends SparkSpec {
     assert(plain === Set(Some("b"), None))
   }
 
+  test("AsOfJoin picks the latest right row at-or-before each left ts") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")),
+      (2L, 10L, ts("2024-01-01 00:00:00")), // exactly at a right ts
+      (3L, 10L, ts("2023-12-01 00:00:00")), // before all right rows
+      (4L, 99L, ts("2024-01-05 00:00:00"))  // key with no right rows
+    ).toDF("eid", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), "a"),
+      (10L, ts("2024-01-03 00:00:00"), "b"),
+      (10L, ts("2024-02-01 00:00:00"), "c")
+    ).toDF("rk", "rt", "v")
+    val out = ops.AsOfJoin.asofLeftJoin(left, right, "k", "rk", "t", "rt",
+        Seq("v")).orderBy("eid").collect()
+    assert(out.map(r => Option(r.getString(3))).toSeq ===
+      Seq(Some("b"), Some("a"), None, None))
+  }
+
   test("Recency digit keys and newest-first ordering") {
     assert(Recency.digitKey("SurveyAdminTerm25-2") === 252L)
     assert(Recency.digitKey("SurveyAdminYear2023") === 2023L)
