@@ -318,6 +318,14 @@ object SparkEntry {
       EventsStream.sessionize(table(s, dir, "events"), "30 minutes")
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Range join — same-user event pairs within 5 minutes, binned into an
+    // equi-join (3x replication) instead of a quadratic theta join; the
+    // oracle is the naive inequality join
+    "q_range_join" -> ((s, dir) =>
+      RangeJoin.timeProximitySelfJoin(table(s, dir, "events"),
+          "user_id", "ts", "event_id", 300L)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // As-of join — each event matched to the customer's latest order at or
     // before the event time; union+window composition, DuckDB ASOF oracle
     "q_asof_join" -> ((s, dir) => {
@@ -620,6 +628,14 @@ object SparkEntry {
       """SELECT date_trunc('day', ts) AS window_start, event_type,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT a.event_id AS id_a, b.event_id AS id_b,
+        |  abs(epoch_us(a.ts) - epoch_us(b.ts)) AS gap_us
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_asof_join" ->
       """WITH r AS (SELECT o_custkey, o_orderdate,

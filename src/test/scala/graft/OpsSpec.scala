@@ -116,6 +116,28 @@ class OpsSpec extends SparkSpec {
       Seq(Some("b"), Some("a"), None, None))
   }
 
+  test("RangeJoin binning equals the naive inequality join") {
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(5)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (1 to 300).map { i =>
+      (i.toLong, (i % 7).toLong,
+        new Timestamp(base + rnd.nextInt(3600) * 1000L))
+    }
+    val df = rows.toDF("id", "k", "t")
+    val banded = ops.RangeJoin
+      .timeProximitySelfJoin(df, "k", "t", "id", 120L)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = rows.flatMap { case (ia, ka, ta) =>
+      rows.collect { case (ib, kb, tb)
+        if ka == kb && ia < ib &&
+          math.abs(ta.getTime - tb.getTime) <= 120000L => (ia, ib) }
+    }.toSet
+    assert(banded === naive)
+    assert(naive.nonEmpty)
+  }
+
   test("Recency digit keys and newest-first ordering") {
     assert(Recency.digitKey("SurveyAdminTerm25-2") === 252L)
     assert(Recency.digitKey("SurveyAdminYear2023") === 2023L)
