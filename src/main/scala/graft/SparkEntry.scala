@@ -381,6 +381,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // LLM: IVF (KMeans-cell) approximate top-k, the second ANN scale path
+    // (rows-only; ScalaTest measures recall vs brute force)
+    "q_embed_ann_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // LLM: LSH-bucketed ANN pairs (rows-only; recall tested vs brute force).
     // The synthetic embeddings are fully random (max pairwise cosine ~0.5),
     // so the threshold sits where real pairs exist.

@@ -122,4 +122,52 @@ object Similarity {
 
   private def headDim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
+
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * `nlist` KMeans cells, then scan only each query's `nprobe` nearest
+    * cells. The cell assignment is one ML pipeline pass; probing is an
+    * equi-join on the cell id, so the per-query work drops from |corpus| to
+    * ~|corpus|·nprobe/nlist. Deterministic under the fixed seed.
+    *
+    * Cell ranking uses squared euclidean distance to the centroids (the
+    * KMeans objective): ||q-c||² = ||q||² - 2q·c + ||c||², and ||q||² is
+    * constant per query, so cells rank by (||c||² - 2q·c) — centroids are
+    * folded into the plan as literal arrays (driver-side, nlist×dim
+    * doubles). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              queryIdCol: String, corpusIdCol: String, vecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpusVec = corpus.select(col(corpusIdCol).as("neighbor_id"),
+        toDouble(col(vecCol)).as("cv"))
+      .withColumn("features", array_to_vector(col("cv")))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(corpusVec)
+    val assigned = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+    val centers = model.clusterCenters.map(_.toArray)
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val cellScores = centers.zipWithIndex.map { case (c, i) =>
+      val cArr = array(c.map(lit).toSeq: _*)
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(col("qv"), cArr)).as("d"),
+        lit(i).as("cell"))
+    }
+    val probed = q.withColumn("cell",
+      explode(transform(
+        slice(array_sort(array(cellScores.toSeq: _*)), 1, nprobe),
+        s => s.getField("cell"))))
+    val scored = probed.join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFor(queries.sparkSession)(col("qv"), col("cv")).as("cos"))
+    graft.ops.BestMatch.topKPerKey(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .withColumnRenamed("__graft_rank", "rank")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
 }

@@ -63,6 +63,26 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF top-k: valid shape, deterministic, measurable recall vs brute") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopK(queries, embs, "vec_id", "vec_id",
+        "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(ivf.length === 50)
+    val brute = Similarity.bruteForceTopK(queries, embs, "vec_id", "vec_id",
+        "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = ivf.count { case (q, _, n) => brute.contains((q, n)) }
+    val recall = hits.toDouble / brute.size
+    info(s"IVF recall@5 (nlist=16, nprobe=4, random vectors): $recall")
+    assert(recall > 0.1, "probing should find a nontrivial share")
+    val again = Similarity.ivfTopK(queries, embs, "vec_id", "vec_id",
+        "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(ivf.sortBy(x => (x._1, x._2)).sameElements(
+      again.sortBy(x => (x._1, x._2))), "fixed seed must be deterministic")
+  }
+
   test("brute-force top-k is exact and deterministically ordered") {
     val out = Similarity.bruteForceTopK(
         embs.filter(col("vec_id") < 3), embs, "vec_id", "vec_id",
