@@ -340,6 +340,19 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Sketches: HLL distinct (Apache DataSketches) + approximate
+    // percentiles next to their exact counterparts (rows-only; ScalaTest
+    // asserts the error bounds — sketch impls differ engine to engine, so
+    // no DuckDB oracle)
+    "q_sketch_agg" -> ((s, dir) =>
+      table(s, dir, "events").agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+          .as("hll_users"),
+        expr("percentile(value, 0.5)").as("p50_exact"),
+        expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"))),
+
     // LLM: exact dedup by content hash
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(table(s, dir, "documents"), "doc_id", "text")

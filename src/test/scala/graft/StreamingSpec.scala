@@ -31,6 +31,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("sketch aggregates stay within error bounds of exact values") {
+    val row = SparkEntry.queries("q_sketch_agg")(spark,
+      "/root/testdata/sf0.001").collect()(0)
+    val exact = row.getAs[Long]("exact_users").toDouble
+    assert(math.abs(row.getAs[Long]("approx_users") - exact) / exact < 0.05)
+    assert(math.abs(row.getAs[Long]("hll_users") - exact) / exact < 0.05)
+    val p50e = row.getAs[Double]("p50_exact")
+    val p50a = row.getAs[Double]("p50_approx")
+    assert(math.abs(p50a - p50e) / math.max(math.abs(p50e), 1e-9) < 0.05)
+  }
+
+  test("streaming sessionization (watermark + session_window, AvailableNow)") {
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    events.write.mode("overwrite").parquet(dir)
+    val batch = EventsStream.sessionize(events, "30 minutes")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .toSet
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"))
+    val q = stream.writeStream.format("memory").queryName("graft_sess_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_sess_test")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      .toSet
+    // append mode can withhold sessions still open at the final watermark
+    assert(streamed.subsetOf(batch))
+    assert(streamed.size >= (batch.size * 9) / 10,
+      s"streamed ${streamed.size} of ${batch.size} sessions")
+  }
+
   test("mapGroupsWithState running totals == plain groupBy in batch") {
     val events = Util.table(spark, "/root/testdata/sf0.001", "events")
       .select(col("user_id"), col("event_type"), col("value"))
