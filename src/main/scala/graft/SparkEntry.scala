@@ -394,6 +394,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // LLM: embedding-cosine near-dup pairs, exact (oracle-checked; ids
+    // only — cosine values are float-sum order-sensitive across engines)
+    "q_embed_neardup_exact" -> ((s, dir) =>
+      Similarity.allPairsAbove(table(s, dir, "embeddings"),
+          "vec_id", "embedding", 0.4)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // LLM: IVF (KMeans-cell) approximate top-k, the second ANN scale path
     // (rows-only; ScalaTest measures recall vs brute force)
     "q_embed_ann_ivf" -> ((s, dir) => {
@@ -702,6 +710,13 @@ object SparkEntry {
         |      len(list_distinct(list_concat(a.ws, b.ws))) AS jac
         |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_neardup_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_embed_cosine_topk" ->

@@ -65,6 +65,32 @@ object Multimodal {
     hist.map(_ / n)
   }
 
+  /** Resized media row: payload downsampled, metadata updated. */
+  final case class ResizedMedia(id: Long, width: Int, height: Int,
+                                data: Array[Byte])
+
+  /** STUB resize: deterministic stride-decimation of the payload (every
+    * `factor`-th byte) with the metadata dimensions scaled to match — the
+    * plumbing shape of an image resize (payload in, smaller payload +
+    * consistent metadata out) without a codec. Partition-wise, typed. */
+  def resize(df: DataFrame, idCol: String, factor: Int = 2): Dataset[ResizedMedia] = {
+    require(factor >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col("media.data"),
+        col("media.meta.width"), col("media.meta.height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, w, h) =>
+          val out = Array.tabulate(
+            math.max(bytes.length / factor, 1))(i =>
+              bytes(math.min(i.toLong * factor, bytes.length - 1L).toInt))
+          ResizedMedia(id, math.max(w / factor, 1),
+            math.max(h / factor, 1), out)
+        }
+      }
+  }
+
   /** Frame sampling: split each payload into `frames` equal chunks and emit
     * one deterministic fingerprint (FNV-1a) per chunk — the shape of a
     * video keyframe sampler, stubbed. */

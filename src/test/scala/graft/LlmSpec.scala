@@ -174,5 +174,15 @@ class LlmSpec extends SparkSpec {
     assert(frames.length === 200)
     assert(frames.groupBy(_.id).forall(_._2.map(_.frame).sorted.sameElements(
       Array(0, 1, 2, 3))))
+    // resize: payload decimated, metadata scaled consistently
+    val resized = Multimodal.resize(media, "doc_id", factor = 2).collect()
+    assert(resized.length === 50)
+    val orig = media.select(col("doc_id").cast("long"),
+        length(col("media.data")), col("media.meta.width"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(resized.forall { r =>
+      val (n, w) = orig(r.id)
+      r.data.length == math.max(n / 2, 1) && r.width == math.max(w / 2, 1)
+    })
   }
 }
