@@ -395,9 +395,12 @@ object SparkEntry {
     }),
 
     // LLM: embedding-cosine near-dup pairs, exact (oracle-checked; ids
-    // only — cosine values are float-sum order-sensitive across engines)
+    // only — cosine values are float-sum order-sensitive across engines).
+    // Bounded to 1000 vectors: the exact form is inherently quadratic and
+    // exists as the oracle-checked ground truth; LSH/IVF are the scale path
     "q_embed_neardup_exact" -> ((s, dir) =>
-      Similarity.allPairsAbove(table(s, dir, "embeddings"),
+      Similarity.allPairsAbove(
+          table(s, dir, "embeddings").filter(col("vec_id") < 1000),
           "vec_id", "embedding", 0.4)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))),
@@ -717,6 +720,7 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b
         |  ON a.vec_id < b.vec_id
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |WHERE a.vec_id < 1000 AND b.vec_id < 1000
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_embed_cosine_topk" ->
