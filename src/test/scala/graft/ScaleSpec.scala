@@ -23,6 +23,19 @@ class ScaleSpec extends SparkSpec {
     assert(plain.size === 5020)
   }
 
+  test("partitioned parquet sink prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")
+    io.Parquet.writePartitioned(docs, dir, Seq("source"))
+    val one = io.Parquet.read(spark, dir).filter(col("source") === "src3")
+    one.collect()
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("src3"), s"expected partition pruning:\n$scan")
+    // pruned read returns exactly the partition's rows
+    assert(one.count() === docs.filter(col("source") === "src3").count())
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_cust")
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_ord")
