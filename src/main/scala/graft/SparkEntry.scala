@@ -126,6 +126,20 @@ object SparkEntry {
     // J2/W2/O1 — best-match-per-key, deterministic tiebreak
     "q_best_match" -> bestMatch,
 
+    // J1 scale path #2 — chunk-filter (PassJoin-family) kernel; same naive
+    // oracle as the blocked variant, so matching results prove soundness
+    "q_similarity_chunked" -> ((s, dir) => {
+      val prefix = array_join(slice(split(col("text"), " "), 1, 2), " ")
+      val a = table(s, dir, "documents")
+        .select(col("doc_id").as("id_a"), prefix.as("pa"))
+      val b = table(s, dir, "documents")
+        .select(col("doc_id").as("id_b"), prefix.as("pb"))
+      SimilarityJoin.chunkedInnerJoin(a, b, "pa", "pb", 2, "dist")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // J1 scale path — length-banded (blocked) similarity join: the Spark
     // side runs the shuffle-hash-join kernel (right side exploded over its
     // 2d+1 admissible lengths, equi-join on exact length, verify distance);
@@ -519,6 +533,16 @@ object SparkEntry {
         |  CAST(levenshtein(n.p_name, m.q_name) AS BIGINT) AS string_distance
         |FROM n LEFT JOIN m ON levenshtein(n.p_name, m.q_name) <= 3
         |ORDER BY p_name, q_name NULLS LAST""".stripMargin,
+
+    "q_similarity_chunked" ->
+      """WITH p AS (SELECT doc_id,
+        |    array_to_string((string_split(text, ' '))[1:2], ' ') AS pre
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+        |FROM p a JOIN p b
+        |  ON a.doc_id < b.doc_id AND levenshtein(a.pre, b.pre) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_similarity_blocked" ->
       """WITH p AS (SELECT doc_id,

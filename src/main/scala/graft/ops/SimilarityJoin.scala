@@ -88,5 +88,88 @@ object SimilarityJoin {
     inner.unionByName(padded, allowMissingColumns = true)
   }
 
+  /** Chunk-filter (PassJoin-family) inner join, the sharper scale kernel:
+    * split every left string of length L into d+1 contiguous chunks; if
+    * lev(l, r) <= d then, by pigeonhole over the <= d edit operations, at
+    * least one chunk survives untouched and appears in r as an exact
+    * substring shifted by at most d positions. Candidates therefore come
+    * from an equi-join on (chunk string, left length, chunk index) between
+    * left chunks and right substrings generated only at the admissible
+    * (length, position) combos — then the true bounded distance verifies.
+    *
+    * The distinct left lengths are collected driver-side (metadata-scale:
+    * bounded by max string length) to enumerate the combos. Replication is
+    * O(lengths-in-band × (d+1) × (2d+1)) substrings per right row — far
+    * more selective than pure length banding on skewed-length data.
+    * Lefts shorter than d+1 chars fall back to the length-band kernel. */
+  def chunkedInnerJoin(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String, maxDist: Int,
+                       distCol: String = "string_distance"): DataFrame = {
+    val d = maxDist
+    val lens = left.select(length(qc(leftKey)).as("len")).distinct()
+      .collect().map(_.getInt(0)).filter(_ >= d + 1).sorted
+    val chunkSpec: Map[Int, Seq[(Int, Int)]] = lens.map { l =>
+      val base = l / (d + 1); val rem = l % (d + 1)
+      val sizes = (0 until (d + 1)).map(i => base + (if (i < rem) 1 else 0))
+      val starts = sizes.scanLeft(0)(_ + _).dropRight(1)
+      l -> starts.zip(sizes).toSeq
+    }.toMap
+
+    // Combo tables are CONSTANT arrays of struct literals — constant-folded
+    // into a single array literal, so exploding them generates tiny code
+    // (a per-row when-chain over hundreds of combos would exceed janino's
+    // method size and knock the stage out of whole-stage codegen).
+    def comboLit(rows: Seq[(Int, Int, Int, Int)]) =
+      array(rows.map { case (ll, ci, pos, size) =>
+        struct(lit(ll).as("ll"), lit(ci).as("ci"),
+          lit(pos).as("pos"), lit(size).as("size"))
+      }: _*)
+
+    // left side: one row per chunk — (chunk string, L, i) key
+    val leftCombos = chunkSpec.toSeq.flatMap { case (l, chunks) =>
+      chunks.zipWithIndex.map { case ((start, size), i) => (l, i, start, size) }
+    }
+    val la = left.withColumn("__cmb", explode(comboLit(leftCombos)))
+      .filter(length(qc(leftKey)) === col("__cmb.ll"))
+      .withColumn("__c",
+        expr(s"substring(${q(leftKey)}, __cmb.pos + 1, __cmb.size)"))
+      .withColumn("__ll", col("__cmb.ll"))
+      .withColumn("__ci", col("__cmb.ci"))
+      .drop("__cmb").alias("cj_a")
+
+    // right side: admissible substrings for every in-band left length
+    val rightCombos = chunkSpec.toSeq.flatMap { case (l, chunks) =>
+      chunks.zipWithIndex.flatMap { case ((start, size), i) =>
+        (math.max(0, start - d) to (start + d)).map(pos => (l, i, pos, size))
+      }
+    }
+    val rb = right.withColumn("__cmb", explode(comboLit(rightCombos)))
+      .filter(abs(length(qc(rightKey)) - col("__cmb.ll")) <= d &&
+        length(qc(rightKey)) >= col("__cmb.pos") + col("__cmb.size"))
+      .withColumn("__c",
+        expr(s"substring(${q(rightKey)}, __cmb.pos + 1, __cmb.size)"))
+      .withColumn("__ll", col("__cmb.ll"))
+      .withColumn("__ci", col("__cmb.ci"))
+      .drop("__cmb").alias("cj_b")
+
+    val lk = col(s"cj_a.${q(leftKey)}")
+    val rk = col(s"cj_b.${q(rightKey)}")
+    val candidates = la.join(rb,
+        col("cj_a.__c") === col("cj_b.__c") &&
+          col("cj_a.__ll") === col("cj_b.__ll") &&
+          col("cj_a.__ci") === col("cj_b.__ci"))
+      .drop("__c", "__ll", "__ci")
+      .distinct()
+    val verified = candidates
+      .withColumn(distCol, boundedDistance(lk, rk, d))
+      .filter(col(distCol) >= 0)
+
+    // short lefts (< d+1 chars): length-band kernel on that slice
+    val shortLeft = left.filter(length(qc(leftKey)) < d + 1)
+    val shortPart =
+      blockedInnerJoin(shortLeft, right, leftKey, rightKey, d, distCol)
+    verified.unionByName(shortPart)
+  }
+
   private def qc(name: String): Column = col(q(name))
 }

@@ -41,6 +41,24 @@ class OpsSpec extends SparkSpec {
     assert(blocked === naive)
   }
 
+  test("chunked (PassJoin-family) similarity join == naive on random strings") {
+    val rnd = new scala.util.Random(11)
+    def randStr(min: Int, max: Int) =
+      (0 until (min + rnd.nextInt(max - min + 1)))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    for (trial <- 1 to 3) {
+      val left = Seq.fill(50)(randStr(trial - 1, 10)).distinct.toDF("a")
+      val right = Seq.fill(50)(randStr(trial - 1, 10)).distinct.toDF("b")
+      val naive = left.join(right, levenshtein(col("a"), col("b")) <= 2)
+        .select("a", "b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val chunked = SimilarityJoin.chunkedInnerJoin(left, right, "a", "b", 2)
+        .select("a", "b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(chunked === naive, s"trial $trial")
+    }
+  }
+
   test("blocked LEFT join keeps unmatched lefts") {
     val l = Seq("abc", "qqqqqqqqqq").toDF("a")
     val r = Seq("abd").toDF("b")
