@@ -179,9 +179,14 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
-    var changed = 1L
+    // convergence via the monotone label sum: every label change strictly
+    // decreases a label, so sum(comp) is strictly decreasing until the
+    // fixpoint — one cheap aggregate on the freshly checkpointed result
+    // instead of a join against the previous labels
+    var prevSum = labels.agg(sum("comp")).collect()(0).getLong(0)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("comp"))
       val propagated = labels.union(viaNeighbors)
@@ -196,9 +201,9 @@ object Dedup {
         .select(col("id"),
           least(col("comp"), coalesce(col("lcomp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
+      val s = next.agg(sum("comp")).collect()(0).getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       iter += 1
     }

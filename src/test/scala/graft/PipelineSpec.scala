@@ -109,6 +109,26 @@ class PipelineSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("phase 2 rediscovers SurveyAdmin* from a human-EDITED schema") {
+    import spark.implicits._
+    // the phase-2 input is a file the engine didn't write (README.md:57-59):
+    // the human may add/drop columns — recency discovery must work off the
+    // actual runtime schema, never the phase-1 config
+    val df = Seq(
+      ("v1", "question", "2030", "x"),
+      ("v2", "metadata", "2030", "y"),
+      ("v3", "question", "", "z")
+    ).toDF("ITEM_NAME", "ITEM_TYPE", "SurveyAdminEdited2030", "OTHER")
+    val sorted = Recency.sortVarinfo(df)
+    val rows = sorted.select("ITEM_NAME", "most_recent").collect()
+    // the human-invented SurveyAdminEdited2030 column was discovered
+    assert(rows.collect {
+      case r if !r.isNullAt(1) => r.getString(1)
+    }.toSet === Set("2030"))
+    // metadata first, then ranked, then the no-value row last
+    assert(rows.map(_.getString(0)).toSeq === Seq("v2", "v1", "v3"))
+  }
+
   test("two-phase checkpoint protocol writes single-file CSVs") {
     assume(fixturesPresent)
     val tmp = java.nio.file.Files.createTempDirectory("graft_pipe").toString
