@@ -311,6 +311,38 @@ object SparkEntry {
         .orderBy(col("r_name"), col("n_name"))
     }),
 
+    // Grouping sets: ROLLUP over nation × order status (subtotals + total)
+    "q_rollup" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .join(table(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .orderBy(col("n_name").asc_nulls_last,
+          col("o_orderstatus").asc_nulls_last)),
+
+    // Pivot: event counts per day × type (explicit value list)
+    "q_pivot" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .orderBy(col("day"))),
+
+    // Window frames: 7-day moving sum over the daily value series
+    "q_window_frame" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("daily_value"))
+      daily.withColumn("weekly_value",
+          sum(col("daily_value")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+              .rowsBetween(-6, 0)))
+        .orderBy(col("day"))
+    }),
+
     // W2 at scale — top-k per key
     "q_window_topk" -> ((s, dir) =>
       BestMatch.topKPerKey(table(s, dir, "orders"),
@@ -674,6 +706,33 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT n_name, o_orderstatus, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderstatus)
+        |ORDER BY n_name NULLS LAST, o_orderstatus NULLS LAST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_window_frame" ->
+      """WITH d AS (SELECT date_trunc('day', ts) AS day,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS daily_value
+        |  FROM events GROUP BY 1)
+        |SELECT day, daily_value,
+        |  sum(daily_value) OVER (ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS weekly_value
+        |FROM d ORDER BY day""".stripMargin,
 
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey,
