@@ -36,6 +36,18 @@ class ScaleSpec extends SparkSpec {
     assert(one.count() === docs.filter(col("source") === "src3").count())
   }
 
+  test("parquet scans prune columns and push down filters") {
+    val li = Util.table(spark, "/root/testdata/sf0.001", "lineitem")
+    val q = li.filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_quantity"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,30.0)]"), s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_quantity:double>"), s"columns not pruned:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_cust")
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_ord")
