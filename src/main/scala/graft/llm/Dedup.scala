@@ -109,6 +109,53 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Incremental near-dup check: which NEW documents duplicate the existing
+    * corpus (the shape a training-data pipeline runs per ingest batch).
+    * Same MinHash band-bucket kernel as `minhashLshPairs`, but the bucket
+    * join is new×corpus instead of a self-join — the corpus side's
+    * signatures would be precomputed and stored in a real deployment.
+    * Output: (new_id, corpus_id, jac) for verified pairs >= threshold. */
+  def minhashLshNewVsCorpus(newDocs: DataFrame, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            shingleN: Int = 3, numHashes: Int = 32,
+                            bands: Int = 8, threshold: Double = 0.8)
+      : DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def prep(df: DataFrame) = {
+      val docs = df.select(col(idCol).as("id"),
+          shingles(col(textCol), shingleN).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val exploded = docs.select(col("id"), explode(col("sh")).as("s"))
+        .select(col("id"), xxhash64(col("s")).as("h"))
+      val minCols = (0 until numHashes).map { i =>
+        min(xxhash64(lit(i + 1), col("h"))).as(s"m$i")
+      }
+      val sigs = exploded.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+      val bandStructs = (0 until bands).map { bnd =>
+        val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+          .map(i => col(s"m$i"))
+        struct(lit(bnd).as("band"), hash(cols: _*).as("key"))
+      }
+      val buckets = sigs.select(col("id"),
+          explode(array(bandStructs: _*)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      (docs, buckets)
+    }
+    val (newDocsP, newBuckets) = prep(newDocs)
+    val (corpusDocs, corpusBuckets) = prep(corpus)
+    val candidates = newBuckets.alias("a")
+      .join(corpusBuckets.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    val da = newDocsP.select(col("id").as("new_id"), col("sh").as("sh_a"))
+    val db = corpusDocs.select(col("id").as("corpus_id"), col("sh").as("sh_b"))
+    candidates.join(da, "new_id").join(db, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** SimHash near-duplicate pairs with Hamming distance <= maxHamming
     * (<= 3 with 4 chunks): pigeonhole banding — two hashes within Hamming d
     * share at least one of d+1 equal chunks — then exact popcount verify. */

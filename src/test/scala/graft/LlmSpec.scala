@@ -116,6 +116,20 @@ class LlmSpec extends SparkSpec {
     assert(out(0).getDouble(2) === 1.0)
   }
 
+  test("incremental minhash dedup finds a new doc's duplicate in the corpus") {
+    val corpus = docs.filter(col("doc_id") < 40)
+    // "new batch": one exact copy of a corpus doc + genuinely new docs
+    val copied = corpus.filter(col("doc_id") === 7)
+      .withColumn("doc_id", lit(1007L))
+    val newBatch = docs.filter(col("doc_id") >= 40 && col("doc_id") < 50)
+      .unionByName(copied)
+    val dups = Dedup.minhashLshNewVsCorpus(newBatch, corpus,
+        "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(dups.exists { case (n, c, j) => n == 1007L && c == 7L && j == 1.0 },
+      s"exact copy not detected: ${dups.mkString(",")}")
+  }
+
   test("connected components equal local union-find") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L), (3L, 1L))
       .toDF("id_a", "id_b")
