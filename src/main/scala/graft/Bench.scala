@@ -20,6 +20,12 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
+      // free caches and (local)checkpoint blocks the query left behind —
+      // block-manager/GC pressure otherwise accumulates across 49 queries
+      // and distorts later timings (observed 10s -> 146s on an iterative
+      // query late in the run)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> (if (ok) secs else -1.0) // -1 marks a FAILED query, not a time
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
