@@ -71,17 +71,23 @@ object Dedup {
     * `numHashes` min(a_i*h+b_i) columns — instead of nested higher-order
     * lambdas, which run interpreted and re-hash per permutation. Map-side
     * partial aggregation collapses each doc before the shuffle. */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingleN: Int = 3, numHashes: Int = 32,
-                      bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+  /** Shared MinHash prep: (doc shingle sets, LSH band buckets).
+    * Signatures are computed relationally — explode shingles, one codegen'd
+    * xxhash64 per shingle, one hash aggregate with `numHashes` min columns
+    * (seeded re-hash: overflow-free under ANSI, where a*h+b universal
+    * hashing would throw ARITHMETIC_OVERFLOW) — instead of nested
+    * higher-order lambdas, which run interpreted and re-hash per
+    * permutation. Map-side partial aggregation collapses each doc before
+    * the shuffle. */
+  private def shingleBuckets(df: DataFrame, idCol: String, textCol: String,
+                             shingleN: Int, numHashes: Int, bands: Int)
+      : (DataFrame, DataFrame) = {
     val rowsPerBand = numHashes / bands
     val docs = df.select(col(idCol).as("id"),
         shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
     val exploded = docs.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
-    // seeded re-hash of the 8-byte shingle hash — overflow-free under ANSI
-    // mode (a*h+b universal hashing would throw ARITHMETIC_OVERFLOW)
     val minCols = (0 until numHashes).map { i =>
       min(xxhash64(lit(i + 1), col("h"))).as(s"m$i")
     }
@@ -94,6 +100,14 @@ object Dedup {
     val buckets = sigs.select(col("id"),
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    (docs, buckets)
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val (docs, buckets) =
+      shingleBuckets(df, idCol, textCol, shingleN, numHashes, bands)
     val a = buckets.alias("a")
     val b = buckets.alias("b")
     val candidates = a.join(b,
@@ -120,29 +134,10 @@ object Dedup {
                             shingleN: Int = 3, numHashes: Int = 32,
                             bands: Int = 8, threshold: Double = 0.8)
       : DataFrame = {
-    val rowsPerBand = numHashes / bands
-    def prep(df: DataFrame) = {
-      val docs = df.select(col(idCol).as("id"),
-          shingles(col(textCol), shingleN).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val exploded = docs.select(col("id"), explode(col("sh")).as("s"))
-        .select(col("id"), xxhash64(col("s")).as("h"))
-      val minCols = (0 until numHashes).map { i =>
-        min(xxhash64(lit(i + 1), col("h"))).as(s"m$i")
-      }
-      val sigs = exploded.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
-      val bandStructs = (0 until bands).map { bnd =>
-        val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
-          .map(i => col(s"m$i"))
-        struct(lit(bnd).as("band"), hash(cols: _*).as("key"))
-      }
-      val buckets = sigs.select(col("id"),
-          explode(array(bandStructs: _*)).as("bk"))
-        .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      (docs, buckets)
-    }
-    val (newDocsP, newBuckets) = prep(newDocs)
-    val (corpusDocs, corpusBuckets) = prep(corpus)
+    val (newDocsP, newBuckets) =
+      shingleBuckets(newDocs, idCol, textCol, shingleN, numHashes, bands)
+    val (corpusDocs, corpusBuckets) =
+      shingleBuckets(corpus, idCol, textCol, shingleN, numHashes, bands)
     val candidates = newBuckets.alias("a")
       .join(corpusBuckets.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
@@ -154,6 +149,16 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"),
         jaccard(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= threshold)
+  }
+
+  /** The dedup end product: drop every clustered document except its
+    * component representative (minimum id); documents in no near-dup pair
+    * pass through untouched. One components run + one null-safe anti join. */
+  def dedupedCorpus(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("__graft_loser"))
+    df.join(losers, col(idCol) === col("__graft_loser"), "left_anti")
   }
 
   /** SimHash near-duplicate pairs with Hamming distance <= maxHamming

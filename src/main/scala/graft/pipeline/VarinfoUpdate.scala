@@ -36,9 +36,20 @@ object VarinfoUpdate {
     val prior = RowId.withRowId1(priorVarinfo, "row_id")
       .withColumn(cfg.joinColumnText,
         coalesce(qcol(cfg.joinColumnText), lit("")))
-    val pairs = SimilarityJoin.leftJoin(
-      prior, ciWithId, cfg.joinColumnText, d.questionTextColName,
-      cfg.maxStringDistance)
+    // Kernel selection by right-side size: a broadcastable column_info
+    // (every real survey — hundreds of variables) takes the banded
+    // broadcast theta join; a huge one switches to the blocked equi-join
+    // kernel so neither side needs to fit in memory.
+    val rightRows = ciWithId.count()
+    val pairs =
+      if (rightRows <= 100000L)
+        SimilarityJoin.leftJoin(
+          prior, ciWithId, cfg.joinColumnText, d.questionTextColName,
+          cfg.maxStringDistance)
+      else
+        SimilarityJoin.blockedLeftJoin(
+          prior, ciWithId, cfg.joinColumnText, d.questionTextColName,
+          cfg.maxStringDistance)
     val fuzzyJoined = BestMatch.topOnePerKey(
         pairs, Seq(col("row_id")),
         Seq(col("string_distance").asc_nulls_last,

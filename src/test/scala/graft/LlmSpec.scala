@@ -130,6 +130,15 @@ class LlmSpec extends SparkSpec {
       s"exact copy not detected: ${dups.mkString(",")}")
   }
 
+  test("dedupedCorpus keeps one representative per cluster") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (20L, "c"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupedCorpus(df, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 10L, 20L)) // cluster {1,2,3} -> keep min id 1
+  }
+
   test("connected components equal local union-find") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L), (3L, 1L))
       .toDF("id_a", "id_b")
