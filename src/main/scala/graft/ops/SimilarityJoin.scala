@@ -77,9 +77,13 @@ object SimilarityJoin {
                       leftKey: String, rightKey: String, maxDist: Int,
                       distCol: String = "string_distance"): DataFrame = {
     val inner = blockedInnerJoin(left, right, leftKey, rightKey, maxDist, distCol)
-    val matchedKeys = inner.select(qc(leftKey)).distinct()
+    // the matched-key side is renamed to a unique name: it shares lineage
+    // with `left`, and Spark's ambiguous-self-join repair re-parses
+    // same-name references — which breaks dotted column names like
+    // QuestionText.2023
+    val matchedKeys = inner.select(qc(leftKey).as("__graft_mk")).distinct()
     val unmatched = left.join(matchedKeys,
-        left(leftKey) <=> matchedKeys(leftKey), "left_anti")
+        qc(leftKey) <=> col("__graft_mk"), "left_anti")
     val rightCols = right.columns.filterNot(left.columns.contains)
     val padded = rightCols.foldLeft(unmatched) { (df, c) =>
         df.withColumn(c, lit(null))

@@ -14,6 +14,10 @@ final case class VarinfoConfig(
     joinColumnVar: String = "ITEM_NAME",
     /** Fuzzy-matching leniency (reference varinfo-update.R:15). */
     maxStringDistance: Int = 6,
+    /** Right-side row bound for the broadcast similarity kernel; above it
+      * the pipeline switches to the blocked (length-banded equi-join)
+      * kernel. Both produce identical results. */
+    broadcastRightLimit: Long = 100000L,
     responseFile: String = "",
     priorVarinfoFile: String = "",
     workDir: String = "",

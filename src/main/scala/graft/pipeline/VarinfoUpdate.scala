@@ -42,7 +42,7 @@ object VarinfoUpdate {
     // kernel so neither side needs to fit in memory.
     val rightRows = ciWithId.count()
     val pairs =
-      if (rightRows <= 100000L)
+      if (rightRows <= cfg.broadcastRightLimit)
         SimilarityJoin.leftJoin(
           prior, ciWithId, cfg.joinColumnText, d.questionTextColName,
           cfg.maxStringDistance)

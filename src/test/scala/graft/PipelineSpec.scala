@@ -109,6 +109,23 @@ class PipelineSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("blocked similarity kernel yields the identical joined codebook") {
+    assume(fixturesPresent)
+    val ci = QualtricsReader.loadSurveyColumnInfo(spark, responses, "2025")
+    val priorDf = Csv.readAsStrings(spark, prior)
+    val (broadcastJoined, _, statsA) =
+      VarinfoUpdate.joinVarinfo(priorDf, ci, cfg)
+    val (blockedJoined, _, statsB) = VarinfoUpdate.joinVarinfo(
+      priorDf, ci, cfg.copy(broadcastRightLimit = 0L))
+    assert(statsA === statsB)
+    val key = Seq("row_id", "QualtricsVariableName.2025", "string_distance")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(key.map(c => col(s"`$c`")): _*).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.toString),
+          Option(r.get(2)).map(_.toString))).toSet
+    assert(snap(blockedJoined) === snap(broadcastJoined))
+  }
+
   test("phase 2 rediscovers SurveyAdmin* from a human-EDITED schema") {
     import spark.implicits._
     // the phase-2 input is a file the engine didn't write (README.md:57-59):
