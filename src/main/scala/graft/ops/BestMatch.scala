@@ -36,10 +36,11 @@ object BestMatch {
     * columns are re-exposed with their original names. */
   def argMinPerKey(df: DataFrame, keyCols: Seq[String], ordCol: Column,
                    payloadCols: Seq[String]): DataFrame = {
-    val packed = struct(payloadCols.map(c => df(c)): _*)
-    df.groupBy(keyCols.map(c => df(c)): _*)
+    import graft.Util.qcol
+    val packed = struct(payloadCols.map(qcol): _*)
+    df.groupBy(keyCols.map(qcol): _*)
       .agg(min_by(packed, ordCol).as("__graft_best"))
-      .select(keyCols.map(col) ++
+      .select(keyCols.map(qcol) ++
         payloadCols.map(c => col(s"__graft_best.`$c`").as(c)): _*)
   }
 }

@@ -28,8 +28,11 @@ object SkewJoin {
       pmod(xxhash64(fpCols: _*), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("__graft_salt",
       explode(sequence(lit(0), lit(salts - 1))))
+    // dataset-qualified refs are backtick-quoted so dotted column names
+    // don't parse as nested field access
+    val q = graft.Util.q _
     saltedFact.join(saltedDim,
-        saltedFact(factKey) === saltedDim(dimKey) &&
+        saltedFact(q(factKey)) === saltedDim(q(dimKey)) &&
           saltedFact("__graft_salt") === saltedDim("__graft_salt"))
       .drop("__graft_salt")
   }
