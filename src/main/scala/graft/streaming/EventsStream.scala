@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.GroupState
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming surface over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -55,6 +55,32 @@ object EventsStream {
 
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  final case class Anomaly(user_id: Long, value: Double, running_mean: Double)
+
+  /** Variable-arity stateful operator: `flatMapGroupsWithState` emits 0..n
+    * rows per group — here, the events whose value exceeds `factor` × the
+    * user's running mean so far (a simple online anomaly detector). State
+    * is the (count, sum) pair per user. */
+  def userAnomalies(events: Dataset[UserEvent],
+                    factor: Double = 3.0): Dataset[Anomaly] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), Anomaly](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[(Long, Double)]) =>
+          var (n, total) = state.getOption.getOrElse((0L, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer[Anomaly]()
+          it.foreach { e =>
+            if (n > 0 && e.value > factor * (total / n))
+              out += Anomaly(uid, e.value, total / n)
+            n += 1; total += e.value
+          }
+          state.update((n, total))
+          out.iterator
+      }
+  }
 
   /** Typed stateful aggregation: running per-user totals via
     * `mapGroupsWithState` (KeyValueGroupedDataset). In batch the state

@@ -71,6 +71,18 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} of ${batch.size} sessions")
   }
 
+  test("flatMapGroupsWithState emits per-group anomalies") {
+    val events = Seq(
+      EventsStream.UserEvent(1L, "view", 1.0),
+      EventsStream.UserEvent(1L, "view", 1.0),
+      EventsStream.UserEvent(1L, "view", 100.0), // >> 3x running mean (1.0)
+      EventsStream.UserEvent(2L, "view", 5.0)
+    ).toDS()
+    val out = EventsStream.userAnomalies(events).collect()
+    assert(out.length === 1)
+    assert(out(0).user_id === 1L && out(0).value === 100.0)
+  }
+
   test("mapGroupsWithState running totals == plain groupBy in batch") {
     val events = Util.table(spark, "/root/testdata/sf0.001", "events")
       .select(col("user_id"), col("event_type"), col("value"))
