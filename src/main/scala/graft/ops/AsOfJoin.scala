@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** Output: all left columns + the requested right payload columns
-    * (null when no right row is at-or-before the left timestamp). */
+    * (null when no right row is at-or-before the left timestamp).
+    * Payload names must not collide with left column names — rename on the
+    * right side first if they do. */
   def asofLeftJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTs: String, rightTs: String,

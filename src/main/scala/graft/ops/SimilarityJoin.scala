@@ -105,7 +105,11 @@ object SimilarityJoin {
     * bounded by max string length) to enumerate the combos. Replication is
     * O(lengths-in-band × (d+1) × (2d+1)) substrings per right row — far
     * more selective than pure length banding on skewed-length data.
-    * Lefts shorter than d+1 chars fall back to the length-band kernel. */
+    * Lefts shorter than d+1 chars fall back to the length-band kernel.
+    *
+    * Note: candidate dedup is by full row, so byte-identical duplicate
+    * input rows collapse to one output pair — carry a unique id column
+    * when exact multiplicity matters (as every registry query does). */
   def chunkedInnerJoin(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String, maxDist: Int,
                        distCol: String = "string_distance"): DataFrame = {
