@@ -406,7 +406,7 @@ object SparkEntry {
 
     // LLM: within-group word-set Jaccard near-dup pairs
     "q_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairsWithinGroup(table(s, dir, "documents"),
+      Dedup.jaccardPairsWithinGroupPrefix(table(s, dir, "documents"),
           "doc_id", "text", "source", 0.9)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -425,7 +425,7 @@ object SparkEntry {
     // LLM: near-dup pairs → dedup clusters via min-label connected
     // components (rows-only; ScalaTest checks against local union-find)
     "q_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairsWithinGroup(table(s, dir, "documents"),
+      val pairs = Dedup.jaccardPairsWithinGroupPrefix(table(s, dir, "documents"),
         "doc_id", "text", "source", 0.9)
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     }),

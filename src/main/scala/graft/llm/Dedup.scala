@@ -62,6 +62,64 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Prefix-filtered Jaccard pairs — same output as
+    * `jaccardPairsWithinGroup`, different candidate generation. Instead of
+    * the within-group self-join (O(group²) candidate pairs), each doc's
+    * token set is re-sorted by global rarity (document frequency asc, hash
+    * asc — one total order) and only its first `n − ⌈t·n⌉ + 1` tokens are
+    * emitted as join keys: two sets with Jaccard ≥ t must overlap in
+    * ≥ ⌈t·max(n_a,n_b)⌉ elements, so their prefixes under any shared total
+    * order must intersect (AllPairs/PPJoin prefix-filtering lemma).
+    * Candidates come from an equi-join on (group, prefix-token), then exact
+    * Jaccard verifies each distinct pair once.
+    *
+    * Scale: at t=0.9 the prefix is ~n/10+1 tokens, and rare-first ordering
+    * keeps stopword-grade tokens out of prefixes, so the candidate space is
+    * driven by genuinely shared rare tokens — the published shape for
+    * corpus-scale set-similarity joins. All pre-passes (DF count, re-sort)
+    * are linear scans with map-side combine. */
+  def jaccardPairsWithinGroupPrefix(df: DataFrame, idCol: String,
+                                    textCol: String, groupCol: String,
+                                    threshold: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sets = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      array_distinct(transform(tokens(col(textCol)), t => xxhash64(t)))
+        .as("ws0"))
+    val tok = sets.select(col("g"), col("id"), explode(col("ws0")).as("h"))
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // Rare-first total order: sort each doc's (df, h) structs; ties on df
+    // break on h, so the order is deterministic and global.
+    val docs = tok.join(dfreq, "h")
+      .groupBy(col("g"), col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("tf"))
+      .select(col("g"), col("id"),
+        transform(col("tf"), x => x("h")).as("ws"),
+        size(col("tf")).as("n"))
+      // α = ⌈t·n⌉ computed with a tiny downward nudge: if fp error ever
+      // rounded t·n UP past the exact product, the prefix would come out one
+      // short and could miss a true pair; the nudge only ever lengthens it.
+      .withColumn("p",
+        (col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pref = docs.select(col("g"), col("id"), col("n"),
+      explode(slice(col("ws"), lit(1), col("p"))).as("h"))
+    val a = pref.alias("a")
+    val b = pref.alias("b")
+    val sizeBand =
+      col("a.n") >= col("b.n") * threshold &&
+        col("b.n") >= col("a.n") * threshold
+    val candidates = a.join(b, col("a.g") === col("b.g") &&
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") && sizeBand)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val da = docs.select(col("id").as("id_a"), col("ws").as("ws_a"))
+    val db = docs.select(col("id").as("id_b"), col("ws").as("ws_b"))
+    candidates.join(da, "id_a").join(db, "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("ws_a"), col("ws_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
     * equi-join → verify true shingle-set Jaccard. Output: (id_a, id_b, jac)
     * with id_a < id_b, each candidate pair verified exactly once.

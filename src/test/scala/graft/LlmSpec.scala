@@ -116,6 +116,27 @@ class LlmSpec extends SparkSpec {
     assert(out(0).getDouble(2) === 1.0)
   }
 
+  test("prefix-filtered jaccard pairs equal the all-pairs kernel") {
+    for (t <- Seq(0.9, 0.7)) {
+      val naive = Dedup.jaccardPairsWithinGroup(docs, "doc_id", "text",
+          "source", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.jaccardPairsWithinGroupPrefix(docs, "doc_id", "text",
+          "source", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(pref === naive, s"prefix kernel diverged at t=$t")
+    }
+    // and on a hand case where prefixes matter (shared rare token)
+    val df = Seq(
+      (1L, "a b c d e f g h i j", "g"), (2L, "a b c d e f g h i k", "g"),
+      (3L, "a b", "g"), (4L, "x y z w", "h"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.jaccardPairsWithinGroupPrefix(df, "doc_id", "text",
+        "source", 0.8).collect()
+    assert(out.length === 1 &&
+      (out(0).getLong(0), out(0).getLong(1)) === (1L, 2L))
+  }
+
   test("incremental minhash dedup finds a new doc's duplicate in the corpus") {
     val corpus = docs.filter(col("doc_id") < 40)
     // "new batch": one exact copy of a corpus doc + genuinely new docs
