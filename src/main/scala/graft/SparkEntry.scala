@@ -1,6 +1,6 @@
 package graft
 
-import graft.Util.table
+import graft.Util.{spread, table}
 import graft.io.QualtricsReader
 import graft.llm.{Dedup, Multimodal, Similarity, TextFunctions}
 import graft.ops._
@@ -406,14 +406,14 @@ object SparkEntry {
 
     // LLM: within-group word-set Jaccard near-dup pairs
     "q_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairsWithinGroupPrefix(table(s, dir, "documents"),
+      Dedup.jaccardPairsWithinGroupPrefix(spread(table(s, dir, "documents"), "doc_id"),
           "doc_id", "text", "source", 0.9)
         .orderBy(col("id_a"), col("id_b"))),
 
     // LLM: MinHash+LSH near-dup pairs (rows-only; ScalaTest proves
     // candidates ⊆ naive and measures recall)
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLshPairs(table(s, dir, "documents"), "doc_id", "text",
+      Dedup.minhashLshPairs(spread(table(s, dir, "documents"), "doc_id"), "doc_id", "text",
           shingleN = 3, numHashes = 32, bands = 8, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -425,14 +425,14 @@ object SparkEntry {
     // LLM: near-dup pairs → dedup clusters via min-label connected
     // components (rows-only; ScalaTest checks against local union-find)
     "q_dedup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairsWithinGroupPrefix(table(s, dir, "documents"),
+      val pairs = Dedup.jaccardPairsWithinGroupPrefix(spread(table(s, dir, "documents"), "doc_id"),
         "doc_id", "text", "source", 0.9)
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     }),
 
     // LLM: brute-force cosine top-5 for 10 query vectors
     "q_embed_cosine_topk" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
+      val emb = spread(table(s, dir, "embeddings"), "vec_id")
       Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "vec_id", "embedding", 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -446,7 +446,7 @@ object SparkEntry {
     // exists as the oracle-checked ground truth; LSH/IVF are the scale path
     "q_embed_neardup_exact" -> ((s, dir) =>
       Similarity.allPairsAbove(
-          table(s, dir, "embeddings").filter(col("vec_id") < 1000),
+          spread(table(s, dir, "embeddings").filter(col("vec_id") < 1000), "vec_id"),
           "vec_id", "embedding", 0.4)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))),
@@ -454,7 +454,7 @@ object SparkEntry {
     // LLM: IVF (KMeans-cell) approximate top-k, the second ANN scale path
     // (rows-only; ScalaTest measures recall vs brute force)
     "q_embed_ann_ivf" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
+      val emb = spread(table(s, dir, "embeddings"), "vec_id")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "vec_id", "embedding", 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -466,7 +466,7 @@ object SparkEntry {
     // The synthetic embeddings are fully random (max pairwise cosine ~0.5),
     // so the threshold sits where real pairs exist.
     "q_embed_ann_lsh" -> ((s, dir) =>
-      Similarity.lshPairsAbove(table(s, dir, "embeddings"),
+      Similarity.lshPairsAbove(spread(table(s, dir, "embeddings"), "vec_id"),
           "vec_id", "embedding", threshold = 0.4)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))),

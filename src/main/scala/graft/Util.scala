@@ -20,6 +20,19 @@ object Util {
     when(c.cast("string") === lit(""), lit(null).cast("string"))
       .otherwise(c.cast("string"))
 
+  /** Spread an under-partitioned source for compute-heavy map work.
+    *
+    * The testdata tables are single-row-group parquet files, and a row
+    * group is the unit of split — so every scan starts as ONE task and all
+    * pre-shuffle work (tokenizing, hashing, signature building, vector
+    * math) runs on one core. One key-hash shuffle of the raw rows buys
+    * full parallelism for everything downstream; apply it only where the
+    * downstream map work dwarfs the shuffle (at production scale sources
+    * arrive multi-partition and this becomes a no-op choice the caller
+    * skips). Hash partitioning keeps results deterministic. */
+  def spread(df: DataFrame, key: String): DataFrame =
+    df.repartition(qcol(key))
+
   /** Load one of the driver's parquet testdata tables.
     *
     * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4

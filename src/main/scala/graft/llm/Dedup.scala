@@ -140,10 +140,17 @@ object Dedup {
   private def shingleBuckets(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int, numHashes: Int, bands: Int)
       : (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
     val rowsPerBand = numHashes / bands
+    // The shingle sets feed the signature pass AND both sides of the
+    // verify join — persist so shingling runs once, not three times.
+    // No `size(sh) > 0` filter: shingle-less docs vanish at the explode
+    // and can never be candidates, while the filter predicate gets pushed
+    // below any upstream repartition, re-evaluating the whole shingle
+    // aggregate on the unspread (often single-partition) input.
     val docs = df.select(col(idCol).as("id"),
         shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val exploded = docs.select(col("id"), explode(col("sh")).as("s"))
       .select(col("id"), xxhash64(col("s")).as("h"))
     val minCols = (0 until numHashes).map { i =>
@@ -166,12 +173,22 @@ object Dedup {
                       bands: Int = 8, threshold: Double = 0.8): DataFrame = {
     val (docs, buckets) =
       shingleBuckets(df, idCol, textCol, shingleN, numHashes, bands)
-    val a = buckets.alias("a")
-    val b = buckets.alias("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Candidate pairs by grouping each bucket's member list (one shuffle)
+    // instead of a bucket self-join (two shuffles of the full bucket table):
+    // singleton buckets — the overwhelming majority under sane band params —
+    // vanish at the filter, before any pair space exists. Pair explosion is
+    // per-bucket and ordered (id_a < id_b), so `distinct` across bands is
+    // the only dedup needed. A pathologically hot bucket (thousands of
+    // mutually-identical docs) would make this row wide; that regime is a
+    // band-parameter bug, not a join-strategy choice.
+    val sorted = array_sort(collect_list(col("id")))
+    val candidates = buckets.groupBy(col("band"), col("key"))
+      .agg(sorted.as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
     val da = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val db = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -286,8 +303,13 @@ object Dedup {
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Initial labels fuse the first propagation round into the label-table
+    // build: every node starts at min(self, neighbors) from one hash
+    // aggregate over the symmetrized edges, instead of identity labels plus
+    // a full join round to reach the same state.
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("comp"))
       .localCheckpoint()
     // convergence via the monotone label sum: every label change strictly
     // decreases a label, so sum(comp) is strictly decreasing until the

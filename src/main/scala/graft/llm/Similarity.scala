@@ -151,7 +151,11 @@ object Similarity {
     val corpusVec = corpus.select(col(corpusIdCol).as("neighbor_id"),
         toDouble(col(vecCol)).as("cv"))
       .withColumn("features", array_to_vector(col("cv")))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+    // Random init + few iterations: IVF only needs a reasonable space
+    // partition, not converged clusters — k-means|| init alone costs more
+    // distributed passes than the entire Lloyd refinement here.
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(corpusVec)
     val assigned = model.transform(corpusVec)

@@ -26,12 +26,31 @@ object TextFunctions {
   def distinctTokens(text: Column): Column =
     array_sort(array_distinct(tokens(text)))
 
-  /** Word n-gram shingles ("a b c", n=2 → ["a b", "b c"]). */
-  def wordNGrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+  /** Word n-gram shingles ("a b c", n=2 → ["a b", "b c"]).
+    *
+    * Single-pass `aggregate` with a sliding (n−1)-token buffer. The obvious
+    * `transform(sequence(1, len−n+1), i => array_join(slice(toks, i, n)))`
+    * is quadratic when `toks` is itself an expression (e.g. `split`):
+    * HOF lambdas re-evaluate referenced outer expressions per element, so
+    * every shingle re-tokenized the whole document. Here `toks` is consumed
+    * exactly once as the aggregate input. */
+  def wordNGrams(toks: Column, n: Int): Column = {
+    val empty = array().cast("array<string>")
+    coalesce(
+      aggregate(
+        toks,
+        struct(empty.as("buf"), empty.as("out")),
+        (acc, x) => {
+          val buf = concat(acc("buf"), array(x))
+          val full = size(buf) === n
+          struct(
+            when(full, slice(buf, 2, n - 1)).otherwise(buf).as("buf"),
+            when(full, concat(acc("out"), array(array_join(buf, " "))))
+              .otherwise(acc("out")).as("out"))
+        },
+        acc => acc("out")),
+      empty) // null input -> empty set, as the size-guarded form behaved
+  }
 
   /** Distinct word n-gram shingle set. */
   def shingles(text: Column, n: Int): Column =
