@@ -364,6 +364,14 @@ object SparkEntry {
       EventsStream.sessionize(table(s, dir, "events"), "30 minutes")
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Interval join (batch twin of the watermarked stream-stream join in
+    // streaming/EventsStream.clickToPurchaseJoin): purchases matched to the
+    // same user's clicks in the preceding hour
+    "q_interval_join" -> ((s, dir) =>
+      EventsStream.clickToPurchaseBatch(table(s, dir, "events"))
+        .select(col("purchase_id"), col("click_id"))
+        .orderBy(col("purchase_id"), col("click_id"))),
+
     // Range join — same-user event pairs within 5 minutes, binned into an
     // equi-join (3x replication) instead of a quadratic theta join; the
     // oracle is the naive inequality join
@@ -681,7 +689,7 @@ object SparkEntry {
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -746,6 +754,14 @@ object SparkEntry {
       """SELECT date_trunc('day', ts) AS window_start, event_type,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.user_id = p.user_id
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
 
     "q_range_join" ->
       """SELECT a.event_id AS id_a, b.event_id AS id_b,

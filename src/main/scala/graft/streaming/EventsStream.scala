@@ -53,6 +53,61 @@ object EventsStream {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("n_events"))
 
+  /** Streaming exact dedup: drop re-delivered events by id, keeping state
+    * only within the watermark horizon (`dropDuplicatesWithinWatermark`),
+    * so state size is bounded by the delay window instead of growing with
+    * the whole stream — the shape an at-least-once ingest pipeline needs.
+    * In batch the same call degenerates to a plain `dropDuplicates`. */
+  def streamingDedupById(spark: SparkSession, dir: String,
+                         delay: String = "1 hour"): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(dir)
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
+  /** Watermarked stream-stream interval join: each purchase joined to the
+    * same user's clicks at most `horizon` before it. Both sides carry
+    * watermarks and the join condition bounds event time on both sides, so
+    * Spark can expire buffered state — unbounded-state stream-stream joins
+    * never survive production. Append output only (the streaming-join
+    * contract). */
+  def clickToPurchaseJoin(spark: SparkSession, dir: String,
+                          horizon: String = "1 hour"): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    def src = spark.readStream.schema(schema).parquet(dir)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+  }
+
+  /** Batch reference for `clickToPurchaseJoin` — same predicate as a plain
+    * join, for equivalence tests and the oracle. */
+  def clickToPurchaseBatch(events: DataFrame, horizon: String = "1 hour")
+      : DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
+  }
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 

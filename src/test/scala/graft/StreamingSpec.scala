@@ -71,6 +71,44 @@ class StreamingSpec extends SparkSpec {
       s"streamed ${streamed.size} of ${batch.size} sessions")
   }
 
+  test("streaming dedup within watermark drops re-delivered events") {
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    // simulate at-least-once delivery: the same batch lands twice
+    events.write.mode("overwrite").parquet(dir)
+    events.write.mode("append").parquet(dir)
+    val distinctIds = events.select("event_id").distinct().count()
+    val q = EventsStream.streamingDedupById(spark, dir)
+      .writeStream.format("memory").queryName("graft_dedup_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("graft_dedup_test")
+    assert(out.count() === distinctIds)
+    assert(out.select("event_id").distinct().count() === distinctIds)
+  }
+
+  test("stream-stream interval join == batch interval join") {
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    events.write.mode("overwrite").parquet(dir)
+    val batch = EventsStream.clickToPurchaseBatch(events)
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = EventsStream.clickToPurchaseJoin(spark, dir)
+      .select("purchase_id", "click_id")
+      .writeStream.format("memory").queryName("graft_ssj_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("graft_ssj_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("flatMapGroupsWithState emits per-group anomalies") {
     val events = Seq(
       EventsStream.UserEvent(1L, "view", 1.0),
