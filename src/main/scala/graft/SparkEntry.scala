@@ -352,6 +352,17 @@ object SparkEntry {
           col("__graft_rank").cast("long").as("rank"))
         .orderBy(col("o_custkey"), col("rank"))),
 
+    // W2 custom-operator scale path — native bounded-heap top-k per key
+    // (catalyst/TopKPerKey: logical node + strategy + exec via
+    // SparkSessionExtensions); same oracle as the window form proves the
+    // partial/final heap kernel row-for-row against row_number
+    "q_window_topk_native" -> ((s, dir) =>
+      BestMatch.topKPerKeyNative(table(s, dir, "orders"),
+          Seq("o_custkey"),
+          Seq("o_totalprice" -> false, "o_orderkey" -> true), 3, "rank")
+        .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+        .orderBy(col("o_custkey"), col("rank"))),
+
     // Streaming batch-equivalent: tumbling daily counts
     "q_events_window" -> ((s, dir) =>
       EventsStream.tumblingCounts(table(s, dir, "events"), "1 day")
@@ -743,6 +754,14 @@ object SparkEntry {
         |FROM d ORDER BY day""".stripMargin,
 
     "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+        |FROM orders
+        |QUALIFY rank <= 3
+        |ORDER BY o_custkey, rank""".stripMargin,
+
+    "q_window_topk_native" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank

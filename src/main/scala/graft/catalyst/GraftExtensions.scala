@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => LevenshteinBandRule)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 
@@ -39,6 +40,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(LevenshteinBandRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LevenshteinBandRule
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier("cosine_sim")))
       registry.registerFunction(cosineSimDescriptor._1,

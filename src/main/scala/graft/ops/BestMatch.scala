@@ -1,8 +1,12 @@
 package graft.ops
 
+import graft.catalyst.TopKPerKeyNode
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, AttributeReference, Descending, SortOrder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftSql
+import org.apache.spark.sql.types.LongType
 
 /** J2/W2/O1 — best-match-per-key selection
   * (reference varinfo-update.R:106-107: `arrange(row_id, string_distance)`
@@ -28,6 +32,28 @@ object BestMatch {
     val w = Window.partitionBy(partitionCols: _*).orderBy(orderCols: _*)
     df.withColumn("__graft_rank", row_number().over(w))
       .filter(col("__graft_rank") <= k)
+  }
+
+  /** Native top-k per key — the custom-operator scale path for W2
+    * (graft.catalyst.TopKPerKey: bounded heaps map-side, only survivors
+    * shuffle, no partition sort). Same row_number semantics as
+    * `topKPerKey`; order is (columnName, ascending) pairs over plain
+    * columns (default null ordering, like the window form). Requires
+    * `GraftExtensions.install` (or spark.sql.extensions) so the planner
+    * strategy is registered. */
+  def topKPerKeyNative(df: DataFrame, keyCols: Seq[String],
+                       order: Seq[(String, Boolean)], k: Int,
+                       rankName: String = "__graft_rank"): DataFrame = {
+    val plan = df.queryExecution.analyzed
+    def attr(n: String) = plan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column `$n` not in ${plan.output.map(_.name).mkString(", ")}"))
+    val sortOrder = order.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
+    GraftSql.ofRows(df.sparkSession,
+      TopKPerKeyNode(keyCols.map(attr), sortOrder, k, rankAttr, plan))
   }
 
   /** Scale variant (SURVEY.md §4.3(3)): single-pass hash aggregate via

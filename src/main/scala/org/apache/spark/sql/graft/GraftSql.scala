@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Bridge into `private[sql]` plan construction: build a DataFrame from a
+  * custom LogicalPlan (here, graft's TopKPerKeyNode). Lives under
+  * `org.apache.spark.sql` for access, same as other Spark-extension
+  * libraries do; no Spark internals are modified. */
+object GraftSql {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

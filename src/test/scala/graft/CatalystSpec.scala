@@ -57,6 +57,43 @@ class CatalystSpec extends SparkSpec {
       ("apple", "apples")))
   }
 
+  test("native top-k per key equals the window form row-for-row") {
+    val orders = Util.table(spark, "/root/testdata/sf0.001", "orders")
+    val native = ops.BestMatch.topKPerKeyNative(orders,
+        Seq("o_custkey"), Seq("o_totalprice" -> false, "o_orderkey" -> true),
+        3, "rank")
+      .select(col("o_custkey"), col("o_orderkey"), col("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val window = ops.BestMatch.topKPerKey(orders, Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("__graft_rank").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(native === window)
+    assert(native.nonEmpty)
+  }
+
+  test("native top-k plans partial/final heaps around one exchange, no sort") {
+    val orders = Util.table(spark, "/root/testdata/sf0.001", "orders")
+    val df = ops.BestMatch.topKPerKeyNative(orders,
+      Seq("o_custkey"), Seq("o_totalprice" -> false), 2)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).length >= 2,
+      s"expected partial+final TopKPerKeyExec:\n$plan")
+    assert(plan.contains("Exchange"), s"expected a key exchange:\n$plan")
+    assert(!plan.contains("Sort"), s"no sort should be planned:\n$plan")
+    assert(!plan.contains("Window"), s"no window should be planned:\n$plan")
+  }
+
+  test("native top-k handles k larger than group size and single groups") {
+    val df = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0)).toDF("k", "v")
+    val out = ops.BestMatch.topKPerKeyNative(df, Seq("k"),
+        Seq("v" -> false), 5, "r")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 20.0, 1L), (1L, 10.0, 2L), (2L, 5.0, 1L)))
+  }
+
   test("rule also fires through raw spark.sql text") {
     val res = spark.sql(
       "SELECT levenshtein('kitten', x) <= 2 AS m FROM VALUES ('mitten'), " +
