@@ -504,6 +504,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM: composite quality score (micro-units: floor(raw*1e6) is
+    // bit-stable across engines where round-half rules are not)
+    "q_quality_score" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        floor(TextFunctions.qualityScoreRaw(col("text")) * lit(1e6))
+          .cast("long").as("quality_micro"))
+        .orderBy(col("doc_id"))),
+
+    // LLM: incremental dedup — which new-batch docs duplicate the corpus
+    // (per-ingest shape; rows-only, kernel is the LSH path tested in
+    // LlmSpec)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = spread(table(s, dir, "documents"), "doc_id")
+      val newBatch = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.minhashLshNewVsCorpus(newBatch, corpus, "doc_id", "text")
+        .select(col("new_id"), col("corpus_id"))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
+    // LLM: the dedup end product — corpus minus non-representative cluster
+    // members (rows-only; clustering tested against union-find in LlmSpec)
+    "q_dedup_corpus" -> ((s, dir) => {
+      val docs = spread(table(s, dir, "documents"), "doc_id")
+      val pairs = Dedup.jaccardPairsWithinGroupPrefix(docs,
+        "doc_id", "text", "source", 0.9)
+      Dedup.dedupedCorpus(docs, "doc_id", pairs)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // SQL front end: the same engine surface via raw SQL text over temp
+    // views (Catalyst parses/optimizes identically to the DataFrame API)
+    "q_sql_segment_rollup" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("graft_orders_v")
+      table(s, dir, "customer").createOrReplaceTempView("graft_customer_v")
+      s.sql("""SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+              |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+              |FROM graft_orders_v JOIN graft_customer_v
+              |  ON o_custkey = c_custkey
+              |GROUP BY c_mktsegment, o_orderpriority
+              |ORDER BY c_mktsegment, o_orderpriority""".stripMargin)
+    }),
+
     // LLM: marker-token language/domain ID heuristic
     "q_text_langid" -> ((s, dir) => {
       val toks = TextFunctions.tokens(col("text"))
@@ -867,6 +911,29 @@ object SparkEntry {
         |    list_contains(['the','a','of','and','data'], w))) AS DOUBLE)
         |    / len(toks) AS stopword_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+        |    CAST(len(list_filter(toks, w ->
+        |      list_contains(['the','a','of','and','data'], w))) AS DOUBLE) AS nstop
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(floor(
+        |    least(n / 50.0, 1.0)
+        |    * (CASE WHEN n = 0 THEN 0.0 ELSE nd / n END)
+        |    * (1.0 - least(CASE WHEN n = 0 THEN 0.0 ELSE nstop / n END, 1.0))
+        |    * 1e6) AS BIGINT) AS quality_micro
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_sql_segment_rollup" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderpriority
+        |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
 
     "q_text_langid" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -76,8 +76,12 @@ object TextFunctions {
   }
 
   /** Composite quality score in [0,1]: length sweet-spot × lexical
-    * diversity × (1 − stopword excess). Deterministic, tunable weights. */
-  def qualityScore(text: Column): Column = {
+    * diversity × (1 − stopword excess). Deterministic, tunable weights.
+    * The raw form is a fixed-order product of IEEE divisions, so it is
+    * bit-identical across engines given the same tokens — cross-engine
+    * checks should compare `floor(raw * 1e6)` (rounding rules differ
+    * between engines; floor does not). */
+  def qualityScoreRaw(text: Column): Column = {
     val toks = tokens(text)
     val n = size(toks).cast("double")
     val lengthScore = least(n / lit(50.0), lit(1.0))
@@ -85,8 +89,10 @@ object TextFunctions {
       when(n === 0, lit(0.0))
         .otherwise(size(array_distinct(toks)).cast("double") / n)
     val stopPenalty = lit(1.0) - least(stopwordRatio(toks), lit(1.0))
-    round(lengthScore * diversity * stopPenalty, 6)
+    lengthScore * diversity * stopPenalty
   }
+
+  def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
 
   /** Language-ID by function-word evidence: score each candidate language
     * by its marker-token hits, predict the arg-max (ties → "und"). An
