@@ -306,43 +306,70 @@ object Dedup {
       .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Initial labels fuse the first propagation round into the label-table
-    // build: every node starts at min(self, neighbors) from one hash
-    // aggregate over the symmetrized edges, instead of identity labels plus
-    // a full join round to reach the same state.
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(min(col("dst")).as("mn"))
-      .select(col("id"), least(col("id"), col("mn")).as("comp"))
-      .localCheckpoint()
-    // convergence via the monotone label sum: every label change strictly
-    // decreases a label, so sum(comp) is strictly decreasing until the
-    // fixpoint — one cheap aggregate on the freshly checkpointed result
-    // instead of a join against the previous labels
-    var prevSum = labels.agg(sum("comp")).collect()(0).getLong(0)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val viaNeighbors = edges.join(labels, edges("dst") === labels("id"))
-        .select(edges("src").as("id"), col("comp"))
-      val propagated = labels.union(viaNeighbors)
-        .groupBy("id").agg(min("comp").as("comp"))
-      // pointer jumping: also adopt the label OF the current label
-      // (label values only ever decrease, so label(comp) <= comp), which
-      // collapses long chains in O(log n) rounds instead of O(diameter)
-      val byLabel = propagated.select(col("id").as("lid"),
-        col("comp").as("lcomp"))
-      val next = propagated
-        .join(byLabel, propagated("comp") === byLabel("lid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("lcomp"), col("comp"))).as("comp"))
+    val spark = pairs.sparkSession
+    // Size the iteration's shuffles to the graph, not the session default:
+    // AQE's partition coalescing cannot see across the localCheckpoint
+    // boundaries this loop needs, so a small edge set would otherwise pay
+    // (rounds × stages × default-partitions) near-empty tasks — the
+    // dominant cost of iterative jobs on all but the largest graphs. Same
+    // advisory-size logic AQE applies, ~2M edge rows (~32 MB) per
+    // partition, capped at the session default so planet-scale graphs keep
+    // full parallelism. Restored after the loop.
+    val nEdges = edges.count()
+    val defaultPart = spark.conf.get("spark.sql.shuffle.partitions")
+    val nPart = math.max(1L,
+      math.min(defaultPart.toLong, nEdges / 2000000L + 1L)).toString
+    spark.conf.set("spark.sql.shuffle.partitions", nPart)
+    try {
+      // Initial labels fuse the first propagation round into the label-table
+      // build: every node starts at min(self, neighbors) from one hash
+      // aggregate over the symmetrized edges, instead of identity labels plus
+      // a full join round to reach the same state.
+      var labels = edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("mn"))
+        .select(col("id"), least(col("id"), col("mn")).as("comp"))
         .localCheckpoint()
-      val s = next.agg(sum("comp")).collect()(0).getLong(0)
-      converged = s == prevSum
-      prevSum = s
-      labels = next
-      iter += 1
-    }
-    edges.unpersist()
-    labels
+      // When the label table fits a broadcast (nodes ≤ ~2M → tens of MB),
+      // ship IT to the edges instead of shuffling the edges to it: the
+      // per-round neighbor join and pointer-jump join become map-side, and
+      // the only shuffle left per round is the min-label hash aggregate.
+      // Past that size the plain shuffle joins take over — label state at
+      // billions of nodes must never transit the driver.
+      val nNodes = labels.count()
+      val useBroadcast = nNodes <= 2000000L
+      def bcast(df: DataFrame): DataFrame =
+        if (useBroadcast) broadcast(df) else df
+      // convergence via the monotone label sum: every label change strictly
+      // decreases a label, so sum(comp) is strictly decreasing until the
+      // fixpoint — one cheap aggregate on the freshly checkpointed result
+      // instead of a join against the previous labels
+      var prevSum = labels.agg(sum("comp")).collect()(0).getLong(0)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val lab = bcast(labels)
+        val viaNeighbors = edges.join(lab, edges("dst") === lab("id"))
+          .select(edges("src").as("id"), col("comp"))
+        val propagated = labels.union(viaNeighbors)
+          .groupBy("id").agg(min("comp").as("comp"))
+        // pointer jumping: also adopt the label OF the current label
+        // (label values only ever decrease, so label(comp) <= comp), which
+        // collapses long chains in O(log n) rounds instead of O(diameter)
+        val byLabel = bcast(labels.select(col("id").as("lid"),
+          col("comp").as("lcomp")))
+        val next = propagated
+          .join(byLabel, propagated("comp") === byLabel("lid"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("lcomp"), col("comp"))).as("comp"))
+          .localCheckpoint()
+        val s = next.agg(sum("comp")).collect()(0).getLong(0)
+        converged = s == prevSum
+        prevSum = s
+        labels = next
+        iter += 1
+      }
+      edges.unpersist()
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", defaultPart)
   }
 }
