@@ -94,6 +94,31 @@ class CatalystSpec extends SparkSpec {
     assert(out === Set((1L, 20.0, 1L), (1L, 10.0, 2L), (2L, 5.0, 1L)))
   }
 
+  test("native top-k equals window form on randomized data (20 trials)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val n = 1 + rnd.nextInt(200)
+      val nKeys = 1 + rnd.nextInt(8)
+      val k = 1 + rnd.nextInt(5)
+      // duplicate order values force the o_orderkey-style tiebreaker path
+      val data = (0 until n).map { i =>
+        (rnd.nextInt(nKeys).toLong, rnd.nextInt(4).toDouble, i.toLong)
+      }
+      val df = data.toDF("key", "v", "tie").repartition(4)
+      val native = ops.BestMatch.topKPerKeyNative(df, Seq("key"),
+          Seq("v" -> false, "tie" -> true), k, "r")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val window = ops.BestMatch.topKPerKey(df, Seq(col("key")),
+          Seq(col("v").desc, col("tie")), k)
+        .select(col("key"), col("v"), col("tie"),
+          col("__graft_rank").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(native === window, s"n=$n nKeys=$nKeys k=$k")
+    }
+  }
+
   test("rule also fires through raw spark.sql text") {
     val res = spark.sql(
       "SELECT levenshtein('kitten', x) <= 2 AS m FROM VALUES ('mitten'), " +
