@@ -323,6 +323,15 @@ object SparkEntry {
         .orderBy(col("n_name").asc_nulls_last,
           col("o_orderstatus").asc_nulls_last)),
 
+    // Grouping sets: CUBE over status × priority (all subtotal combos)
+    "q_cube" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_last,
+          col("o_orderpriority").asc_nulls_last)),
+
     // Pivot: event counts per day × type (explicit value list)
     "q_pivot" -> ((s, dir) =>
       table(s, dir, "events")
@@ -778,6 +787,13 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP (n_name, o_orderstatus)
         |ORDER BY n_name NULLS LAST, o_orderstatus NULLS LAST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin,
 
     "q_pivot" ->
       """SELECT date_trunc('day', ts) AS day,
