@@ -173,7 +173,8 @@ object Dedup {
 
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 32,
-                      bands: Int = 8, threshold: Double = 0.8): DataFrame = {
+                      bands: Int = 8, threshold: Double = 0.8,
+                      maxBucketSize: Int = 100000): DataFrame = {
     val (docs, buckets) =
       shingleBuckets(df, idCol, textCol, shingleN, numHashes, bands)
     // Candidate pairs by grouping each bucket's member list (one shuffle)
@@ -181,13 +182,19 @@ object Dedup {
     // singleton buckets — the overwhelming majority under sane band params —
     // vanish at the filter, before any pair space exists. Pair explosion is
     // per-bucket and ordered (id_a < id_b), so `distinct` across bands is
-    // the only dedup needed. A pathologically hot bucket (thousands of
-    // mutually-identical docs) would make this row wide; that regime is a
-    // band-parameter bug, not a join-strategy choice.
+    // the only dedup needed.
+    //
+    // `maxBucketSize` is the hot-bucket safety valve: a degenerate bucket
+    // (boilerplate/empty-ish documents all colliding) creates O(b²) pairs —
+    // a 1M-doc bucket is half a trillion pairs, which no join strategy
+    // survives. Buckets past the cap are dropped, mirroring what production
+    // dedup pipelines do (a cluster that large is handled as a spam/
+    // boilerplate class of its own, not pair-by-pair). Members this drops
+    // usually still pair in their other, finer bands.
     val sorted = array_sort(collect_list(col("id")))
     val candidates = buckets.groupBy(col("band"), col("key"))
       .agg(sorted.as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))

@@ -33,6 +33,31 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("minhash hot-bucket cap drops oversized buckets, keeps the rest") {
+    import spark.implicits._
+    // three identical docs collide in every band (bucket size 3); one
+    // unrelated near-pair lives in buckets of size 2
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (10L, "one two three four five six seven eight nine ten"),
+      (11L, "one two three four five six seven eight nine ten extra")
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLshPairs(d, "doc_id", "text",
+        threshold = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((10L, 11L)))
+    val capped = Dedup.minhashLshPairs(d, "doc_id", "text",
+        threshold = 0.5, maxBucketSize = 2)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.exists(p => Set(1L, 2L, 3L)(p._1)),
+      s"size-3 buckets should be dropped, got $capped")
+    assert(capped.contains((10L, 11L)), "size-2 buckets must survive the cap")
+  }
+
   test("simhash pairs equal naive hamming-distance pairs (pigeonhole exact)") {
     val viaLsh = Dedup.simhashPairs(docs, "doc_id", "text", 3)
       .select("id_a", "id_b").collect()
