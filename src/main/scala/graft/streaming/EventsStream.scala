@@ -108,6 +108,24 @@ object EventsStream {
         col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $horizon"))
   }
 
+  /** Restartable ingest leg: file source → parquet file sink with a write-
+    * ahead checkpoint. The checkpoint records which source files each batch
+    * consumed and the sink's _spark_metadata commits atomically, so a
+    * crash-and-restart (or the next AvailableNow run) resumes exactly where
+    * the last committed batch ended — exactly-once file output without any
+    * dedup pass. Returns the started query; callers pick the trigger via
+    * `trigger`. */
+  def parquetIngest(spark: SparkSession, srcDir: String, outDir: String,
+                    checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+  }
+
   final case class UserEvent(user_id: Long, event_type: String, value: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
