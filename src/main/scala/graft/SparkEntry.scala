@@ -571,6 +571,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM: TF-IDF top-3 terms per document — corpus statistics feeding the
+    // native bounded-heap top-k (score in micro-units; the tf·idf product
+    // is a fixed-order IEEE expression, bit-identical across engines)
+    "q_tfidf_topterms" -> ((s, dir) => {
+      val scored = TextFunctions.tfidf(table(s, dir, "documents"),
+        "doc_id", "text")
+      BestMatch.topKPerKeyNative(scored, Seq("doc_id"),
+          Seq("tfidf" -> false, "term" -> true), 3, "rank")
+        .select(col("doc_id"), col("rank"), col("term"),
+          floor(col("tfidf") * lit(1e6)).cast("long").as("score_micro"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // LLM: global vocabulary top-20 (hash agg + TakeOrdered — no full sort)
+    "q_vocab_topk" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(20)),
+
     // LLM: deterministic document fingerprint (8-token prefix)
     "q_text_fingerprint" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -964,6 +984,29 @@ object SparkEntry {
         |       WHEN score_b > score_a THEN 'streaming'
         |       ELSE 'und' END AS predicted
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term,
+        |    CAST(tf AS DOUBLE) *
+        |      (ln((n.n + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0) AS s
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY s DESC, term) AS BIGINT) AS rank,
+        |  term, CAST(floor(s * 1e6) AS BIGINT) AS score_micro
+        |FROM scored
+        |QUALIFY rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_vocab_topk" ->
+      """SELECT term, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

@@ -145,4 +145,26 @@ object TextFunctions {
     * window content. */
   def rollingFingerprint(text: Column, window: Int = 8): Column =
     array_min(transform(wordNGrams(tokens(text), window), g => xxhash64(g)))
+
+  /** (doc, term, tf·idf) over a corpus: smoothed idf
+    * `ln((N+1)/(df+1)) + 1`, every step a hash aggregate with map-side
+    * combine (explode → tf per (doc, term) → df per term → idf join).
+    * The doc-count N is a driver scalar (one aggregate, not a loop).
+    * The idf side is one row per distinct TERM — vocabulary-sized, so it
+    * broadcasts even when the corpus doesn't. */
+  def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String): org.apache.spark.sql.DataFrame = {
+    val nDocs = df.count()
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    tf.join(org.apache.spark.sql.functions.broadcast(dfreq), "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") *
+          (log(lit(nDocs + 1.0) / (col("df").cast("double") + lit(1.0)))
+            + lit(1.0))).as("tfidf"))
+  }
 }
