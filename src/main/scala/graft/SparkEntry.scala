@@ -414,6 +414,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // As-of join, forward direction — each event matched to the customer's
+    // earliest order at or after the event time
+    "q_asof_forward" -> ((s, dir) => {
+      val earliestPerDate = table(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin.asofLeftJoin(
+          table(s, dir, "events").select("event_id", "user_id", "ts"),
+          earliestPerDate, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("o_orderkey"), direction = "forward")
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // Sketches: HLL distinct (Apache DataSketches) + approximate
     // percentiles next to their exact counterparts (rows-only; ScalaTest
     // asserts the error bounds — sketch impls differ engine to engine, so
@@ -877,6 +891,15 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, r.o_orderkey
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate,
+        |    max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, r.o_orderkey
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
         |ORDER BY event_id""".stripMargin,
 
     "q_sessionize" ->

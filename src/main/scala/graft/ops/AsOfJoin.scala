@@ -21,13 +21,17 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** Output: all left columns + the requested right payload columns
-    * (null when no right row is at-or-before the left timestamp).
+    * (null when no right row is at-or-before — `direction = "backward"`,
+    * the default — or at-or-after — `"forward"` — the left timestamp).
     * Payload names must not collide with left column names — rename on the
     * right side first if they do. */
   def asofLeftJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTs: String, rightTs: String,
-                   payload: Seq[String]): DataFrame = {
+                   payload: Seq[String],
+                   direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__graft_key", col(leftKey))
@@ -48,14 +52,28 @@ object AsOfJoin {
         payload.map(c => s"__graft_p_$c")).map(col): _*)
     val unioned = lProjected.unionByName(rProjected,
       allowMissingColumns = true)
-    // right rows sort before left rows at equal ts, so a right row AT the
-    // left timestamp matches (ts >= semantics)
-    val w = Window.partitionBy(col("__graft_key"))
-      .orderBy(col("__graft_ts"), col("__graft_is_left"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned)((df, c) =>
-      df.withColumn(c,
-        last(col(s"__graft_p_$c"), ignoreNulls = true).over(w)))
+    // backward: right rows sort before left rows at equal ts and the most
+    // recent right payload is carried FORWARD over (preceding..current] —
+    // so a right row AT the left timestamp matches (<= semantics).
+    // forward: the mirror image — right rows sort after left rows at equal
+    // ts and the NEXT right payload is carried BACKWARD over
+    // [current..following) (>= semantics).
+    val carried =
+      if (direction == "backward") {
+        val w = Window.partitionBy(col("__graft_key"))
+          .orderBy(col("__graft_ts"), col("__graft_is_left"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        payload.foldLeft(unioned)((df, c) =>
+          df.withColumn(c,
+            last(col(s"__graft_p_$c"), ignoreNulls = true).over(w)))
+      } else {
+        val w = Window.partitionBy(col("__graft_key"))
+          .orderBy(col("__graft_ts"), col("__graft_is_left").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        payload.foldLeft(unioned)((df, c) =>
+          df.withColumn(c,
+            first(col(s"__graft_p_$c"), ignoreNulls = true).over(w)))
+      }
     carried.filter(col("__graft_is_left") === 1)
       .select((leftCols ++ payload).map(col): _*)
   }

@@ -132,6 +132,11 @@ class OpsSpec extends SparkSpec {
         Seq("v")).orderBy("eid").collect()
     assert(out.map(r => Option(r.getString(3))).toSeq ===
       Seq(Some("b"), Some("a"), None, None))
+    // forward direction: earliest right row at-or-after each left ts
+    val fwd = ops.AsOfJoin.asofLeftJoin(left, right, "k", "rk", "t", "rt",
+        Seq("v"), direction = "forward").orderBy("eid").collect()
+    assert(fwd.map(r => Option(r.getString(3))).toSeq ===
+      Seq(Some("c"), Some("a"), Some("a"), None))
   }
 
   test("RangeJoin binning equals the naive inequality join") {
