@@ -605,6 +605,19 @@ object SparkEntry {
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term")).limit(20)),
 
+    // LLM: cleaning pass — normalization + PII redaction (the synthetic
+    // fixture gets an email/phone suffix appended so the redaction path
+    // actually fires rather than matching nothing)
+    "q_text_clean" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.normalizeText(col("text")).as("normalized"),
+        TextFunctions.redactPii(
+          concat(col("text"),
+            lit(" contact user"), col("doc_id"),
+            lit("@example.com or 12345678"))).as("redacted"))
+        .orderBy(col("doc_id"))),
+
     // LLM: deterministic document fingerprint (8-token prefix)
     "q_text_fingerprint" -> ((s, dir) =>
       table(s, dir, "documents").select(
@@ -1030,6 +1043,16 @@ object SparkEntry {
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "q_text_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS normalized,
+        |  regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@example.com or 12345678',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{7,}', '<NUMBER>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id,

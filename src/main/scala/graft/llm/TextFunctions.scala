@@ -146,6 +146,23 @@ object TextFunctions {
   def rollingFingerprint(text: Column, window: Int = 8): Column =
     array_min(transform(wordNGrams(tokens(text), window), g => xxhash64(g)))
 
+  /** Normalization for training-data cleaning: lowercase, strip everything
+    * outside [a-z0-9 ], collapse whitespace runs, trim. Patterns use only
+    * constructs with identical semantics in Java regex and RE2, so the
+    * transform is engine-portable (oracle-checkable). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** PII scrubbing: replace email-shaped and long-digit-run tokens with
+    * typed placeholder tags — the standard pre-training redaction pass.
+    * Same engine-portable regex subset as `normalizeText`. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "[0-9]{7,}", "<NUMBER>")
+
   /** (doc, term, tf·idf) over a corpus: smoothed idf
     * `ln((N+1)/(df+1)) + 1`, every step a hash aggregate with map-side
     * combine (explode → tf per (doc, term) → df per term → idf join).
