@@ -605,6 +605,28 @@ object SparkEntry {
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term")).limit(20)),
 
+    // LLM: reproducible subsetting — hash-based sampling and train/val/test
+    // split assignment. md5 of the id is engine-portable and row-local:
+    // no RNG state, no shuffle, same subset on any engine or cluster size,
+    // stable under re-runs and backfills (the properties seeded `sample()`
+    // lacks). Hex-string range cuts ≈ 12.5% sample and ≈ 80/10/10 splits.
+    "q_sample_hash" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1)
+          .isin("0", "1"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    "q_split_assign" -> ((s, dir) => {
+      val h2 = substring(md5(col("doc_id").cast("string")), 1, 2)
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        when(h2 < "cd", lit("train"))
+          .when(h2 < "e6", lit("val"))
+          .otherwise(lit("test")).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM: cleaning pass — normalization + PII redaction (the synthetic
     // fixture gets an email/phone suffix appended so the redaction path
     // actually fires rather than matching nothing)
@@ -1043,6 +1065,18 @@ object SparkEntry {
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "q_sample_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_text_clean" ->
       """SELECT doc_id,
