@@ -605,6 +605,36 @@ object SparkEntry {
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term")).limit(20)),
 
+    // LLM: sequence packing — contiguous fill into 256-token training bins
+    // per source shard (keyed window cumsum, no global sort)
+    "q_pack_sequences" -> ((s, dir) => {
+      val sized = table(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      TextFunctions.packBins(sized, "doc_id", "n_tokens", "source", 256L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM: multimodal resize + frame sampling (stub codecs; rows-only —
+    // the plumbing shape is the tested artifact, LlmSpec pins values)
+    "q_multimodal_resize" -> ((s, dir) =>
+      Multimodal.resize(
+          Multimodal.withFakeMedia(table(s, dir, "documents"), "text"),
+          "doc_id", factor = 2)
+        .toDF()
+        .select(col("id"), col("width"), col("height"),
+          length(col("data")).cast("long").as("n_bytes"))
+        .orderBy(col("id"))),
+
+    "q_frame_samples" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.withFakeMedia(table(s, dir, "documents"), "text"),
+          "doc_id", frames = 4)
+        .toDF()
+        .select(col("id"), col("frame"), col("fingerprint"))
+        .orderBy(col("id"), col("frame"))),
+
     // LLM: reproducible subsetting — hash-based sampling and train/val/test
     // split assignment. md5 of the id is engine-portable and row-local:
     // no RNG state, no shuffle, same subset on any engine or cluster size,
@@ -1065,6 +1095,16 @@ object SparkEntry {
       """SELECT term, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH sized AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+        |    / 256.0) AS BIGINT) AS bin
+        |FROM sized ORDER BY doc_id""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id FROM documents

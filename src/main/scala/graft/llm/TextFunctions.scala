@@ -163,6 +163,25 @@ object TextFunctions {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "[0-9]{7,}", "<NUMBER>")
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * bins by contiguous fill — doc d lands in bin ⌊(prefix-sum of weights
+    * before d) / budget⌋ under a deterministic per-group order. One keyed
+    * window cumsum: deterministic, no RNG, and the window is PER GROUP
+    * (shard/source), so no global single-partition sort exists at scale —
+    * the packing parallelism is the number of groups. */
+  def packBins(df: org.apache.spark.sql.DataFrame, idCol: String,
+               weightCol: String, groupCol: String,
+               budget: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__graft_cum", sum(col(weightCol)).over(w))
+      .withColumn("bin",
+        floor((col("__graft_cum") - col(weightCol)) / lit(budget))
+          .cast("long"))
+      .drop("__graft_cum")
+  }
+
   /** (doc, term, tf·idf) over a corpus: smoothed idf
     * `ln((N+1)/(df+1)) + 1`, every step a hash aggregate with map-side
     * combine (explode → tf per (doc, term) → df per term → idf join).
