@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   *  - every query carries a deterministic total ordering;
   *  - computed integers are cast to BIGINT on both sides;
   *  - money/quantity sums go through DECIMAL so they are exact and
-  *    order-independent (double sums are partial-agg-order-dependent);
+  *    order-independent (double sums are partial-agg-order-dependent),
+  *    then cast to DOUBLE at the very end on BOTH sides: engines render
+  *    decimals differently (scale, Decimal-vs-float readout), while the
+  *    double of the same exact decimal value is bit-identical under any
+  *    downstream canonicalization;
   *  - aliases match the oracle exactly.
   */
 object SparkEntry {
@@ -187,7 +191,8 @@ object SparkEntry {
           col(leftKey) === col(rightKey))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_customers"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).as("total_acctbal"))
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("total_acctbal"))
         .orderBy(col("n_name"))
     }),
 
@@ -287,8 +292,9 @@ object SparkEntry {
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)"))
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("sum_base_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
@@ -306,7 +312,7 @@ object SparkEntry {
         .join(broadcast(table(s, dir, "region")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(rev).cast("decimal(18,4)").as("revenue"),
+        .agg(sum(rev).cast("decimal(18,4)").cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     }),
@@ -319,7 +325,8 @@ object SparkEntry {
           col("c_nationkey") === col("n_nationkey"))
         .rollup(col("n_name"), col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
         .orderBy(col("n_name").asc_nulls_last,
           col("o_orderstatus").asc_nulls_last)),
 
@@ -328,7 +335,8 @@ object SparkEntry {
       table(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
         .orderBy(col("o_orderstatus").asc_nulls_last,
           col("o_orderpriority").asc_nulls_last)),
 
@@ -344,7 +352,8 @@ object SparkEntry {
     "q_window_frame" -> ((s, dir) => {
       val daily = table(s, dir, "events")
         .groupBy(date_trunc("day", col("ts")).as("day"))
-        .agg(sum(col("value").cast("decimal(18,6)")).as("daily_value"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("daily_value"))
       daily.withColumn("weekly_value",
           sum(col("daily_value")).over(
             org.apache.spark.sql.expressions.Window.orderBy(col("day"))
@@ -564,7 +573,7 @@ object SparkEntry {
       table(s, dir, "orders").createOrReplaceTempView("graft_orders_v")
       table(s, dir, "customer").createOrReplaceTempView("graft_customer_v")
       s.sql("""SELECT c_mktsegment, o_orderpriority, count(*) AS n,
-              |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
               |FROM graft_orders_v JOIN graft_customer_v
               |  ON o_custkey = c_custkey
               |GROUP BY c_mktsegment, o_orderpriority
@@ -788,7 +797,7 @@ object SparkEntry {
 
     "q_dynamic_join" ->
       """SELECT n_name, count(*) AS n_customers,
-        |  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total_acctbal
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
@@ -859,17 +868,17 @@ object SparkEntry {
 
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_join_agg_revenue" ->
       """SELECT r_name, n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |    (CAST(1.0 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
-        |    AS DECIMAL(18,4)) AS revenue,
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -880,7 +889,7 @@ object SparkEntry {
 
     "q_rollup" ->
       """SELECT n_name, o_orderstatus, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -889,7 +898,7 @@ object SparkEntry {
 
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""".stripMargin,
@@ -905,7 +914,7 @@ object SparkEntry {
 
     "q_window_frame" ->
       """WITH d AS (SELECT date_trunc('day', ts) AS day,
-        |    sum(CAST(value AS DECIMAL(18,6))) AS daily_value
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS daily_value
         |  FROM events GROUP BY 1)
         |SELECT day, daily_value,
         |  sum(daily_value) OVER (ORDER BY day
@@ -1054,7 +1063,7 @@ object SparkEntry {
 
     "q_sql_segment_rollup" ->
       """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
-        |  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment, o_orderpriority
         |ORDER BY c_mktsegment, o_orderpriority""".stripMargin,
