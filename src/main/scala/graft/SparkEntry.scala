@@ -450,6 +450,20 @@ object SparkEntry {
         expr("percentile(value, 0.5)").as("p50_exact"),
         expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"))),
 
+    // Sketches #2: count-min frequency estimates for the known event types
+    // (rows-only; the sketch is a driver-mergeable KB-sized summary, so
+    // reading it on the driver is the intended use — CMS never
+    // underestimates, StreamingSpec pins the bounds)
+    "q_sketch_cms" -> ((s, dir) => {
+      import s.implicits._
+      val cms = table(s, dir, "events").stat.countMinSketch(
+        col("event_type"), eps = 0.001, confidence = 0.99, seed = 42)
+      Seq("click", "error", "purchase", "signup", "view")
+        .map(t => (t, cms.estimateCount(t)))
+        .toDF("event_type", "approx_n")
+        .orderBy(col("event_type"))
+    }),
+
     // LLM: exact dedup by content hash
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(table(s, dir, "documents"), "doc_id", "text")

@@ -1,0 +1,30 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JSON-lines source/sink — the interchange format most training-data
+  * pipelines ingest (one JSON document per line, splittable, appendable).
+  *
+  * Always read WITH an explicit schema at scale: schema inference is a
+  * full extra pass over the data, and a drifting field in one file would
+  * silently widen columns for the whole load. `readInferred` exists for
+  * exploration only.
+  */
+object Jsonl {
+
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Exploration-only: schema inference costs one full pass. */
+  def readInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** Multi-file (splittable) JSONL sink; gzip-compressed parts by default —
+    * JSONL is a text interchange format, so per-file compression beats the
+    * columnar codecs that don't apply here. */
+  def write(df: DataFrame, path: String, compress: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
+}

@@ -166,4 +166,17 @@ class PipelineSpec extends SparkSpec {
     val reread = Csv.readAsStrings(spark, c.outputFile)
     assert(reread.count() === 420)
   }
+
+  test("JSONL sink/source round-trips documents exactly (schema-first read)") {
+    import graft.io.Jsonl
+    import org.apache.spark.sql.functions.col
+    val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    Jsonl.write(docs, dir)
+    val back = Jsonl.read(spark, dir, docs.schema)
+    assert(back.schema === docs.schema)
+    val a = docs.orderBy(col("doc_id")).collect().map(_.toSeq)
+    val b = back.orderBy(col("doc_id")).collect().map(_.toSeq)
+    assert(a.toSeq === b.toSeq)
+  }
 }

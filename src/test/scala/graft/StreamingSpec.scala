@@ -42,6 +42,21 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(p50a - p50e) / math.max(math.abs(p50e), 1e-9) < 0.05)
   }
 
+  test("count-min sketch estimates bound the exact counts from above") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Util.table(spark, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val est = SparkEntry.queries("q_sketch_cms")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (t, e) =>
+      assert(e >= exact(t), s"CMS must never underestimate ($t)")
+      assert(e <= exact(t) + (0.001 * total).ceil.toLong * 10,
+        s"CMS overestimate out of bounds ($t: $e vs ${exact(t)})")
+    }
+  }
+
   test("streaming sessionization (watermark + session_window, AvailableNow)") {
     val events = Util.table(spark, "/root/testdata/sf0.001", "events")
     val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
