@@ -139,6 +139,28 @@ class OpsSpec extends SparkSpec {
       Seq(Some("c"), Some("a"), Some("a"), None))
   }
 
+  test("OnlineStats aggregator matches built-in avg/var_pop per group") {
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val udafStats = org.apache.spark.sql.functions.udaf(ops.OnlineStats)
+    val mine = events.groupBy(col("event_type"))
+      .agg(udafStats(col("value")).as("s"))
+      .select(col("event_type"), col("s.n"), col("s.mean"), col("s.variance"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val builtin = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("m"),
+        var_pop(col("value")).as("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(mine.keySet === builtin.keySet)
+    mine.foreach { case (k, (n, m, v)) =>
+      val (bn, bm, bv) = builtin(k)
+      assert(n === bn)
+      assert(math.abs(m - bm) <= 1e-9 * math.max(math.abs(bm), 1.0))
+      assert(math.abs(v - bv) <= 1e-9 * math.max(math.abs(bv), 1.0))
+    }
+  }
+
   test("RangeJoin binning equals the naive inequality join") {
     import java.sql.Timestamp
     val rnd = new scala.util.Random(5)
