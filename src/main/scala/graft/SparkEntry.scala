@@ -361,6 +361,19 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // Window navigation: lag/lead/ntile over per-user event sequences
+    "q_window_nav" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      table(s, dir, "events").select(
+          col("user_id"), col("event_id"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          lead(col("event_type"), 1).over(w).as("next_type"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("event_id"))
+    }),
+
     // W2 at scale — top-k per key
     "q_window_topk" -> ((s, dir) =>
       BestMatch.topKPerKey(table(s, dir, "orders"),
@@ -934,6 +947,15 @@ object SparkEntry {
         |  sum(daily_value) OVER (ORDER BY day
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS weekly_value
         |FROM d ORDER BY day""".stripMargin,
+
+    "q_window_nav" ->
+      """SELECT user_id, event_id,
+        |  lag(event_type, 1) OVER w AS prev_type,
+        |  lead(event_type, 1) OVER w AS next_type,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q_window_topk" ->
       """SELECT o_custkey, o_orderkey,

@@ -7,6 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata; decode / feature-extract / frame-
   * sample run partition-wise over the binary payloads.
   *
+  * The `mapPartitions` + `grouped(batchSize)` shape here is the Scala
+  * analog of PySpark's `mapInPandas`: same input schema, same batched
+  * iterator contract, same output-schema declaration — a Python deployment
+  * swaps in `mapInPandas` with identical batch semantics (Arrow record
+  * batches in place of the grouped iterator) and calls the real codec
+  * (PIL/ffmpeg) inside the batch loop.
+  *
   * STUB NOTE: no image/audio codec libraries exist in this container, so the
   * decode step is a clearly-marked deterministic fake (byte histogram /
   * chunk hashes). The Spark-side plumbing — schema, partition-wise batched
