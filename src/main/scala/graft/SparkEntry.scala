@@ -641,6 +641,15 @@ object SparkEntry {
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term")).limit(20)),
 
+    // LLM: the whole training-data preparation flow as one DAG — clean →
+    // quality filter → exact dedup → near-dup clusters → pack (rows-only;
+    // every stage is oracle- or test-checked individually)
+    "q_training_pipeline" -> ((s, dir) =>
+      graft.pipeline.TrainingData.prepare(
+          spread(table(s, dir, "documents"), "doc_id"),
+          "doc_id", "text", "source")
+        .orderBy(col("doc_id"))),
+
     // LLM: sequence packing — contiguous fill into 256-token training bins
     // per source shard (keyed window cumsum, no global sort)
     "q_pack_sequences" -> ((s, dir) => {

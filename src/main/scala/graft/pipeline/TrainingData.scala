@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import graft.llm.{Dedup, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data preparation flow, composed from the
+  * engine's operators — the pipeline a corpus actually runs before
+  * tokenization:
+  *
+  *   1. clean      — normalize + PII-redact the text;
+  *   2. filter     — drop documents below a minimum token count;
+  *   3. exact dedup — one survivor (min id) per identical cleaned text;
+  *   4. near dedup  — Jaccard pair kernel → connected components → keep
+  *                    each cluster's representative;
+  *   5. pack       — contiguous-fill token-budget bins per source shard.
+  *
+  * Every stage is lazy; the whole flow is ONE Spark DAG (the dedup stages
+  * checkpoint internally where iteration requires it). At 100 TB each
+  * stage keeps the scale shape documented in SCALE.md — nothing here
+  * collects to the driver.
+  */
+object TrainingData {
+
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+              sourceCol: String, minTokens: Int = 5,
+              jaccardThreshold: Double = 0.9,
+              packBudget: Long = 256L): DataFrame = {
+    val cleaned = docs.select(
+      col(idCol), col(sourceCol),
+      TextFunctions.redactPii(TextFunctions.normalizeText(col(textCol)))
+        .as("clean_text"))
+      .withColumn("n_tokens",
+        size(TextFunctions.tokens(col("clean_text"))).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+
+    // exact dedup: keep the minimum id per identical cleaned text
+    val keepers = cleaned.groupBy(col("clean_text"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val exactDeduped = cleaned.join(keepers, Seq(idCol))
+
+    // near dedup: pair kernel within source groups, cluster, keep reps
+    val pairs = Dedup.jaccardPairsWithinGroupPrefix(
+      exactDeduped, idCol, "clean_text", sourceCol, jaccardThreshold)
+    val nearDeduped = Dedup.dedupedCorpus(exactDeduped, idCol, pairs)
+
+    // pack surviving docs into token-budget bins per source shard
+    TextFunctions.packBins(nearDeduped, idCol, "n_tokens", sourceCol,
+        packBudget)
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("bin"))
+  }
+}

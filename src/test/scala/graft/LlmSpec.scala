@@ -33,6 +33,30 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("training-data pipeline: dedups, filters, and packs with invariants") {
+    val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")
+    val out = graft.pipeline.TrainingData.prepare(docs, "doc_id", "text",
+      "source").collect()
+    val inIds = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val outIds = out.map(_.getLong(0))
+    assert(outIds.toSet.subsetOf(inIds), "output ids come from the input")
+    assert(outIds.length === outIds.distinct.length, "each doc at most once")
+    assert(out.forall(_.getLong(2) >= 5), "quality floor holds")
+    // survivors have no exact-duplicate cleaned text left
+    import org.apache.spark.sql.functions._
+    import graft.llm.TextFunctions
+    val survivors = docs.filter(col("doc_id").isin(outIds: _*))
+      .select(TextFunctions.redactPii(
+        TextFunctions.normalizeText(col("text"))).as("t"))
+    assert(survivors.count() === survivors.distinct().count())
+    // bins are dense per source: 0..max with no gaps
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val bins = rows.map(_.getLong(3)).distinct.sorted
+      assert(bins === (0L to bins.max).toVector, s"gapped bins: $bins")
+    }
+    assert(out.nonEmpty)
+  }
+
   test("minhash hot-bucket cap drops oversized buckets, keeps the rest") {
     import spark.implicits._
     // three identical docs collide in every band (bucket size 3); one
