@@ -641,6 +641,18 @@ object SparkEntry {
         .groupBy(col("term")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term")).limit(20)),
 
+    // Data-quality gate: Deequ-style expectations, ONE aggregate pass for
+    // all checks; metrics are exact so the report oracle-checks
+    "q_quality_checks" -> ((s, dir) => {
+      import graft.quality.Expectations._
+      check(table(s, dir, "orders"), Seq(
+        Expectation("orderkey_complete", Completeness("o_orderkey"), 1.0, 1.0),
+        Expectation("orderkey_unique", Uniqueness("o_orderkey"), 1.0, 1.0),
+        Expectation("price_positive", MinOf("o_totalprice"), 0.0, 1e18),
+        Expectation("price_mean_band", MeanOf("o_totalprice"), 1e4, 1e6),
+        Expectation("custkey_spread", Uniqueness("o_custkey"), 0.01, 1.0)))
+    }),
+
     // LLM: the whole training-data preparation flow as one DAG — clean →
     // quality filter → exact dedup → near-dup clusters → pack (rows-only;
     // every stage is oracle- or test-checked individually)
@@ -1089,6 +1101,30 @@ object SparkEntry {
         |    list_contains(['the','a','of','and','data'], w))) AS DOUBLE)
         |    / len(toks) AS stopword_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_quality_checks" ->
+      """WITH m AS (SELECT
+        |    CAST(count(o_orderkey) AS DOUBLE) / count(*) AS complete_ok,
+        |    CAST(count(DISTINCT o_orderkey) AS DOUBLE)
+        |      / greatest(count(o_orderkey), 1) AS unique_ok,
+        |    CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+        |    CAST(avg(o_totalprice) AS DOUBLE) AS mean_price,
+        |    CAST(count(DISTINCT o_custkey) AS DOUBLE)
+        |      / greatest(count(o_custkey), 1) AS unique_cust
+        |  FROM orders)
+        |SELECT r.* FROM m, LATERAL (VALUES
+        |  ('custkey_spread', 'o_custkey', unique_cust, 0.01, 1.0,
+        |    unique_cust >= 0.01 AND unique_cust <= 1.0),
+        |  ('orderkey_complete', 'o_orderkey', complete_ok, 1.0, 1.0,
+        |    complete_ok >= 1.0 AND complete_ok <= 1.0),
+        |  ('orderkey_unique', 'o_orderkey', unique_ok, 1.0, 1.0,
+        |    unique_ok >= 1.0 AND unique_ok <= 1.0),
+        |  ('price_mean_band', 'o_totalprice', mean_price, 1e4, 1e6,
+        |    mean_price >= 1e4 AND mean_price <= 1e6),
+        |  ('price_positive', 'o_totalprice', min_price, 0.0, 1e18,
+        |    min_price >= 0.0 AND min_price <= 1e18))
+        |  AS r(name, "column", value, lo, hi, pass)
+        |ORDER BY name""".stripMargin,
 
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

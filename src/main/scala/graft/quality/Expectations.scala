@@ -1,0 +1,65 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Single-pass data-quality checks for ingest gating — the validation a
+  * pipeline runs on every batch before letting it into the corpus
+  * (Deequ-style, minimal): each expectation compiles to ONE aggregate
+  * expression, all expectations evaluate in ONE hash-aggregate pass over
+  * the data (no per-check scans), and the report is a small DataFrame the
+  * caller can alert on or join into a run ledger.
+  *
+  * Metrics are exact (ratios of counts, min/max/mean), so reports are
+  * deterministic and cross-engine comparable.
+  */
+object Expectations {
+
+  sealed trait Metric { def column: String; def expr: Column }
+  /** Fraction of non-null values. */
+  final case class Completeness(column: String) extends Metric {
+    def expr: Column =
+      (count(col(column)).cast("double") / count(lit(1))).as("value")
+  }
+  /** Fraction of distinct values among non-nulls. */
+  final case class Uniqueness(column: String) extends Metric {
+    def expr: Column =
+      (count_distinct(col(column)).cast("double") /
+        greatest(count(col(column)), lit(1L)).cast("double")).as("value")
+  }
+  final case class MinOf(column: String) extends Metric {
+    def expr: Column = min(col(column)).cast("double").as("value")
+  }
+  final case class MaxOf(column: String) extends Metric {
+    def expr: Column = max(col(column)).cast("double").as("value")
+  }
+  final case class MeanOf(column: String) extends Metric {
+    def expr: Column = avg(col(column)).cast("double").as("value")
+  }
+
+  final case class Expectation(name: String, metric: Metric,
+                               lo: Double, hi: Double)
+
+  /** One aggregate pass → (name, column, value, lo, hi, pass) per
+    * expectation, ordered by name. */
+  def check(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
+    require(expectations.nonEmpty)
+    val aggs = expectations.zipWithIndex.map { case (e, i) =>
+      e.metric.expr.as(s"__m$i")
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val entries = expectations.zipWithIndex.map { case (e, i) =>
+      struct(lit(e.name).as("name"), lit(e.metric.column).as("column"),
+        col(s"__m$i").cast("double").as("value"),
+        lit(e.lo).as("lo"), lit(e.hi).as("hi"))
+    }
+    // explode the single aggregated row into one report row per
+    // expectation — the aggregate runs exactly once
+    agged.select(explode(array(entries: _*)).as("r"))
+      .select(col("r.name").as("name"), col("r.column").as("column"),
+        col("r.value").as("value"), col("r.lo").as("lo"), col("r.hi").as("hi"),
+        (col("r.value") >= col("r.lo") && col("r.value") <= col("r.hi"))
+          .as("pass"))
+      .orderBy(col("name"))
+  }
+}

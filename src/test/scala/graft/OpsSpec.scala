@@ -139,6 +139,19 @@ class OpsSpec extends SparkSpec {
       Seq(Some("c"), Some("a"), Some("a"), None))
   }
 
+  test("Expectations: one-pass report, failing checks flagged") {
+    import graft.quality.Expectations._
+    val df = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None),
+      (3L, Some(40.0))).toDF("id", "v")
+    val report = check(df, Seq(
+      Expectation("id_unique", Uniqueness("id"), 1.0, 1.0),      // fails: dup 3
+      Expectation("v_complete", Completeness("v"), 1.0, 1.0),    // fails: null
+      Expectation("v_mean", MeanOf("v"), 20.0, 30.0)))           // passes
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(report === Map("id_unique" -> false, "v_complete" -> false,
+      "v_mean" -> true))
+  }
+
   test("OnlineStats aggregator matches built-in avg/var_pop per group") {
     val events = Util.table(spark, "/root/testdata/sf0.001", "events")
     val udafStats = org.apache.spark.sql.functions.udaf(ops.OnlineStats)
