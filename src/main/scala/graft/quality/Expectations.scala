@@ -62,4 +62,26 @@ object Expectations {
           .as("pass"))
       .orderBy(col("name"))
   }
+
+  final case class SchemaDiff(column: String, status: String,
+                              expected: String, actual: String)
+
+  /** Schema drift between an expected schema and a batch's actual schema —
+    * the check that catches a producer silently adding, dropping, or
+    * retyping a field before the batch contaminates the corpus. Pure
+    * metadata (no data read). Empty result = schemas compatible. */
+  def schemaDrift(expected: org.apache.spark.sql.types.StructType,
+                  actual: org.apache.spark.sql.types.StructType)
+      : Seq[SchemaDiff] = {
+    val e = expected.fields.map(f => f.name -> f.dataType.sql).toMap
+    val a = actual.fields.map(f => f.name -> f.dataType.sql).toMap
+    val missing = (e.keySet -- a.keySet).toSeq.sorted
+      .map(c => SchemaDiff(c, "missing", e(c), ""))
+    val added = (a.keySet -- e.keySet).toSeq.sorted
+      .map(c => SchemaDiff(c, "added", "", a(c)))
+    val retyped = (e.keySet & a.keySet).toSeq.sorted
+      .filter(c => e(c) != a(c))
+      .map(c => SchemaDiff(c, "retyped", e(c), a(c)))
+    missing ++ added ++ retyped
+  }
 }

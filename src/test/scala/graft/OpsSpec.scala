@@ -152,6 +152,18 @@ class OpsSpec extends SparkSpec {
       "v_mean" -> true))
   }
 
+  test("schemaDrift reports missing, added, and retyped columns") {
+    import graft.quality.Expectations.{schemaDrift, SchemaDiff}
+    val expected = Seq((1L, "a", 1.0)).toDF("id", "name", "score").schema
+    val actual = Seq((1L, 2, true)).toDF("id", "score", "extra").schema
+    val diffs = schemaDrift(expected, actual)
+    assert(diffs === Seq(
+      SchemaDiff("name", "missing", "STRING", ""),
+      SchemaDiff("extra", "added", "", "BOOLEAN"),
+      SchemaDiff("score", "retyped", "DOUBLE", "INT")))
+    assert(schemaDrift(expected, expected).isEmpty)
+  }
+
   test("OnlineStats aggregator matches built-in avg/var_pop per group") {
     val events = Util.table(spark, "/root/testdata/sf0.001", "events")
     val udafStats = org.apache.spark.sql.functions.udaf(ops.OnlineStats)
