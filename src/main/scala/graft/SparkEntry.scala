@@ -463,6 +463,22 @@ object SparkEntry {
         expr("percentile(value, 0.5)").as("p50_exact"),
         expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"))),
 
+    // Sketches #3: mergeability — the property that makes sketches work at
+    // scale: per-day HLL sketches union to the exact-window estimate
+    // without re-reading the raw data (rows-only; StreamingSpec pins the
+    // union estimate against exact distinct)
+    "q_sketch_merge" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(date_trunc("week", col("ts")).as("week"),
+          date_trunc("day", col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.groupBy(col("week"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("approx_weekly_users"),
+          count(lit(1)).as("n_days"))
+        .orderBy(col("week"))
+    }),
+
     // Sketches #2: count-min frequency estimates for the known event types
     // (rows-only; the sketch is a driver-mergeable KB-sized summary, so
     // reading it on the driver is the intended use — CMS never

@@ -20,6 +20,24 @@ object Jsonl {
   def readInferred(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** Ingest-grade read: malformed lines do not kill the job — they land
+    * with null fields and the raw line preserved in `_corrupt_record`, so
+    * the caller can route them to a quarantine sink and gate on their
+    * ratio (see quality/Expectations) instead of discovering the bad
+    * producer via a stage failure three hours in.
+    *
+    * Spark disallows plans that reference ONLY `_corrupt_record` over the
+    * raw files (nothing would force a parse): `cache()` or persist the
+    * parsed batch before filtering on the corrupt column. */
+  def readPermissive(spark: SparkSession, path: String,
+                     schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
   /** Multi-file (splittable) JSONL sink; gzip-compressed parts by default —
     * JSONL is a text interchange format, so per-file compression beats the
     * columnar codecs that don't apply here. */

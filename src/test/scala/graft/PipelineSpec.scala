@@ -167,6 +167,32 @@ class PipelineSpec extends SparkSpec {
     assert(reread.count() === 420)
   }
 
+  test("permissive JSONL read quarantines malformed lines, keeps good ones") {
+    import graft.io.Jsonl
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "batch.jsonl"),
+      """{"id": 1, "text": "good"}
+        |{"id": 2 "text": MALFORMED
+        |{"id": 3, "text": "also good"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    // Spark disallows plans that reference ONLY the corrupt column over
+    // raw JSON (it would skip parsing entirely) — cache the parsed batch
+    // first, the documented pattern for quarantine flows
+    val out = Jsonl.readPermissive(spark, dir, schema).cache()
+    assert(out.count() === 3)
+    val bad = out.filter(col("_corrupt_record").isNotNull).collect()
+    assert(bad.length === 1 && bad(0).isNullAt(0),
+      "malformed line lands with null fields + raw line preserved")
+    assert(out.filter(col("_corrupt_record").isNull).count() === 2)
+  }
+
   test("JSONL sink/source round-trips documents exactly (schema-first read)") {
     import graft.io.Jsonl
     import org.apache.spark.sql.functions.col

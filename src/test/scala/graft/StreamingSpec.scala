@@ -42,6 +42,22 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(p50a - p50e) / math.max(math.abs(p50e), 1e-9) < 0.05)
   }
 
+  test("merged daily HLL sketches track exact weekly distincts") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = Util.table(spark, dir, "events")
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val merged = SparkEntry.queries("q_sketch_merge")(spark, dir)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(merged.keySet === exact.keySet)
+    merged.foreach { case (w, est) =>
+      val e = exact(w).toDouble
+      assert(math.abs(est - e) / e < 0.05,
+        s"week $w: merged estimate $est vs exact $e")
+    }
+  }
+
   test("count-min sketch estimates bound the exact counts from above") {
     val dir = "/root/testdata/sf0.001"
     val exact = Util.table(spark, dir, "events")
