@@ -236,6 +236,49 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Persist a corpus's MinHash index — shingle sets + LSH band buckets —
+    * so per-batch incremental dedup never recomputes the corpus side. Two
+    * parquet tables under `path`: `docs` (id, shingles) for the verify
+    * step and `buckets` (id, band, key) for the candidate join. At 100 TB
+    * this index is the thing that makes ingest-time dedup O(batch): it is
+    * written once per corpus rebuild and appended per accepted batch. */
+  def writeCorpusIndex(corpus: DataFrame, idCol: String, textCol: String,
+                       path: String, shingleN: Int = 3, numHashes: Int = 32,
+                       bands: Int = 8): Unit = {
+    val (docs, buckets) =
+      shingleBuckets(corpus, idCol, textCol, shingleN, numHashes, bands)
+    docs.write.mode("overwrite").parquet(s"$path/docs")
+    buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    docs.unpersist()
+  }
+
+  /** Incremental near-dup check against a STORED index (see
+    * `writeCorpusIndex`): only the new batch is shingled and hashed; the
+    * corpus side is two parquet scans. Same output contract as
+    * `minhashLshNewVsCorpus`. */
+  def minhashLshNewVsIndex(newDocs: DataFrame, indexPath: String,
+                           idCol: String, textCol: String,
+                           shingleN: Int = 3, numHashes: Int = 32,
+                           bands: Int = 8, threshold: Double = 0.8)
+      : DataFrame = {
+    val spark = newDocs.sparkSession
+    val corpusDocs = spark.read.parquet(s"$indexPath/docs")
+    val corpusBuckets = spark.read.parquet(s"$indexPath/buckets")
+    val (newDocsP, newBuckets) =
+      shingleBuckets(newDocs, idCol, textCol, shingleN, numHashes, bands)
+    val candidates = newBuckets.alias("a")
+      .join(corpusBuckets.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    val da = newDocsP.select(col("id").as("new_id"), col("sh").as("sh_a"))
+    val db = corpusDocs.select(col("id").as("corpus_id"), col("sh").as("sh_b"))
+    candidates.join(da, "new_id").join(db, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** The dedup end product: drop every clustered document except its
     * component representative (minimum id); documents in no near-dup pair
     * pass through untouched. One components run + one null-safe anti join. */

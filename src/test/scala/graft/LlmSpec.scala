@@ -200,6 +200,24 @@ class LlmSpec extends SparkSpec {
       s"exact copy not detected: ${dups.mkString(",")}")
   }
 
+  test("stored MinHash index gives the same incremental dedup as recompute") {
+    val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")
+    val newBatch = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    Dedup.writeCorpusIndex(corpus, "doc_id", "text", idx)
+    val viaIndex = Dedup.minhashLshNewVsIndex(newBatch, idx,
+        "doc_id", "text")
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recomputed = Dedup.minhashLshNewVsCorpus(newBatch, corpus,
+        "doc_id", "text")
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex === recomputed)
+    assert(viaIndex.nonEmpty, "fixture must contain cross-split duplicates")
+  }
+
   test("dedupedCorpus keeps one representative per cluster") {
     val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (20L, "c"))
       .toDF("doc_id", "text")
