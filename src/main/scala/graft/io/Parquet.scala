@@ -38,7 +38,17 @@ object Parquet {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
-    val bytes = fs.listStatus(dir)
+    val entries = fs.listStatus(dir)
+    // A hive-partitioned dataset has partition SUBDIRECTORIES here; naively
+    // reading+rewriting it would fold the partition columns into the data
+    // and destroy pruning. Compact runs per leaf directory by design.
+    val subdirs = entries.filter(e => e.isDirectory &&
+      !e.getPath.getName.startsWith("."))
+    require(subdirs.isEmpty,
+      s"$path contains partition subdirectories " +
+        s"(${subdirs.take(3).map(_.getPath.getName).mkString(", ")}...) — " +
+        "compact each leaf partition directory instead")
+    val bytes = entries
       .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
       .map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -47,10 +57,22 @@ object Parquet {
       .repartition(nOut)
       .write.mode("overwrite").option("compression", compression)
       .parquet(tmp.toString)
+    // Hadoop FileSystem.rename reports failure by RETURNING FALSE — every
+    // step is checked so a failed swap can never reach the delete of the
+    // only remaining copy. On failure after the first rename, the original
+    // is restored. (The swap is two renames, so a concurrent reader can
+    // observe a brief path-not-found between them — old XOR new data,
+    // never a mix; readers needing stronger atomicity use a table format.)
     val old = new Path(path + ".__graft_compact_old")
     if (fs.exists(old)) fs.delete(old, true)
-    fs.rename(dir, old)
-    fs.rename(tmp, dir)
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"compact: rename $dir -> $old failed")
+    if (!fs.rename(tmp, dir)) {
+      val restored = fs.rename(old, dir)
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $dir failed; original " +
+          (if (restored) "restored" else s"left at $old"))
+    }
     fs.delete(old, true)
     nOut
   }

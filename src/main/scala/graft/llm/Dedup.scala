@@ -171,10 +171,23 @@ object Dedup {
     (docs, buckets)
   }
 
+  /** Shared verify tail: join candidate id pairs back to their shingle
+    * sets and keep exact Jaccard >= threshold. */
+  private def verifyPairs(candidates: DataFrame, docsA: DataFrame,
+                          docsB: DataFrame, outA: String, outB: String,
+                          threshold: Double): DataFrame = {
+    val da = docsA.select(col("id").as(outA), col("sh").as("sh_a"))
+    val db = docsB.select(col("id").as(outB), col("sh").as("sh_b"))
+    candidates.join(da, outA).join(db, outB)
+      .select(col(outA), col(outB),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 32,
                       bands: Int = 8, threshold: Double = 0.8,
-                      maxBucketSize: Int = 100000): DataFrame = {
+                      maxBucketSize: Int = 2000): DataFrame = {
     val (docs, buckets) =
       shingleBuckets(df, idCol, textCol, shingleN, numHashes, bands)
     // Candidate pairs by grouping each bucket's member list (one shuffle)
@@ -186,11 +199,13 @@ object Dedup {
     //
     // `maxBucketSize` is the hot-bucket safety valve: a degenerate bucket
     // (boilerplate/empty-ish documents all colliding) creates O(b²) pairs —
-    // a 1M-doc bucket is half a trillion pairs, which no join strategy
-    // survives. Buckets past the cap are dropped, mirroring what production
-    // dedup pipelines do (a cluster that large is handled as a spam/
-    // boilerplate class of its own, not pair-by-pair). Members this drops
-    // usually still pair in their other, finer bands.
+    // and the pair explosion builds all b(b-1)/2 structs inside ONE row
+    // before explode, so the cap must keep that row executor-sized: the
+    // 2000 default is ~2M pair structs ≈ 32 MB per hot row. Buckets past
+    // the cap are dropped, mirroring what production dedup pipelines do (a
+    // cluster that large is handled as a spam/boilerplate class of its
+    // own, not pair-by-pair). Members this drops usually still pair in
+    // their other, finer bands.
     val sorted = array_sort(collect_list(col("id")))
     val candidates = buckets.groupBy(col("band"), col("key"))
       .agg(sorted.as("ids"))
@@ -200,12 +215,7 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    val da = docs.select(col("id").as("id_a"), col("sh").as("sh_a"))
-    val db = docs.select(col("id").as("id_b"), col("sh").as("sh_b"))
-    candidates.join(da, "id_a").join(db, "id_b")
-      .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jac"))
-      .filter(col("jac") >= threshold)
+    verifyPairs(candidates, docs, docs, "id_a", "id_b", threshold)
   }
 
   /** Incremental near-dup check: which NEW documents duplicate the existing
@@ -228,12 +238,8 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
       .distinct()
-    val da = newDocsP.select(col("id").as("new_id"), col("sh").as("sh_a"))
-    val db = corpusDocs.select(col("id").as("corpus_id"), col("sh").as("sh_b"))
-    candidates.join(da, "new_id").join(db, "corpus_id")
-      .select(col("new_id"), col("corpus_id"),
-        jaccard(col("sh_a"), col("sh_b")).as("jac"))
-      .filter(col("jac") >= threshold)
+    verifyPairs(candidates, newDocsP, corpusDocs, "new_id", "corpus_id",
+      threshold)
   }
 
   /** Persist a corpus's MinHash index — shingle sets + LSH band buckets —
@@ -255,7 +261,13 @@ object Dedup {
   /** Incremental near-dup check against a STORED index (see
     * `writeCorpusIndex`): only the new batch is shingled and hashed; the
     * corpus side is two parquet scans. Same output contract as
-    * `minhashLshNewVsCorpus`. */
+    * `minhashLshNewVsCorpus`.
+    *
+    * NOTE: the batch's shingle sets are persisted (they feed candidate
+    * generation AND verify); a long-running service calling this per batch
+    * should unpersist after materializing the result
+    * (`spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist())`
+    * or `spark.catalog.clearCache()`), as the harness mains do. */
   def minhashLshNewVsIndex(newDocs: DataFrame, indexPath: String,
                            idCol: String, textCol: String,
                            shingleN: Int = 3, numHashes: Int = 32,
@@ -271,12 +283,8 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
       .distinct()
-    val da = newDocsP.select(col("id").as("new_id"), col("sh").as("sh_a"))
-    val db = corpusDocs.select(col("id").as("corpus_id"), col("sh").as("sh_b"))
-    candidates.join(da, "new_id").join(db, "corpus_id")
-      .select(col("new_id"), col("corpus_id"),
-        jaccard(col("sh_a"), col("sh_b")).as("jac"))
-      .filter(col("jac") >= threshold)
+    verifyPairs(candidates, newDocsP, corpusDocs, "new_id", "corpus_id",
+      threshold)
   }
 
   /** The dedup end product: drop every clustered document except its
@@ -366,6 +374,18 @@ object Dedup {
     // partition, capped at the session default so planet-scale graphs keep
     // full parallelism. Restored after the loop.
     val nEdges = edges.count()
+    // clean corpus: no pairs → no clustered ids; short-circuit before the
+    // label build (whose sum-over-zero-rows convergence read would NPE)
+    if (nEdges == 0) {
+      edges.unpersist()
+      return pairs.select(col(idColA).as("id"), col(idColA).as("comp"))
+        .limit(0)
+    }
+    // NOTE: the session conf is restored in the finally, but it is
+    // session-GLOBAL while the loop runs — a concurrent query on the same
+    // SparkSession would plan with the reduced partition count. Batch
+    // dedup jobs own their session (Bench/Verify run queries serially);
+    // a multi-tenant deployment should hand this operator its own session.
     val defaultPart = spark.conf.get("spark.sql.shuffle.partitions")
     val nPart = math.max(1L,
       math.min(defaultPart.toLong, nEdges / 2000000L + 1L)).toString

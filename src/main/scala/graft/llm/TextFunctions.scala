@@ -191,8 +191,13 @@ object TextFunctions {
   def tfidf(df: org.apache.spark.sql.DataFrame, idCol: String,
             textCol: String): org.apache.spark.sql.DataFrame = {
     val nDocs = df.count()
+    // the exploded token table feeds BOTH aggregations — persist so the
+    // corpus is tokenized once, not twice (df.count() above is the third
+    // pass but reads one column; catalog row counts replace it when the
+    // source is a stats-bearing table)
     val tok = df.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("term"))
+        explode(tokens(col(textCol))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tok.groupBy(col("term"))

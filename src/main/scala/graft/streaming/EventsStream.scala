@@ -75,17 +75,23 @@ object EventsStream {
     * never survive production. Append output only (the streaming-join
     * contract). */
   def clickToPurchaseJoin(spark: SparkSession, dir: String,
-                          horizon: String = "1 hour"): DataFrame = {
+                          horizon: String = "1 hour",
+                          lateness: String = null): DataFrame = {
+    // The watermark must cover at least the join horizon: a click inside
+    // the horizon of a purchase is a valid match, so expiring it earlier
+    // would drop rows the batch twin produces. Callers with late data add
+    // slack via `lateness`; it defaults to the horizon itself.
+    val delay = Option(lateness).getOrElse(horizon)
     val schema = spark.read.parquet(dir).schema
     def src = spark.readStream.schema(schema).parquet(dir)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
+      .withWatermark("click_ts", delay)
     val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
+      .withWatermark("purchase_ts", delay)
     purchases.join(clicks,
       col("c_user") === col("p_user") &&
         col("click_ts") <= col("purchase_ts") &&

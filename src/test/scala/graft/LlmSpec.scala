@@ -227,6 +227,15 @@ class LlmSpec extends SparkSpec {
     assert(kept === Set(1L, 10L, 20L)) // cluster {1,2,3} -> keep min id 1
   }
 
+  test("connected components on an empty pair set returns empty, no crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.connectedComponents(empty).count() === 0)
+    // downstream: a clean corpus passes through dedupedCorpus untouched
+    val docs = Seq((1L, "unique one"), (2L, "unique two")).toDF("doc_id", "t")
+    assert(Dedup.dedupedCorpus(docs, "doc_id", empty).count() === 2)
+  }
+
   test("connected components equal local union-find") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L), (3L, 1L))
       .toDF("id_a", "id_b")

@@ -94,4 +94,14 @@ class ScaleSpec extends SparkSpec {
       .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
     assert(after === before, "compaction must not change the data")
   }
+
+  test("compaction refuses hive-partitioned directories") {
+    val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpart").toString
+    graft.io.Parquet.writePartitioned(docs, dir, Seq("source"))
+    val e = intercept[IllegalArgumentException] {
+      graft.io.Parquet.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("partition subdirectories"))
+  }
 }

@@ -64,9 +64,13 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     results = {}
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
-    for name in names:
+    dirs = {d for d in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, d))}
+    # a query that failed in Verify leaves NO output dir — flag it instead
+    # of silently comparing a smaller set
+    for name in sorted(set(oracle) - dirs):
+        results[name] = {"status": "MISSING_OUTPUT"}
+    for name in sorted(dirs):
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         try:
             mine = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
