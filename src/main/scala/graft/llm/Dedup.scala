@@ -80,7 +80,12 @@ object Dedup {
     * keeps stopword-grade tokens out of prefixes, so the candidate space is
     * driven by genuinely shared rare tokens — the published shape for
     * corpus-scale set-similarity joins. All pre-passes (DF count, re-sort)
-    * are linear scans with map-side combine. */
+    * are linear scans with map-side combine.
+    *
+    * NOTE: the re-sorted doc table is persisted (it feeds candidate
+    * generation AND verify); repeated library callers should unpersist
+    * after materializing the result (`spark.catalog.clearCache()` or
+    * unpersisting via `getPersistentRDDs`), as the harness mains do. */
   def jaccardPairsWithinGroupPrefix(df: DataFrame, idCol: String,
                                     textCol: String, groupCol: String,
                                     threshold: Double): DataFrame = {
@@ -143,6 +148,10 @@ object Dedup {
   private def shingleBuckets(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int, numHashes: Int, bands: Int)
       : (DataFrame, DataFrame) = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — trailing " +
+        "signature columns would otherwise be silently ignored and the " +
+        "documented S-curve recall math would not hold")
     import org.apache.spark.storage.StorageLevel
     val rowsPerBand = numHashes / bands
     // The shingle sets feed the signature pass AND both sides of the
@@ -413,7 +422,11 @@ object Dedup {
       // decreases a label, so sum(comp) is strictly decreasing until the
       // fixpoint — one cheap aggregate on the freshly checkpointed result
       // instead of a join against the previous labels
-      var prevSum = labels.agg(sum("comp")).collect()(0).getLong(0)
+      // labels can be 2^62-scale hash ids: a raw long sum overflows
+      // (ARITHMETIC_OVERFLOW under ANSI; silent wraparound — and a possible
+      // false convergence — without). decimal(38,0) sums are exact.
+      var prevSum = labels.agg(sum(col("comp").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
@@ -432,7 +445,8 @@ object Dedup {
           .select(col("id"),
             least(col("comp"), coalesce(col("lcomp"), col("comp"))).as("comp"))
           .localCheckpoint()
-        val s = next.agg(sum("comp")).collect()(0).getLong(0)
+        val s = next.agg(sum(col("comp").cast("decimal(38,0)")))
+          .collect()(0).getDecimal(0)
         converged = s == prevSum
         prevSum = s
         labels = next

@@ -89,9 +89,11 @@ object Multimodal {
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions { it =>
         it.map { case (id, bytes, w, h) =>
-          val out = Array.tabulate(
-            math.max(bytes.length / factor, 1))(i =>
-              bytes(math.min(i.toLong * factor, bytes.length - 1L).toInt))
+          val out =
+            if (bytes.isEmpty) Array.emptyByteArray
+            else Array.tabulate(
+              math.max(bytes.length / factor, 1))(i =>
+                bytes(math.min(i.toLong * factor, bytes.length - 1L).toInt))
           ResizedMedia(id, math.max(w / factor, 1),
             math.max(h / factor, 1), out)
         }

@@ -107,6 +107,9 @@ object Similarity {
                     threshold: Double, planesPerTable: Int = 8,
                     tables: Int = 4, seed: Long = 42L): DataFrame = {
     val dim = headDim(df, vecCol)
+    if (dim == 0) // empty corpus / all-null vectors: zero pairs, no crash
+      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("cos")).limit(0)
     val planes = hyperplanes(dim, planesPerTable, tables, seed)
     val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
     val keyed = v.select(col("id"), col("v"),
@@ -128,8 +131,13 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
-  private def headDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+  /** Vector dimensionality, or 0 for an empty/all-null input (an empty
+    * ingest batch is a realistic call — it must yield zero pairs, not a
+    * head-of-empty crash). */
+  private def headDim(df: DataFrame, vecCol: String): Int = {
+    val r = df.agg(max(size(col(vecCol)))).head()
+    if (r.isNullAt(0)) 0 else r.getInt(0)
+  }
 
   /** IVF (inverted-file) approximate top-k: partition the corpus into
     * `nlist` KMeans cells, then scan only each query's `nprobe` nearest

@@ -20,12 +20,6 @@ object TextFunctions {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
-  def tokenCount(text: Column): Column = size(tokens(text))
-
-  /** Sorted distinct tokens — the set used for Jaccard similarity. */
-  def distinctTokens(text: Column): Column =
-    array_sort(array_distinct(tokens(text)))
-
   /** Word n-gram shingles ("a b c", n=2 → ["a b", "b c"]).
     *
     * Single-pass `aggregate` with a sliding (n−1)-token buffer. The obvious
@@ -123,22 +117,6 @@ object TextFunctions {
       when(c > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
-
-  /** MinHash signature: `numHashes` independent permutations approximated by
-    * seeded xxhash64; entry i = min hash of the shingle set under seed i.
-    * Null (not 0) for empty shingle sets. */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    transform(sequence(lit(1), lit(numHashes)),
-      i => array_min(transform(shingleSet, s => xxhash64(i, s))))
-
-  /** LSH band keys: the signature is cut into `bands` rows-per-band chunks;
-    * each chunk hashes to one bucket key. Docs sharing ANY (band, key) pair
-    * become candidates. */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        hash(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("key"))
-    }: _*)
 
   /** Rolling-hash document fingerprint (winnowing-lite): min xxhash64 over
     * the document's word w-gram windows. Equal fingerprints ⇒ likely shared

@@ -39,7 +39,10 @@ object AsOfJoin {
       .withColumn("__graft_is_left", lit(1))
     val lPadded = payload.foldLeft(l)((df, c) =>
       df.withColumn(s"__graft_p_$c", lit(null)))
-    val r = right
+    // a NULL right timestamp can never satisfy ts <= / >= anything (ASOF
+    // semantics; DuckDB agrees) — but unfiltered it would sort first and
+    // its payload would be carried into early left rows
+    val r = right.filter(col(rightTs).isNotNull)
       .withColumn("__graft_key", col(rightKey))
       .withColumn("__graft_ts", col(rightTs))
       .withColumn("__graft_is_left", lit(0))

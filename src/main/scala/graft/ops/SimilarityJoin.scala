@@ -114,7 +114,10 @@ object SimilarityJoin {
                        leftKey: String, rightKey: String, maxDist: Int,
                        distCol: String = "string_distance"): DataFrame = {
     val d = maxDist
+    // NULL keys qualify for no pair (same as the sibling kernels) — and
+    // must be dropped BEFORE the collect, where a null length row would NPE
     val lens = left.select(length(qc(leftKey)).as("len")).distinct()
+      .filter(col("len").isNotNull)
       .collect().map(_.getInt(0)).filter(_ >= d + 1).sorted
     val chunkSpec: Map[Int, Seq[(Int, Int)]] = lens.map { l =>
       val base = l / (d + 1); val rem = l % (d + 1)

@@ -132,7 +132,8 @@ object EventsStream {
       .option("checkpointLocation", checkpointDir)
   }
 
-  final case class UserEvent(user_id: Long, event_type: String, value: Double)
+  final case class UserEvent(user_id: Long, seq: Long, event_type: String,
+                             value: Double)
   final case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 
   final case class Anomaly(user_id: Long, value: Double, running_mean: Double)
@@ -151,7 +152,11 @@ object EventsStream {
         (uid: Long, it: Iterator[UserEvent], state: GroupState[(Long, Double)]) =>
           var (n, total) = state.getOption.getOrElse((0L, 0.0))
           val out = scala.collection.mutable.ArrayBuffer[Anomaly]()
-          it.foreach { e =>
+          // the group iterator's order is NOT guaranteed (it follows the
+          // shuffle), and a running-mean detector is order-sensitive —
+          // sort the batch by the caller-provided sequence so results are
+          // deterministic under any partitioning
+          it.toArray.sortBy(_.seq).foreach { e =>
             if (n > 0 && e.value > factor * (total / n))
               out += Anomaly(uid, e.value, total / n)
             n += 1; total += e.value

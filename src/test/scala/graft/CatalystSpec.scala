@@ -40,6 +40,22 @@ class CatalystSpec extends SparkSpec {
     assert(out(2).isNullAt(0))                          // null propagates
   }
 
+  test("cosine_sim matches the HOF form on ragged and null-element arrays") {
+    // ragged lengths and null elements must be NULL on BOTH paths, so the
+    // cosineFor implementation switch can never change results
+    val df = Seq(
+      (Seq(Some(1.0), Some(2.0), Some(3.0)), Seq(Some(1.0), Some(2.0))),
+      (Seq(Some(1.0), None), Seq(Some(1.0), Some(2.0)))
+    ).toDF("a", "b")
+    val out = df.select(
+      GraftExtensions.cosineSim(col("a"), col("b")).as("native"),
+      Similarity.cosine(col("a"), col("b")).as("hof")).collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0), s"native must be null: $r")
+      assert(r.isNullAt(1), s"hof must be null: $r")
+    }
+  }
+
   test("LevenshteinBandRule rewrites naive predicates and preserves results") {
     val l = Seq("kitten", "apple", "zzzzzzzzzzzzzz").toDF("a")
     val r = Seq("sitting", "apples", "mitten").toDF("b")

@@ -227,6 +227,33 @@ class LlmSpec extends SparkSpec {
     assert(kept === Set(1L, 10L, 20L)) // cluster {1,2,3} -> keep min id 1
   }
 
+  test("connected components converge on hash-scale ids (no sum overflow)") {
+    import spark.implicits._
+    val big = Long.MaxValue / 2
+    val pairs = Seq((big, big + 1), (big + 1, big + 2), (5L, big))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.values.toSet === Set(5L), "one component labeled by min id")
+    assert(comps.keySet === Set(5L, big, big + 1, big + 2))
+  }
+
+  test("lsh similarity handles an empty embeddings batch") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(graft.llm.Similarity
+      .lshPairsAbove(empty, "vec_id", "embedding", 0.5).count() === 0)
+  }
+
+  test("multimodal resize survives empty payloads") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "some text")).toDF("doc_id", "text")
+    val out = Multimodal.resize(
+        Multimodal.withFakeMedia(docs, "text"), "doc_id")
+      .collect().map(r => r.id -> r.data.length).toMap
+    assert(out(1L) === 0 && out(2L) > 0)
+  }
+
   test("connected components on an empty pair set returns empty, no crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -137,6 +137,23 @@ class OpsSpec extends SparkSpec {
         Seq("v"), direction = "forward").orderBy("eid").collect()
     assert(fwd.map(r => Option(r.getString(3))).toSeq ===
       Seq(Some("c"), Some("a"), Some("a"), None))
+    // a NULL right timestamp matches nothing (ASOF semantics) — its payload
+    // must not be carried into early left rows
+    val rightWithNull = right.union(Seq((10L, null.asInstanceOf[Timestamp],
+      "poison")).toDF("rk", "rt", "v"))
+    val guarded = ops.AsOfJoin.asofLeftJoin(left, rightWithNull,
+        "k", "rk", "t", "rt", Seq("v")).orderBy("eid").collect()
+    assert(guarded.map(r => Option(r.getString(3))).toSeq ===
+      Seq(Some("b"), Some("a"), None, None))
+  }
+
+  test("chunkedInnerJoin tolerates NULL keys (no pairs, no crash)") {
+    val l = Seq(Some("kitten"), None, Some("apple")).toDF("a")
+    val r = Seq("mitten", "apples").toDF("b")
+    val out = ops.SimilarityJoin.chunkedInnerJoin(l, r, "a", "b", 2, "d")
+      .select("a", "b").collect().map(x => (x.getString(0), x.getString(1)))
+      .toSet
+    assert(out === Set(("kitten", "mitten"), ("apple", "apples")))
   }
 
   test("Expectations: one-pass report, failing checks flagged") {

@@ -166,19 +166,25 @@ class StreamingSpec extends SparkSpec {
 
   test("flatMapGroupsWithState emits per-group anomalies") {
     val events = Seq(
-      EventsStream.UserEvent(1L, "view", 1.0),
-      EventsStream.UserEvent(1L, "view", 1.0),
-      EventsStream.UserEvent(1L, "view", 100.0), // >> 3x running mean (1.0)
-      EventsStream.UserEvent(2L, "view", 5.0)
+      EventsStream.UserEvent(1L, 1L, "view", 1.0),
+      EventsStream.UserEvent(1L, 2L, "view", 1.0),
+      EventsStream.UserEvent(1L, 3L, "view", 100.0), // >> 3x running mean
+      EventsStream.UserEvent(2L, 4L, "view", 5.0)
     ).toDS()
     val out = EventsStream.userAnomalies(events).collect()
     assert(out.length === 1)
     assert(out(0).user_id === 1L && out(0).value === 100.0)
+    // order-independence: shuffled input, many partitions — same result
+    val shuffled = EventsStream.userAnomalies(
+      events.orderBy(org.apache.spark.sql.functions.rand(7))
+        .repartition(4).as[EventsStream.UserEvent]).collect()
+    assert(shuffled.toSeq === out.toSeq)
   }
 
   test("mapGroupsWithState running totals == plain groupBy in batch") {
     val events = Util.table(spark, "/root/testdata/sf0.001", "events")
-      .select(col("user_id"), col("event_type"), col("value"))
+      .select(col("user_id"), col("event_id").as("seq"), col("event_type"),
+        col("value"))
       .as[EventsStream.UserEvent]
     val stateful = EventsStream.userRunningTotals(events)
       .collect().map(s => (s.user_id, s.n_events)).toMap
