@@ -38,6 +38,12 @@ object LevenshteinBandRule extends Rule[LogicalPlan] {
           if d > 0 => banded(lev, a, b, d - 1)
       case GreaterThan(Literal(d: Int, IntegerType), lev @ Levenshtein(a, b, None))
           if d > 0 => banded(lev, a, b, d - 1)
+      // lev(a,b) = d: the bounded DP still applies — the distance is d iff
+      // the d-bounded computation returns exactly d
+      case EqualTo(lev @ Levenshtein(a, b, None), Literal(d: Int, IntegerType))
+          if d >= 0 => bandedEq(lev, a, b, d)
+      case EqualTo(Literal(d: Int, IntegerType), lev @ Levenshtein(a, b, None))
+          if d >= 0 => bandedEq(lev, a, b, d)
     }
 
   private def banded(lev: Levenshtein, a: Expression, b: Expression,
@@ -46,5 +52,13 @@ object LevenshteinBandRule extends Rule[LogicalPlan] {
     val lenDiff = Abs(Subtract(Length(a), Length(b)))
     And(LessThanOrEqual(lenDiff, lit),
       GreaterThanOrEqual(lev.copy(threshold = Some(lit)), Literal(0)))
+  }
+
+  private def bandedEq(lev: Levenshtein, a: Expression, b: Expression,
+                       d: Int): Expression = {
+    val lit = Literal(d)
+    val lenDiff = Abs(Subtract(Length(a), Length(b)))
+    And(LessThanOrEqual(lenDiff, lit),
+      EqualTo(lev.copy(threshold = Some(lit)), lit))
   }
 }

@@ -141,4 +141,23 @@ class CatalystSpec extends SparkSpec {
         "('aaaaaaaaaaaa') AS t(x)").collect().map(_.getBoolean(0))
     assert(res.toSeq.sorted === Seq(false, true))
   }
+
+  test("band rule rewrites <, =, and reversed forms with identical results") {
+    val l = Seq("kitten", "apple", "zzzz").toDF("a")
+    val r = Seq("sitting", "apples", "mitten", "kitten").toDF("b")
+    def pairs(pred: org.apache.spark.sql.Column) =
+      l.join(r, pred).collect()
+        .map(x => (x.getString(0), x.getString(1))).toSet
+    // strict less-than: rewritten to <= d-1
+    val lt = pairs(levenshtein(col("a"), col("b")) < 2)
+    assert(lt === Set(("kitten", "mitten"), ("kitten", "kitten"),
+      ("apple", "apples")))
+    // equality: exact-distance predicate through the bounded DP
+    val eq = pairs(levenshtein(col("a"), col("b")) === 3)
+    val eqPlan = l.join(r, levenshtein(col("a"), col("b")) === 3)
+      .queryExecution.optimizedPlan.toString
+    assert(eqPlan.contains("Some(3)"),
+      s"= form should use the bounded DP:\n$eqPlan")
+    assert(eq === Set(("kitten", "sitting")))
+  }
 }
