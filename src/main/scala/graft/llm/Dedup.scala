@@ -310,7 +310,8 @@ object Dedup {
     * (<= 3 with 4 chunks): pigeonhole banding — two hashes within Hamming d
     * share at least one of d+1 equal chunks — then exact popcount verify. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxBucketSize: Int = 5000): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPerChunk = 64 / chunks
     // Relational SimHash: explode tokens, hash once in codegen, then one
@@ -333,10 +334,22 @@ object Dedup {
         shiftright(col("sim"), k * bitsPerChunk)
           .bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("ckey"))
     }
-    val banded = sigs.select(col("id"), col("sim"),
+    val banded0 = sigs.select(col("id"), col("sim"),
         explode(array(chunkStructs: _*)).as("c"))
       .select(col("id"), col("sim"), col("c.chunk").as("chunk"),
         col("c.ckey").as("ckey"))
+    // Hot-bucket valve, same rationale as the MinHash cap: a degenerate
+    // chunk bucket (boilerplate all sharing 16 signature bits) makes the
+    // self-join emit O(b²) rows. Here the blowup is join fan-out (not a
+    // single wide row), so the cap can sit higher; members usually still
+    // pair via their other chunks.
+    val hot = banded0.groupBy(col("chunk"), col("ckey"))
+      .agg(count(lit(1)).as("__graft_bn"))
+      .filter(col("__graft_bn") > maxBucketSize)
+      .select(col("chunk").as("__graft_hc"), col("ckey").as("__graft_hk"))
+    val banded = banded0.join(hot,
+      banded0("chunk") === col("__graft_hc") &&
+        banded0("ckey") === col("__graft_hk"), "left_anti")
     val a = banded.alias("a")
     val b = banded.alias("b")
     a.join(b, col("a.chunk") === col("b.chunk") &&
