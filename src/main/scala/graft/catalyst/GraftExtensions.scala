@@ -18,11 +18,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => LevenshteinBandRule)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.bloomAggDescriptor)
+    ext.injectFunction(GraftExtensions.mightContainDescriptor)
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 
 object GraftExtensions {
+
+  // Spark ships bloom-filter build/probe expressions for its own runtime
+  // row-level filtering but does not register them as SQL functions; graft
+  // exposes them so pipelines can build the classic semi-join prefilter
+  // (build a bloom over the small side's keys, cheap-probe the 100 TB side
+  // before the real join). Input is a LONG (hash keys with xxhash64 first).
+  private val bloomAggDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_filter_agg"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+      "bloom_filter_agg"),
+    (children: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      children match {
+        case Seq(c) => new BloomFilterAggregate(c)
+        case Seq(c, est) => new BloomFilterAggregate(c, est)
+        case Seq(c, est, bits) => new BloomFilterAggregate(c, est, bits)
+        case _ => throw new IllegalArgumentException(
+          "bloom_filter_agg(col[, estItems[, numBits]])")
+      }
+    })
+
+  private val mightContainDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("might_contain"),
+    new ExpressionInfo(
+      classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+      "might_contain"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "might_contain takes exactly 2 arguments")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        children.head, children(1))
+    })
 
   private val cosineSimDescriptor
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -44,9 +80,11 @@ object GraftExtensions {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(FunctionIdentifier("cosine_sim")))
-      registry.registerFunction(cosineSimDescriptor._1,
-        cosineSimDescriptor._2, cosineSimDescriptor._3)
+    Seq(cosineSimDescriptor, bloomAggDescriptor, mightContainDescriptor)
+      .foreach { d =>
+        if (!registry.functionExists(d._1))
+          registry.registerFunction(d._1, d._2, d._3)
+      }
   }
 
   def isInstalled(spark: SparkSession): Boolean =

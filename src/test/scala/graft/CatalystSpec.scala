@@ -73,6 +73,32 @@ class CatalystSpec extends SparkSpec {
       ("apple", "apples")))
   }
 
+  test("bloom prefilter: no false negatives, real pruning, join unchanged") {
+    // the semi-join prefilter shape: bloom over the small side's keys,
+    // cheap probe on the big side BEFORE the real join
+    val small = Util.table(spark, "/root/testdata/sf0.001", "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+    val big = Util.table(spark, "/root/testdata/sf0.001", "lineitem")
+    small.createOrReplaceTempView("graft_bloom_small")
+    big.createOrReplaceTempView("graft_bloom_big")
+    // might_contain requires the bloom as a constant or scalar subquery —
+    // the subquery executes once and broadcasts the KB-sized filter
+    val prefiltered = spark.sql(
+      """SELECT b.* FROM graft_bloom_big b
+        |WHERE might_contain(
+        |  (SELECT bloom_filter_agg(xxhash64(o_orderkey))
+        |   FROM graft_bloom_small),
+        |  xxhash64(b.l_orderkey))""".stripMargin)
+    val trueMatches = big.join(small,
+      col("l_orderkey") === col("o_orderkey")).count()
+    val afterJoin = prefiltered.join(small,
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(afterJoin === trueMatches, "prefilter must never drop a match")
+    val kept = prefiltered.count()
+    assert(kept < big.count() / 10,
+      s"bloom should prune most non-matching rows (kept $kept)")
+  }
+
   test("native top-k per key equals the window form row-for-row") {
     val orders = Util.table(spark, "/root/testdata/sf0.001", "orders")
     val native = ops.BestMatch.topKPerKeyNative(orders,
