@@ -1,5 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-facing benchmark main. Prints ONE JSON line
+  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
+  * and ALSO writes the identical line to `target/bench.json` so the driver
+  * can read a file instead of scraping sbt logs (BENCH_r01/r02 both ended
+  * with `"parsed": null` from log-tail parsing).
+  *
+  * Each query runs twice and the reported time is the MIN of the two runs:
+  * a transient machine-load spike during one run (the round-2 failure mode —
+  * 4-45x per-query inflation under contention) cannot distort the headline
+  * number unless it spans both runs. The cold (first-run) times are kept
+  * under `"cold_queries"` for anyone studying cache/JIT effects.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,23 +28,45 @@ object Bench {
     // one-time cost; deterministic name order keeps run-to-run comparisons
     // apples-to-apples (Map iteration order is arbitrary).
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       val secs = (System.nanoTime() - t0) / 1e9
       // free caches and (local)checkpoint blocks the query left behind —
-      // block-manager/GC pressure otherwise accumulates across 49 queries
+      // block-manager/GC pressure otherwise accumulates across ~70 queries
       // and distorts later timings (observed 10s -> 146s on an iterative
       // query late in the run)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> (if (ok) secs else -1.0) // -1 marks a FAILED query, not a time
+      if (ok) secs else -1.0 // -1 marks a FAILED query, not a time
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val cold = runOnce(fn)
+      val warm = runOnce(fn)
+      val best =
+        if (cold < 0 || warm < 0) -1.0 // fail in either run = failed query
+        else math.min(cold, warm)
+      (name, cold, best)
+    }
+    def jsonMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jsonMap(results.map { case (n, _, best) => n -> best })
+    val coldQs = jsonMap(results.map { case (n, cold, _) => n -> cold })
+    val total = results.map(_._3).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_queries":$coldQs,"sf":"$sfDir"}"""
+    println(line)
+    // File-based output: atomic-ish (write temp then rename) so a reader
+    // never sees a torn line.
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    val tmp = out.resolveSibling("bench.json.tmp")
+    java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, out,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     spark.stop()
   }
 }

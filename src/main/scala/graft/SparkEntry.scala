@@ -161,6 +161,35 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // J1 at realistic keys — the scale kernels over the FULL document text
+    // (avg ~300 chars, d=4), not a 2-token prefix: this is where blocked
+    // and chunk-filter selectivity are measured where they matter. The
+    // oracle is the naive theta join with the IMPLIED |Δlen| <= d band
+    // materialized first (a sound identity of lev <= d, property-tested in
+    // PropertySpec) so DuckDB does ~half a million bounded DPs, not 12M
+    // unbounded ones.
+    "q_similarity_blocked_full" -> ((s, dir) => {
+      val a = spread(table(s, dir, "documents"), "doc_id")
+        .select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = spread(table(s, dir, "documents"), "doc_id")
+        .select(col("doc_id").as("id_b"), col("text").as("tb"))
+      SimilarityJoin.blockedInnerJoin(a, b, "ta", "tb", 4, "dist")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "q_similarity_chunked_full" -> ((s, dir) => {
+      val a = spread(table(s, dir, "documents"), "doc_id")
+        .select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = spread(table(s, dir, "documents"), "doc_id")
+        .select(col("doc_id").as("id_b"), col("text").as("tb"))
+      SimilarityJoin.chunkedInnerJoin(a, b, "ta", "tb", 4, "dist")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // J3/U2/P6/F5 — coalescing left equi-join
     "q_coalesce_join" -> ((s, dir) => {
       val left = table(s, dir, "customer").select(
@@ -462,6 +491,17 @@ object SparkEntry {
           .as("hll_users"),
         expr("percentile(value, 0.5)").as("p50_exact"),
         expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"))),
+
+    // Sketches #0: the EXACT half of q_sketch_agg split out so the driver's
+    // DuckDB oracle can hash-check it (the approx half stays rows-only —
+    // sketch impls differ engine to engine). Median is computed over
+    // micro-unit BIGINTs so the 0.5-interpolation is exact integer midpoint
+    // arithmetic on both engines (floor, not round: round-half rules differ).
+    "q_sketch_exact" -> ((s, dir) =>
+      table(s, dir, "events").agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        expr("percentile(CAST(floor(value * 1e6) AS BIGINT), 0.5)")
+          .as("p50_micro"))),
 
     // Sketches #3: mergeability — the property that makes sketches work at
     // scale: per-day HLL sketches union to the exact-window estimate
@@ -768,10 +808,58 @@ object SparkEntry {
         .toDF()
         .select(col("id"), col("n_bytes").cast("long").as("n_bytes"),
           size(col("feature")).cast("long").as("feature_dim"))
-        .orderBy(col("id")))
+        .orderBy(col("id"))),
+
+    // S1/S4 — the reference's CSV front door (varinfo-update.R:54,150) made
+    // driver-visible: round-trip `documents` through the single-file RFC-4180
+    // sink and the multiLine reader, then fingerprint the text. The oracle
+    // computes the same md5 straight from parquet, so a hash-match PROVES the
+    // CSV round-trip is lossless (quotes, embedded newlines, empty vs NA).
+    "q_csv_roundtrip" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val path = "target/tmp/q_csv_roundtrip.csv"
+      graft.io.Csv.writeSingle(docs, path)
+      graft.io.Csv.readAsStrings(s, path)
+        .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+          md5(coalesce(col("text"), lit(""))).as("text_md5"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_sketch_exact" ->
+      """SELECT count(DISTINCT user_id) AS exact_users,
+        |  quantile_cont(CAST(floor(value * 1e6) AS BIGINT), 0.5) AS p50_micro
+        |FROM events""".stripMargin,
+
+    "q_similarity_blocked_full" ->
+      """WITH cand AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+        |  FROM documents a JOIN documents b
+        |    ON a.doc_id < b.doc_id
+        |   AND length(b.text) BETWEEN length(a.text) - 4 AND length(a.text) + 4)
+        |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(ta, tb) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_similarity_chunked_full" ->
+      """WITH cand AS MATERIALIZED (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+        |  FROM documents a JOIN documents b
+        |    ON a.doc_id < b.doc_id
+        |   AND length(b.text) BETWEEN length(a.text) - 4 AND length(a.text) + 4)
+        |SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+        |FROM cand WHERE levenshtein(ta, tb) <= 4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Oracle reads the SAME text straight from parquet; a hash match proves
+    // the engine's CSV write->read round-trip changed nothing.
+    "q_csv_roundtrip" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |  md5(coalesce(text, '')) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "q_union_by_name" ->
       """SELECT c_custkey AS key, c_name AS name, 'customer' AS src FROM customer
         |UNION ALL

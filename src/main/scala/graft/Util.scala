@@ -33,6 +33,21 @@ object Util {
   def spread(df: DataFrame, key: String): DataFrame =
     df.repartition(qcol(key))
 
+  /** Scope a library-internal persist to the call: run `result` eagerly
+    * (`localCheckpoint` materializes it and truncates lineage, so the
+    * output no longer references the cached plan), then release the
+    * intermediate persists. Callers get a ready DataFrame and no
+    * persisted-RDD residue — a long-running service invoking these
+    * operators per batch no longer needs to know about internal caching.
+    * The checkpoint blocks belong to the RETURNED DataFrame and are
+    * reclaimed by Spark's ContextCleaner when it is garbage collected. */
+  def finishAndRelease(result: DataFrame,
+                       intermediates: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint()
+    intermediates.foreach(_.unpersist())
+    out
+  }
+
   /** Load one of the driver's parquet testdata tables.
     *
     * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4

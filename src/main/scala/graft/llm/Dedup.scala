@@ -82,10 +82,10 @@ object Dedup {
     * corpus-scale set-similarity joins. All pre-passes (DF count, re-sort)
     * are linear scans with map-side combine.
     *
-    * NOTE: the re-sorted doc table is persisted (it feeds candidate
-    * generation AND verify); repeated library callers should unpersist
-    * after materializing the result (`spark.catalog.clearCache()` or
-    * unpersisting via `getPersistentRDDs`), as the harness mains do. */
+    * The re-sorted doc table is persisted (it feeds candidate generation
+    * AND verify) and released before returning: the result comes back
+    * eagerly materialized (`Util.finishAndRelease`), so repeated library
+    * callers leave no cached residue behind. */
   def jaccardPairsWithinGroupPrefix(df: DataFrame, idCol: String,
                                     textCol: String, groupCol: String,
                                     threshold: Double): DataFrame = {
@@ -122,10 +122,11 @@ object Dedup {
       .distinct()
     val da = docs.select(col("id").as("id_a"), col("ws").as("ws_a"))
     val db = docs.select(col("id").as("id_b"), col("ws").as("ws_b"))
-    candidates.join(da, "id_a").join(db, "id_b")
+    val pairs = candidates.join(da, "id_a").join(db, "id_b")
       .select(col("id_a"), col("id_b"),
         jaccard(col("ws_a"), col("ws_b")).as("jac"))
       .filter(col("jac") >= threshold)
+    graft.Util.finishAndRelease(pairs, docs)
   }
 
   /** MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
@@ -224,7 +225,8 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    verifyPairs(candidates, docs, docs, "id_a", "id_b", threshold)
+    graft.Util.finishAndRelease(
+      verifyPairs(candidates, docs, docs, "id_a", "id_b", threshold), docs)
   }
 
   /** Incremental near-dup check: which NEW documents duplicate the existing
@@ -247,8 +249,10 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
       .distinct()
-    verifyPairs(candidates, newDocsP, corpusDocs, "new_id", "corpus_id",
-      threshold)
+    graft.Util.finishAndRelease(
+      verifyPairs(candidates, newDocsP, corpusDocs, "new_id", "corpus_id",
+        threshold),
+      newDocsP, corpusDocs)
   }
 
   /** Persist a corpus's MinHash index — shingle sets + LSH band buckets —
@@ -272,11 +276,10 @@ object Dedup {
     * corpus side is two parquet scans. Same output contract as
     * `minhashLshNewVsCorpus`.
     *
-    * NOTE: the batch's shingle sets are persisted (they feed candidate
-    * generation AND verify); a long-running service calling this per batch
-    * should unpersist after materializing the result
-    * (`spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist())`
-    * or `spark.catalog.clearCache()`), as the harness mains do. */
+    * The batch's shingle sets are persisted internally (they feed candidate
+    * generation AND verify) and released before returning — the result
+    * comes back eagerly materialized, so a long-running service calling
+    * this per batch accumulates no cached state. */
   def minhashLshNewVsIndex(newDocs: DataFrame, indexPath: String,
                            idCol: String, textCol: String,
                            shingleN: Int = 3, numHashes: Int = 32,
@@ -292,8 +295,10 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
       .distinct()
-    verifyPairs(candidates, newDocsP, corpusDocs, "new_id", "corpus_id",
-      threshold)
+    graft.Util.finishAndRelease(
+      verifyPairs(candidates, newDocsP, corpusDocs, "new_id", "corpus_id",
+        threshold),
+      newDocsP)
   }
 
   /** The dedup end product: drop every clustered document except its
@@ -394,7 +399,7 @@ object Dedup {
     // dominant cost of iterative jobs on all but the largest graphs. Same
     // advisory-size logic AQE applies, ~2M edge rows (~32 MB) per
     // partition, capped at the session default so planet-scale graphs keep
-    // full parallelism. Restored after the loop.
+    // full parallelism.
     val nEdges = edges.count()
     // clean corpus: no pairs → no clustered ids; short-circuit before the
     // label build (whose sum-over-zero-rows convergence read would NPE)
@@ -403,21 +408,26 @@ object Dedup {
       return pairs.select(col(idColA).as("id"), col(idColA).as("comp"))
         .limit(0)
     }
-    // NOTE: the session conf is restored in the finally, but it is
-    // session-GLOBAL while the loop runs — a concurrent query on the same
-    // SparkSession would plan with the reduced partition count. Batch
-    // dedup jobs own their session (Bench/Verify run queries serially);
-    // a multi-tenant deployment should hand this operator its own session.
-    val defaultPart = spark.conf.get("spark.sql.shuffle.partitions")
+    // Partition sizing is per-PLAN, not session conf: an explicit
+    // hash-repartition on the aggregate key immediately before each
+    // groupBy. HashPartitioning(key, nPart) satisfies the aggregate's
+    // required distribution, so Catalyst plans no further Exchange and the
+    // aggregation runs at nPart tasks — same effect as shrinking
+    // spark.sql.shuffle.partitions, with zero session-global state (safe
+    // under concurrent queries on a shared SparkSession). Only applied when
+    // actually shrinking: at nPart == defaultPart the plain groupBy keeps
+    // its map-side partial-aggregate-before-shuffle shape, which the
+    // explicit repartition would forfeit.
+    val defaultPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val nPart = math.max(1L,
-      math.min(defaultPart.toLong, nEdges / 2000000L + 1L)).toString
-    spark.conf.set("spark.sql.shuffle.partitions", nPart)
-    try {
-      // Initial labels fuse the first propagation round into the label-table
-      // build: every node starts at min(self, neighbors) from one hash
-      // aggregate over the symmetrized edges, instead of identity labels plus
-      // a full join round to reach the same state.
-      var labels = edges.groupBy(col("src").as("id"))
+      math.min(defaultPart.toLong, nEdges / 2000000L + 1L)).toInt
+    def sized(df: DataFrame, key: String): DataFrame =
+      if (nPart < defaultPart) df.repartition(nPart, col(key)) else df
+    // Initial labels fuse the first propagation round into the label-table
+    // build: every node starts at min(self, neighbors) from one hash
+    // aggregate over the symmetrized edges, instead of identity labels plus
+    // a full join round to reach the same state.
+    var labels = sized(edges, "src").groupBy(col("src").as("id"))
         .agg(min(col("dst")).as("mn"))
         .select(col("id"), least(col("id"), col("mn")).as("comp"))
         .localCheckpoint()
@@ -446,7 +456,7 @@ object Dedup {
         val lab = bcast(labels)
         val viaNeighbors = edges.join(lab, edges("dst") === lab("id"))
           .select(edges("src").as("id"), col("comp"))
-        val propagated = labels.union(viaNeighbors)
+        val propagated = sized(labels.union(viaNeighbors), "id")
           .groupBy("id").agg(min("comp").as("comp"))
         // pointer jumping: also adopt the label OF the current label
         // (label values only ever decrease, so label(comp) <= comp), which
@@ -467,6 +477,5 @@ object Dedup {
       }
       edges.unpersist()
       labels
-    } finally spark.conf.set("spark.sql.shuffle.partitions", defaultPart)
   }
 }

@@ -180,10 +180,13 @@ object TextFunctions {
       .agg(count(lit(1)).as("tf"))
     val dfreq = tok.groupBy(col("term"))
       .agg(count_distinct(col("doc_id")).as("df"))
-    tf.join(org.apache.spark.sql.functions.broadcast(dfreq), "term")
+    val out = tf.join(org.apache.spark.sql.functions.broadcast(dfreq), "term")
       .select(col("doc_id"), col("term"),
         (col("tf").cast("double") *
           (log(lit(nDocs + 1.0) / (col("df").cast("double") + lit(1.0)))
             + lit(1.0))).as("tfidf"))
+    // materialize + release the token cache here rather than leaving the
+    // persist for the caller to clean up (see Util.finishAndRelease)
+    graft.Util.finishAndRelease(out, tok)
   }
 }

@@ -23,8 +23,9 @@ object AsOfJoin {
   /** Output: all left columns + the requested right payload columns
     * (null when no right row is at-or-before — `direction = "backward"`,
     * the default — or at-or-after — `"forward"` — the left timestamp).
-    * Payload names must not collide with left column names — rename on the
-    * right side first if they do. */
+    * A payload name that collides with a left column is emitted with a
+    * `_right` suffix (underscores appended until unique), SQL-join style —
+    * the left column always survives untouched. */
   def asofLeftJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTs: String, rightTs: String,
@@ -33,6 +34,17 @@ object AsOfJoin {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
+    // output name per payload column: auto-deconflict against left names
+    // and against the other payload output names
+    val outName: Map[String, String] = {
+      var taken = leftCols.toSet
+      payload.map { c =>
+        var n = if (taken.contains(c)) c + "_right" else c
+        while (taken.contains(n)) n = n + "_"
+        taken += n
+        c -> n
+      }.toMap
+    }
     val l = left
       .withColumn("__graft_key", col(leftKey))
       .withColumn("__graft_ts", col(leftTs))
@@ -67,17 +79,17 @@ object AsOfJoin {
           .orderBy(col("__graft_ts"), col("__graft_is_left"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         payload.foldLeft(unioned)((df, c) =>
-          df.withColumn(c,
+          df.withColumn(outName(c),
             last(col(s"__graft_p_$c"), ignoreNulls = true).over(w)))
       } else {
         val w = Window.partitionBy(col("__graft_key"))
           .orderBy(col("__graft_ts"), col("__graft_is_left").desc)
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         payload.foldLeft(unioned)((df, c) =>
-          df.withColumn(c,
+          df.withColumn(outName(c),
             first(col(s"__graft_p_$c"), ignoreNulls = true).over(w)))
       }
     carried.filter(col("__graft_is_left") === 1)
-      .select((leftCols ++ payload).map(col): _*)
+      .select((leftCols ++ payload.map(outName)).map(col): _*)
   }
 }

@@ -126,42 +126,48 @@ object SimilarityJoin {
       l -> starts.zip(sizes).toSeq
     }.toMap
 
-    // Combo tables are CONSTANT arrays of struct literals — constant-folded
-    // into a single array literal, so exploding them generates tiny code
-    // (a per-row when-chain over hundreds of combos would exceed janino's
-    // method size and knock the stage out of whole-stage codegen).
-    def comboLit(rows: Seq[(Int, Int, Int, Int)]) =
-      array(rows.map { case (ll, ci, pos, size) =>
-        struct(lit(ll).as("ll"), lit(ci).as("ci"),
-          lit(pos).as("pos"), lit(size).as("size"))
-      }: _*)
+    // Combo tables are tiny LENGTH-KEYED DataFrames broadcast to both
+    // sides, so a row only ever meets the combos admissible for its own
+    // length. (An earlier shape exploded one constant array of ALL combos
+    // per row and filtered after — at ~500 distinct lengths that is
+    // |combos| ≈ lengths × (d+1) × (2d+1) ≈ 20k exploded rows per input
+    // row, >100M intermediates on a 5k-doc corpus; the length-keyed
+    // broadcast join generates only the admissible ones.)
+    import left.sparkSession.implicits._
 
-    // left side: one row per chunk — (chunk string, L, i) key
+    // left side: one row per chunk — (chunk string, L, i) key. Each left
+    // row equi-joins to exactly the d+1 chunk combos of its length.
     val leftCombos = chunkSpec.toSeq.flatMap { case (l, chunks) =>
       chunks.zipWithIndex.map { case ((start, size), i) => (l, i, start, size) }
     }
-    val la = left.withColumn("__cmb", explode(comboLit(leftCombos)))
-      .filter(length(qc(leftKey)) === col("__cmb.ll"))
+    val leftComboDf = leftCombos.toDF("__gll", "__gci", "__gpos", "__gsize")
+    val la = left
+      .join(broadcast(leftComboDf), length(qc(leftKey)) === col("__gll"))
       .withColumn("__c",
-        expr(s"substring(${q(leftKey)}, __cmb.pos + 1, __cmb.size)"))
-      .withColumn("__ll", col("__cmb.ll"))
-      .withColumn("__ci", col("__cmb.ci"))
-      .drop("__cmb").alias("cj_a")
+        expr(s"substring(${q(leftKey)}, __gpos + 1, __gsize)"))
+      .withColumn("__ll", col("__gll"))
+      .withColumn("__ci", col("__gci"))
+      .drop("__gll", "__gci", "__gpos", "__gsize").alias("cj_a")
 
-    // right side: admissible substrings for every in-band left length
+    // right side: admissible substrings for every in-band left length.
+    // The length band |len(r) − L| <= d becomes an explode over the 2d+1
+    // candidate L values, then an equi-join to that length's combos.
     val rightCombos = chunkSpec.toSeq.flatMap { case (l, chunks) =>
       chunks.zipWithIndex.flatMap { case ((start, size), i) =>
         (math.max(0, start - d) to (start + d)).map(pos => (l, i, pos, size))
       }
     }
-    val rb = right.withColumn("__cmb", explode(comboLit(rightCombos)))
-      .filter(abs(length(qc(rightKey)) - col("__cmb.ll")) <= d &&
-        length(qc(rightKey)) >= col("__cmb.pos") + col("__cmb.size"))
+    val rightComboDf = rightCombos.toDF("__gll", "__gci", "__gpos", "__gsize")
+    val rb = right
+      .withColumn("__gband", explode(sequence(length(qc(rightKey)) - d,
+        length(qc(rightKey)) + d)))
+      .join(broadcast(rightComboDf), col("__gband") === col("__gll"))
+      .filter(length(qc(rightKey)) >= col("__gpos") + col("__gsize"))
       .withColumn("__c",
-        expr(s"substring(${q(rightKey)}, __cmb.pos + 1, __cmb.size)"))
-      .withColumn("__ll", col("__cmb.ll"))
-      .withColumn("__ci", col("__cmb.ci"))
-      .drop("__cmb").alias("cj_b")
+        expr(s"substring(${q(rightKey)}, __gpos + 1, __gsize)"))
+      .withColumn("__ll", col("__gll"))
+      .withColumn("__ci", col("__gci"))
+      .drop("__gband", "__gll", "__gci", "__gpos", "__gsize").alias("cj_b")
 
     val lk = col(s"cj_a.${q(leftKey)}")
     val rk = col(s"cj_b.${q(rightKey)}")

@@ -168,6 +168,43 @@ class CatalystSpec extends SparkSpec {
     assert(res.toSeq.sorted === Seq(false, true))
   }
 
+  test("band rule property sweep: raw SQL × d in 0..8 × all predicate " +
+      "forms == plain-JVM Levenshtein") {
+    // seeded random pairs over a 3-letter alphabet (dense distance
+    // spectrum), evaluated through spark.sql TEXT so the rewrite path under
+    // test is the SQL parser -> optimizer one, and checked against an
+    // independent JVM DP
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(77)
+    def randStr() = (0 until rnd.nextInt(11))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val pairs = Seq.fill(120)((randStr(), randStr()))
+    pairs.toDF("a", "b").createOrReplaceTempView("graft_band_prop")
+    for (d <- 0 to 8) {
+      val forms = Seq(
+        s"levenshtein(a, b) <= $d" -> ((x: Int) => x <= d),
+        s"levenshtein(a, b) < $d" -> ((x: Int) => x < d),
+        s"levenshtein(a, b) = $d" -> ((x: Int) => x == d),
+        s"$d >= levenshtein(a, b)" -> ((x: Int) => d >= x),
+        s"$d > levenshtein(a, b)" -> ((x: Int) => d > x))
+      forms.foreach { case (pred, ref) =>
+        val got = spark.sql(
+            s"SELECT a, b FROM graft_band_prop WHERE $pred")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        val want = pairs.filter(p => ref(lev(p._1, p._2))).toSet
+        assert(got === want, s"mismatch for '$pred'")
+      }
+    }
+  }
+
   test("band rule rewrites <, =, and reversed forms with identical results") {
     val l = Seq("kitten", "apple", "zzzz").toDF("a")
     val r = Seq("sitting", "apples", "mitten", "kitten").toDF("b")

@@ -186,6 +186,28 @@ class LlmSpec extends SparkSpec {
       (out(0).getLong(0), out(0).getLong(1)) === (1L, 2L))
   }
 
+  test("library persists are scoped: only result blocks outlive the call") {
+    // drain anything earlier suites left behind so the count below is ours
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    assert(before === 0)
+    val out = Dedup.jaccardPairsWithinGroupPrefix(
+      docs.limit(50), "doc_id", "text", "source", 0.8)
+    out.count()
+    // the eagerly-materialized result is ONE localCheckpoint RDD (owned by
+    // the returned DataFrame, reclaimed by the ContextCleaner on GC); the
+    // internal prefix-docs cache must already be gone
+    val after = spark.sparkContext.getPersistentRDDs
+    assert(after.size <= 1, s"internal cache leaked: ${after.keys}")
+    val out2 = Dedup.minhashLshPairs(docs.limit(50), "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
+    out2.count()
+    assert(spark.sparkContext.getPersistentRDDs.size <= 2,
+      "minhash shingle cache leaked")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
+
   test("incremental minhash dedup finds a new doc's duplicate in the corpus") {
     val corpus = docs.filter(col("doc_id") < 40)
     // "new batch": one exact copy of a corpus doc + genuinely new docs

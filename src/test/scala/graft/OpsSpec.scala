@@ -147,6 +147,28 @@ class OpsSpec extends SparkSpec {
       Seq(Some("b"), Some("a"), None, None))
   }
 
+  test("AsOfJoin auto-renames a payload column that collides with the left") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // left ALREADY has a column named "v" — the payload must come out as
+    // v_right and the left v must survive untouched
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00"), "keepme"),
+      (2L, 99L, ts("2024-01-05 00:00:00"), "lonely")
+    ).toDF("eid", "k", "t", "v")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), "a"),
+      (10L, ts("2024-01-03 00:00:00"), "b")
+    ).toDF("rk", "rt", "v")
+    val out = ops.AsOfJoin.asofLeftJoin(left, right, "k", "rk", "t", "rt",
+        Seq("v")).orderBy("eid")
+    assert(out.columns.toSeq === Seq("eid", "k", "t", "v", "v_right"))
+    val rows = out.collect()
+    assert(rows.map(_.getString(3)).toSeq === Seq("keepme", "lonely"))
+    assert(rows.map(r => Option(r.getString(4))).toSeq ===
+      Seq(Some("b"), None))
+  }
+
   test("chunkedInnerJoin tolerates NULL keys (no pairs, no crash)") {
     val l = Seq(Some("kitten"), None, Some("apple")).toDF("a")
     val r = Seq("mitten", "apples").toDF("b")
