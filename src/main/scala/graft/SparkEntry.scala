@@ -2,7 +2,7 @@ package graft
 
 import graft.Util.{spread, table}
 import graft.io.QualtricsReader
-import graft.llm.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.llm.{CorpusHygiene, Dedup, Multimodal, Similarity, TextFunctions}
 import graft.ops._
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -748,6 +748,25 @@ object SparkEntry {
         .select(col("id"), col("frame"), col("fingerprint"))
         .orderBy(col("id"), col("frame"))),
 
+    // LLM corpus hygiene: C4-style duplicated-segment removal — fixed
+    // 10-word segments stand in for lines; any segment occurring > 2 times
+    // corpus-wide is dropped from every doc, survivors reassembled in order
+    "q_segment_dedup" -> ((s, dir) =>
+      CorpusHygiene.dedupSegments(spread(table(s, dir, "documents"), "doc_id"),
+          "doc_id", "text", w = 10, maxOcc = 2)
+        .orderBy(col("doc_id"))),
+
+    // LLM corpus hygiene: benchmark contamination — corpus docs sharing any
+    // word 4-gram with the (broadcast) eval slice, with the shared count
+    "q_contamination" -> ((s, dir) => {
+      val docs = spread(table(s, dir, "documents"), "doc_id")
+      CorpusHygiene.contamination(
+          docs.filter(col("doc_id") % 19 =!= 0),
+          docs.filter(col("doc_id") % 19 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM: reproducible subsetting — hash-based sampling and train/val/test
     // split assignment. md5 of the id is engine-portable and row-local:
     // no RNG state, no shuffle, same subset on any engine or cluster size,
@@ -832,6 +851,41 @@ object SparkEntry {
       """SELECT count(DISTINCT user_id) AS exact_users,
         |  quantile_cont(CAST(floor(value * 1e6) AS BIGINT), 0.5) AS p50_micro
         |FROM events""".stripMargin,
+
+    "q_segment_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, CAST(floor((pos - 1) / 10) AS BIGINT) AS idx,
+        |         string_agg(w, ' ' ORDER BY pos) AS seg
+        |  FROM toks GROUP BY doc_id, floor((pos - 1) / 10)),
+        |counts AS (SELECT seg, count(*) AS cnt FROM segs GROUP BY seg),
+        |kept AS (
+        |  SELECT s.doc_id, s.idx, s.seg FROM segs s
+        |  JOIN counts c USING (seg) WHERE c.cnt <= 2)
+        |SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS text_clean
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, pos, w,
+        |    lead(w, 1) OVER win AS w1, lead(w, 2) OVER win AS w2,
+        |    lead(w, 3) OVER win AS w3
+        |  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, concat_ws(' ', w, w1, w2, w3) AS g
+        |  FROM l WHERE w3 IS NOT NULL),
+        |evalg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 19 = 0)
+        |SELECT c.doc_id, count(*) AS n_shared
+        |FROM grams c JOIN evalg e USING (g)
+        |WHERE c.doc_id % 19 <> 0
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     "q_similarity_blocked_full" ->
       """WITH cand AS MATERIALIZED (

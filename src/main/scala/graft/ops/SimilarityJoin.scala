@@ -141,10 +141,14 @@ object SimilarityJoin {
       chunks.zipWithIndex.map { case ((start, size), i) => (l, i, start, size) }
     }
     val leftComboDf = leftCombos.toDF("__gll", "__gci", "__gpos", "__gsize")
+    // the join key carries the chunk as its xxhash64, not the substring:
+    // the shuffle rows shrink by the chunk text, and a 64-bit collision can
+    // only ADD a candidate, which the exact bounded-distance verify kills —
+    // equal chunks always hash equal, so no true pair is ever lost
     val la = left
       .join(broadcast(leftComboDf), length(qc(leftKey)) === col("__gll"))
       .withColumn("__c",
-        expr(s"substring(${q(leftKey)}, __gpos + 1, __gsize)"))
+        xxhash64(expr(s"substring(${q(leftKey)}, __gpos + 1, __gsize)")))
       .withColumn("__ll", col("__gll"))
       .withColumn("__ci", col("__gci"))
       .drop("__gll", "__gci", "__gpos", "__gsize").alias("cj_a")
@@ -164,7 +168,7 @@ object SimilarityJoin {
       .join(broadcast(rightComboDf), col("__gband") === col("__gll"))
       .filter(length(qc(rightKey)) >= col("__gpos") + col("__gsize"))
       .withColumn("__c",
-        expr(s"substring(${q(rightKey)}, __gpos + 1, __gsize)"))
+        xxhash64(expr(s"substring(${q(rightKey)}, __gpos + 1, __gsize)")))
       .withColumn("__ll", col("__gll"))
       .withColumn("__ci", col("__gci"))
       .drop("__gband", "__gll", "__gci", "__gpos", "__gsize").alias("cj_b")

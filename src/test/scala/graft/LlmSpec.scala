@@ -186,6 +186,46 @@ class LlmSpec extends SparkSpec {
       (out(0).getLong(0), out(0).getLong(1)) === (1L, 2L))
   }
 
+  test("dedupSegments drops only over-duplicated aligned segments, in order") {
+    import graft.llm.CorpusHygiene
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // one aligned segment
+    val docs = Seq(
+      (1L, s"$boiler u1 u2 u3"),            // boiler + unique tail
+      (2L, s"$boiler v1 v2 v3"),
+      (3L, s"$boiler w1 w2 w3"),
+      (4L, "x1 x2 x3"),                     // untouched
+      (5L, boiler)                          // ONLY the hot segment -> drops out
+    ).toDF("doc_id", "text")
+    val out = CorpusHygiene.dedupSegments(docs, "doc_id", "text",
+        w = 10, maxOcc = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // boiler occurs 4x (> maxOcc=2) as an aligned segment -> removed
+    // everywhere; tails and doc 4 survive; doc 5 vanishes entirely
+    assert(out === Seq((1L, "u1 u2 u3"), (2L, "v1 v2 v3"),
+      (3L, "w1 w2 w3"), (4L, "x1 x2 x3")))
+    // under-threshold duplicates survive: same corpus with maxOcc = 4
+    val lax = CorpusHygiene.dedupSegments(docs, "doc_id", "text",
+        w = 10, maxOcc = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(lax(0) === (1L, s"$boiler u1 u2 u3"))
+    assert(lax.length === 5)
+  }
+
+  test("contamination counts eval-set n-gram overlap per corpus doc") {
+    import graft.llm.CorpusHygiene
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta zeta"),  // shares 1 distinct 4-gram
+      (2L, "alpha beta gamma delta epsilon"), // shares both 4-grams
+      (3L, "nothing in common here at all")
+    ).toDF("doc_id", "text")
+    val out = CorpusHygiene.contamination(corpus, evalSet, "doc_id", "text",
+        n = 4)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("library persists are scoped: only result blocks outlive the call") {
     // drain anything earlier suites left behind so the count below is ours
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
