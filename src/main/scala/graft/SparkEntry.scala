@@ -138,7 +138,10 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), prefix.as("pa"))
       val b = table(s, dir, "documents")
         .select(col("doc_id").as("id_b"), prefix.as("pb"))
-      SimilarityJoin.chunkedInnerJoin(a, b, "pa", "pb", 2, "dist")
+      // 2-token prefixes repeat ~5.6x across docs -> dedupKeys shrinks the
+      // kernel's pair space ~31x and expands matches back afterwards
+      SimilarityJoin.chunkedInnerJoin(a, b, "pa", "pb", 2, "dist",
+          dedupKeys = true)
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy(col("id_a"), col("id_b"))
@@ -155,7 +158,8 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), prefix.as("pa"))
       val b = table(s, dir, "documents")
         .select(col("doc_id").as("id_b"), prefix.as("pb"))
-      SimilarityJoin.blockedInnerJoin(a, b, "pa", "pb", 2, "dist")
+      SimilarityJoin.blockedInnerJoin(a, b, "pa", "pb", 2, "dist",
+          dedupKeys = true)
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
         .orderBy(col("id_a"), col("id_b"))

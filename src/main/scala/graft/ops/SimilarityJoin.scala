@@ -49,13 +49,42 @@ object SimilarityJoin {
         when(rk.isNotNull, boundedDistance(lk, rk, maxDist)))
   }
 
+  /** Run a similarity kernel over the DISTINCT key values of both sides,
+    * then expand back to full rows by two equi-joins on the key value.
+    * When keys repeat r× on average, the kernel's pair space shrinks r² —
+    * the standard move for theta joins over low-cardinality keys (short
+    * prefixes, titles, names). Output rows are identical to running the
+    * kernel directly: each matched (value_l, value_r) pair expands to
+    * every row combination carrying those values. Null keys match nothing
+    * on either path. */
+  private def viaDistinctKeys(left: DataFrame, right: DataFrame,
+                              leftKey: String, rightKey: String,
+                              distCol: String,
+                              kernel: (DataFrame, DataFrame) => DataFrame)
+      : DataFrame = {
+    require(leftKey != rightKey,
+      s"dedupKeys needs distinct key column names, got '$leftKey' twice")
+    val dl = left.select(qc(leftKey)).distinct()
+    val dr = right.select(qc(rightKey)).distinct()
+    val core = kernel(dl, dr) // columns: leftKey, rightKey, distCol
+    left.join(core, Seq(leftKey)).join(right, Seq(rightKey))
+      .select((left.columns ++ right.columns :+ distCol).map(qc): _*)
+  }
+
   /** Banded inner variant for large×large joins: equi-join on exact length
     * (right side exploded over its 2d+1 admissible partner lengths), then
     * verify the true bounded distance. Each qualifying pair matches exactly
-    * once because the band value equals the left string's length. */
+    * once because the band value equals the left string's length.
+    * `dedupKeys = true` routes through [[viaDistinctKeys]] — use it when
+    * key values repeat across rows. */
   def blockedInnerJoin(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String, maxDist: Int,
-                       distCol: String = "string_distance"): DataFrame = {
+                       distCol: String = "string_distance",
+                       dedupKeys: Boolean = false): DataFrame = {
+    if (dedupKeys)
+      return viaDistinctKeys(left, right, leftKey, rightKey, distCol,
+        (dl, dr) => blockedInnerJoin(dl, dr, leftKey, rightKey, maxDist,
+          distCol))
     val band = "__graft_len_band"
     val l = left.withColumn(band, length(qc(leftKey))).alias("sj_l")
     val r = right
@@ -109,10 +138,17 @@ object SimilarityJoin {
     *
     * Note: candidate dedup is by full row, so byte-identical duplicate
     * input rows collapse to one output pair — carry a unique id column
-    * when exact multiplicity matters (as every registry query does). */
+    * when exact multiplicity matters (as every registry query does).
+    * `dedupKeys = true` routes through [[viaDistinctKeys]] — use it when
+    * key values repeat across rows. */
   def chunkedInnerJoin(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String, maxDist: Int,
-                       distCol: String = "string_distance"): DataFrame = {
+                       distCol: String = "string_distance",
+                       dedupKeys: Boolean = false): DataFrame = {
+    if (dedupKeys)
+      return viaDistinctKeys(left, right, leftKey, rightKey, distCol,
+        (dl, dr) => chunkedInnerJoin(dl, dr, leftKey, rightKey, maxDist,
+          distCol))
     val d = maxDist
     // NULL keys qualify for no pair (same as the sibling kernels) — and
     // must be dropped BEFORE the collect, where a null length row would NPE

@@ -169,6 +169,35 @@ class OpsSpec extends SparkSpec {
       Seq(Some("b"), None))
   }
 
+  test("dedupKeys kernels equal the direct kernels on repeated keys") {
+    val rnd = new scala.util.Random(11)
+    def randStr() = (0 until (2 + rnd.nextInt(6)))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    // heavy key repetition (+ a null) — the case dedupKeys exists for
+    val lVals = Seq.fill(80)(randStr()) :+ null
+    val rVals = Seq.fill(80)(randStr()) :+ null
+    val l = lVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("lid", "a")
+    val r = rVals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("rid", "b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid", "d").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val blockedPlain = rows(
+      ops.SimilarityJoin.blockedInnerJoin(l, r, "a", "b", 2, "d"))
+    val blockedDedup = rows(
+      ops.SimilarityJoin.blockedInnerJoin(l, r, "a", "b", 2, "d",
+        dedupKeys = true))
+    assert(blockedDedup === blockedPlain)
+    assert(blockedPlain.nonEmpty)
+    val chunkedPlain = rows(
+      ops.SimilarityJoin.chunkedInnerJoin(l, r, "a", "b", 2, "d"))
+    val chunkedDedup = rows(
+      ops.SimilarityJoin.chunkedInnerJoin(l, r, "a", "b", 2, "d",
+        dedupKeys = true))
+    assert(chunkedDedup === chunkedPlain)
+  }
+
   test("chunkedInnerJoin tolerates NULL keys (no pairs, no crash)") {
     val l = Seq(Some("kitten"), None, Some("apple")).toDF("a")
     val r = Seq("mitten", "apples").toDF("b")
