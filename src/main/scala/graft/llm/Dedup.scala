@@ -384,7 +384,8 @@ object Dedup {
     * Output: (id, component) for every id appearing in `pairs`. */
   def connectedComponents(pairs: DataFrame, idColA: String = "id_a",
                           idColB: String = "id_b",
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          localEdgeThreshold: Long = 1000000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val fwd = pairs.select(col(idColA).as("src"), col(idColB).as("dst"))
     val edges = fwd
@@ -407,6 +408,58 @@ object Dedup {
       edges.unpersist()
       return pairs.select(col(idColA).as("id"), col(idColA).as("comp"))
         .limit(0)
+    }
+    // Small-graph fast path: below the (configurable, bounded) edge
+    // threshold, a driver-side union-find beats the iterative loop, whose
+    // per-round scheduling overhead dominates on graphs this size — the
+    // same two-regime design GraphFrames-style CC uses. 1M symmetrized
+    // edges ≈ 16 MB collected; set localEdgeThreshold = 0 to force the
+    // distributed loop. Only integral/string ids take the fast path (the
+    // min-label contract needs the id ordering; other types fall through).
+    if (nEdges <= localEdgeThreshold) {
+      val srcField = edges.schema.fields(0)
+      val isIntegral = srcField.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+      val isString =
+        srcField.dataType == org.apache.spark.sql.types.StringType
+      if (isIntegral || isString) {
+        implicit val ord: Ordering[Any] =
+          if (isIntegral) Ordering.by((x: Any) => x.asInstanceOf[Number].longValue)
+          else Ordering.by((x: Any) => x.asInstanceOf[String])
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) {
+            val next = parent(c); parent(c) = r; c = next
+          }
+          r
+        }
+        // union with the SMALLER id as root — the min-label contract
+        edges.collect().foreach { row =>
+          val (a, b) = (row.get(0), row.get(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        edges.unpersist()
+        val out = parent.keys.toSeq.map { id =>
+          org.apache.spark.sql.Row(id, find(id))
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", srcField.dataType),
+          org.apache.spark.sql.types.StructField("comp", srcField.dataType)))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(out, 1), schema)
+      }
     }
     // Partition sizing is per-PLAN, not session conf: an explicit
     // hash-repartition on the aggregate key immediately before each

@@ -294,7 +294,9 @@ class LlmSpec extends SparkSpec {
     val big = Long.MaxValue / 2
     val pairs = Seq((big, big + 1), (big + 1, big + 2), (5L, big))
       .toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(pairs)
+    // localEdgeThreshold = 0 forces the distributed label-propagation loop
+    // (whose decimal convergence sum is what this test pins)
+    val comps = Dedup.connectedComponents(pairs, localEdgeThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps.values.toSet === Set(5L), "one component labeled by min id")
     assert(comps.keySet === Set(5L, big, big + 1, big + 2))
@@ -328,10 +330,14 @@ class LlmSpec extends SparkSpec {
   test("connected components equal local union-find") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (7L, 7L), (3L, 1L))
       .toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(pairs)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 7L -> 7L))
+    // BOTH regimes must agree: the driver union-find fast path (default
+    // threshold) and the distributed loop (threshold 0)
+    for (thr <- Seq(1000000L, 0L)) {
+      val comps = Dedup.connectedComponents(pairs, localEdgeThreshold = thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+        10L -> 10L, 11L -> 10L, 7L -> 7L), s"threshold=$thr")
+    }
     // against union-find on real near-dup pairs
     val real = Dedup.jaccardPairsWithinGroup(docs, "doc_id", "text",
       "source", 0.8).select("id_a", "id_b")
@@ -347,10 +353,19 @@ class LlmSpec extends SparkSpec {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = parent.keys.map(k => k -> find(k)).toMap
-      val got = Dedup.connectedComponents(real.toSeq.toDF("id_a", "id_b"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      assert(got === expected)
+      for (thr <- Seq(1000000L, 0L)) {
+        val got = Dedup.connectedComponents(real.toSeq.toDF("id_a", "id_b"),
+            localEdgeThreshold = thr)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got === expected, s"threshold=$thr")
+      }
     }
+    // string ids go through the fast path with string ordering
+    val s = Seq(("a", "b"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val sc = Dedup.connectedComponents(s)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(sc === Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
   }
 
   test("text quality and fingerprint functions are deterministic and bounded") {
