@@ -15,8 +15,11 @@ import org.apache.spark.sql.functions._
   *                    each cluster's representative;
   *   5. pack       — contiguous-fill token-budget bins per source shard.
   *
-  * Every stage is lazy; the whole flow is ONE Spark DAG (the dedup stages
-  * checkpoint internally where iteration requires it). At 100 TB each
+  * The shared stage outputs (cleaned text, exact-deduped corpus) are
+  * persisted for their multiple consumers and released before returning —
+  * the result comes back eagerly materialized (Util.finishAndRelease), so
+  * the regex-cleaning and exact-dedup shuffles run once, not once per
+  * downstream stage, and no cached state outlives the call. At 100 TB each
   * stage keeps the scale shape documented in SCALE.md — nothing here
   * collects to the driver.
   */
@@ -26,6 +29,7 @@ object TrainingData {
               sourceCol: String, minTokens: Int = 5,
               jaccardThreshold: Double = 0.9,
               packBudget: Long = 256L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val cleaned = docs.select(
       col(idCol), col(sourceCol),
       TextFunctions.redactPii(TextFunctions.normalizeText(col(textCol)))
@@ -33,12 +37,14 @@ object TrainingData {
       .withColumn("n_tokens",
         size(TextFunctions.tokens(col("clean_text"))).cast("long"))
       .filter(col("n_tokens") >= minTokens)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // exact dedup: keep the minimum id per identical cleaned text
     val keepers = cleaned.groupBy(col("clean_text"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val exactDeduped = cleaned.join(keepers, Seq(idCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // near dedup: pair kernel within source groups, cluster, keep reps
     val pairs = Dedup.jaccardPairsWithinGroupPrefix(
@@ -46,8 +52,9 @@ object TrainingData {
     val nearDeduped = Dedup.dedupedCorpus(exactDeduped, idCol, pairs)
 
     // pack surviving docs into token-budget bins per source shard
-    TextFunctions.packBins(nearDeduped, idCol, "n_tokens", sourceCol,
-        packBudget)
+    val packed = TextFunctions.packBins(nearDeduped, idCol, "n_tokens",
+        sourceCol, packBudget)
       .select(col(idCol), col(sourceCol), col("n_tokens"), col("bin"))
+    graft.Util.finishAndRelease(packed, cleaned, exactDeduped)
   }
 }
