@@ -373,6 +373,27 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_last,
           col("o_orderpriority").asc_nulls_last)),
 
+    // Statistical anomaly detection over aggregates: days whose event
+    // count deviates from the type's mean by more than 2 standard
+    // deviations. The z² test is done in EXACT integer arithmetic —
+    // (c·n − S)² > 4·(SS·n − S²) is |c − μ| > 2σ cleared of denominators —
+    // so the flag is portable bit-for-bit (no float thresholds) and the
+    // stats side is one tiny broadcast per type.
+    "q_outlier_days" -> ((s, dir) => {
+      val daily = table(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+          sum(col("c") * col("c")).as("ss"))
+      val dev = col("c") * col("n") - col("s")
+      daily.join(broadcast(stats), "event_type")
+        .filter(dev * dev > lit(4L) * (col("ss") * col("n") -
+          col("s") * col("s")))
+        .select(col("event_type"), col("day"), col("c"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Pivot: event counts per day × type (explicit value list)
     "q_pivot" -> ((s, dir) =>
       table(s, dir, "events")
@@ -855,6 +876,19 @@ object SparkEntry {
       """SELECT count(DISTINCT user_id) AS exact_users,
         |  quantile_cont(CAST(floor(value * 1e6) AS BIGINT), 0.5) AS p50_micro
         |FROM events""".stripMargin,
+
+    "q_outlier_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(c) AS BIGINT) AS s, CAST(sum(c*c) AS BIGINT) AS ss
+        |  FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, CAST(d.c AS BIGINT) AS c
+        |FROM daily d JOIN stats USING (event_type)
+        |WHERE (d.c*n - s)*(d.c*n - s) > 4*(ss*n - s*s)
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_segment_dedup" ->
       """WITH toks AS (
