@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW: sbt's default logger prefixes
+// every child line with "[info] ", which breaks any consumer that greps
+// for a line-anchored JSON object (graft.Bench's contract is ONE JSON
+// line on stdout; rounds 1-2 lost their bench signal to this prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
