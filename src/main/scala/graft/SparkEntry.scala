@@ -630,6 +630,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // LLM: quantile-threshold quality gate — keep each source's top 75% by
+    // lexical-diversity score. percent_rank under a unique (score, id)
+    // order is (rank−1)/(n−1): int/int division, bit-identical on any
+    // engine, so the cut line is portable with no float-threshold drift.
+    // The window is PER SOURCE (shard) — parallelism is the shard count,
+    // the packing-stage shape; a GLOBAL percentile cut at corpus scale
+    // should threshold on approx quantiles instead (one aggregate pass).
+    "q_quality_filter" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val scored = table(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        (size(array_distinct(toks)).cast("double") / size(toks))
+          .as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("pr", percent_rank().over(w))
+        .filter(col("pr") <= 0.75)
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM: text quality signals
     "q_text_quality" -> ((s, dir) => {
       val toks = TextFunctions.tokens(col("text"))
@@ -876,6 +897,20 @@ object SparkEntry {
       """SELECT count(DISTINCT user_id) AS exact_users,
         |  quantile_cont(CAST(floor(value * 1e6) AS BIGINT), 0.5) AS p50_micro
         |FROM events""".stripMargin,
+
+    "q_quality_filter" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, score,
+        |    percent_rank() OVER (
+        |      PARTITION BY source ORDER BY score DESC, doc_id) AS pr
+        |  FROM scored)
+        |SELECT doc_id, source, score, pr FROM r
+        |WHERE pr <= 0.75 ORDER BY doc_id""".stripMargin,
 
     "q_outlier_days" ->
       """WITH daily AS (
