@@ -77,6 +77,22 @@ class ScaleSpec extends SparkSpec {
     info("bucketed join plan is exchange-free on the join keys")
   }
 
+  test("schema evolution: mergeSchema unions columns across parquet batches") {
+    // the ingest reality at scale: later batches grow columns; readers must
+    // see the union schema with nulls for pre-evolution rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "b", 7L)).toDF("id", "v", "extra")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("extra", "id", "v"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"),
+        Option(r.getAs[java.lang.Long]("extra")).map(_.longValue)))
+    assert(rows.toSeq === Seq((1L, "a", None), (2L, "b", Some(7L))))
+  }
+
   test("parquet compaction merges small files, preserves data exactly") {
     import org.apache.spark.sql.functions.col
     val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")
