@@ -136,11 +136,12 @@ object SimilarityJoin {
     * more selective than pure length banding on skewed-length data.
     * Lefts shorter than d+1 chars fall back to the length-band kernel.
     *
-    * Note: candidate dedup is by full row, so byte-identical duplicate
-    * input rows collapse to one output pair — carry a unique id column
-    * when exact multiplicity matters (as every registry query does).
-    * `dedupKeys = true` routes through [[viaDistinctKeys]] — use it when
-    * key values repeat across rows. */
+    * Candidates are generated and deduplicated at (left value, right
+    * value) granularity — the candidate shuffle carries only hashes — and
+    * payload rows re-attach afterwards, so every row combination carrying
+    * a matched value pair is emitted, exactly the naive theta-join
+    * multiplicity. `dedupKeys = true` routes through [[viaDistinctKeys]] —
+    * use it when key values repeat across rows. */
   def chunkedInnerJoin(left: DataFrame, right: DataFrame,
                        leftKey: String, rightKey: String, maxDist: Int,
                        distCol: String = "string_distance",
@@ -177,17 +178,19 @@ object SimilarityJoin {
       chunks.zipWithIndex.map { case ((start, size), i) => (l, i, start, size) }
     }
     val leftComboDf = leftCombos.toDF("__gll", "__gci", "__gpos", "__gsize")
-    // the join key carries the chunk as its xxhash64, not the substring:
-    // the shuffle rows shrink by the chunk text, and a 64-bit collision can
-    // only ADD a candidate, which the exact bounded-distance verify kills —
-    // equal chunks always hash equal, so no true pair is ever lost
+    // The candidate join carries ONLY hashes: the chunk as xxhash64 (join
+    // key) and the full key string as xxhash64 (row surrogate) — candidate
+    // shuffle rows are a few longs instead of the document text, and the
+    // payloads re-attach AFTER the distinct via key-hash equi-joins. A
+    // 64-bit collision (chunk or surrogate) can only ADD a candidate pair,
+    // which the exact bounded-distance verify kills — equal strings always
+    // hash equal, so no true pair is ever lost.
     val la = left
       .join(broadcast(leftComboDf), length(qc(leftKey)) === col("__gll"))
-      .withColumn("__c",
-        xxhash64(expr(s"substring(${q(leftKey)}, __gpos + 1, __gsize)")))
-      .withColumn("__ll", col("__gll"))
-      .withColumn("__ci", col("__gci"))
-      .drop("__gll", "__gci", "__gpos", "__gsize").alias("cj_a")
+      .select(xxhash64(qc(leftKey)).as("__ga"),
+        xxhash64(expr(s"substring(${q(leftKey)}, __gpos + 1, __gsize)"))
+          .as("__c"),
+        col("__gll").as("__ll"), col("__gci").as("__ci"))
 
     // right side: admissible substrings for every in-band left length.
     // The length band |len(r) − L| <= d becomes an explode over the 2d+1
@@ -203,23 +206,24 @@ object SimilarityJoin {
         length(qc(rightKey)) + d)))
       .join(broadcast(rightComboDf), col("__gband") === col("__gll"))
       .filter(length(qc(rightKey)) >= col("__gpos") + col("__gsize"))
-      .withColumn("__c",
-        xxhash64(expr(s"substring(${q(rightKey)}, __gpos + 1, __gsize)")))
-      .withColumn("__ll", col("__gll"))
-      .withColumn("__ci", col("__gci"))
-      .drop("__gband", "__gll", "__gci", "__gpos", "__gsize").alias("cj_b")
+      .select(xxhash64(qc(rightKey)).as("__gb"),
+        xxhash64(expr(s"substring(${q(rightKey)}, __gpos + 1, __gsize)"))
+          .as("__c"),
+        col("__gll").as("__ll"), col("__gci").as("__ci"))
 
+    val candidates = la.join(rb, Seq("__c", "__ll", "__ci"))
+      .select(col("__ga"), col("__gb"))
+      .distinct()
+    // re-attach payload rows by key hash; every row combination carrying a
+    // matched (value_l, value_r) pair appears, exactly like the naive join
+    val lExp = left.withColumn("__ga", xxhash64(qc(leftKey))).alias("cj_a")
+    val rExp = right.withColumn("__gb", xxhash64(qc(rightKey))).alias("cj_b")
     val lk = col(s"cj_a.${q(leftKey)}")
     val rk = col(s"cj_b.${q(rightKey)}")
-    val candidates = la.join(rb,
-        col("cj_a.__c") === col("cj_b.__c") &&
-          col("cj_a.__ll") === col("cj_b.__ll") &&
-          col("cj_a.__ci") === col("cj_b.__ci"))
-      .drop("__c", "__ll", "__ci")
-      .distinct()
-    val verified = candidates
+    val verified = lExp.join(candidates, "__ga").join(rExp, "__gb")
       .withColumn(distCol, boundedDistance(lk, rk, d))
       .filter(col(distCol) >= 0)
+      .drop("__ga", "__gb")
 
     // short lefts (< d+1 chars): length-band kernel on that slice
     val shortLeft = left.filter(length(qc(leftKey)) < d + 1)
