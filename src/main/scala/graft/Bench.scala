@@ -51,20 +51,27 @@ object Bench {
         else math.min(cold, warm)
       (name, cold, best)
     }
-    def jsonMap(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jsonMap(results.map { case (n, _, best) => n -> best })
-    val coldQs = jsonMap(results.map { case (n, cold, _) => n -> cold })
+    def jsonMap(kvs: Seq[(String, Double)], fmt: Double => String): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val ms = (v: Double) =>
+      if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.map(_._3).filter(_ >= 0).sum
+    // stdout line: millisecond precision and warm-min times only. The r03
+    // driver tail window (~3000 chars) truncated the FRONT of the previous
+    // line (queries + cold_queries at full double precision ≈ 6500 chars),
+    // which is why BENCH_r03 ended "parsed": null despite rc=0. This compact
+    // form is ~1900 chars for the 76-query registry.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_queries":$coldQs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonMap(results.map { case (n, _, best) => n -> best }, ms)},"sf":"$sfDir"}"""
     println(line)
-    // File-based output: atomic-ish (write temp then rename) so a reader
-    // never sees a torn line.
+    // File-based output keeps the full detail (cold first-run times too):
+    // atomic-ish (write temp then rename) so a reader never sees a torn line.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map { case (n, _, best) => n -> best }, _.toString)},"cold_queries":${jsonMap(results.map { case (n, cold, _) => n -> cold }, _.toString)},"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     val tmp = out.resolveSibling("bench.json.tmp")
-    java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(tmp, (full + "\n").getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, out,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     spark.stop()
