@@ -1,11 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Driver-facing benchmark main. Prints ONE JSON line
-  * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
-  * and ALSO writes the identical line to `target/bench.json` so the driver
-  * can read a file instead of scraping sbt logs (BENCH_r01/r02 both ended
-  * with `"parsed": null` from log-tail parsing).
+/** Driver-facing benchmark main with two outputs:
+  *  - stdout: ONE compact JSON line (ms precision, warm-min per-query times
+  *    only) sized to survive the driver's ~3000-char log-tail window;
+  *  - `target/bench.json`: the full-detail record (double precision, plus
+  *    `"cold_queries"` first-run times), written atomically so a reader
+  *    never sees a torn line.
+  * Both carry `{"metric":"total","value":N,"unit":"sec","queries":{...}}`.
   *
   * Each query runs twice and the reported time is the MIN of the two runs:
   * a transient machine-load spike during one run (the round-2 failure mode —
@@ -51,8 +53,17 @@ object Bench {
         else math.min(cold, warm)
       (name, cold, best)
     }
+    // JSON string escaping (quotes/backslashes/control chars) so a query name
+    // or sfDir containing a special character can't emit invalid JSON.
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => "\\u%04x".format(c.toInt)
+        case c             => c.toString
+      } + "\""
     def jsonMap(kvs: Seq[(String, Double)], fmt: Double => String): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      kvs.map { case (k, v) => jstr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val ms = (v: Double) =>
       if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.map(_._3).filter(_ >= 0).sum
@@ -62,12 +73,12 @@ object Bench {
     // which is why BENCH_r03 ended "parsed": null despite rc=0. This compact
     // form is ~1900 chars for the 76-query registry.
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonMap(results.map { case (n, _, best) => n -> best }, ms)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonMap(results.map { case (n, _, best) => n -> best }, ms)},"sf":${jstr(sfDir)}}"""
     println(line)
     // File-based output keeps the full detail (cold first-run times too):
     // atomic-ish (write temp then rename) so a reader never sees a torn line.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map { case (n, _, best) => n -> best }, _.toString)},"cold_queries":${jsonMap(results.map { case (n, cold, _) => n -> cold }, _.toString)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map { case (n, _, best) => n -> best }, _.toString)},"cold_queries":${jsonMap(results.map { case (n, cold, _) => n -> cold }, _.toString)},"sf":${jstr(sfDir)}}"""
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     val tmp = out.resolveSibling("bench.json.tmp")
