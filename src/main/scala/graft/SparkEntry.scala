@@ -582,7 +582,8 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     // LLM: near-dup pairs → dedup clusters via min-label connected
-    // components (rows-only; ScalaTest checks against local union-find)
+    // components (oracle: recursive-CTE transitive closure in DuckDB;
+    // ScalaTest additionally checks against local union-find)
     "q_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.jaccardPairsWithinGroupPrefix(spread(table(s, dir, "documents"), "doc_id"),
         "doc_id", "text", "source", 0.9)
@@ -687,7 +688,7 @@ object SparkEntry {
     }),
 
     // LLM: the dedup end product — corpus minus non-representative cluster
-    // members (rows-only; clustering tested against union-find in LlmSpec)
+    // members (oracle: recursive-CTE closure → drop id <> comp)
     "q_dedup_corpus" -> ((s, dir) => {
       val docs = spread(table(s, dir, "documents"), "doc_id")
       val pairs = Dedup.jaccardPairsWithinGroupPrefix(docs,
@@ -756,8 +757,10 @@ object SparkEntry {
     }),
 
     // LLM: the whole training-data preparation flow as one DAG — clean →
-    // quality filter → exact dedup → near-dup clusters → pack (rows-only;
-    // every stage is oracle- or test-checked individually)
+    // quality filter → exact dedup → near-dup clusters → pack; the oracle
+    // replays every stage in one DuckDB statement (recursive CTE for the
+    // clustering), so the END-TO-END composition hash-checks, not just the
+    // stages
     "q_training_pipeline" -> ((s, dir) =>
       graft.pipeline.TrainingData.prepare(
           spread(table(s, dir, "documents"), "doc_id"),
@@ -1297,6 +1300,88 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Connected components IS SQL-expressible: transitive closure via a
+    // recursive CTE (UNION deduplicates, so the fixpoint terminates), then
+    // min-reachable-id per node = the component label. Closure size is
+    // Σ component² — fine at oracle scale, which is exactly why the engine
+    // side uses min-label propagation instead.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, source,
+        |    list_sort(list_distinct(string_split(text, ' '))) AS ws
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws)) * 1.0 /
+        |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |r AS (SELECT src AS id, dst AS reach FROM e
+        |  UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
+        |SELECT id, least(id, min(reach)) AS comp FROM r GROUP BY id
+        |ORDER BY id""".stripMargin,
+
+    "q_dedup_corpus" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, source,
+        |    list_sort(list_distinct(string_split(text, ' '))) AS ws
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws)) * 1.0 /
+        |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |r AS (SELECT src AS id, dst AS reach FROM e
+        |  UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+        |comp AS (SELECT id, least(id, min(reach)) AS comp FROM r GROUP BY id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> comp)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The whole training-data flow, stage by stage, in one SQL statement:
+    // clean (normalize + PII redact, engine-portable regex subset with the
+    // 'g' flag matching Spark's replace-all) → min-token filter → exact
+    // dedup (min id per cleaned text) → near-dup pairs → recursive-CTE
+    // connected components → drop non-representatives → window-cumsum
+    // packing. Every float crossing engines is int-derived, so the compare
+    // is exact.
+    "q_training_pipeline" ->
+      """WITH RECURSIVE c0 AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(regexp_replace(
+        |      trim(regexp_replace(regexp_replace(lower(text),
+        |        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |      '[0-9]{7,}', '<NUMBER>', 'g') AS clean_text
+        |  FROM documents),
+        |c1 AS (SELECT doc_id, source, clean_text,
+        |    CAST(len(string_split(clean_text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM c0 WHERE len(string_split(clean_text, ' ')) >= 5),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM c1 GROUP BY clean_text),
+        |ex AS (SELECT c1.* FROM c1 JOIN keep USING (doc_id)),
+        |s AS (SELECT doc_id, source,
+        |    list_sort(list_distinct(string_split(clean_text, ' '))) AS ws
+        |  FROM ex),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws)) * 1.0 /
+        |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |r AS (SELECT src AS id, dst AS reach FROM e
+        |  UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+        |comp AS (SELECT id, least(id, min(reach)) AS comp FROM r GROUP BY id),
+        |surv AS (SELECT ex.doc_id, ex.source, ex.n_tokens FROM ex
+        |  LEFT JOIN comp ON ex.doc_id = comp.id
+        |  WHERE comp.id IS NULL OR comp.id = comp.comp)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(CAST(sum(n_tokens) OVER w - n_tokens AS DOUBLE) / 256)
+        |    AS BIGINT) AS bin
+        |FROM surv
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_embed_neardup_exact" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
