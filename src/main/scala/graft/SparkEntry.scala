@@ -61,7 +61,8 @@ object SparkEntry {
   // ---------- the registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // S2/S3/U1/O3 — header-as-data transpose + sentinel (rows-only check)
+    // S2/S3/U1/O3 — header-as-data transpose + sentinel (oracle: explicit
+    // per-column UNION ALL over the first row, Spark-cast rendering)
     "q_s2_transpose" -> ((s, dir) => {
       val first = table(s, dir, "lineitem")
         .orderBy(col("l_orderkey"), col("l_linenumber")).limit(1)
@@ -778,8 +779,10 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // LLM: multimodal resize + frame sampling (stub codecs; rows-only —
-    // the plumbing shape is the tested artifact, LlmSpec pins values)
+    // LLM: multimodal resize + frame sampling (stub codecs, but the stubs
+    // are deterministic integer/hash math, so both oracle-check exactly:
+    // decimated byte counts + scaled dims here, per-chunk FNV-1a
+    // fingerprints below — DuckDB replays FNV in HUGEINT mod-2^64)
     "q_multimodal_resize" -> ((s, dir) =>
       Multimodal.resize(
           Multimodal.withFakeMedia(table(s, dir, "documents"), "text"),
@@ -868,15 +871,23 @@ object SparkEntry {
           ascii(col("text")).cast("long").as("first_char"))
         .orderBy(col("doc_id"))),
 
-    // LLM: stubbed decode → features via partition-wise batches (rows-only)
+    // LLM: stubbed decode → features via partition-wise batches. The
+    // normalized float32 histogram is made oracle-exact by recovering the
+    // integer bin counts: round(feature·n) undoes the L1 normalization
+    // losslessly (float32 relative error ≪ 0.5 of a count), so the compare
+    // is on exact ints, not cross-engine float bits.
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
           Multimodal.withFakeMedia(table(s, dir, "documents"), "text"),
           "doc_id")
         .toDF()
         .select(col("id"), col("n_bytes").cast("long").as("n_bytes"),
-          size(col("feature")).cast("long").as("feature_dim"))
-        .orderBy(col("id"))),
+          posexplode(col("feature")))
+        .select(col("id"), col("n_bytes"),
+          col("pos").cast("long").as("bin"),
+          round(col("col").cast("double") * col("n_bytes"))
+            .cast("long").as("cnt"))
+        .orderBy(col("id"), col("bin"))),
 
     // S1/S4 — the reference's CSV front door (varinfo-update.R:54,150) made
     // driver-visible: round-trip `documents` through the single-file RFC-4180
@@ -1544,6 +1555,87 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  CAST(length(text) % 64 + 1 AS BIGINT) AS width,
         |  CAST(ascii(text) AS BIGINT) AS first_char
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Stride-decimation resize is pure integer math over byte/char lengths
+    // (documents text is ASCII, so strlen == length; both asserted distinct
+    // here for fidelity to the binary-vs-char semantics).
+    "q_multimodal_resize" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id,
+        |  CAST(greatest(((length(text) % 64) + 1) // 2, 1) AS INT) AS width,
+        |  CAST(greatest(((length(text) % 48) + 1) // 2, 1) AS INT) AS height,
+        |  CAST(CASE WHEN strlen(text) = 0 THEN 0
+        |       ELSE greatest(strlen(text) // 2, 1) END AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // FNV-1a replayed in SQL: HUGEINT accumulator mod 2^64; xor only ever
+    // touches the low 8 bits, so it is lifted to BIGINT and stitched back.
+    // list_reduce folds the byte list with the offset basis prepended (an
+    // empty chunk correctly returns the basis unchanged).
+    "q_frame_samples" ->
+      """WITH d AS (SELECT CAST(doc_id AS BIGINT) AS id, text,
+        |    strlen(text) AS n, greatest(strlen(text) // 4, 1) AS chunk
+        |  FROM documents),
+        |f AS (SELECT id, text, n, chunk, CAST(fr AS INT) AS frame
+        |  FROM d, generate_series(0, 3) AS t(fr)),
+        |seg AS (SELECT id, frame,
+        |    substring(text, CAST(least(frame * chunk, n) AS INT) + 1,
+        |      CAST((CASE WHEN frame = 3 THEN n
+        |            ELSE least((frame + 1) * chunk, n) END)
+        |           - least(frame * chunk, n) AS INT)) AS sub
+        |  FROM f),
+        |fp AS (SELECT id, frame,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |        list_transform(generate_series(1, strlen(sub)),
+        |          i -> CAST(ascii(substring(sub, CAST(i AS INT), 1))
+        |            AS HUGEINT))),
+        |      (acc, b) -> ((acc - (acc % 256)
+        |          + xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)))
+        |        * CAST(1099511628211 AS HUGEINT))
+        |        % CAST(18446744073709551616 AS HUGEINT)) AS h
+        |  FROM seg)
+        |SELECT id, frame,
+        |  CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT)
+        |       THEN h - CAST(18446744073709551616 AS HUGEINT)
+        |       ELSE h END AS BIGINT) AS fingerprint
+        |FROM fp ORDER BY id, frame""".stripMargin,
+
+    // Exact integer bin counts of the byte-nibble histogram (see the
+    // registry entry: round(feature·n) recovers them from the normalized
+    // float32 vector losslessly).
+    "q_multimodal_features" ->
+      """WITH b AS (SELECT CAST(doc_id AS BIGINT) AS id,
+        |    strlen(text) AS n,
+        |    list_transform(generate_series(1, strlen(text)),
+        |      i -> ascii(substring(text, CAST(i AS INT), 1)) // 16) AS nib
+        |  FROM documents)
+        |SELECT id, CAST(n AS BIGINT) AS n_bytes, CAST(bin AS BIGINT) AS bin,
+        |  CAST(len(list_filter(nib, x -> x = bin)) AS BIGINT) AS cnt
+        |FROM b, generate_series(0, 15) AS t(bin)
+        |ORDER BY id, bin""".stripMargin,
+
+    // Header-as-data transpose as explicit per-column UNION ALL (not
+    // UNPIVOT, which silently drops NULL cells) over the first lineitem
+    // row, Spark-cast string rendering on both sides, plus the sentinel.
+    "q_s2_transpose" ->
+      """WITH f AS (SELECT * FROM lineitem
+        |  ORDER BY l_orderkey, l_linenumber LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 'l_orderkey' AS "QualtricsVariableName.2025",
+        |    CAST(l_orderkey AS VARCHAR) AS "QuestionText.2025",
+        |    '2025' AS "SurveyAdminYear.2025" FROM f
+        |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR), '2025' FROM f
+        |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR), '2025' FROM f
+        |  UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR), '2025' FROM f
+        |  UNION ALL SELECT 'l_quantity', CAST(l_quantity AS VARCHAR), '2025' FROM f
+        |  UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS VARCHAR), '2025' FROM f
+        |  UNION ALL SELECT 'l_discount', CAST(l_discount AS VARCHAR), '2025' FROM f
+        |  UNION ALL SELECT 'l_tax', CAST(l_tax AS VARCHAR), '2025' FROM f
+        |  UNION ALL SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR), '2025' FROM f
+        |  UNION ALL SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR), '2025' FROM f
+        |  UNION ALL SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR), '2025' FROM f
+        |  UNION ALL SELECT NULL, '', NULL
+        |) ORDER BY "QualtricsVariableName.2025" ASC NULLS LAST""".stripMargin
   )
 }
