@@ -841,6 +841,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LLM: domain mixing — per-source keep-fractions via the deterministic
+    // md5 cut (up-sample curated strata, down-sample crawl; same subset on
+    // any engine/cluster, stable under backfills)
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedHashSample(table(s, dir, "documents"),
+          "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.25),
+          default = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // LLM: Gopher/C4-style repetition signals — exact per-doc bigram
+    // counts (total / distinct / top occurrence) from one sorted-array
+    // fold; the duplicate- and top-n-gram fractions derive from these ints
+    "q_text_repetition" -> ((s, dir) => {
+      val rep = TextFunctions.ngramRepetition(col("text"), 2)
+      table(s, dir, "documents").select(col("doc_id"),
+          rep.getField("total").as("n_grams"),
+          rep.getField("n_distinct").as("n_distinct"),
+          rep.getField("top_count").as("top_count"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM: cleaning pass — normalization + PII redaction (the synthetic
     // fixture gets an email/phone suffix appended so the redaction path
     // actually fires rather than matching nothing)
@@ -1534,6 +1556,35 @@ object SparkEntry {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // fractions quantized to 1/65536: 0.5 -> 0x8000, 0.25 -> 0x4000,
+    // 0.1 -> floor(6553.6) = 0x1999 — hex-prefix compare == numeric cut
+    "q_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
+        |       ELSE '1999' END
+        |ORDER BY doc_id""".stripMargin,
+
+    // bigrams via the window-lead pattern (single-space text); exact
+    // integer counts per doc, zero-gram docs kept by the left join
+    "q_text_repetition" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS w,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS gram
+        |  FROM w QUALIFY gram IS NOT NULL),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt
+        |  FROM g GROUP BY doc_id, gram)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(count(c.gram), 0) AS BIGINT) AS n_distinct,
+        |  CAST(coalesce(max(cnt), 0) AS BIGINT) AS top_count
+        |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "q_text_clean" ->
       """SELECT doc_id,

@@ -124,6 +124,33 @@ object TextFunctions {
   def rollingFingerprint(text: Column, window: Int = 8): Column =
     array_min(transform(wordNGrams(tokens(text), window), g => xxhash64(g)))
 
+  /** Intra-document n-gram repetition signals (the Gopher/C4 family of
+    * quality rules: heavily self-repeating documents are boilerplate or
+    * spam). Returns a struct of exact counts — `total` n-gram occurrences,
+    * `n_distinct` distinct n-grams, `top_count` occurrences of the most
+    * frequent n-gram — from which the standard ratios (duplicate-n-gram
+    * fraction `(total−n_distinct)/total`, top-n-gram fraction
+    * `top_count/total`) derive. Exact ints, so the signal oracle-checks
+    * with no float drift.
+    *
+    * One sorted-array fold per document: sort the n-grams, then a single
+    * `aggregate` pass tracks the previous value, current run length, max
+    * run length, and distinct count. Per-row work, no shuffle, no UDF. */
+  def ngramRepetition(text: Column, n: Int): Column = {
+    val grams = array_sort(wordNGrams(tokens(text), n))
+    val init = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("maxrun"), lit(0L).as("nd"))
+    val folded = aggregate(grams, init, (acc, g) => {
+      val same = coalesce(acc("prev") === g, lit(false))
+      val run = when(same, acc("run") + lit(1L)).otherwise(lit(1L))
+      struct(g.as("prev"), run.as("run"),
+        greatest(acc("maxrun"), run).as("maxrun"),
+        (acc("nd") + when(same, lit(0L)).otherwise(lit(1L))).as("nd"))
+    })
+    struct(size(grams).cast("long").as("total"),
+      folded("nd").as("n_distinct"), folded("maxrun").as("top_count"))
+  }
+
   /** Normalization for training-data cleaning: lowercase, strip everything
     * outside [a-z0-9 ], collapse whitespace runs, trim. Patterns use only
     * constructs with identical semantics in Java regex and RE2, so the

@@ -409,4 +409,62 @@ class LlmSpec extends SparkSpec {
       r.data.length == math.max(n / 2, 1) && r.width == math.max(w / 2, 1)
     })
   }
+
+  test("ngram repetition counts match a naive per-doc recount") {
+    val fixture = Seq(
+      (1L, "a b a b a b"),       // bigrams: [a b, b a, a b, b a, a b]
+      (2L, "x y z"),             // all distinct
+      (3L, "w"),                 // no bigrams
+      (4L, "")                   // empty
+    ).toDF("id", "text")
+    val rep = TextFunctions.ngramRepetition(col("text"), 2)
+    val got = fixture.select(col("id"), rep.getField("total"),
+        rep.getField("n_distinct"), rep.getField("top_count"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) === ((5L, 2L, 3L)))
+    assert(got(2L) === ((2L, 2L, 1L)))
+    assert(got(3L) === ((0L, 0L, 0L)))
+    assert(got(4L) === ((0L, 0L, 0L)))
+    // naive recount on real data
+    val real = docs.limit(100)
+    val naive = real.select(col("doc_id"), col("text")).collect().map { r =>
+      val toks = r.getString(1).split(" ", -1)
+      val grams = toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+      val byGram = grams.groupBy(identity)
+      r.getLong(0) -> (grams.size.toLong,
+        byGram.size.toLong,
+        if (grams.isEmpty) 0L else byGram.values.map(_.size).max.toLong)
+    }.toMap
+    val engine = real.select(col("doc_id"),
+        TextFunctions.ngramRepetition(col("text"), 2).as("r"))
+      .select(col("doc_id"), col("r.total"), col("r.n_distinct"),
+        col("r.top_count"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(engine === naive)
+  }
+
+  test("stratified hash sample: per-stratum fractions land near target and are deterministic") {
+    val df = spark.range(20000).select(col("id"),
+      concat(lit("src"), (col("id") % 4).cast("string")).as("source"))
+    val out = graft.ops.Sampling.stratifiedHashSample(df, "id", "source",
+      Map("src0" -> 0.5, "src1" -> 0.25), default = 0.1)
+    val counts = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = 5000.0 // rows per stratum
+    assert(math.abs(counts("src0") / n - 0.5) < 0.05)
+    assert(math.abs(counts("src1") / n - 0.25) < 0.05)
+    assert(math.abs(counts.getOrElse("src2", 0L) / n - 0.1) < 0.03)
+    assert(math.abs(counts.getOrElse("src3", 0L) / n - 0.1) < 0.03)
+    // deterministic: re-run yields the identical id set
+    val ids1 = out.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = graft.ops.Sampling.stratifiedHashSample(df, "id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.25), default = 0.1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // sample is a filter: every kept row existed upstream
+    assert(ids1.forall(_ < 20000))
+  }
 }
