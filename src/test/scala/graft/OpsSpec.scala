@@ -46,16 +46,19 @@ class OpsSpec extends SparkSpec {
     def randStr(min: Int, max: Int) =
       (0 until (min + rnd.nextInt(max - min + 1)))
         .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
-    for (trial <- 1 to 3) {
-      val left = Seq.fill(50)(randStr(trial - 1, 10)).distinct.toDF("a")
-      val right = Seq.fill(50)(randStr(trial - 1, 10)).distinct.toDF("b")
-      val naive = left.join(right, levenshtein(col("a"), col("b")) <= 2)
+    // d sweeps past the registry's production values (2 and 4) so the
+    // shift-bound pruning (|delta| + |lenDiff - delta| <= d) is exercised
+    // at every chunk count the kernel actually runs with
+    for ((d, trial) <- Seq(1, 2, 3, 4).zipWithIndex) {
+      val left = Seq.fill(50)(randStr(trial, 10 + d)).distinct.toDF("a")
+      val right = Seq.fill(50)(randStr(trial, 10 + d)).distinct.toDF("b")
+      val naive = left.join(right, levenshtein(col("a"), col("b")) <= d)
         .select("a", "b").collect()
         .map(r => (r.getString(0), r.getString(1))).toSet
-      val chunked = SimilarityJoin.chunkedInnerJoin(left, right, "a", "b", 2)
+      val chunked = SimilarityJoin.chunkedInnerJoin(left, right, "a", "b", d)
         .select("a", "b").collect()
         .map(r => (r.getString(0), r.getString(1))).toSet
-      assert(chunked === naive, s"trial $trial")
+      assert(chunked === naive, s"d=$d")
     }
   }
 
