@@ -688,6 +688,18 @@ object SparkEntry {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // LLM: EXACT incremental dedup — the lossless ingest gate (prefix-
+    // filtered Jaccard, new batch × corpus, no LSH recall loss; the
+    // minhash variant above is the recall-traded scale path). Oracle: the
+    // naive cross join with the implied size band materialized.
+    "q_dedup_incremental_exact" -> ((s, dir) => {
+      val docs = spread(table(s, dir, "documents"), "doc_id")
+      val newBatch = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.jaccardNewVsCorpusPrefix(newBatch, corpus, "doc_id", "text", 0.9)
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // LLM: the dedup end product — corpus minus non-representative cluster
     // members (oracle: recursive-CTE closure → drop id <> comp)
     "q_dedup_corpus" -> ((s, dir) => {
@@ -1333,6 +1345,19 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, jac FROM p WHERE jac >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_incremental_exact" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_sort(list_distinct(string_split(text, ' '))) AS ws
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |    len(list_intersect(a.ws, b.ws)) * 1.0 /
+        |      len(list_distinct(list_concat(a.ws, b.ws))) AS jac
+        |  FROM s a JOIN s b ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |    AND len(a.ws) >= len(b.ws) * 0.9
+        |    AND len(b.ws) >= len(a.ws) * 0.9)
+        |SELECT new_id, corpus_id, jac FROM p WHERE jac >= 0.9
+        |ORDER BY new_id, corpus_id""".stripMargin,
 
     // Connected components IS SQL-expressible: transitive closure via a
     // recursive CTE (UNION deduplicates, so the fixpoint terminates), then

@@ -129,6 +129,51 @@ object Dedup {
     graft.Util.finishAndRelease(pairs, docs)
   }
 
+  /** EXACT incremental near-dup check: every (new, corpus) document pair
+    * with distinct-word-set Jaccard >= threshold — no LSH recall loss, the
+    * kernel for ingest gates that must be lossless (contractual dedup,
+    * eval-set exclusion). Prefix filtering across the two frames: both
+    * sides sort their hashed token sets under the SAME total order (plain
+    * hash ascending — the prefix lemma holds under ANY shared total order,
+    * and hash order needs no corpus-statistics pass, so the corpus side
+    * could be prepared once and stored), emit the first n − ⌈t·n⌉ + 1
+    * tokens, and candidates come from the prefix-token equi-join between
+    * the sides — O(matching prefixes), never new × corpus. Exact Jaccard
+    * verifies each distinct candidate pair once.
+    * Output: (new_id, corpus_id, jac). */
+  def jaccardNewVsCorpusPrefix(newDocs: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String,
+                               threshold: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"),
+        array_sort(array_distinct(
+          transform(tokens(col(textCol)), t => xxhash64(t)))).as("ws"))
+        .withColumn("n", size(col("ws")))
+        .withColumn("p",
+          (col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val nd = prep(newDocs)
+    val cd = prep(corpus)
+    def prefixes(docs: DataFrame): DataFrame =
+      docs.select(col("id"), col("n"),
+        explode(slice(col("ws"), lit(1), col("p"))).as("h"))
+    val sizeBand =
+      col("a.n") >= col("b.n") * threshold &&
+        col("b.n") >= col("a.n") * threshold
+    val candidates = prefixes(nd).alias("a")
+      .join(prefixes(cd).alias("b"), col("a.h") === col("b.h") && sizeBand)
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    val da = nd.select(col("id").as("new_id"), col("ws").as("ws_a"))
+    val db = cd.select(col("id").as("corpus_id"), col("ws").as("ws_b"))
+    val pairs = candidates.join(da, "new_id").join(db, "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("ws_a"), col("ws_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+    graft.Util.finishAndRelease(pairs, nd, cd)
+  }
+
   /** MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket
     * equi-join → verify true shingle-set Jaccard. Output: (id_a, id_b, jac)
     * with id_a < id_b, each candidate pair verified exactly once.

@@ -410,6 +410,25 @@ class LlmSpec extends SparkSpec {
     })
   }
 
+  test("exact incremental dedup == naive new-x-corpus threshold pairs") {
+    val newBatch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val kernel = Dedup.jaccardNewVsCorpusPrefix(
+        newBatch, corpus, "doc_id", "text", 0.8)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sets(df: org.apache.spark.sql.DataFrame, idAs: String, wsAs: String) =
+      df.select(col("doc_id").as(idAs),
+        array_distinct(split(col("text"), " ")).as(wsAs))
+    val naive = sets(newBatch, "new_id", "ws_a")
+      .join(sets(corpus, "corpus_id", "ws_b"),
+        Dedup.jaccard(col("ws_a"), col("ws_b")) >= 0.8)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernel === naive)
+    assert(naive.nonEmpty, "fixture should contain at least one true pair")
+  }
+
   test("ngram repetition counts match a naive per-doc recount") {
     val fixture = Seq(
       (1L, "a b a b a b"),       // bigrams: [a b, b a, a b, b a, a b]
