@@ -316,6 +316,20 @@ object Dedup {
     docs.unpersist()
   }
 
+  /** Append a batch's shingle sets + band buckets to a stored corpus index
+    * (see `writeCorpusIndex`) — the per-accepted-batch half of the
+    * incremental dedup loop: once appended, later batches dedup against
+    * these documents without recomputing them. */
+  def appendCorpusIndex(batch: DataFrame, idCol: String, textCol: String,
+                        path: String, shingleN: Int = 3, numHashes: Int = 32,
+                        bands: Int = 8): Unit = {
+    val (docs, buckets) =
+      shingleBuckets(batch, idCol, textCol, shingleN, numHashes, bands)
+    docs.write.mode("append").parquet(s"$path/docs")
+    buckets.write.mode("append").parquet(s"$path/buckets")
+    docs.unpersist()
+  }
+
   /** Incremental near-dup check against a STORED index (see
     * `writeCorpusIndex`): only the new batch is shingled and hashed; the
     * corpus side is two parquet scans. Same output contract as

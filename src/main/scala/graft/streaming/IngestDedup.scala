@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.llm.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming ingest dedup gate — the incremental-dedup loop run as a
+  * Structured Streaming query. Per micro-batch:
+  *
+  *   1. near-dup-check the batch against the STORED MinHash corpus index
+  *      (`Dedup.minhashLshNewVsIndex` — the corpus side is two parquet
+  *      scans, per-batch cost O(batch));
+  *   2. write accepted (non-duplicate) documents to the output corpus;
+  *   3. append the accepted documents' shingle sets + band buckets to the
+  *      index, so every LATER batch dedups against them with no corpus
+  *      recompute.
+  *
+  * Semantics and caveats (the honest contract of this shape):
+  *  - duplicates WITHIN one micro-batch are not cross-checked against each
+  *    other — run `Dedup.minhashLshPairs` on the batch first if intra-batch
+  *    dups matter at your batch size;
+  *  - `foreachBatch` is at-least-once on failure/retry: a replayed batch
+  *    can re-append output rows and index entries. Duplicate index entries
+  *    only add candidate pairs (harmless to the gate — the verify step is
+  *    exact); a production output sink would dedup on batchId or write
+  *    transactionally;
+  *  - the gate itself is LSH-based (recall < 1 by the S-curve); use
+  *    `Dedup.jaccardNewVsCorpusPrefix` per batch where the gate must be
+  *    lossless.
+  */
+object IngestDedup {
+
+  /** Build the gated ingest stream; caller `.start()`s it (and typically
+    * `processAllAvailable()` in tests). The source schema is taken from the
+    * existing files under `srcDir`. */
+  def dedupIngest(spark: SparkSession, srcDir: String, indexPath: String,
+                  outDir: String, checkpointDir: String,
+                  idCol: String, textCol: String,
+                  shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                  threshold: Double = 0.8): DataStreamWriter[Row] = {
+    val schema = spark.read.parquet(srcDir).schema
+    val gate: (Dataset[Row], Long) => Unit = (batch, _) => {
+      if (!batch.isEmpty) {
+        val dups = Dedup.minhashLshNewVsIndex(batch.toDF(), indexPath,
+            idCol, textCol, shingleN, numHashes, bands, threshold)
+          .select(col("new_id").as("__graft_dup")).distinct()
+        val accepted = batch.toDF()
+          .join(dups, batch(idCol) === col("__graft_dup"), "left_anti")
+          .persist()
+        accepted.write.mode("append").parquet(outDir)
+        Dedup.appendCorpusIndex(accepted, idCol, textCol, indexPath,
+          shingleN, numHashes, bands)
+        accepted.unpersist()
+      }
+    }
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(gate)
+  }
+}

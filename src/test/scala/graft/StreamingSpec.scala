@@ -192,4 +192,41 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(stateful === plain)
   }
+
+  test("streaming ingest dedup gate rejects corpus dups AND dups of earlier accepted batches") {
+    import graft.llm.Dedup
+    val src = java.nio.file.Files.createTempDirectory("graft_gate_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_gate_out").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_gate_idx").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_gate_chk").toString
+    val corpusText =
+      "the quick brown fox jumps over the lazy dog again and again"
+    val freshText1 =
+      "structured streaming processes unbounded data as incremental batches"
+    val freshText2 =
+      "catalyst optimizes logical plans before tungsten executes them fast"
+    // stored index over the existing corpus
+    val corpus = Seq((1L, corpusText)).toDF("doc_id", "text")
+    Dedup.writeCorpusIndex(corpus, "doc_id", "text", idx)
+    // batch 1 arrives before the stream starts: one corpus dup, one fresh
+    Seq((10L, corpusText), (11L, freshText1)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val q = graft.streaming.IngestDedup.dedupIngest(spark, src, idx, out,
+      chk, "doc_id", "text", threshold = 0.8).start()
+    q.processAllAvailable()
+    // batch 2: one dup OF THE ACCEPTED doc 11 (tests the index append),
+    // one corpus dup, one fresh
+    Seq((20L, freshText1), (21L, corpusText), (22L, freshText2))
+      .toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val acceptedIds = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(acceptedIds === Set(11L, 22L))
+    // the index grew by exactly the accepted docs
+    val indexed = spark.read.parquet(s"$idx/docs")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(indexed === Set(1L, 11L, 22L))
+  }
 }
