@@ -20,31 +20,32 @@ object TextFunctions {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))
 
+  /** Word n-grams from an already-BOUND token array (a lambda variable or
+    * attribute, never a recomputed expression): plain transform + slice,
+    * linear in tokens × n. */
+  private def wordNGramsFromBound(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - n + 1),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Word n-gram shingles ("a b c", n=2 → ["a b", "b c"]).
     *
-    * Single-pass `aggregate` with a sliding (n−1)-token buffer. The obvious
-    * `transform(sequence(1, len−n+1), i => array_join(slice(toks, i, n)))`
-    * is quadratic when `toks` is itself an expression (e.g. `split`):
-    * HOF lambdas re-evaluate referenced outer expressions per element, so
-    * every shingle re-tokenized the whole document. Here `toks` is consumed
-    * exactly once as the aggregate input. */
-  def wordNGrams(toks: Column, n: Int): Column = {
-    val empty = array().cast("array<string>")
+    * The naive `transform(sequence(1, len−n+1), i => array_join(slice(
+    * toks, i, n)))` is quadratic when `toks` is itself an expression
+    * (e.g. `split`): HOF lambdas re-evaluate referenced outer expressions
+    * per element, so every shingle re-tokenizes the whole document. Here
+    * `toks` is bound ONCE as a lambda variable — `transform` over a
+    * 1-element wrapper array is the Column API's `let` — so the
+    * per-shingle slice reads a materialized array. (An earlier fix used a
+    * sliding-buffer `aggregate` fold, which dodged the re-tokenize but was
+    * itself quadratic in array-copy work: each step rebuilt the
+    * accumulated output via `concat` — ~n²/2 element copies per document,
+    * the dominant cost of the shingle-heavy corpus queries.) */
+  def wordNGrams(toks: Column, n: Int): Column =
     coalesce(
-      aggregate(
-        toks,
-        struct(empty.as("buf"), empty.as("out")),
-        (acc, x) => {
-          val buf = concat(acc("buf"), array(x))
-          val full = size(buf) === n
-          struct(
-            when(full, slice(buf, 2, n - 1)).otherwise(buf).as("buf"),
-            when(full, concat(acc("out"), array(array_join(buf, " "))))
-              .otherwise(acc("out")).as("out"))
-        },
-        acc => acc("out")),
-      empty) // null input -> empty set, as the size-guarded form behaved
-  }
+      flatten(transform(array(toks), t => wordNGramsFromBound(t, n))),
+      array().cast("array<string>")) // null input -> empty set
 
   /** Distinct word n-gram shingle set. */
   def shingles(text: Column, n: Int): Column =
