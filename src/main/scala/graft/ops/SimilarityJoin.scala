@@ -196,15 +196,20 @@ object SimilarityJoin {
     // The length band |len(r) − L| <= d becomes an explode over the 2d+1
     // candidate L values, then an equi-join to that length's combos.
     //
-    // Shift pruning (PassJoin's position-aware selection): if chunk
+    // Shift pruning (PassJoin's multi-match-aware selection): if chunk
     // [start, start+size) of the left maps UNEDITED to right position p,
     // the prefix before it needs >= |δ| edits (δ = p − start) and the
     // suffix after it >= |Δ − δ| (Δ = len(r) − L), so |δ| + |Δ − δ| <= d.
     // For fixed Δ that admits only δ ∈ [⌈(Δ−d)/2⌉, ⌊(Δ+d)/2⌋] — d+1
     // positions instead of the naive 2d+1, nearly halving the exploded
-    // substring/hash volume. Δ is only known once the right row meets the
-    // combo, so the combo table carries `start` and the bound is a filter
-    // right after the broadcast join (evaluated before the substring hash).
+    // substring/hash volume. On top of that, enumerating only the FIRST
+    // untouched chunk per pair is complete — and then the i disjoint chunk
+    // spans before it each contain an edit strictly inside the prefix, so
+    // prefix edits >= i and i + |Δ − δ| <= d prunes late chunks' windows
+    // further (chunk d admits exactly δ = Δ). Δ is only known once the
+    // right row meets the combo, so the combo table carries `start` and
+    // both bounds are a filter right after the broadcast join (evaluated
+    // before the substring hash).
     val rightCombos = chunkSpec.toSeq.flatMap { case (l, chunks) =>
       chunks.zipWithIndex.flatMap { case ((start, size), i) =>
         (math.max(0, start - d) to (start + d))
@@ -220,7 +225,8 @@ object SimilarityJoin {
         length(qc(rightKey)) + d)))
       .join(broadcast(rightComboDf), col("__gband") === col("__gll"))
       .filter(length(qc(rightKey)) >= col("__gpos") + col("__gsize") &&
-        delta * 2 >= lenDiff - d && delta * 2 <= lenDiff + d)
+        delta * 2 >= lenDiff - d && delta * 2 <= lenDiff + d &&
+        abs(lenDiff - delta) <= lit(d) - col("__gci"))
       .select(xxhash64(qc(rightKey)).as("__gb"),
         xxhash64(expr(s"substring(${q(rightKey)}, __gpos + 1, __gsize)"))
           .as("__c"),
