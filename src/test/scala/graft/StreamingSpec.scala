@@ -228,5 +228,20 @@ class StreamingSpec extends SparkSpec {
     val indexed = spark.read.parquet(s"$idx/docs")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(indexed === Set(1L, 11L, 22L))
+    // restart from the same checkpoint: already-processed batches are NOT
+    // replayed (no duplicate output/index rows), and a post-restart batch
+    // still dedups against everything accepted before the restart
+    Seq((30L, freshText2), (31L, corpusText)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val q2 = graft.streaming.IngestDedup.dedupIngest(spark, src, idx, out,
+      chk, "doc_id", "text", threshold = 0.8).start()
+    q2.processAllAvailable()
+    q2.stop()
+    val afterRestart = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toList.sorted
+    assert(afterRestart === List(11L, 22L)) // 30 dups 22's text, 31 corpus
+    val indexedAfter = spark.read.parquet(s"$idx/docs")
+      .select("id").collect().map(_.getLong(0)).toList.sorted
+    assert(indexedAfter === List(1L, 11L, 22L))
   }
 }
