@@ -2,7 +2,7 @@ package graft
 
 import graft.Util.{spread, table}
 import graft.io.QualtricsReader
-import graft.llm.{CorpusHygiene, Dedup, Multimodal, Similarity, TextFunctions}
+import graft.llm.{CorpusHygiene, Dedup, Multimodal, Quantize, Similarity, TextFunctions}
 import graft.ops._
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -622,6 +622,15 @@ object SparkEntry {
           col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
     }),
+
+    // LLM: embedding scalar quantization (the faiss SQ8 shape) — per-dim
+    // ranges from one posexplode aggregate (dimension-sized → broadcast),
+    // codes are fixed-order double math + floor, bit-identical on any
+    // engine, so the 4× ANN-storage compression oracle-checks exactly
+    "q_embed_quantize" -> ((s, dir) =>
+      Quantize.quantize8(spread(table(s, dir, "embeddings"), "vec_id"),
+          "vec_id", "embedding")
+        .orderBy(col("vec_id"), col("dim"))),
 
     // LLM: LSH-bucketed ANN pairs (rows-only; recall tested vs brute force).
     // The synthetic embeddings are fully random (max pairwise cosine ~0.5),
@@ -1448,6 +1457,20 @@ object SparkEntry {
         |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         |WHERE a.vec_id < 1000 AND b.vec_id < 1000
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, unnest(embedding) AS val,
+        |    generate_subscripts(embedding, 1) AS pos FROM embeddings),
+        |st AS (SELECT pos, min(val) AS mn, max(val) AS mx
+        |  FROM v GROUP BY pos)
+        |SELECT v.vec_id, CAST(v.pos - 1 AS INT) AS dim,
+        |  CAST(CASE WHEN st.mx = st.mn THEN 0
+        |       ELSE least(255, floor((CAST(v.val AS DOUBLE)
+        |         - CAST(st.mn AS DOUBLE))
+        |         / (CAST(st.mx AS DOUBLE) - CAST(st.mn AS DOUBLE)) * 256))
+        |       END AS BIGINT) AS code
+        |FROM v JOIN st USING (pos)
+        |ORDER BY vec_id, dim""".stripMargin,
 
     "q_embed_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

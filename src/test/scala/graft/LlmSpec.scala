@@ -410,6 +410,33 @@ class LlmSpec extends SparkSpec {
     })
   }
 
+  test("scalar quantization: codes in range, reconstruction within a cell, packed order") {
+    import graft.llm.Quantize
+    val q = Quantize.quantize8(embs, "vec_id", "embedding")
+    val stats = Quantize.dimStats(embs, "embedding")
+      .collect().map(r => r.getInt(0) -> (r.getFloat(1), r.getFloat(2))).toMap
+    val rows = q.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.forall { case (_, _, c) => c >= 0 && c <= 255 })
+    // reconstruction error bounded by half a quantization cell
+    val orig = embs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.foreach { case (id, dim, c) =>
+      val (mn, mx) = stats(dim)
+      val recon = mn + (c + 0.5) / 256.0 * (mx - mn)
+      val err = math.abs(recon - orig(id)(dim))
+      assert(err <= (mx - mn) / 512.0 + 1e-6,
+        s"id=$id dim=$dim code=$c err=$err")
+    }
+    // packed arrays follow dimension order
+    val packed = Quantize.packed(q, "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val byId = rows.groupBy(_._1)
+    packed.foreach { case (id, codes) =>
+      val expect = byId(id).sortBy(_._2).map(_._3).toSeq
+      assert(codes === expect)
+    }
+  }
+
   test("exact incremental dedup == naive new-x-corpus threshold pairs") {
     val newBatch = docs.filter(col("doc_id") % 10 === 0)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
