@@ -872,6 +872,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // LLM: deterministic proportional interleave (training curriculum
+    // order) — virtual time (k+1)/weight under a per-source md5 shuffle;
+    // sorting by it streams sources in weight proportion with no RNG and
+    // no shuffle buffer. vt in micro-units: fixed-order double math.
+    "q_interleave" -> ((s, dir) =>
+      Sampling.interleaveKey(table(s, dir, "documents"),
+          "doc_id", "source", Map("src0" -> 3.0, "src1" -> 1.0))
+        .select(col("doc_id"), col("source"), col("k"),
+          floor(col("__vt") * lit(1e6)).cast("long").as("vt_micro"))
+        .orderBy(col("doc_id"))),
+
     // LLM: Gopher/C4-style repetition signals — exact per-doc bigram
     // counts (total / distinct / top occurrence) from one sorted-array
     // fold; the duplicate- and top-n-gram fractions derive from these ints
@@ -1613,6 +1624,18 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
         |       ELSE '1999' END
         |ORDER BY doc_id""".stripMargin,
+
+    "q_interleave" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |      AS BIGINT) AS k
+        |  FROM documents)
+        |SELECT doc_id, source, k,
+        |  CAST(floor((CAST(k + 1 AS DOUBLE) /
+        |    CAST(CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0
+        |         ELSE 1.0 END AS DOUBLE)) * 1000000) AS BIGINT) AS vt_micro
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // bigrams via the window-lead pattern (single-space text); exact
     // integer counts per doc, zero-gram docs kept by the left join

@@ -39,4 +39,32 @@ object Sampling {
     }.otherwise(hashFilter(col(idCol), default))
     df.filter(keep)
   }
+
+  /** Deterministic proportional interleave (training curriculum order):
+    * give every row a virtual timestamp `(k+1) / weight`, where `k` is its
+    * rank within its stratum under a deterministic md5 shuffle — sorting by
+    * the timestamp yields a stream in which each stratum appears in
+    * proportion to its weight (weight 3 strata emit 3 rows for every 1 of
+    * a weight-1 stratum), with no RNG state and no shuffle buffer. The
+    * returned frame carries (`__vt` DOUBLE, `k` BIGINT); consumers
+    * `orderBy(__vt, stratum, k)` — Spark's orderBy range-partitions, so the
+    * global sort scales out; a contiguous global rank on top is `RowId`'s
+    * zipWithIndex. The per-stratum rank is ONE window per stratum
+    * (parallelism = #strata — the same per-shard shape as `packBins`;
+    * weights are a per-run literal map, so the virtual-time arithmetic is a
+    * fixed-order double expression, portable bit-for-bit). */
+  def interleaveKey(df: DataFrame, idCol: String, stratumCol: String,
+                    weights: Map[String, Double],
+                    default: Double = 1.0): DataFrame = {
+    require((weights.values.toSeq :+ default).forall(_ > 0),
+      "interleave weights must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val weight = weights.foldLeft(when(lit(false), lit(0.0))) {
+      case (acc, (stratum, wt)) => acc.when(col(stratumCol) === stratum, wt)
+    }.otherwise(lit(default))
+    df.withColumn("k", (row_number().over(w) - 1).cast("long"))
+      .withColumn("__vt", (col("k") + lit(1)).cast("double") / weight)
+  }
 }

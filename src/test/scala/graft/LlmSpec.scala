@@ -456,6 +456,31 @@ class LlmSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture should contain at least one true pair")
   }
 
+  test("interleave: any virtual-time prefix holds stratum counts in weight proportion") {
+    val df = spark.range(6000).select(col("id"),
+      concat(lit("src"), (col("id") % 3).cast("string")).as("source"))
+    val keyed = graft.ops.Sampling.interleaveKey(df, "id", "source",
+      Map("src0" -> 3.0, "src1" -> 1.0), default = 1.0)
+    val stream = keyed.orderBy(col("__vt"), col("source"), col("k"))
+      .select("source").collect().map(_.getString(0))
+    // prefix of stratum s with vt <= T is exactly min(n_s, floor(w_s * T)):
+    // check a few prefixes for 3:1:1 proportions (src0 has weight 3)
+    for (m <- Seq(500, 1000, 2500)) {
+      val counts = stream.take(m).groupBy(identity).view.mapValues(_.length)
+      val c0 = counts.getOrElse("src0", 0).toDouble
+      val c1 = counts.getOrElse("src1", 0).toDouble
+      val c2 = counts.getOrElse("src2", 0).toDouble
+      assert(math.abs(c0 / math.max(c1, 1) - 3.0) < 0.1, s"prefix $m: $counts")
+      assert(math.abs(c1 - c2) <= 2, s"prefix $m: $counts")
+    }
+    // deterministic: same input -> same order
+    val again = graft.ops.Sampling.interleaveKey(df, "id", "source",
+        Map("src0" -> 3.0, "src1" -> 1.0), default = 1.0)
+      .orderBy(col("__vt"), col("source"), col("k"))
+      .select("source").collect().map(_.getString(0))
+    assert(stream.sameElements(again))
+  }
+
   test("ngram repetition counts match a naive per-doc recount") {
     val fixture = Seq(
       (1L, "a b a b a b"),       // bigrams: [a b, b a, a b, b a, a b]
