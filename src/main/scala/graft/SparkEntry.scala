@@ -789,6 +789,14 @@ object SparkEntry {
           "doc_id", "text", "source")
         .orderBy(col("doc_id"))),
 
+    // LLM: sliding-window chunking — context-window prep (64-token chunks,
+    // 16-token overlap); every chunk past the first carries new tokens,
+    // short docs pass through whole. Narrow per-row explode, no shuffle.
+    "q_chunk_documents" -> ((s, dir) =>
+      TextFunctions.chunkDocuments(table(s, dir, "documents"),
+          "doc_id", "text", maxTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // LLM: sequence packing — contiguous fill into 256-token training bins
     // per source shard (keyed window cumsum, no global sort)
     "q_pack_sequences" -> ((s, dir) => {
@@ -1603,6 +1611,20 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
         |    / 256.0) AS BIGINT) AS bin
         |FROM sized ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n,
+        |    CAST(greatest(1, ceil((n - 16) / 48.0)) AS BIGINT) AS nc
+        |  FROM t),
+        |e AS (SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, nc - 1)) AS ci FROM c)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, ci * 48 + 1, ci * 48 + 64), ' ')
+        |    AS chunk_text,
+        |  CAST(least(64, n - ci * 48) AS BIGINT) AS n_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_sample_hash" ->
       """SELECT doc_id FROM documents

@@ -169,6 +169,37 @@ object TextFunctions {
         "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
       "[0-9]{7,}", "<NUMBER>")
 
+  /** Sliding-window document chunking — the context-window preparation
+    * step every LLM data pipeline runs on long documents: split each text
+    * into word chunks of `maxTokens` with `overlap` tokens carried between
+    * consecutive chunks (stride = maxTokens − overlap). Chunk count is
+    * max(1, ⌈(n − overlap) / stride⌉), so every chunk past the first
+    * contributes at least one new token (no fully-redundant tail chunk)
+    * and short documents come through as a single chunk.
+    *
+    * Narrow per-row work: one bound-token transform + explode over the
+    * chunk indexes; no shuffle, parallelism is the source partitioning.
+    * Output: (idCol, chunk_idx, chunk_text, n_tokens). */
+  def chunkDocuments(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, maxTokens: Int,
+                     overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && maxTokens > overlap,
+      s"need maxTokens ($maxTokens) > overlap ($overlap) >= 0")
+    val stride = maxTokens - overlap
+    df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        greatest(lit(1),
+          ceil((col("__n") - lit(overlap)) / lit(stride.toDouble)))
+          .cast("int") - 1)))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"),
+          col("chunk_idx") * stride + 1, lit(maxTokens)), " ")
+          .as("chunk_text"),
+        least(lit(maxTokens), col("__n") - col("chunk_idx") * stride)
+          .cast("long").as("n_tokens"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget training
     * bins by contiguous fill — doc d lands in bin ⌊(prefix-sum of weights
     * before d) / budget⌋ under a deterministic per-group order. One keyed

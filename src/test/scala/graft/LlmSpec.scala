@@ -456,6 +456,35 @@ class LlmSpec extends SparkSpec {
     assert(naive.nonEmpty, "fixture should contain at least one true pair")
   }
 
+  test("chunking: coverage, overlap, and reassembly invariants") {
+    val fixture = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens
+      (2L, "a b c"),                                   // short: one chunk
+      (3L, (1 to 48).map(i => s"x$i").mkString(" "))   // exactly one stride
+    ).toDF("id", "text")
+    val out = TextFunctions.chunkDocuments(fixture, "id", "text", 16, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2))
+    val byId = out.groupBy(_._1)
+    // doc 1: stride 12, n=100 -> ceil(96/12) = 8 chunks
+    assert(byId(1L).length === 8)
+    // every chunk <= 16 tokens; consecutive chunks overlap by exactly 4
+    // (except a shorter tail); reassembling first 12 tokens of each chunk
+    // plus the last chunk's tail reproduces the document
+    val toks1 = (1 to 100).map(i => s"w$i")
+    byId(1L).foreach { case (_, ci, text, n) =>
+      val words = text.split(" ")
+      assert(words.length <= 16 && words.length == n)
+      assert(words.toSeq === toks1.slice(ci * 12, ci * 12 + words.length))
+    }
+    val rebuilt = byId(1L).init.flatMap(_._3.split(" ").take(12)) ++
+      byId(1L).last._3.split(" ")
+    assert(rebuilt.toSeq === toks1)
+    assert(byId(2L).map(t => (t._2, t._3)).toSeq === Seq((0, "a b c")))
+    // n=48: ceil(44/12) = 4 chunks, last starts at 36, 12 tokens
+    assert(byId(3L).length === 4 && byId(3L).last._4 === 12L)
+  }
+
   test("interleave: any virtual-time prefix holds stratum counts in weight proportion") {
     val df = spark.range(6000).select(col("id"),
       concat(lit("src"), (col("id") % 3).cast("string")).as("source"))
