@@ -244,4 +244,36 @@ class StreamingSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toList.sorted
     assert(indexedAfter === List(1L, 11L, 22L))
   }
+
+  test("quality-gated ingest routes failing batches to quarantine and keeps a metrics ledger") {
+    import graft.quality.Expectations._
+    val src = java.nio.file.Files.createTempDirectory("graft_qg_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_qg_out").toString
+    val quar = java.nio.file.Files.createTempDirectory("graft_qg_quar").toString
+    val met = java.nio.file.Files.createTempDirectory("graft_qg_met").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_qg_chk").toString
+    val exps = Seq(
+      Expectation("id_complete", Completeness("id"), 1.0, 1.0),
+      Expectation("score_band", MeanOf("score"), 0.0, 100.0))
+    // batch 1: clean
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score")
+      .write.mode("append").parquet(src)
+    val q = graft.streaming.QualityStream.gatedIngest(
+      spark, src, out, quar, met, chk, exps).start()
+    q.processAllAvailable()
+    // batch 2: a null id -> completeness fails -> whole batch quarantined
+    Seq((Some(3L), 30.0), (None, 40.0))
+      .toDF("id", "score")
+      .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(out).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(spark.read.parquet(quar).count() === 2)
+    val ledger = spark.read.parquet(met)
+      .select("batch_id", "name", "pass").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(ledger.size === 4) // 2 batches x 2 expectations
+    assert(ledger.filter(_._3 == false).map(_._2) === Set("id_complete"))
+  }
 }
