@@ -491,6 +491,20 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // As-of join with tolerance (pandas merge_asof parity) — matches
+    // further than 30 days from the event are treated as no match
+    "q_asof_tolerance" -> ((s, dir) => {
+      val latestPerDate = table(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      AsOfJoin.asofLeftJoin(
+          table(s, dir, "events").select("event_id", "user_id", "ts"),
+          latestPerDate, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("o_orderkey"), toleranceSeconds = Some(30L * 86400))
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // As-of join, forward direction — each event matched to the customer's
     // earliest order at or after the event time
     "q_asof_forward" -> ((s, dir) => {
@@ -1327,6 +1341,19 @@ object SparkEntry {
         |    max(o_orderkey) AS o_orderkey
         |  FROM orders GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, r.o_orderkey
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_tolerance" ->
+      """WITH r AS (SELECT o_custkey, o_orderdate,
+        |    max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN r.o_orderdate IS NOT NULL
+        |       AND abs(epoch_us(e.ts) - epoch_us(r.o_orderdate))
+        |         <= 2592000000000
+        |       THEN r.o_orderkey END AS o_orderkey
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         |ORDER BY event_id""".stripMargin,

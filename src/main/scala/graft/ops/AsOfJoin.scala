@@ -25,20 +25,34 @@ object AsOfJoin {
     * the default — or at-or-after — `"forward"` — the left timestamp).
     * A payload name that collides with a left column is emitted with a
     * `_right` suffix (underscores appended until unique), SQL-join style —
-    * the left column always survives untouched. */
+    * the left column always survives untouched.
+    *
+    * `toleranceSeconds` (pandas `merge_asof` parity): a match further than
+    * the tolerance from the left timestamp is treated as no match — its
+    * payload comes back null. Implemented by carrying the matched right
+    * timestamp through the same window as the payload and nulling
+    * out-of-tolerance rows afterwards, so the plan shape (one shuffle, one
+    * per-key sort) is unchanged. */
   def asofLeftJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String,
                    leftTs: String, rightTs: String,
                    payload: Seq[String],
-                   direction: String = "backward"): DataFrame = {
+                   direction: String = "backward",
+                   toleranceSeconds: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    require(toleranceSeconds.forall(_ >= 0), "tolerance must be >= 0")
     val leftCols = left.columns.toSeq
+    // tolerance needs the matched right timestamp: ride it through the
+    // carry window as one more (internal) payload column
+    val matchTs = "__graft_mts"
+    val payloadAll =
+      if (toleranceSeconds.isDefined) payload :+ matchTs else payload
     // output name per payload column: auto-deconflict against left names
     // and against the other payload output names
     val outName: Map[String, String] = {
       var taken = leftCols.toSet
-      payload.map { c =>
+      payloadAll.map { c =>
         var n = if (taken.contains(c)) c + "_right" else c
         while (taken.contains(n)) n = n + "_"
         taken += n
@@ -49,7 +63,7 @@ object AsOfJoin {
       .withColumn("__graft_key", col(leftKey))
       .withColumn("__graft_ts", col(leftTs))
       .withColumn("__graft_is_left", lit(1))
-    val lPadded = payload.foldLeft(l)((df, c) =>
+    val lPadded = payloadAll.foldLeft(l)((df, c) =>
       df.withColumn(s"__graft_p_$c", lit(null)))
     // a NULL right timestamp can never satisfy ts <= / >= anything (ASOF
     // semantics; DuckDB agrees) — but unfiltered it would sort first and
@@ -58,13 +72,14 @@ object AsOfJoin {
       .withColumn("__graft_key", col(rightKey))
       .withColumn("__graft_ts", col(rightTs))
       .withColumn("__graft_is_left", lit(0))
-    val rProjected = payload.foldLeft(r)((df, c) =>
+      .withColumn(matchTs, col(rightTs))
+    val rProjected = payloadAll.foldLeft(r)((df, c) =>
         df.withColumn(s"__graft_p_$c", col(c)))
       .select(("__graft_key" +: "__graft_ts" +: "__graft_is_left" +:
-        payload.map(c => s"__graft_p_$c")).map(col): _*)
+        payloadAll.map(c => s"__graft_p_$c")).map(col): _*)
     val lProjected = lPadded.select(
       (leftCols ++ Seq("__graft_key", "__graft_ts", "__graft_is_left") ++
-        payload.map(c => s"__graft_p_$c")).map(col): _*)
+        payloadAll.map(c => s"__graft_p_$c")).map(col): _*)
     val unioned = lProjected.unionByName(rProjected,
       allowMissingColumns = true)
     // backward: right rows sort before left rows at equal ts and the most
@@ -78,18 +93,28 @@ object AsOfJoin {
         val w = Window.partitionBy(col("__graft_key"))
           .orderBy(col("__graft_ts"), col("__graft_is_left"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        payload.foldLeft(unioned)((df, c) =>
+        payloadAll.foldLeft(unioned)((df, c) =>
           df.withColumn(outName(c),
             last(col(s"__graft_p_$c"), ignoreNulls = true).over(w)))
       } else {
         val w = Window.partitionBy(col("__graft_key"))
           .orderBy(col("__graft_ts"), col("__graft_is_left").desc)
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        payload.foldLeft(unioned)((df, c) =>
+        payloadAll.foldLeft(unioned)((df, c) =>
           df.withColumn(outName(c),
             first(col(s"__graft_p_$c"), ignoreNulls = true).over(w)))
       }
-    carried.filter(col("__graft_is_left") === 1)
-      .select((leftCols ++ payload.map(outName)).map(col): _*)
+    val kept = carried.filter(col("__graft_is_left") === 1)
+    val toleranced = toleranceSeconds match {
+      case None => kept
+      case Some(tol) =>
+        val inTol = col(outName(matchTs)).isNotNull &&
+          abs(unix_micros(col("__graft_ts").cast("timestamp")) -
+            unix_micros(col(outName(matchTs)).cast("timestamp"))) <=
+            tol * 1000000L
+        payload.foldLeft(kept)((df, c) =>
+          df.withColumn(outName(c), when(inTol, col(outName(c)))))
+    }
+    toleranced.select((leftCols ++ payload.map(outName)).map(col): _*)
   }
 }

@@ -148,6 +148,22 @@ class OpsSpec extends SparkSpec {
         "k", "rk", "t", "rt", Seq("v")).orderBy("eid").collect()
     assert(guarded.map(r => Option(r.getString(3))).toSeq ===
       Seq(Some("b"), Some("a"), None, None))
+    // tolerance: eid=1 matched "b" 2 days back — a 1-day tolerance nulls
+    // it, a 3-day tolerance keeps it; exact-ts matches always survive
+    val tight = ops.AsOfJoin.asofLeftJoin(left, right, "k", "rk", "t", "rt",
+        Seq("v"), toleranceSeconds = Some(86400L)).orderBy("eid").collect()
+    assert(tight.map(r => Option(r.getString(3))).toSeq ===
+      Seq(None, Some("a"), None, None))
+    val loose = ops.AsOfJoin.asofLeftJoin(left, right, "k", "rk", "t", "rt",
+        Seq("v"), toleranceSeconds = Some(3L * 86400)).orderBy("eid").collect()
+    assert(loose.map(r => Option(r.getString(3))).toSeq ===
+      Seq(Some("b"), Some("a"), None, None))
+    // forward + tolerance
+    val fwdTol = ops.AsOfJoin.asofLeftJoin(left, right, "k", "rk", "t", "rt",
+        Seq("v"), direction = "forward", toleranceSeconds = Some(86400L))
+      .orderBy("eid").collect()
+    assert(fwdTol.map(r => Option(r.getString(3))).toSeq ===
+      Seq(None, Some("a"), None, None))
   }
 
   test("AsOfJoin auto-renames a payload column that collides with the left") {
