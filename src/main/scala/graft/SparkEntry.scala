@@ -905,6 +905,19 @@ object SparkEntry {
           floor(col("__vt") * lit(1e6)).cast("long").as("vt_micro"))
         .orderBy(col("doc_id"))),
 
+    // LLM: fixed-size stratified sample — EXACTLY 30 docs per source,
+    // deterministic md5 order, via the native bounded-heap top-k (only
+    // <= k rows per key per partition reach the shuffle; no window sort)
+    "q_sample_fixed_per_stratum" -> ((s, dir) => {
+      val keyed = table(s, dir, "documents").select(
+        col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("h"))
+      BestMatch.topKPerKeyNative(keyed, Seq("source"),
+          Seq("h" -> true, "doc_id" -> true), 30, "rank")
+        .select(col("doc_id"), col("source"), col("rank"))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM: Gopher/C4-style repetition signals — exact per-doc bigram
     // counts (total / distinct / top occurrence) from one sorted-array
     // fold; the duplicate- and top-n-gram fractions derive from these ints
@@ -1672,6 +1685,14 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |  CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
         |       ELSE '1999' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_fixed_per_stratum" ->
+      """SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rank
+        |FROM documents
+        |QUALIFY rank <= 30
         |ORDER BY doc_id""".stripMargin,
 
     "q_interleave" ->
