@@ -2,7 +2,7 @@ package graft
 
 import graft.Util.{spread, table}
 import graft.io.QualtricsReader
-import graft.llm.{CorpusHygiene, Dedup, Multimodal, Quantize, Similarity, TextFunctions}
+import graft.llm.{CorpusHygiene, Dedup, Mixture, Multimodal, Quantize, Similarity, TextFunctions}
 import graft.ops._
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -469,6 +469,27 @@ object SparkEntry {
         .select(col("purchase_id"), col("click_id"))
         .orderBy(col("purchase_id"), col("click_id"))),
 
+    // Product-analytics: ordered-stage funnel — one groupBy(user) + an
+    // ordered fold (no per-stage join passes); the oracle replays the same
+    // semantics as a chain of min-after-previous-stage CTEs
+    "q_funnel" -> ((s, dir) =>
+      Funnel.funnel(table(s, dir, "events"), "user_id", "event_type",
+          "ts", "event_id", Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("stage_idx"))),
+
+    // Product-analytics: per-user step transition counts (Markov edges) —
+    // one window shuffle on the user key
+    "q_event_transitions" -> ((s, dir) =>
+      Funnel.transitions(table(s, dir, "events"), "user_id", "event_type",
+          "ts", "event_id")
+        .orderBy(col("prev_type"), col("next_type"))),
+
+    // Product-analytics: weekly cohort retention — distinct (user, week)
+    // bounds every shuffle to users x active-weeks
+    "q_retention" -> ((s, dir) =>
+      Funnel.retention(table(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     // Range join — same-user event pairs within 5 minutes, binned into an
     // equi-join (3x replication) instead of a quadratic theta join; the
     // oracle is the naive inequality join
@@ -645,6 +666,22 @@ object SparkEntry {
       Quantize.quantize8(spread(table(s, dir, "embeddings"), "vec_id"),
           "vec_id", "embedding")
         .orderBy(col("vec_id"), col("dim"))),
+
+    // LLM: per-label embedding centroids (IVF coarse-quantizer / class
+    // prototype building block) — shuffle carries labels x dim partial
+    // sums, independent of corpus size
+    "q_embed_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(table(s, dir, "embeddings"), "label",
+          "embedding")
+        .orderBy(col("label"), col("pos"))),
+
+    // LLM: temperature-scaled source mixture weights (alpha = 0.5) — the
+    // standard multi-source pretraining sampling recipe; one corpus
+    // aggregate, normalization windows run over stratum-count rows
+    "q_mixture_weights" -> ((s, dir) =>
+      Mixture.mixtureWeights(table(s, dir, "documents"), "source",
+          Mixture.tokenCount(col("text")), alpha = 0.5)
+        .orderBy(col("source"))),
 
     // LLM: LSH-bucketed ANN pairs (rows-only; recall tested vs brute force).
     // The synthetic embeddings are fully random (max pairwise cosine ~0.5),
@@ -1379,6 +1416,67 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN r
         |  ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
         |ORDER BY event_id""".stripMargin,
+
+    // min-after-previous-stage CTE chain == the ordered fold (timestamps
+    // are unique per user in this data, so strictly-after in ts order and
+    // strictly-after in (ts, event_id) order coincide)
+    "q_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+        |    WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |    JOIN s0 ON e.user_id = s0.user_id
+        |    WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |    JOIN s1 ON e.user_id = s1.user_id
+        |    WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |    JOIN s2 ON e.user_id = s2.user_id
+        |    WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 0 AS stage_idx, 'signup' AS stage,
+        |    (SELECT count(*) FROM s0) AS n_users
+        |  UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY stage_idx""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH x AS (SELECT event_type AS prev_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT prev_type, next_type, count(*) AS n_pairs
+        |FROM x WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+        |c AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY 1)
+        |SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', c.cw, wk.w) / 7 AS INT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM wk JOIN c ON wk.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_embed_centroids" ->
+      """SELECT label, pos, round(avg(v), 6) AS centroid
+        |FROM (SELECT label, unnest(embedding)::DOUBLE AS v,
+        |        generate_subscripts(embedding, 1) AS pos FROM embeddings) u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_mixture_weights" ->
+      """WITH t AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |n AS (SELECT source, n_tokens,
+        |    n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS p,
+        |    power(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 0.5) AS w
+        |  FROM t)
+        |SELECT source, n_tokens, round(p, 6) AS p_natural,
+        |  round(w / sum(w) OVER (), 6) AS weight,
+        |  round(w / sum(w) OVER () / p, 6) AS boost
+        |FROM n ORDER BY source""".stripMargin,
 
     "q_sessionize" ->
       """WITH m AS (

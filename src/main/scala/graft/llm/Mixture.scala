@@ -1,0 +1,45 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-mixture weighting: temperature-scaled source sampling weights,
+  * the standard recipe for balancing a multi-source pretraining corpus
+  * (w_i proportional to p_i^alpha, alpha in (0,1] upweights small sources; alpha = 1
+  * is natural proportion). Used to drive samplers like
+  * `graft.ops.Sampling.interleaveKey` with per-source rates.
+  */
+object Mixture {
+
+  /** Per-stratum temperature-scaled mixture weights. `sizeExpr` is the
+    * size measure summed per stratum (token counts for an LLM mixture).
+    * Output per stratum: raw size, natural share p, alpha-scaled sampling
+    * weight, and boost = weight/p (the effective over/under-sampling
+    * factor, > 1 for upweighted small strata).
+    *
+    * Scale shape: one map-side-combined aggregate over the corpus; the
+    * global windows that normalize shares run over the AGGREGATED frame
+    * (one row per stratum — dozens, not documents), so the single-partition
+    * window is a driver-scale detail, not a data-scale one. Shares are
+    * rounded to 6 dp to make the doubles stable across engines.
+    */
+  def mixtureWeights(df: DataFrame, stratumCol: String, sizeExpr: Column,
+                     alpha: Double): DataFrame = {
+    require(alpha > 0, s"alpha=$alpha must be > 0")
+    val byStratum = df.groupBy(col(stratumCol))
+      .agg(sum(sizeExpr).cast("long").as("n_tokens"))
+    val all = Window.partitionBy()
+    byStratum
+      .withColumn("__p", col("n_tokens") / sum(col("n_tokens")).over(all))
+      .withColumn("__w", pow(col("__p"), lit(alpha)))
+      .select(col(stratumCol), col("n_tokens"),
+        round(col("__p"), 6).as("p_natural"),
+        round(col("__w") / sum(col("__w")).over(all), 6).as("weight"),
+        round(col("__w") / sum(col("__w")).over(all) / col("__p"), 6)
+          .as("boost"))
+  }
+
+  /** Whitespace token count — the mixture's default size measure. */
+  def tokenCount(text: Column): Column = size(split(text, " ")).cast("long")
+}

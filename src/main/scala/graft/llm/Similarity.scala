@@ -190,4 +190,16 @@ object Similarity {
       .withColumnRenamed("__graft_rank", "rank")
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** Per-label centroids as (label, pos, centroid) rows — the building
+    * block for IVF coarse quantizers, class prototypes, and drift checks.
+    * posexplode + a map-side-combined (label, pos) average: the shuffle
+    * carries labels x dim partial sums, independent of corpus size. `pos`
+    * is 1-based (SQL subscript convention); values are averaged in double
+    * and rounded to 6 dp for cross-engine stability. */
+  def labelCentroids(emb: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame =
+    emb.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(labelCol), (col("pos") + 1).as("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
 }

@@ -567,4 +567,35 @@ class LlmSpec extends SparkSpec {
     // sample is a filter: every kept row existed upstream
     assert(ids1.forall(_ < 20000))
   }
+
+  test("mixture weights: alpha=1 is natural share, alpha<1 boosts small strata") {
+    val df = Seq(("big", "a b c d e f g h"), ("big", "a b c d e f g h"),
+      ("small", "a b")).toDF("source", "text")
+    val nat = graft.llm.Mixture.mixtureWeights(df, "source",
+        graft.llm.Mixture.tokenCount(col("text")), alpha = 1.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // alpha=1: weight == p, boost == 1
+    assert(nat("big")._1 === 16L && nat("small")._1 === 2L)
+    assert(math.abs(nat("big")._3 - nat("big")._2) < 1e-9)
+    assert(math.abs(nat("small")._4 - 1.0) < 1e-9)
+    val cool = graft.llm.Mixture.mixtureWeights(df, "source",
+        graft.llm.Mixture.tokenCount(col("text")), alpha = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // temperature < 1 shifts mass to the small stratum
+    assert(cool("small")._1 > nat("small")._3 && cool("small")._2 > 1.0)
+    assert(cool("big")._2 < 1.0)
+    // weights still sum to 1
+    assert(math.abs(cool.values.map(_._1).sum - 1.0) < 1e-5)
+  }
+
+  test("label centroids average per position in double") {
+    val df = Seq((0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)),
+      (1, Seq(10.0f, 20.0f))).toDF("label", "embedding")
+    val out = graft.llm.Similarity.labelCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out === Map((0, 1) -> 2.0, (0, 2) -> 4.0,
+      (1, 1) -> 10.0, (1, 2) -> 20.0))
+  }
 }

@@ -357,4 +357,63 @@ class OpsSpec extends SparkSpec {
     assert(Dashboard.selectAnyOf(df, Seq("y", "missing", "x"))
       .columns.toSeq === Seq("y", "x"))
   }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("Funnel stages must occur strictly in order") {
+    val events = Seq(
+      // u1 completes signup -> view -> buy in order
+      (1L, "signup", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "view",   ts("2024-01-01 10:05:00"), 2L),
+      (1L, "buy",    ts("2024-01-01 10:10:00"), 3L),
+      // u2's view happened BEFORE signup: stalls at signup
+      (2L, "view",   ts("2024-01-01 09:00:00"), 4L),
+      (2L, "signup", ts("2024-01-01 09:30:00"), 5L),
+      (2L, "buy",    ts("2024-01-01 09:45:00"), 6L),
+      // u3 never signs up: contributes to no stage
+      (3L, "view",   ts("2024-01-01 08:00:00"), 7L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Funnel.funnel(events, "user_id", "event_type", "ts",
+        "event_id", Seq("signup", "view", "buy"))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((0, "signup", 2L), (1, "view", 1L),
+      (2, "buy", 1L)))
+  }
+
+  test("Funnel emits zero-user tail stages") {
+    val events = Seq((1L, "signup", ts("2024-01-01 10:00:00"), 1L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Funnel.funnel(events, "user_id", "event_type", "ts",
+        "event_id", Seq("signup", "view")).orderBy("stage_idx").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(1L, 0L))
+  }
+
+  test("Funnel transitions count ordered (prev, next) pairs per user") {
+    val events = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 10:01:00"), 2L),
+      (1L, "a", ts("2024-01-01 10:02:00"), 3L),
+      (2L, "a", ts("2024-01-01 10:00:00"), 4L),
+      (2L, "b", ts("2024-01-01 10:01:00"), 5L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Funnel.transitions(events, "user_id", "event_type", "ts",
+        "event_id").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out === Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+  }
+
+  test("Funnel retention buckets users by first-event week") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // Monday, cohort week 1
+      (1L, ts("2024-01-09 10:00:00")), // week offset 1
+      (1L, ts("2024-01-22 10:00:00")), // week offset 3 (week 2 skipped)
+      (2L, ts("2024-01-10 10:00:00"))  // cohort week of Jan 8
+    ).toDF("user_id", "ts")
+    val out = Funnel.retention(events, "user_id", "ts").collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(out === Map(
+      ("2024-01-01", 0) -> 1L, ("2024-01-01", 1) -> 1L,
+      ("2024-01-01", 3) -> 1L, ("2024-01-08", 0) -> 1L))
+  }
 }
