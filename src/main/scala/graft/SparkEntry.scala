@@ -490,6 +490,27 @@ object SparkEntry {
       Funnel.retention(table(s, dir, "events"), "user_id", "ts")
         .orderBy(col("cohort_week"), col("week_offset"))),
 
+    // Time-series: per-user daily counts with zero-filled calendar gaps —
+    // the scaffold explode is bounded by each key's day span
+    "q_resample_daily" -> ((s, dir) =>
+      TimeSeries.resampleDaily(table(s, dir, "events"), "user_id", "ts")
+        .orderBy(col("user_id"), col("day"))),
+
+    // Time-series: calendar-anchored trailing 7-day rolling sum (RANGE
+    // frame over epoch-day numbers — missing days still age values out,
+    // unlike a ROWS frame); DECIMAL through the frame sum, DOUBLE at the
+    // edge
+    "q_rolling_range" -> ((s, dir) =>
+      TimeSeries.rollingDailySum(table(s, dir, "events"), "user_id", "ts",
+          "value", days = 7)
+        .orderBy(col("user_id"), col("day"))),
+
+    // Product-analytics: most-common session paths (30-min inactivity gap,
+    // same rule as q_sessionize), deterministic (count desc, path) top-20
+    "q_session_paths" -> ((s, dir) =>
+      Funnel.sessionPaths(table(s, dir, "events"), "user_id", "event_type",
+        "ts", "event_id")),
+
     // Range join — same-user event pairs within 5 minutes, binned into an
     // equi-join (3x replication) instead of a quadratic theta join; the
     // oracle is the naive inequality join
@@ -1458,6 +1479,47 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM wk JOIN c ON wk.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_resample_daily" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    count(*) AS n FROM events GROUP BY 1, 2),
+        |s AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM d GROUP BY 1),
+        |g AS (SELECT user_id,
+        |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM s)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        |  coalesce(d.n, 0) AS n_events
+        |FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_rolling_range" ->
+      """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS dv,
+        |    date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts)
+        |      AS DATE)) AS dayno
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(dv AS DOUBLE) AS day_value,
+        |  CAST(sum(dv) OVER (PARTITION BY user_id ORDER BY dayno
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS rolling_value
+        |FROM d ORDER BY 1, 2""".stripMargin,
+
+    "q_session_paths" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, event_type, ts, event_id,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |p AS (SELECT user_id, sid,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM s GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     "q_embed_centroids" ->
       """SELECT label, pos, round(avg(v), 6) AS centroid

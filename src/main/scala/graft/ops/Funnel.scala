@@ -74,6 +74,36 @@ object Funnel {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Most-common session paths: events are sessionized by an inactivity
+    * gap (`gapMicros`, strictly-greater starts a new session — same rule
+    * as `EventsStream.sessionize`), each session is rendered as its
+    * `'>'`-joined event-type sequence, and the `topN` most frequent paths
+    * are returned with a deterministic (count desc, path) tiebreak.
+    * Two window passes + two aggregates, all partitioned by the user key;
+    * the final top-N is a bounded sort over distinct paths only.
+    * Output: (path, n_sessions). */
+  def sessionPaths(events: DataFrame, userCol: String, typeCol: String,
+                   tsCol: String, orderCol: String,
+                   gapMicros: Long = 1800000000L, topN: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(orderCol))
+    val sid = events
+      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__new",
+        when(lag(col("__us"), 1).over(w).isNull ||
+          col("__us") - lag(col("__us"), 1).over(w) > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("__sid", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sid.groupBy(col(userCol), col("__sid"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(tsCol).as("ts"),
+          col(orderCol).as("ord"), col(typeCol).as("t")))),
+        e => e("t")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Weekly cohort retention: users grouped by the week of their first
     * event; for each (cohort_week, week_offset), how many of that cohort
     * were active offset weeks later. Two aggregates + one equi-join on the

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series shaping: calendar resampling with zero-filled gaps and
+  * gap-aware RANGE-frame rolling aggregates. Complements `q_window_frame`'s
+  * ROWS frame: a ROWS frame over daily rows silently narrows when days are
+  * missing, while the RANGE frame here is anchored to the calendar.
+  */
+object TimeSeries {
+
+  /** Per-key daily activity with missing days zero-filled between each
+    * key's first and last active day. The scaffold is built per key with
+    * `sequence()` — its explode is bounded by each key's day span (not the
+    * corpus), and the fill join is an equi-join on (key, day), so nothing
+    * here is quadratic. Day is rendered as yyyy-MM-dd text (engines
+    * disagree on DATE round-trip types). Output: (keyCol, day, n_events).
+    */
+  def resampleDaily(events: DataFrame, keyCol: String,
+                    tsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val scaffold = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col(keyCol),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
+          .as("day"))
+    scaffold.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  /** Calendar-anchored rolling sum: per key, the sum of `valueExpr` over
+    * the trailing `days`-day window INCLUDING missing days (RANGE frame
+    * over the epoch-day number, so a 7-day window spans 7 calendar days
+    * regardless of how many of them had data). Money-style values must be
+    * pre-aggregated through DECIMAL by the caller for exactness; this
+    * operator's own math is frame-sum over the per-day rows. One window
+    * shuffle on the key. Output: (keyCol, day, day_value, rolling_value).
+    */
+  def rollingDailySum(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, days: Int): DataFrame = {
+    require(days >= 1, s"days=$days must be >= 1")
+    val daily = events
+      .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__dv"))
+      .withColumn("__dayno", datediff(col("day"), lit("1970-01-01")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__dayno"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    daily
+      .withColumn("__rv", sum(col("__dv")).over(w))
+      // DECIMAL all the way through the frame sum, DOUBLE only at the edge:
+      // exact and partial-agg-order-independent on both engines
+      .select(col(keyCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("__dv").cast("double").as("day_value"),
+        col("__rv").cast("double").as("rolling_value"))
+  }
+}

@@ -403,6 +403,47 @@ class OpsSpec extends SparkSpec {
     assert(out === Map(("a", "b") -> 2L, ("b", "a") -> 1L))
   }
 
+  test("TimeSeries resampleDaily zero-fills interior gaps only") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 15:00:00")), // same day: counts as 2
+      (1L, ts("2024-01-03 10:00:00")), // Jan 2 missing -> zero-filled
+      (2L, ts("2024-02-05 09:00:00"))  // single-day key: no scaffold rows
+    ).toDF("user_id", "ts")
+    val out = TimeSeries.resampleDaily(events, "user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (1L, "2024-01-01") -> 2L, (1L, "2024-01-02") -> 0L,
+      (1L, "2024-01-03") -> 1L, (2L, "2024-02-05") -> 1L))
+  }
+
+  test("TimeSeries rollingDailySum RANGE frame ages values out across gaps") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-03 10:00:00"), 5.0),
+      // 9 days later: the 7-day window no longer contains Jan 1/3 — a ROWS
+      // frame (which just takes 2 preceding rows) would wrongly keep both
+      (1L, ts("2024-01-12 10:00:00"), 2.0)
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.rollingDailySum(events, "user_id", "ts", "value", 7)
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(out === Map("2024-01-01" -> 10.0, "2024-01-03" -> 15.0,
+      "2024-01-12" -> 2.0))
+  }
+
+  test("Funnel sessionPaths splits on the gap and orders paths in time") {
+    val events = Seq(
+      (1L, "a", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "b", ts("2024-01-01 10:10:00"), 2L), // same session: a>b
+      (1L, "a", ts("2024-01-01 12:00:00"), 3L), // > 30 min gap: new session
+      (2L, "a", ts("2024-01-01 10:00:00"), 4L),
+      (2L, "b", ts("2024-01-01 10:05:00"), 5L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = Funnel.sessionPaths(events, "user_id", "event_type", "ts",
+        "event_id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a>b", 2L), ("a", 1L)))
+  }
+
   test("Funnel retention buckets users by first-event week") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")), // Monday, cohort week 1
