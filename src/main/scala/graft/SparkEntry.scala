@@ -374,6 +374,62 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_last,
           col("o_orderpriority").asc_nulls_last)),
 
+    // Grouping sets: the explicit subtotal-combination form (cube/rollup
+    // are its sugar); grouping() flags disambiguate subtotal rows from
+    // real NULL groups
+    "q_grouping_sets" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("graft_orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority,
+              |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+              |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+              |  count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |    AS total
+              |FROM graft_orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+              |  (o_orderstatus), (o_orderpriority))
+              |ORDER BY g_status, g_priority, o_orderstatus,
+              |  o_orderpriority""".stripMargin)
+    }),
+
+    // Unpivot / melt — wide measures to long (variable, value) rows; the
+    // inverse of q_pivot. Narrow per-row transform, no shuffle at all.
+    "q_unpivot" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount"),
+            col("tax")),
+          "measure", "val")),
+
+    // Ordered string aggregation (LISTAGG): deterministic via sort-first,
+    // independent of partial-agg arrival order
+    "q_listagg" -> ((s, dir) =>
+      table(s, dir, "nation")
+        .join(broadcast(table(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), "|")
+          .as("nations"))
+        .orderBy(col("r_name"))),
+
+    // Correlation / regression aggregates per group — value vs time-of-day
+    // (days since epoch keeps the co-moment arithmetic well-conditioned);
+    // both engines use numerically-stable co-moment updates, and the
+    // result is rounded before the driver's 4-dp canonicalization
+    "q_corr_stats" -> ((s, dir) =>
+      table(s, dir, "events")
+        .withColumn("__day", expr("unix_micros(ts)") / lit(86400e6))
+        .groupBy(col("event_type"))
+        .agg(round(corr(col("value"), col("__day")), 6).as("corr_vt"),
+          round(regr_slope(col("value"), col("__day")), 6).as("slope_vt"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
     // Statistical anomaly detection over aggregates: days whose event
     // count deviates from the type's mean by more than 2 standard
     // deviations. The z² test is done in EXACT integer arithmetic —
@@ -1479,6 +1535,41 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM wk JOIN c ON wk.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority))
+        |ORDER BY g_status, g_priority, o_orderstatus,
+        |  o_orderpriority""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+        |  CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice',
+        |  CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'discount',
+        |  CAST(l_discount AS DOUBLE) FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'tax',
+        |  CAST(l_tax AS DOUBLE) FROM lineitem""".stripMargin,
+
+    "q_listagg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, '|' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_corr_stats" ->
+      """SELECT event_type,
+        |  round(corr(value, epoch_us(ts) / 86400e6), 6) AS corr_vt,
+        |  round(regr_slope(value, epoch_us(ts) / 86400e6), 6) AS slope_vt,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_resample_daily" ->
       """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day,
