@@ -1008,6 +1008,15 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // LLM: importance (soft) sampling — keep-rate proportional to doc
+    // length with a 0.1 floor, decided by the deterministic md5 cut
+    // (monotone in the rate, so curation thresholds tune without churn)
+    "q_importance_sample" -> ((s, dir) =>
+      Sampling.importanceSample(table(s, dir, "documents"), "doc_id",
+          least(lit(1.0), greatest(lit(0.1), col("n_chars") / lit(400.0))))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     // LLM: deterministic proportional interleave (training curriculum
     // order) — virtual time (k+1)/weight under a per-source md5 shuffle;
     // sorting by it streams sources in weight proportion with no RNG and
@@ -1936,6 +1945,16 @@ object SparkEntry {
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
         |  CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '4000'
         |       ELSE '1999' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_importance_sample" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    least(1.0, greatest(0.1, n_chars / 400.0)) AS rate
+        |  FROM documents)
+        |SELECT doc_id, source FROM r
+        |WHERE rate >= 1.0
+        |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |      printf('%04x', CAST(floor(rate * 65536) AS INT))
         |ORDER BY doc_id""".stripMargin,
 
     "q_sample_fixed_per_stratum" ->

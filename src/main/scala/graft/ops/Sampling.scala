@@ -40,6 +40,23 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Importance (soft) sampling: keep each row with probability `rate`
+    * (a per-row column in [0,1], clamped), decided by the same
+    * deterministic md5 cut as `hashFilter` — so the keep decision is
+    * reproducible, engine-portable, and MONOTONE in the rate: a row kept
+    * at rate r stays kept at any higher rate (same hash, higher cut),
+    * which makes curation thresholds tunable without resampling churn.
+    * This is the "soft quality filter" shape: map a quality score to a
+    * keep-rate (with a floor so no stratum is wiped out) instead of a
+    * hard cutoff. Pure per-row filter — no shuffle, codegen-friendly. */
+  def importanceSample(df: DataFrame, idCol: String, rate: Column): DataFrame = {
+    val r = least(greatest(rate, lit(0.0)), lit(1.0))
+    val cutHex = lpad(lower(conv(
+      floor(r * 65536).cast("int").cast("string"), 10, 16)), 4, "0")
+    df.filter(r >= 1.0 ||
+      substring(md5(col(idCol).cast("string")), 1, 4) < cutHex)
+  }
+
   /** Deterministic proportional interleave (training curriculum order):
     * give every row a virtual timestamp `(k+1) / weight`, where `k` is its
     * rank within its stratum under a deterministic md5 shuffle — sorting by

@@ -568,6 +568,20 @@ class LlmSpec extends SparkSpec {
     assert(ids1.forall(_ < 20000))
   }
 
+  test("importance sample: extremes, target fraction, and rate monotonicity") {
+    val df = spark.range(20000).toDF("id")
+    import graft.ops.Sampling.importanceSample
+    assert(importanceSample(df, "id", lit(1.0)).count() === 20000L)
+    assert(importanceSample(df, "id", lit(0.0)).count() === 0L)
+    val at30 = importanceSample(df, "id", lit(0.3))
+      .collect().map(_.getLong(0)).toSet
+    assert(math.abs(at30.size / 20000.0 - 0.3) < 0.02)
+    // monotone: everything kept at 0.3 is kept at 0.6
+    val at60 = importanceSample(df, "id", lit(0.6))
+      .collect().map(_.getLong(0)).toSet
+    assert(at30.subsetOf(at60))
+  }
+
   test("mixture weights: alpha=1 is natural share, alpha<1 boosts small strata") {
     val df = Seq(("big", "a b c d e f g h"), ("big", "a b c d e f g h"),
       ("small", "a b")).toDF("source", "text")

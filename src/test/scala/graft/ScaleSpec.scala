@@ -48,6 +48,34 @@ class ScaleSpec extends SparkSpec {
       "l_quantity:double>"), s"columns not pruned:\n$plan")
   }
 
+  test("ORC round-trip is exact and pushes down filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val li = Util.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    graft.io.Orc.write(li, s"$dir/li")
+    val back = graft.io.Orc.read(spark, s"$dir/li")
+    assert(back.count() === li.count())
+    // exact content: anti joins empty both ways
+    assert(back.exceptAll(li).isEmpty && li.exceptAll(back).isEmpty)
+    val q = back.filter(col("l_quantity") > 30)
+      .select(col("l_orderkey"), col("l_quantity"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), " +
+      "GreaterThan(l_quantity,30.0)]"), s"filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_quantity:double>"), s"columns not pruned:\n$plan")
+    // hive-partitioned variant prunes directories on the partition key
+    graft.io.Orc.writePartitioned(li, s"$dir/lip", Seq("l_returnflag"))
+    val part = graft.io.Orc.read(spark, s"$dir/lip")
+      .filter(col("l_returnflag") === "R")
+    part.collect()
+    val pplan = part.queryExecution.executedPlan.toString
+    assert(pplan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"partition not pruned:\n$pplan")
+    scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_cust")
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_ord")
