@@ -760,6 +760,19 @@ object SparkEntry {
           Mixture.tokenCount(col("text")), alpha = 0.5)
         .orderBy(col("source"))),
 
+    // LLM: product-quantization ANN (rows-only; planted-duplicate recall
+    // tested in LlmSpec) — 32-bit codes + per-query ADC lookup tables;
+    // the third ANN regime next to LSH (bucket pruning) and IVF (cell
+    // pruning): compression makes the exhaustive scan itself cheap
+    "q_embed_ann_pq" -> ((s, dir) => {
+      val emb = spread(table(s, dir, "embeddings"), "vec_id")
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // LLM: LSH-bucketed ANN pairs (rows-only; recall tested vs brute force).
     // The synthetic embeddings are fully random (max pairwise cosine ~0.5),
     // so the threshold sits where real pairs exist.

@@ -191,6 +191,77 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Product-quantization approximate top-k (the faiss PQ/ADC shape —
+    * the third ANN regime next to LSH and IVF: LSH prunes by bucket, IVF
+    * prunes by cell, PQ compresses so the EXHAUSTIVE scan itself gets
+    * cheap). The vector is split into `m` subvectors; each subspace gets a
+    * `ksub`-centroid KMeans codebook; a corpus vector becomes `m` small
+    * codes (m × log2(ksub) bits — 32 bits here vs 2048 for the raw floats).
+    * Queries score candidates by Asymmetric Distance Computation: each
+    * query precomputes a per-subspace lookup table of squared distances to
+    * every centroid ONCE (m × ksub entries on the broadcast side), and the
+    * per-candidate cost collapses to `m` table lookups + adds — ~8× fewer
+    * flops than an exact 64-dim dot product, with the corpus held in RAM-
+    * sized codes instead of full vectors.
+    *
+    * Codebooks train on the corpus driver-side (m small fits); at 100 TB
+    * you train on a hash-sample (Sampling.hashFilter) and broadcast the
+    * codebooks — the ENCODE pass stays fully distributed either way, and
+    * the codes parquet is the persistent index. Deterministic under the
+    * fixed seed. Standard deployment reranks the ADC top-`k` shortlist
+    * with exact distance (compose with `bruteForceTopK` on the shortlist).
+    * Output: (query_id, rank, neighbor_id, adc — squared-distance approx,
+    * ascending). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             queryIdCol: String, corpusIdCol: String, vecCol: String,
+             k: Int, m: Int = 8, ksub: Int = 16,
+             seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dim = headDim(corpus, vecCol)
+    require(dim > 0 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
+    val sub = dim / m
+    val corpusD = corpus.select(col(corpusIdCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+    def sqDistTo(s: Column, c: Array[Double]): Column =
+      aggregate(zip_with(s, array(c.map(lit).toSeq: _*),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+    // per-subspace codebooks: random init + few Lloyd rounds, same
+    // rationale as ivfTopK — a reasonable space partition, not convergence
+    val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
+      val slc = corpusD.select(
+        array_to_vector(slice(col("cv"), j * sub + 1, sub)).as("features"))
+      new KMeans().setK(ksub).setSeed(seed + j).setMaxIter(5)
+        .setInitMode("random").fit(slc).clusterCenters.map(_.toArray)
+    }
+    // encode: argmin over the ksub centroid distances per subspace
+    val codeCols = (0 until m).map { j =>
+      val s = slice(col("cv"), j * sub + 1, sub)
+      val ds = array(codebooks(j).map(c => sqDistTo(s, c)).toSeq: _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int").as(s"__pqc$j")
+    }
+    val codes = corpusD.select(col("neighbor_id") +: codeCols: _*)
+    // ADC tables: computed once per QUERY row, broadcast with it
+    val lutCols = (0 until m).map { j =>
+      val s = slice(col("qv"), j * sub + 1, sub)
+      array(codebooks(j).map(c => sqDistTo(s, c)).toSeq: _*).as(s"__pql$j")
+    }
+    val q = queries.select(col(queryIdCol).as("query_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .select(col("query_id") +: col("qv") +: lutCols: _*)
+    // per-candidate cost: m element_at lookups + adds
+    val adc = (0 until m)
+      .map(j => element_at(col(s"__pql$j"), col(s"__pqc$j") + 1))
+      .reduce(_ + _)
+    val scored = codes
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+    graft.ops.BestMatch.topKPerKey(scored, Seq(col("query_id")),
+        Seq(col("adc").asc, col("neighbor_id").asc), k)
+      .withColumnRenamed("__graft_rank", "rank")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+  }
+
   /** Per-label centroids as (label, pos, centroid) rows — the building
     * block for IVF coarse quantizers, class prototypes, and drift checks.
     * posexplode + a map-side-combined (label, pos) average: the shuffle

@@ -568,6 +568,30 @@ class LlmSpec extends SparkSpec {
     assert(ids1.forall(_ < 20000))
   }
 
+  test("PQ ANN: a planted duplicate attains the minimum ADC distance") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat).toSeq
+    val base = (0 until 200).map(i => (i.toLong, vec()))
+    // ids 1000+q duplicate vectors 0..4 exactly: same codes as the
+    // original, so ADC(query, original) is the global minimum
+    val dups = (0 until 5).map(q => (1000L + q, base(q)._2))
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") >= 1000L)
+    val top = graft.llm.Similarity.pqTopK(queries, corpus,
+        "vec_id", "vec_id", "embedding", k = 3, m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    (0 until 5).foreach { q =>
+      val first = top.filter(t => t._1 == 1000L + q && t._2 == 1).head
+      assert(first._3 === q.toLong,
+        s"query ${1000 + q}: rank-1 neighbor ${first._3}, expected $q")
+    }
+    // deterministic under the fixed seed
+    val again = graft.llm.Similarity.pqTopK(queries, corpus,
+        "vec_id", "vec_id", "embedding", k = 3, m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(top.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("importance sample: extremes, target fraction, and rate monotonicity") {
     val df = spark.range(20000).toDF("id")
     import graft.ops.Sampling.importanceSample
