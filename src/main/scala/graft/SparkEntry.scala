@@ -374,6 +374,25 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_last,
           col("o_orderpriority").asc_nulls_last)),
 
+    // Reconciliation: order-independent table fingerprint — compare two
+    // copies of a table (engine, cluster, or backup) by shipping 16 bytes
+    // instead of the data; one map-side-combined aggregate pass
+    "q_table_fingerprint" -> ((s, dir) =>
+      graft.quality.Expectations.tableFingerprint(
+        table(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity"))),
+
+    // Exact per-group percentiles (the sketch queries' ground-truth twin):
+    // both engines use the same (n-1)*p linear interpolation over the
+    // sorted doubles
+    "q_percentile_groups" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("round(percentile(value, 0.5), 6)").as("p50"),
+          expr("round(percentile(value, 0.9), 6)").as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
     // Grouping sets: the explicit subtotal-combination form (cube/rollup
     // are its sugar); grouping() flags disambiguate subtotal rows from
     // real NULL groups
@@ -1557,6 +1576,22 @@ object SparkEntry {
         |  count(*) AS n_users
         |FROM wk JOIN c ON wk.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_table_fingerprint" ->
+      ("""SELECT count(*) AS n_rows,
+        |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
+        |    coalesce(CAST(l_orderkey AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_linenumber AS VARCHAR), chr(2)),
+        |    coalesce(CAST(l_quantity AS VARCHAR), chr(2)))), 1, 15))""" +
+        """::BIGINT) % 1000000000000000 AS BIGINT) AS fingerprint
+        |FROM lineitem""").stripMargin,
+
+    "q_percentile_groups" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,

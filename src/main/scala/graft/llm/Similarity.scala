@@ -262,6 +262,33 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
   }
 
+  /** The standard PQ deployment: ADC shortlist of `shortlist` candidates
+    * per query, then EXACT cosine rerank of only those — approximation
+    * error shrinks to shortlist-recall error while the exact math touches
+    * `shortlist` rows per query instead of the corpus. With
+    * `shortlist >= |corpus|` this equals `bruteForceTopK` exactly (the
+    * LlmSpec invariant). Output: (query_id, rank, neighbor_id, cos). */
+  def pqTopKReranked(queries: DataFrame, corpus: DataFrame,
+                     queryIdCol: String, corpusIdCol: String, vecCol: String,
+                     k: Int, shortlist: Int, m: Int = 8, ksub: Int = 16,
+                     seed: Long = 42L): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val short = pqTopK(queries, corpus, queryIdCol, corpusIdCol, vecCol,
+      shortlist, m, ksub, seed)
+    val qv = queries.select(col(queryIdCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    val cv = corpus.select(col(corpusIdCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+    val exact = short.select("query_id", "neighbor_id")
+      .join(broadcast(qv), "query_id").join(cv, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFor(queries.sparkSession)(col("qv"), col("cv")).as("cos"))
+    graft.ops.BestMatch.topKPerKey(exact, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .withColumnRenamed("__graft_rank", "rank")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** Per-label centroids as (label, pos, centroid) rows — the building
     * block for IVF coarse quantizers, class prototypes, and drift checks.
     * posexplode + a map-side-combined (label, pos) average: the shuffle

@@ -84,4 +84,24 @@ object Expectations {
       .map(c => SchemaDiff(c, "retyped", e(c), a(c)))
     missing ++ added ++ retyped
   }
+
+  /** Order-independent table fingerprint for cross-copy / cross-engine
+    * reconciliation: per row, the first 15 hex digits of md5 over the
+    * chr(1)-joined column renderings (NULL → chr(2) so null and empty
+    * string differ) become a 60-bit integer; the fingerprint is their SUM
+    * (exact, via DECIMAL) mod 10^15. Summation commutes, so the result is
+    * independent of row order, partitioning, and engine — two copies of a
+    * table can be compared by shipping 16 bytes instead of the data.
+    * One map-side-combined aggregate pass, no shuffle beyond the final
+    * 1-row combine. Output: (n_rows, fingerprint). */
+  def tableFingerprint(df: org.apache.spark.sql.DataFrame,
+                       cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty, "fingerprint needs at least one column")
+    val rendered = concat_ws("",
+      cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val h = conv(substring(md5(rendered), 1, 15), 16, 10)
+      .cast("decimal(38,0)")
+    df.agg(count(lit(1)).as("n_rows"),
+      (sum(h) % lit(1000000000000000L)).cast("long").as("fingerprint"))
+  }
 }

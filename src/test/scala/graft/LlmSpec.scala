@@ -592,6 +592,23 @@ class LlmSpec extends SparkSpec {
     assert(top.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("PQ rerank with a full-corpus shortlist equals brute force exactly") {
+    val rnd = new scala.util.Random(13)
+    val corpus = (0 until 120)
+      .map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = graft.llm.Similarity.bruteForceTopK(queries, corpus,
+      "vec_id", "vec_id", "embedding", 5)
+    val reranked = graft.llm.Similarity.pqTopKReranked(queries, corpus,
+      "vec_id", "vec_id", "embedding", k = 5, shortlist = 120, m = 4,
+      ksub = 8)
+    assert(rows(reranked) === rows(exact))
+  }
+
   test("importance sample: extremes, target fraction, and rate monotonicity") {
     val df = spark.range(20000).toDF("id")
     import graft.ops.Sampling.importanceSample
