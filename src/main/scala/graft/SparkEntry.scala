@@ -580,6 +580,14 @@ object SparkEntry {
           "value", days = 7)
         .orderBy(col("user_id"), col("day"))),
 
+    // Warehouse: SCD2 / gaps-and-islands — consecutive equal event_type
+    // runs per user collapsed to validity intervals; two windows + one
+    // aggregate, no self-joins
+    "q_scd2" -> ((s, dir) =>
+      TimeSeries.scd2(table(s, dir, "events"), "user_id", "ts", "event_id",
+          "event_type")
+        .orderBy(col("user_id"), col("valid_from"))),
+
     // Product-analytics: most-common session paths (30-min inactivity gap,
     // same rule as q_sessionize), deterministic (count desc, path) top-20
     "q_session_paths" -> ((s, dir) =>
@@ -1652,6 +1660,25 @@ object SparkEntry {
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |    AS rolling_value
         |FROM d ORDER BY 1, 2""".stripMargin,
+
+    "q_scd2" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, event_type, ts,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run FROM m),
+        |g AS (SELECT user_id, run, min(event_type) AS attr,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, attr, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        |    AS valid_to,
+        |  n_events
+        |FROM g ORDER BY user_id, valid_from""".stripMargin,
 
     "q_session_paths" ->
       """WITH m AS (SELECT user_id, ts, event_id, event_type,

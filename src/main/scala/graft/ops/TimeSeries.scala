@@ -33,6 +33,34 @@ object TimeSeries {
         coalesce(col("n"), lit(0L)).as("n_events"))
   }
 
+  /** SCD type-2 / gaps-and-islands compaction: collapse each key's
+    * consecutive runs of an equal attribute value into one validity
+    * interval (valid_from = first ts of the run, valid_to = ts of the NEXT
+    * change, null while current). The island id is the classic two-window
+    * form — a change flag (lag) cumulatively summed — so the whole
+    * operator is two windows + one aggregate + one lead, all partitioned
+    * by the key: no self-joins, parallelism = #keys at every step.
+    * Output: (keyCol, attr, valid_from, valid_to, n_events). */
+  def scd2(events: DataFrame, keyCol: String, tsCol: String,
+           orderCol: String, attrCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderCol))
+    val runs = events
+      .withColumn("__chg",
+        when(lag(col(attrCol), 1).over(w).isNull ||
+          lag(col(attrCol), 1).over(w) =!= col(attrCol), 1).otherwise(0))
+      .withColumn("__run", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("__run"))
+      .agg(min(col(attrCol)).as("attr"), // constant within the run
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
+      .select(col(keyCol), col("attr"), col("valid_from"), col("valid_to"),
+        col("n_events"))
+  }
+
   /** Calendar-anchored rolling sum: per key, the sum of `valueExpr` over
     * the trailing `days`-day window INCLUDING missing days (RANGE frame
     * over the epoch-day number, so a 7-day window spans 7 calendar days

@@ -444,6 +444,28 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(("a>b", 2L), ("a", 1L)))
   }
 
+  test("TimeSeries scd2 collapses consecutive runs into validity intervals") {
+    val events = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "A", ts("2024-01-01 11:00:00"), 2L), // same run
+      (1L, "B", ts("2024-01-01 12:00:00"), 3L), // change
+      (1L, "A", ts("2024-01-01 13:00:00"), 4L), // A again: NEW run
+      (2L, "C", ts("2024-01-01 09:00:00"), 5L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = TimeSeries.scd2(events, "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy("user_id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(out.length === 4)
+    assert(out(0) === (1L, "A", ts("2024-01-01 10:00:00"),
+      Some(ts("2024-01-01 12:00:00")), 2L))
+    assert(out(1) === (1L, "B", ts("2024-01-01 12:00:00"),
+      Some(ts("2024-01-01 13:00:00")), 1L))
+    assert(out(2) === (1L, "A", ts("2024-01-01 13:00:00"), None, 1L))
+    assert(out(3) === (2L, "C", ts("2024-01-01 09:00:00"), None, 1L))
+  }
+
   test("Funnel retention buckets users by first-event week") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")), // Monday, cohort week 1
