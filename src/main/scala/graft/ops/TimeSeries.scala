@@ -54,7 +54,10 @@ object TimeSeries {
       .agg(min(col(attrCol)).as("attr"), // constant within the run
         min(col(tsCol)).as("valid_from"),
         count(lit(1)).as("n_events"))
-    val wk = Window.partitionBy(col(keyCol)).orderBy(col("valid_from"))
+    // order the interval chain by the run id, not valid_from: run ids are
+    // strictly increasing in (ts, order) sequence, so tied first-event
+    // timestamps between adjacent runs cannot make the lead ambiguous
+    val wk = Window.partitionBy(col(keyCol)).orderBy(col("__run"))
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))
       .select(col(keyCol), col("attr"), col("valid_from"), col("valid_to"),

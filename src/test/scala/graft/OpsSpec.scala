@@ -466,6 +466,54 @@ class OpsSpec extends SparkSpec {
     assert(out(3) === (2L, "C", ts("2024-01-01 09:00:00"), None, 1L))
   }
 
+  test("tableFingerprint is row-order/partitioning invariant, content sensitive") {
+    import graft.quality.Expectations.tableFingerprint
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, null: String, 3.5))
+      .toDF("k", "s", "v")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      tableFingerprint(d, Seq("k", "s", "v")).collect()(0)
+        .getLong(1)
+    val base = fp(df)
+    assert(fp(df.repartition(7)) === base)
+    assert(fp(df.orderBy(col("v").desc)) === base)
+    // any content change moves the fingerprint
+    assert(fp(df.withColumn("v",
+      when(col("k") === 1L, 1.6).otherwise(col("v")))) !== base)
+    // null and empty string hash differently (chr(2) sentinel)
+    val withEmpty = Seq((3L, "", 3.5)).toDF("k", "s", "v")
+    val withNull = Seq((3L, null: String, 3.5)).toDF("k", "s", "v")
+    assert(fp(withEmpty) !== fp(withNull))
+  }
+
+  test("scd2 invariants hold on random event sequences (seeded)") {
+    val rnd = new scala.util.Random(99)
+    val t0 = ts("2024-01-01 10:00:00").getTime
+    val events = (1 to 800).map { i =>
+      (rnd.nextInt(12).toLong, // user
+        ('A' + rnd.nextInt(3)).toChar.toString, // attr
+        new java.sql.Timestamp(t0 + i * 1000L), i.toLong)
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val out = TimeSeries.scd2(events, "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy("user_id", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getLong(4)))
+    // run counts re-add to the corpus size
+    assert(out.map(_._5).sum === 800L)
+    out.groupBy(_._1).foreach { case (_, runs) =>
+      runs.sliding(2).foreach {
+        case Array(a, b) =>
+          // intervals tile: this run ends exactly where the next begins
+          assert(a._4.contains(b._3))
+          // consecutive runs differ in attribute (else they'd be one run)
+          assert(a._2 !== b._2)
+        case _ =>
+      }
+      // only the key's last interval is open
+      assert(runs.init.forall(_._4.isDefined) && runs.last._4.isEmpty)
+    }
+  }
+
   test("Funnel retention buckets users by first-event week") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")), // Monday, cohort week 1
