@@ -166,6 +166,37 @@ object EventsStream {
       }
   }
 
+  final case class FunnelState(stage: Int, last_seq: Long)
+  final case class FunnelProgress(user_id: Long, max_stage: Int)
+
+  /** Streaming funnel-stage tracking: the incremental twin of
+    * `graft.ops.Funnel.maxStagePerUser`. State per user is (current stage,
+    * last applied sequence number); each micro-batch folds its (sorted)
+    * events into the stage exactly like the batch operator's ordered
+    * `aggregate` fold, so for any prefix of the stream the emitted stage
+    * equals the batch fold over the same events — the parity the spec
+    * locks via AvailableNow. Late events (seq below the high-water mark)
+    * cannot rewind the stage: a funnel is monotone, so they are skipped
+    * rather than reprocessed out of order. State is two longs per user —
+    * horizontal scale is the key partitioning. */
+  def funnelStages(events: Dataset[UserEvent],
+                   stages: Seq[String]): Dataset[FunnelProgress] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelProgress] {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          it.toArray.sortBy(_.seq).foreach { e =>
+            if (e.seq > st.last_seq && st.stage < stages.size &&
+                e.event_type == stages(st.stage))
+              st = FunnelState(st.stage + 1, e.seq)
+          }
+          state.update(st)
+          FunnelProgress(uid, st.stage)
+      }
+  }
+
   /** Typed stateful aggregation: running per-user totals via
     * `mapGroupsWithState` (KeyValueGroupedDataset). In batch the state
     * starts empty and the result equals a plain groupBy — the test locks

@@ -164,6 +164,52 @@ class StreamingSpec extends SparkSpec {
       "no duplicate event may survive a restart")
   }
 
+  test("streaming funnel: batch parity and checkpointed cross-batch state") {
+    val stages = Seq("signup", "view", "purchase")
+    val all = Util.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("event_id").as("seq"), col("event_type"),
+        col("value"))
+    // batch mode: the stateful fold equals the batch funnel operator when
+    // both order by the same sequence key
+    val stateful = EventsStream.funnelStages(
+        all.as[EventsStream.UserEvent], stages)
+      .collect().map(p => p.user_id -> p.max_stage).toMap
+    val batch = graft.ops.Funnel.maxStagePerUser(
+        all, "user_id", "event_type", "seq", "seq", stages)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stateful === batch)
+    assert(stateful.values.max >= 1, "fixture must exercise some stage")
+    // streaming: two in-order file batches, one checkpoint — state must
+    // carry across runs so the final stage equals the full-data fold
+    val src = java.nio.file.Files.createTempDirectory("graft_fun_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_fun_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_fun_chk").toString
+    val cut = 5000L // seq ranges keep delivery in order across the batches
+    all.filter(col("seq") < cut).write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema).parquet(src)
+        .as[EventsStream.UserEvent]
+      val q = EventsStream.funnelStages(stream, stages).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[EventsStream.FunnelProgress],
+           _: Long) => ds.write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    all.filter(col("seq") >= cut).write.mode("append").parquet(src)
+    runOnce()
+    val streamed = spark.read.parquet(out)
+      .groupBy("user_id").agg(max(col("max_stage")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed === batch,
+      "checkpointed streaming fold must equal the batch fold")
+  }
+
   test("flatMapGroupsWithState emits per-group anomalies") {
     val events = Seq(
       EventsStream.UserEvent(1L, 1L, "view", 1.0),
