@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** Exactly-once incremental materialized-view maintenance over a PLAIN
+  * parquet sink — the pattern for keeping a per-key summary current
+  * against an unbounded stream without a transactional table format.
+  *
+  * Mechanics per micro-batch: aggregate the batch (map-side combined),
+  * merge with the existing summary by key, write to a temp dir, stamp the
+  * BATCH ID inside the new dir (`_last_batch_id` — underscore files are
+  * invisible to parquet readers), and atomically swap. Because the stamp
+  * travels inside the swapped directory, "data merged" and "batch
+  * recorded" commit together: a checkpoint replay after any crash sees
+  * `batchId <= stamped id` and no-ops, so a batch can never double-count —
+  * the idempotent-sink half of Structured Streaming's exactly-once
+  * contract, normally supplied by Delta-style formats.
+  *
+  * Scale shape: the stream side only ever aggregates the DELTA; the merge
+  * touches summary-size rows (keys, not events). The summary rewrite is
+  * the classic small-files compromise — at very large key cardinality,
+  * partition the summary and swap only touched partitions.
+  */
+object SummaryMaintenance {
+
+  private val StampName = "_last_batch_id"
+
+  /** Stamped batch id inside the live summary dir, -1 before first commit. */
+  def lastBatchId(spark: SparkSession, summaryDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(summaryDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp = new Path(new Path(summaryDir, "data"), StampName)
+    if (!fs.exists(stamp)) -1L
+    else {
+      val in = fs.open(stamp)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Read the current summary (empty-schema-safe: returns None before the
+    * first commit). */
+  def readSummary(spark: SparkSession, summaryDir: String): Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    val data = new Path(summaryDir, "data")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(data)) Some(spark.read.parquet(data.toString)) else None
+  }
+
+  /** Merge one micro-batch into the summary; idempotent under replay of
+    * the same (or an older) batchId. Exposed for testing and for batch
+    * backfills that reuse the streaming merge path. */
+  def applyBatch(spark: SparkSession, summaryDir: String, batch: DataFrame,
+                 batchId: Long, keyCols: Seq[String],
+                 valueCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(summaryDir)
+    val fs = root.getFileSystem(conf)
+    val data = new Path(root, "data")
+    val old = new Path(root, "data.__graft_old")
+    // crash repair: a previous swap that failed between its two renames
+    // left the pre-swap state at `old` — restore it before deciding
+    // anything based on the stamp
+    if (!fs.exists(data) && fs.exists(old)) {
+      if (!fs.rename(old, data))
+        throw new java.io.IOException(s"summary repair $old -> $data failed")
+    }
+    if (batchId <= lastBatchId(spark, summaryDir)) return // replay: no-op
+    val delta = batch.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast("decimal(18,6)")).as("sum_value"))
+    val merged = readSummary(spark, summaryDir) match {
+      case Some(cur) => cur.unionByName(delta)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("sum_value")).cast("decimal(18,6)").as("sum_value"))
+      case None => delta
+    }
+    val tmp = new Path(root, "data.__graft_tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    // stamp INSIDE the new dir so data + batch id swap in together
+    val outStamp = fs.create(new Path(tmp, StampName), true)
+    try outStamp.write(batchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally outStamp.close()
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(data) && !fs.rename(data, old))
+      throw new java.io.IOException(s"summary swap $data -> $old failed")
+    if (!fs.rename(tmp, data)) {
+      val restored = !fs.exists(old) || fs.rename(old, data)
+      throw new java.io.IOException(s"summary swap $tmp -> $data failed; " +
+        (if (restored) "previous summary restored" else s"left at $old"))
+    }
+    fs.delete(old, true)
+  }
+
+  /** The maintained view as a streaming query: parquet file source →
+    * foreachBatch(applyBatch). Start with `.trigger(AvailableNow)` for
+    * bounded backfills or continuously on a live directory; the WAL
+    * checkpoint + the in-dir stamp give exactly-once across restarts. */
+  def maintain(spark: SparkSession, srcDir: String, summaryDir: String,
+               checkpointDir: String, keyCols: Seq[String],
+               valueCol: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(spark, summaryDir, b, id, keyCols, valueCol)
+      }
+  }
+}

@@ -210,6 +210,47 @@ class StreamingSpec extends SparkSpec {
       "checkpointed streaming fold must equal the batch fold")
   }
 
+  test("incremental summary maintenance: exactly-once, replay-proof, crash-repair") {
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val src = java.nio.file.Files.createTempDirectory("graft_sum_src").toString
+    val sumDir = java.nio.file.Files.createTempDirectory("graft_sum_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_sum_chk").toString
+    def runOnce(): Unit = {
+      val q = SummaryMaintenance.maintain(spark, src, sumDir, chk,
+          Seq("event_type"), "value")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    events.filter(col("event_id") < 5000).write.mode("append").parquet(src)
+    runOnce()
+    events.filter(col("event_id") >= 5000).write.mode("append").parquet(src)
+    runOnce() // restart from the same checkpoint: only the delta merges
+    def summary() = SummaryMaintenance.readSummary(spark, sumDir).get
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    val expected = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    assert(summary() === expected)
+    // replaying an already-applied batch id is a no-op
+    val stamped = SummaryMaintenance.lastBatchId(spark, sumDir)
+    SummaryMaintenance.applyBatch(spark, sumDir, events, stamped,
+      Seq("event_type"), "value")
+    assert(summary() === expected, "replay must not double-count")
+    // crash repair: simulate dying between the two swap renames (data
+    // moved aside, new dir never landed) — next applyBatch restores it
+    val fs = new org.apache.hadoop.fs.Path(sumDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(sumDir, "data"),
+      new org.apache.hadoop.fs.Path(sumDir, "data.__graft_old")))
+    SummaryMaintenance.applyBatch(spark, sumDir, events, stamped,
+      Seq("event_type"), "value")
+    assert(summary() === expected, "repair must restore the pre-swap state")
+  }
+
   test("flatMapGroupsWithState emits per-group anomalies") {
     val events = Seq(
       EventsStream.UserEvent(1L, 1L, "view", 1.0),
