@@ -1,0 +1,63 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max data skipping over a plain parquet directory — the
+  * lakehouse manifest pattern (what table formats keep in their metadata
+  * layer) built from primitives: one aggregate pass records each file's
+  * column bounds; point/range queries then enumerate only the files whose
+  * bounds overlap the predicate and read just those paths.
+  *
+  * This prunes at a level partition directories can't reach: hive
+  * partitioning skips on the PARTITION key only, while a manifest skips on
+  * any column the data is clustered by (e.g. write-sorted event time in
+  * files partitioned by date). Parquet row-group stats do the same job
+  * per-row-group, but only AFTER a file is opened — the manifest removes
+  * the file-open (and at cloud scale, the object-store GET) entirely.
+  *
+  * The manifest is rebuilt by one scan (`input_file_name`-keyed aggregate,
+  * map-side combined, result rows = file count); production deployments
+  * maintain it incrementally per ingested batch the same way
+  * `SummaryMaintenance` maintains its summary.
+  */
+object Manifest {
+
+  /** One row per parquet file: (file, n_rows, <c>_min, <c>_max per col). */
+  def build(spark: SparkSession, path: String,
+            cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "manifest needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Files whose [min, max] interval for `column` intersects [lo, hi] —
+    * sound for any predicate implied by that interval (files never contain
+    * values outside their recorded bounds). Driver-side list: manifests
+    * are file-count-sized. */
+  def candidateFiles(manifest: DataFrame, column: String,
+                     lo: Column, hi: Column): Seq[String] =
+    manifest
+      .filter(col(s"${column}_max") >= lo && col(s"${column}_min") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+
+  /** Range read through the manifest: open only overlapping files, then
+    * re-apply the exact predicate (bounds overlap is necessary, not
+    * sufficient). Empty candidate set → empty frame with the source
+    * schema, no file opened. */
+  def readRange(spark: SparkSession, path: String, manifest: DataFrame,
+                column: String, lo: Column, hi: Column): DataFrame = {
+    val files = candidateFiles(manifest, column, lo, hi)
+    val base =
+      if (files.isEmpty) {
+        val schema = spark.read.parquet(path).schema
+        spark.createDataFrame(spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], schema)
+      } else spark.read.parquet(files: _*)
+    base.filter(col(column) >= lo && col(column) <= hi)
+  }
+}

@@ -466,6 +466,26 @@ class OpsSpec extends SparkSpec {
     assert(out(3) === (2L, "C", ts("2024-01-01 09:00:00"), None, 1L))
   }
 
+  test("OnlineStats registers as a SQL UDAF and matches builtins") {
+    spark.udf.register("graft_welford",
+      org.apache.spark.sql.functions.udaf(OnlineStats))
+    Seq((1, 2.0), (1, 4.0), (1, 6.0), (2, 10.0))
+      .toDF("k", "v").createOrReplaceTempView("graft_welford_v")
+    val out = spark.sql(
+      """SELECT k, graft_welford(v) AS s, avg(v) AS a, var_pop(v) AS vp
+        |FROM graft_welford_v GROUP BY k""".stripMargin)
+      .collect().map { r =>
+        val s = r.getStruct(1)
+        (r.getInt(0), s.getLong(0), s.getDouble(1), s.getDouble(2),
+          r.getDouble(2), r.getDouble(3))
+      }.sortBy(_._1)
+    out.foreach { case (_, _, mean, variance, a, vp) =>
+      assert(math.abs(mean - a) < 1e-9)
+      assert(math.abs(variance - vp) < 1e-9)
+    }
+    assert(out(0)._2 === 3L && out(1)._2 === 1L)
+  }
+
   test("tableFingerprint is row-order/partitioning invariant, content sensitive") {
     import graft.quality.Expectations.tableFingerprint
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, null: String, 3.5))

@@ -76,6 +76,35 @@ class ScaleSpec extends SparkSpec {
     scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("min/max manifest skips files and preserves range-query results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_man").toString
+    val li = Util.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    // cluster by the skip column: repartitionByRange gives each file a
+    // disjoint l_orderkey interval — the layout manifests exploit
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.parquet(s"$dir/li")
+    val manifest = graft.io.Manifest.build(spark, s"$dir/li",
+      Seq("l_orderkey"))
+    assert(manifest.count() === 8L)
+    val (lo, hi) = (lit(100L), lit(500L))
+    val files = graft.io.Manifest
+      .candidateFiles(manifest, "l_orderkey", lo, hi)
+    assert(files.nonEmpty && files.size < 8,
+      s"range-clustered layout must skip files (kept ${files.size}/8)")
+    val pruned = graft.io.Manifest
+      .readRange(spark, s"$dir/li", manifest, "l_orderkey", lo, hi)
+    val full = spark.read.parquet(s"$dir/li")
+      .filter(col("l_orderkey") >= 100L && col("l_orderkey") <= 500L)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // disjoint range → zero candidates, zero files opened, empty result
+    val none = graft.io.Manifest.readRange(spark, s"$dir/li", manifest,
+      "l_orderkey", lit(-100L), lit(-1L))
+    assert(none.count() === 0L)
+    scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_cust")
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_ord")
