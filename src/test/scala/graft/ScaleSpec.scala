@@ -105,6 +105,36 @@ class ScaleSpec extends SparkSpec {
     scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("z-order layout lets the manifest skip files on BOTH dimensions") {
+    import graft.io.{Layout, Manifest}
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 20000)
+      .map(_ => (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+      .toDF("a", "b")
+    // linear layout: great for a, useless for b
+    df.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+      .write.parquet(s"$dir/linear")
+    Layout.writeZOrdered(df, s"$dir/z", "a", "b", 16)
+    def kept(path: String, c: String): Int =
+      Manifest.candidateFiles(
+        Manifest.build(spark, path, Seq("a", "b")),
+        c, lit(1000L), lit(5000L)).size
+    // z-values interleave both keys, so a narrow range on EITHER column
+    // overlaps only a fraction of the 16 file rectangles
+    assert(kept(s"$dir/z", "a") < 16 && kept(s"$dir/z", "b") < 16,
+      s"z layout must skip on both dims " +
+        s"(a=${kept(s"$dir/z", "a")}, b=${kept(s"$dir/z", "b")})")
+    // the linear layout cannot skip on its non-leading column
+    assert(kept(s"$dir/linear", "b") === 16)
+    assert(kept(s"$dir/linear", "a") < kept(s"$dir/z", "a"),
+      "linear stays sharper on its own leading column")
+    // layout never changes data
+    assert(spark.read.parquet(s"$dir/z").exceptAll(df).isEmpty &&
+      df.exceptAll(spark.read.parquet(s"$dir/z")).isEmpty)
+    scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_cust")
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_ord")
