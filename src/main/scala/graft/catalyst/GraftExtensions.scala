@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => LevenshteinBandRule)
+    ext.injectOptimizerRule(_ => WindowTopKRule)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.mightContainDescriptor)
@@ -76,6 +77,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(LevenshteinBandRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LevenshteinBandRule
+    if (!spark.experimental.extraOptimizations.contains(WindowTopKRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ WindowTopKRule
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy

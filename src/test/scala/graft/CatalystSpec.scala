@@ -205,6 +205,47 @@ class CatalystSpec extends SparkSpec {
     }
   }
 
+  test("WindowTopKRule: standard SQL row_number filter gets the native plan") {
+    Util.table(spark, "/root/testdata/sf0.001", "orders")
+      .createOrReplaceTempView("graft_wtk_orders")
+    val sql =
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM graft_wtk_orders) WHERE rn <= 3""".stripMargin
+    val df = spark.sql(sql)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"row_number <= k should plan as TopKPerKeyExec:\n$plan")
+    // neither the window sort NOR Spark's own sort-based group-limit
+    // prefilter may remain — the bounded heap subsumes both
+    assert(!plan.contains("Window") && !plan.contains("Sort"),
+      s"window machinery must be gone:\n$plan")
+    // results equal the window semantics (computed rank-free, checked
+    // driver-side so no rewrite can fire on the expectation)
+    val expected = Util.table(spark, "/root/testdata/sf0.001", "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (ck, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(3).zipWithIndex
+          .map { case (r, i) => (ck, r._2, i + 1) }.toSeq
+      }.toSet
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+    // schema keeps the user's rank name and IntegerType
+    assert(df.schema("rn").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    // shapes the rule must NOT touch: rank referenced with a residual
+    // predicate, and rn = k for k > 1
+    val residual = spark.sql(sql.replace("WHERE rn <= 3",
+      "WHERE rn <= 3 AND o_orderkey > 100"))
+    assert(residual.queryExecution.executedPlan.toString.contains("Window"))
+    val eqK = spark.sql(sql.replace("WHERE rn <= 3", "WHERE rn = 2"))
+    assert(eqK.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("band rule rewrites <, =, and reversed forms with identical results") {
     val l = Seq("kitten", "apple", "zzzz").toDF("a")
     val r = Seq("sitting", "apples", "mitten", "kitten").toDF("b")
