@@ -321,6 +321,19 @@ object SparkEntry {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy(col("event_type"))),
 
+    // Semi-structured via Spark 4's VARIANT type: parse once, typed-path
+    // extraction after (the open-schema ingestion shape — no schema
+    // declared up front, binary-encoded storage, pushdown-friendly
+    // shredded access in Spark 4.x)
+    "q_variant_extract" -> ((s, dir) =>
+      table(s, dir, "events")
+        .withColumn("v", parse_json(col("props")))
+        .withColumn("k", try_variant_get(col("v"), "$.k", "long"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))),
+
     // Headline agg: TPC-H Q1 shape, decimal-exact sums
     "q_agg_pricing" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -1407,6 +1420,16 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_variant_extract" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
