@@ -56,6 +56,36 @@ class PropertySpec extends AnyFunSuite {
     assert(r.map(_._1) === Seq("2025", "2023", "2021"))
   }
 
+  test("Morton z-value is a bijection on 21-bit pairs (10k samples)") {
+    // JVM replica of Layout.zValue's bit math + its exact inverse; a
+    // round-trip failure would mean interleave collisions, i.e. files
+    // whose "rectangles" overlap and a manifest that can't skip
+    def z(a: Long, b: Long): Long =
+      (0 until graft.io.Layout.BitsPerDim).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    def unz(v: Long): (Long, Long) =
+      (0 until graft.io.Layout.BitsPerDim).foldLeft((0L, 0L)) {
+        case ((a, b), i) =>
+          (a | (((v >> (2 * i)) & 1L) << i),
+            b | (((v >> (2 * i + 1)) & 1L) << i))
+      }
+    val mask = (1L << graft.io.Layout.BitsPerDim) - 1
+    for (_ <- 1 to 10000) {
+      val a = rnd.nextLong().abs & mask
+      val b = rnd.nextLong().abs & mask
+      val v = z(a, b)
+      assert(v >= 0L, "z-values must stay positive for range partitioning")
+      assert(unz(v) === ((a, b)), s"round-trip failed for ($a, $b)")
+    }
+    // locality anchor: the four 1-bit neighbors of a point differ in one
+    // interleaved bit, so they stay within 2^(2*21) of each other trivially;
+    // the useful property pinned here is prefix-sharing: equal high bits of
+    // a AND b imply equal high z-bits (files = z-ranges = aligned rectangles)
+    val (a1, b1) = (0x155555L, 0x0AAAAAL)
+    assert(z(a1, b1) >> 2 === z(a1 ^ 1L, b1 ^ 1L) >> 2)
+  }
+
   test("digit key concatenates all digit runs") {
     import graft.ops.Recency
     assert(Recency.digitKey("SurveyAdminTerm25-2") === 252L)
