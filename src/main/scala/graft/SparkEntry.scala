@@ -66,7 +66,7 @@ object SparkEntry {
     "q_s2_transpose" -> ((s, dir) => {
       val first = table(s, dir, "lineitem")
         .orderBy(col("l_orderkey"), col("l_linenumber")).limit(1)
-        .select(table(s, dir, "lineitem").columns.map(c =>
+        .select(table(s, dir, "lineitem").columns.toIndexedSeq.map(c =>
           col(c).cast("string").as(c)): _*)
       QualtricsReader.columnInfoFrom(first, "2025")
         .orderBy(col("`QualtricsVariableName.2025`").asc_nulls_last)

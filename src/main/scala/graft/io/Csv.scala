@@ -46,6 +46,12 @@ object Csv {
       // trip as NA like readr's write_csv.
       .option("escape", "\"")
       .option("nullValue", "NA")
+      // Spark's CSV WRITER trims cell whitespace by default (the reader
+      // does not) — readr never does, and the trim also swallowed lone
+      // carriage-return cells. Preserve bytes exactly; the fuzz spec
+      // pins the full quoted alphabet round-trip.
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
       .csv(tmp)
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val fs = new Path(tmp).getFileSystem(conf)

@@ -23,7 +23,7 @@ object RowId {
     val ordered = if (sortCols.nonEmpty) df.orderBy(sortCols: _*) else df
     val schema = StructType(
       ordered.schema.fields :+ StructField(idCol, LongType, nullable = false))
-    val rdd = ordered.rdd.zipWithIndex.map { case (row, i) =>
+    val rdd = ordered.rdd.zipWithIndex().map { case (row, i) =>
       Row.fromSeq(row.toSeq :+ i)
     }
     ordered.sparkSession.createDataFrame(rdd, schema)

@@ -68,7 +68,7 @@ object SimilarityJoin {
     val dr = right.select(qc(rightKey)).distinct()
     val core = kernel(dl, dr) // columns: leftKey, rightKey, distCol
     left.join(core, Seq(leftKey)).join(right, Seq(rightKey))
-      .select((left.columns ++ right.columns :+ distCol).map(qc): _*)
+      .select((left.columns.toIndexedSeq ++ right.columns :+ distCol).map(qc): _*)
   }
 
   /** Banded inner variant for large×large joins: equi-join on exact length

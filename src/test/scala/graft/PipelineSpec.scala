@@ -193,6 +193,41 @@ class PipelineSpec extends SparkSpec {
     assert(out.filter(col("_corrupt_record").isNull).count() === 2)
   }
 
+  test("CSV round-trips adversarial quoted content exactly (seeded fuzz)") {
+    import graft.io.Csv
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(2024)
+    // the characters that break naive CSV: quotes, commas, newlines, CRs,
+    // backslashes (Spark's default escape), leading/trailing spaces
+    val alphabet = Array('a', 'b', '"', ',', '\n', '\r', '\\', ' ', '\'')
+    def cell(): Option[String] =
+      if (rnd.nextInt(10) == 0) None // genuine nulls must survive as NA
+      else Some((0 until rnd.nextInt(12))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (1 to 300).map(i => (i.toLong, cell(), cell()))
+    val df = rows.toDF("id", "c1", "c2")
+    val path = java.nio.file.Files.createTempDirectory("graft_csvfuzz")
+      .toString + "/fuzz.csv"
+    Csv.writeSingle(df, path)
+    val back = Csv.readAsStrings(spark, path)
+      .select(col("id").cast("long"), col("c1"), col("c2"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), Option(r.getString(2))))
+      .sortBy(_._1)
+    // readr semantics folded in: empty string reads back as "" (kept),
+    // null writes as NA and reads back as null; everything else must be
+    // byte-identical through quoting, escaping, and embedded newlines.
+    // One irreducible ambiguity: a cell containing the literal text "NA"
+    // would ALSO read back as null (same as readr) — the alphabet above
+    // cannot produce it, so the expectation is exact.
+    val expected = rows.map { case (i, a, b) =>
+      (i, a.filter(_ => a.get != "NA"), b.filter(_ => b.get != "NA"))
+    }.sortBy(_._1)
+    assert(back.toSeq === expected)
+  }
+
   test("JSONL sink/source round-trips documents exactly (schema-first read)") {
     import graft.io.Jsonl
     import org.apache.spark.sql.functions.col
