@@ -2,12 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-facing benchmark main with two outputs:
-  *  - stdout: ONE compact JSON line (ms precision, warm-min per-query times
-  *    only) sized to survive the driver's ~3000-char log-tail window;
+  *  - stdout: ONE compact JSON line (ms precision, warm-min per-query
+  *    times only) ordered queries-first / headline-fields-LAST, so the
+  *    driver's ~2000-char log tail — which truncates the FRONT of a long
+  *    line — always retains value/unit/sf/n_queries/errors;
   *  - `target/bench.json`: the full-detail record (double precision, plus
   *    `"cold_queries"` first-run times), written atomically so a reader
   *    never sees a torn line.
-  * Both carry `{"metric":"total","value":N,"unit":"sec","queries":{...}}`.
+  * Both carry `"metric"`, `"value"`, `"unit"`, `"queries"`, `"sf"`.
   *
   * Each query runs twice and the reported time is the MIN of the two runs:
   * a transient machine-load spike during one run (the round-2 failure mode —
@@ -73,13 +75,16 @@ object Bench {
     val ms = (v: Double) =>
       if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.map(_._3).filter(_ >= 0).sum
-    // stdout line: millisecond precision and warm-min times only. The r03
-    // driver tail window (~3000 chars) truncated the FRONT of the previous
-    // line (queries + cold_queries at full double precision ≈ 6500 chars),
-    // which is why BENCH_r03 ended "parsed": null despite rc=0. This compact
-    // form is ~1900 chars for the 76-query registry.
+    val nFailed = results.count(_._3 < 0)
+    // stdout line: millisecond precision, warm-min times only — and the
+    // HEADLINE FIELDS LAST. The driver keeps only the final ~2000 chars of
+    // the log (every BENCH_r0N so far shows the line truncated at the
+    // FRONT and "parsed": null), so the queries map goes first and
+    // value/unit/sf/n_queries/errors go at the END where the tail always
+    // preserves them; key order is irrelevant to any real JSON parser when
+    // the line does fit. Full detail lives in target/bench.json.
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${jsonMap(results.map { case (n, _, best) => n -> best }, ms)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","queries":${jsonMap(results.map { case (n, _, best) => n -> best }, ms)},"value":${ms(total)},"unit":"sec","sf":${jstr(sfDir)},"n_queries":${results.size},"errors":$nFailed}"""
     println(line)
     // File-based output keeps the full detail (cold first-run times too):
     // atomic-ish (write temp then rename) so a reader never sees a torn line.
