@@ -1,0 +1,94 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Poor-man's time travel over plain parquet: every write lands in a fresh
+  * immutable `v=NNNNN` directory and a one-line `_LATEST` pointer file is
+  * swapped atomically afterwards. Readers resolve the pointer (or any
+  * pinned version) and read an immutable snapshot — so a reader can never
+  * observe a half-written table, writers never touch a directory a reader
+  * might hold open, and yesterday's corpus stays reproducible until
+  * vacuumed. The same append-only + pointer-swap discipline table formats
+  * implement in their metadata layer, built from two filesystem
+  * primitives.
+  *
+  * Concurrency contract: SINGLE writer (the pointer swap is
+  * last-writer-wins, like the reference pipeline's checkpoint files);
+  * any number of concurrent readers.
+  */
+object Versioned {
+
+  private val Pointer = "_LATEST"
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dir(root: String, v: Long) = f"$root/v=$v%05d"
+
+  /** All committed versions, ascending (directories only — a version is
+    * committed by its write completing; the pointer marks latest, not
+    * existence). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val p = new Path(root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
+  }
+
+  /** Version the `_LATEST` pointer names, if any. Falls back to the
+    * highest committed directory when the pointer is missing (a crash
+    * between write and swap leaves the new version invisible-but-present;
+    * the next write overwrites the same slot or a later one). */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val ptr = new Path(root, Pointer)
+    if (f.exists(ptr)) {
+      val in = f.open(ptr)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      finally in.close()
+    } else versions(spark, root).lastOption
+  }
+
+  /** Write a new immutable version and swing the pointer. Returns the
+    * committed version number. */
+  def write(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val v = latestVersion(spark, root)
+      .orElse(versions(spark, root).lastOption).map(_ + 1).getOrElse(0L)
+    df.write.mode("overwrite").parquet(dir(root, v))
+    val tmp = new Path(root, s"$Pointer.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val ptr = new Path(root, Pointer)
+    if (f.exists(ptr)) f.delete(ptr, false)
+    if (!f.rename(tmp, ptr))
+      throw new java.io.IOException(s"pointer swap failed for $root v$v")
+    v
+  }
+
+  def readLatest(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root, latestVersion(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no versions at $root")))
+
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
+    spark.read.parquet(dir(root, v))
+
+  /** Drop all but the newest `keep` versions (never the pointed-to one).
+    * Readers pinned to a vacuumed version fail on their NEXT read — the
+    * retention window is the reproducibility contract, same as any table
+    * format's vacuum. */
+  def vacuum(spark: SparkSession, root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, s"keep=$keep must be >= 1")
+    val f = fs(spark, root)
+    val current = latestVersion(spark, root)
+    val all = versions(spark, root)
+    val drop = all.dropRight(keep).filterNot(current.contains)
+    drop.foreach(v => f.delete(new Path(dir(root, v)), true))
+    drop
+  }
+}

@@ -135,6 +135,33 @@ class ScaleSpec extends SparkSpec {
     scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("versioned store: immutable snapshots, latest pointer, vacuum") {
+    import graft.io.Versioned
+    val root = java.nio.file.Files.createTempDirectory("graft_ver").toString
+    def snap(n: Int) = spark.range(n).toDF("id")
+    assert(Versioned.write(snap(10), root) === 0L)
+    assert(Versioned.write(snap(20), root) === 1L)
+    assert(Versioned.write(snap(30), root) === 2L)
+    assert(Versioned.versions(spark, root) === Seq(0L, 1L, 2L))
+    assert(Versioned.readLatest(spark, root).count() === 30L)
+    // time travel: old snapshots stay exactly as written
+    assert(Versioned.readVersion(spark, root, 0L).count() === 10L)
+    assert(Versioned.readVersion(spark, root, 1L).count() === 20L)
+    // vacuum keeps the newest two, never the pointed-to version
+    assert(Versioned.vacuum(spark, root, keep = 2) === Seq(0L))
+    assert(Versioned.versions(spark, root) === Seq(1L, 2L))
+    assert(Versioned.readLatest(spark, root).count() === 30L)
+    // a crash between write and pointer swap: data dir present, pointer
+    // stale -> latest falls back correctly on the NEXT write's numbering
+    snap(40).write.mode("overwrite").parquet(s"$root/v=00003")
+    assert(Versioned.latestVersion(spark, root) === Some(2L),
+      "pointer wins while it exists")
+    assert(Versioned.write(snap(50), root) === 3L,
+      "next write claims the orphaned slot")
+    assert(Versioned.readLatest(spark, root).count() === 50L)
+    scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_cust")
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_ord")
