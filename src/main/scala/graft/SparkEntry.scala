@@ -2,7 +2,7 @@ package graft
 
 import graft.Util.{spread, table}
 import graft.io.QualtricsReader
-import graft.llm.{CorpusHygiene, Dedup, Mixture, Multimodal, Quantize, Similarity, TextFunctions}
+import graft.llm.{BpeTrain, CorpusHygiene, Dedup, Mixture, Multimodal, NgramLm, Quantize, Similarity, SubstringDedup, TextFunctions}
 import graft.ops._
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1168,7 +1168,44 @@ object SparkEntry {
         .select(col("doc_id").cast("long").as("doc_id"), col("source"),
           md5(coalesce(col("text"), lit(""))).as("text_md5"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // LLM: exact substring dedup, stats half (Lee et al. 2022 semantics as
+    // hash aggregates, not a suffix array) — per-doc counts of 8-token
+    // windows whose exact text recurs anywhere in the corpus; hash-checked
+    // against DuckDB replaying every window
+    "q_substring_dup_stats" -> ((s, dir) =>
+      SubstringDedup.duplicatedWindowStats(
+          spread(table(s, dir, "documents"), "doc_id"),
+          "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))),
+
+    // LLM: exact substring dedup, rewrite half — every duplicated 8-token
+    // span cut from all but its canonical (min doc,pos) occurrence,
+    // overlapping spans merged per doc. Spans shuffle as 8-byte window
+    // hashes; not SQL-expressible (span merge), rows-only + LlmSpec naive
+    // cross-check
+    "q_substring_dedup" -> ((s, dir) =>
+      SubstringDedup.dedupSubstrings(
+          spread(table(s, dir, "documents"), "doc_id"),
+          "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))),
+
+    // LLM: bigram-LM quality scoring (CCNet/KenLM pattern) — add-one
+    // smoothed corpus bigram stats, per-doc mean ln P(w|u); count tables
+    // are vocabulary-sized and broadcast to the scoring join
+    "q_ngram_lm_score" -> ((s, dir) =>
+      NgramLm.scoreDocs(spread(table(s, dir, "documents"), "doc_id"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // LLM: BPE merge-rule training — 24 deterministic merges learned from
+    // the word-frequency table (count desc, pair-lexicographic ties);
+    // iterative, so rows-only + LlmSpec cross-checks distributed ==
+    // driver fast path == local reference
+    "q_bpe_merges" -> ((s, dir) =>
+      BpeTrain.merges(table(s, dir, "documents"), "text", nMerges = 24)
+        .orderBy(col("rank")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2196,6 +2233,41 @@ object SparkEntry {
         |  UNION ALL SELECT 'l_linestatus', CAST(l_linestatus AS VARCHAR), '2025' FROM f
         |  UNION ALL SELECT 'l_shipdate', CAST(l_shipdate AS VARCHAR), '2025' FROM f
         |  UNION ALL SELECT NULL, '', NULL
-        |) ORDER BY "QualtricsVariableName.2025" ASC NULLS LAST""".stripMargin
+        |) ORDER BY "QualtricsVariableName.2025" ASC NULLS LAST""".stripMargin,
+
+    // Every 8-token window replayed via unnest(generate_series); a window
+    // count over the gram partition marks corpus-wide recurrences.
+    "q_substring_dup_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t) - 7)) AS i FROM toks),
+        |wins AS (SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(t[i:i+7], ' ') AS gram FROM idx),
+        |counted AS (SELECT doc_id,
+        |    count(*) OVER (PARTITION BY gram) AS cnt FROM wins)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  count(*) FILTER (WHERE cnt > 1) AS n_dup_windows
+        |FROM counted GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Add-one bigram LM replayed exactly: context counts = bigram-left
+    // counts, V = corpus distinct tokens, mean ln P over each doc's
+    // bigrams. Self-scoring, so every join key exists on both sides.
+    "q_ngram_lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+        |bi AS (SELECT doc_id, t[i] AS u, t[i] || ' ' || t[i+1] AS gram
+        |  FROM idx),
+        |uc AS (SELECT u, count(*) AS cu FROM bi GROUP BY u),
+        |bc AS (SELECT gram, count(*) AS cb FROM bi GROUP BY gram),
+        |v AS (SELECT count(DISTINCT tok) AS vs
+        |  FROM (SELECT unnest(t) AS tok FROM toks))
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  avg(ln((bc.cb + 1.0) / (uc.cu + v.vs))) AS avg_ll
+        |FROM bi b JOIN bc ON b.gram = bc.gram JOIN uc ON b.u = uc.u
+        |CROSS JOIN v
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
   )
 }

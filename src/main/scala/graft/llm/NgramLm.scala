@@ -1,0 +1,56 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained bigram language-model scoring — the perplexity-style
+  * quality filter (CCNet/KenLM pattern) re-expressed as hash aggregates:
+  * documents whose token transitions are improbable under the corpus's
+  * own bigram statistics are boilerplate, spam, or wrong-language, and
+  * rank at the bottom.
+  *
+  * Model: add-one-smoothed bigram MLE. With c(u,w) the corpus count of
+  * bigram (u,w), c(u) the count of u as a bigram CONTEXT (left element),
+  * and V the corpus's distinct-token count,
+  * `P(w|u) = (c(u,w) + 1) / (c(u) + V)`; a document's score is the mean
+  * `ln P` over its bigrams (higher = more typical). Every step is
+  * SQL-expressible, so the whole operator is oracle-checked end to end.
+  *
+  * Scale shape: bigram and context count tables are vocabulary²- and
+  * vocabulary-sized — orders of magnitude smaller than the corpus — so
+  * they broadcast to the scoring join; the corpus side is one narrow
+  * explode. V is a driver scalar folded in as a literal (one aggregate,
+  * computed once at train time, not per row).
+  */
+object NgramLm {
+
+  /** (doc_id, gram) corpus bigrams via the bound-token shingle builder;
+    * u/w recovered by splitting on the single joining space (tokens are
+    * space-split, so they cannot themselves contain one). */
+  private def bigrams(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordNGrams(
+          TextFunctions.tokens(col(textCol)), 2)).as("gram"))
+      .withColumn("u", substring_index(col("gram"), " ", 1))
+
+  /** Score every document against bigram statistics trained on the same
+    * corpus: (doc_id, n_bigrams, avg_ll). Documents with fewer than two
+    * tokens have no bigrams and are absent from the output. */
+  def scoreDocs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bi = bigrams(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = df.select(explode(TextFunctions.tokens(col(textCol)))
+      .as("tok")).distinct().count()
+    val bigramCounts = bi.groupBy(col("gram")).agg(count(lit(1)).as("cb"))
+    val contextCounts = bi.groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    val scored = bi
+      .join(broadcast(bigramCounts), "gram")
+      .join(broadcast(contextCounts), "u")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((col("cb") + lit(1.0)) /
+          (col("cu") + lit(vocab.toDouble)))).as("avg_ll"))
+    graft.Util.finishAndRelease(scored, bi)
+  }
+}

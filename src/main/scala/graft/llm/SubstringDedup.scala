@@ -1,0 +1,97 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact substring deduplication at k-token granularity — the
+  * "duplicated 50-token window" pass LLM corpora get before training
+  * (Lee et al. 2022 run it with a suffix array on one machine; here the
+  * same semantics are a pair of hash aggregates, which is the shape that
+  * survives a 100 TB corpus: windows shard by content hash, no global
+  * index structure).
+  *
+  * Two surfaces:
+  *  - [[duplicatedWindowStats]]: per-document counts of windows whose
+  *    exact text recurs anywhere in the corpus — SQL-expressible, so it
+  *    is oracle-checked against DuckDB.
+  *  - [[dedupSubstrings]]: rewrite each document with every duplicated
+  *    window span REMOVED except for its one canonical occurrence (the
+  *    corpus-wide minimum (doc_id, pos), a deterministic choice), merging
+  *    overlapping marked spans per document before cutting tokens.
+  *
+  * Scale notes: the stats path partitions by the window TEXT (needed for
+  * the cross-engine oracle); the dedup path keys every shuffle by
+  * `xxhash64(window)` instead, so 8-byte hashes move through the
+  * exchanges rather than k-token strings (collision odds at 2^64 are
+  * negligible next to tokenizer noise). Marked starts are folded into
+  * disjoint intervals before the coverage filter, so the per-token test
+  * costs O(intervals), not O(marked windows).
+  */
+object SubstringDedup {
+
+  /** Every k-token window of every document: (doc_id, pos, gram) with
+    * 0-based pos. Documents shorter than k tokens contribute no rows. */
+  def tokenWindows(df: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.wordNGrams(
+        TextFunctions.tokens(col(textCol)), k)).as(Seq("pos", "gram")))
+
+  /** Per-document duplicated-window tallies: `n_windows` total k-token
+    * windows, `n_dup_windows` of them whose exact text occurs at more
+    * than one (doc, pos) corpus-wide. One window count over the gram
+    * partition — a single shuffle on the window text. */
+  def duplicatedWindowStats(df: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame = {
+    val wins = tokenWindows(df, idCol, textCol, k)
+    wins.withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(when(col("cnt") > 1, 1)).as("n_dup_windows"))
+  }
+
+  /** Remove duplicated k-token spans from every document except the one
+    * canonical occurrence per window value. Output: (doc_id, cleaned
+    * text under the original column name, n_tokens_removed).
+    *
+    * Plan shape: hash windows → per-hash min-(doc,pos) + count via one
+    * window over the hash → marked starts per doc (hash aggregate) →
+    * left equi-join back onto the documents by doc_id. Marked-span lists
+    * are per-document and small; the interval merge and token cut are
+    * narrow per-row folds. */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val wins = tokenWindows(df, idCol, textCol, k)
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("whash"))
+    val w = Window.partitionBy(col("whash"))
+    val marked = wins
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("keep", min(struct(col("doc_id"), col("pos"))).over(w))
+      .filter(col("cnt") > 1 &&
+        !(col("doc_id") === col("keep.doc_id") &&
+          col("pos") === col("keep.pos")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("__starts"))
+    // fold sorted starts into disjoint [s, e) intervals (e exclusive)
+    val emptyIv = array().cast("array<struct<s:int,e:int>>")
+    val intervals = aggregate(col("__starts"), emptyIv, (acc, s) => {
+      val last = element_at(acc, -1)
+      when(size(acc) > 0 && last("e") >= s,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(last("s").as("s"),
+            greatest(last("e"), s + k).as("e")))))
+        .otherwise(concat(acc, array(struct(s.as("s"), (s + k).as("e")))))
+    })
+    df.join(marked.withColumnRenamed("doc_id", "__did"),
+        col(idCol) === col("__did"), "left")
+      .withColumn("__iv", coalesce(intervals, emptyIv))
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        !exists(col("__iv"), iv => iv("s") <= i && i < iv("e"))))
+      .select(col(idCol),
+        array_join(col("__kept"), " ").as(textCol),
+        (size(col("__toks")) - size(col("__kept"))).cast("long")
+          .as("n_tokens_removed"))
+  }
+}

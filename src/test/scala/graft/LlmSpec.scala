@@ -653,4 +653,82 @@ class LlmSpec extends SparkSpec {
     assert(out === Map((0, 1) -> 2.0, (0, 2) -> 4.0,
       (1, 1) -> 10.0, (1, 2) -> 20.0))
   }
+
+  test("substring dedup matches a naive driver-side span cut") {
+    import graft.llm.SubstringDedup
+    val k = 5
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // naive: every k-token window, grams with >1 occurrence keep only the
+    // min (doc, pos); all other occurrences mark [pos, pos+k) for removal
+    val wins = raw.toSeq.flatMap { case (id, text) =>
+      val t = text.split(" ", -1)
+      (0 to t.length - k).map(p => (id, p, t.slice(p, p + k).mkString(" ")))
+    }
+    val markedNaive = wins.groupBy(_._3).values.filter(_.size > 1)
+      .flatMap { occ =>
+        val keep = occ.minBy(o => (o._1, o._2))
+        occ.filterNot(o => (o._1, o._2) == ((keep._1, keep._2)))
+      }
+      .groupBy(_._1)
+      .map { case (id, occ) => id -> occ.map(_._2).toSet }
+    val expected = raw.map { case (id, text) =>
+      val t = text.split(" ", -1)
+      val starts = markedNaive.getOrElse(id, Set.empty)
+      val covered = starts.flatMap(s => s until s + k)
+      val kept = t.zipWithIndex.collect {
+        case (tok, i) if !covered.contains(i) => tok
+      }
+      id -> ((kept.mkString(" "), (t.length - kept.length).toLong))
+    }
+    val got = SubstringDedup.dedupSubstrings(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got === expected)
+    assert(got.values.map(_._2).sum > 0, "fixture should have real dups")
+    // stats half agrees with the same naive window table
+    val dupGrams = wins.groupBy(_._3).filter(_._2.size > 1).keySet
+    val statsNaive = wins.groupBy(_._1).map { case (id, ws) =>
+      id -> ((ws.size.toLong, ws.count(w => dupGrams(w._3)).toLong))
+    }
+    val stats = SubstringDedup.duplicatedWindowStats(docs, "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(stats === statsNaive)
+  }
+
+  test("BPE merges: distributed == driver fast path == local reference") {
+    import graft.llm.BpeTrain
+    val small = docs.limit(60)
+    val fast = BpeTrain.merges(small, "text", nMerges = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val dist = BpeTrain.merges(small, "text", nMerges = 8,
+        fastPathMaxWords = 0L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(fast.toSeq === dist.toSeq)
+    assert(fast.length === 8)
+    // ranks are dense and learned merges are reproducible
+    assert(fast.map(_._1).toSeq === (0 until 8))
+    // greedy left-to-right fold: "aaa" merges once under (a, a), not twice
+    val tri = BpeTrain.mergesLocal(Seq(("aaa", 1L)), 2)
+    assert(tri.head === ((0, "a", "a", 2L)),
+      "adjacent pair in aaa counts twice before any merge")
+    assert(tri(1) === ((1, "aa", "a", 1L)))
+  }
+
+  test("bigram LM scores a tiny corpus exactly") {
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = graft.llm.NgramLm.scoreDocs(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // V=3 (a,b,x); bigrams: (a,b)x2+(a,b)=3? doc1: ab, ba, ab; doc2: ab.
+    // c(a,b)=3, c(b,a)=1; contexts: c(a)=3, c(b)=1.
+    val pab = math.log(4.0 / 6.0) // (3+1)/(3+3)
+    val pba = math.log(2.0 / 4.0) // (1+1)/(1+3)
+    assert(got.keySet === Set(1L, 2L), "doc with <2 tokens absent")
+    assert(got(1L)._1 === 3L)
+    assert(math.abs(got(1L)._2 - (2 * pab + pba) / 3.0) < 1e-12)
+    assert(math.abs(got(2L)._2 - pab) < 1e-12)
+  }
 }
