@@ -1205,7 +1205,58 @@ object SparkEntry {
     // driver fast path == local reference
     "q_bpe_merges" -> ((s, dir) =>
       BpeTrain.merges(table(s, dir, "documents"), "text", nMerges = 24)
-        .orderBy(col("rank")))
+        .orderBy(col("rank"))),
+
+    // Data catalog: one-pass column profile (row/null/distinct counts +
+    // min/max; timestamps as epoch micros) — ONE scan, one multi-distinct
+    // aggregate, plan-side reshape to a row per column
+    "q_profile_table" -> ((s, dir) =>
+      graft.quality.Profile.profile(table(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+            "l_shipdate"))
+        .orderBy(col("column"))),
+
+    // Data catalog: fixed-width value histogram — single hash aggregate
+    // on floor(v / width), no bounds pre-scan
+    "q_histogram" -> ((s, dir) =>
+      graft.quality.Profile.histogram(table(s, dir, "lineitem"),
+          "l_extendedprice", width = 5000.0)
+        .orderBy(col("bucket"))),
+
+    // CDC / reconciliation: row-level diff of two keyed snapshots (added /
+    // removed / changed via one full-outer join + null-safe struct
+    // compare); pairs with the versioned store + table fingerprint
+    "q_table_diff" -> ((s, dir) => {
+      val orders = table(s, dir, "orders")
+      val oldSnap = orders.filter(col("o_orderkey") % 7 =!= 0)
+      val newSnap = orders.filter(col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+      graft.quality.TableDiff.diff(oldSnap, newSnap, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // LLM: BPE encode — apply the learned merges to the corpus; pieces
+    // computed once per DISTINCT word (chained greedy folds on the
+    // vocabulary table), broadcast-joined back to the token stream.
+    // Rows-only (train+encode is iterative); LlmSpec == local encode
+    "q_bpe_encode" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val rules = BpeTrain.merges(docs, "text", nMerges = 16)
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrain.encode(docs, "doc_id", "text", rules)
+        .orderBy(col("doc_id"))
+    }),
+
+    // LLM/corpus analytics: PMI collocations over adjacent token pairs —
+    // three hash aggregates + two vocabulary-sized broadcast joins; the
+    // fixed-order double expression replays bit-for-bit in the oracle
+    "q_token_pmi" -> ((s, dir) =>
+      NgramLm.pmiCollocations(spread(table(s, dir, "documents"), "doc_id"),
+          "text", minCount = 20L)
+        .orderBy(col("u"), col("w")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2268,6 +2319,84 @@ object SparkEntry {
         |  avg(ln((bc.cb + 1.0) / (uc.cu + v.vs))) AS avg_ll
         |FROM bi b JOIN bc ON b.gram = bc.gram JOIN uc ON b.u = uc.u
         |CROSS JOIN v
-        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // One SELECT per profiled column; epoch micros for the timestamp ends.
+    "q_profile_table" ->
+      """SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+        |  count(*) - count(l_orderkey) AS n_null,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+        |  CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM lineitem
+        |UNION ALL SELECT 'l_quantity', count(*),
+        |  count(*) - count(l_quantity), count(DISTINCT l_quantity),
+        |  CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE),
+        |  NULL, NULL FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', count(*),
+        |  count(*) - count(l_extendedprice),
+        |  count(DISTINCT l_extendedprice),
+        |  CAST(min(l_extendedprice) AS DOUBLE),
+        |  CAST(max(l_extendedprice) AS DOUBLE), NULL, NULL FROM lineitem
+        |UNION ALL SELECT 'l_returnflag', count(*),
+        |  count(*) - count(l_returnflag), count(DISTINCT l_returnflag),
+        |  NULL, NULL, CAST(min(l_returnflag) AS VARCHAR),
+        |  CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+        |UNION ALL SELECT 'l_shipdate', count(*),
+        |  count(*) - count(l_shipdate), count(DISTINCT l_shipdate),
+        |  CAST(epoch_us(min(l_shipdate)) AS DOUBLE),
+        |  CAST(epoch_us(max(l_shipdate)) AS DOUBLE), NULL, NULL
+        |FROM lineitem
+        |ORDER BY "column"""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Snapshot diff replayed as a FULL OUTER JOIN with per-column
+    // IS DISTINCT FROM compares (the null-safe struct equality).
+    "q_table_diff" ->
+      """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 7 <> 0),
+        |n AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 11 <> 0)
+        |SELECT * FROM (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |         WHEN n.o_orderkey IS NULL THEN 'removed'
+        |         WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+        |           OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+        |           OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+        |           OR (o.o_orderdate IS DISTINCT FROM n.o_orderdate)
+        |           OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+        |         THEN 'changed' END AS change
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+        |WHERE change IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
+    // PMI with the engine's exact left-associated double expression:
+    // ((c_uw·1.0)·U)·U / (((T·1.0)·c_u)·c_w).
+    "q_token_pmi" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |idx AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+        |bi AS (SELECT t[i] AS u, t[i+1] AS w FROM idx),
+        |uni AS (SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+        |tot AS (SELECT (SELECT count(*) FROM bi) AS tb,
+        |    (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS us),
+        |pairs AS (SELECT u, w, count(*) AS c_uw FROM bi
+        |  GROUP BY u, w HAVING count(*) >= 20)
+        |SELECT p.u, p.w, p.c_uw,
+        |  ln(p.c_uw * 1.0 * t.us * t.us / (t.tb * 1.0 * cu.c * cw.c))
+        |    AS pmi
+        |FROM pairs p CROSS JOIN tot t
+        |JOIN uni cu ON p.u = cu.tok JOIN uni cw ON p.w = cw.tok
+        |ORDER BY u, w""".stripMargin
   )
 }

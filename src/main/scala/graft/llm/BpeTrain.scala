@@ -98,6 +98,37 @@ object BpeTrain {
     result.toDF("rank", "left", "right", "freq")
   }
 
+  /** Local reference encode: apply merge rules in rank order to one
+    * word's characters. */
+  def encodeLocal(word: String,
+                  rules: Seq[(String, String)]): Vector[String] =
+    rules.foldLeft(word.split("").toVector) { case (syms, (l, r)) =>
+      mergeOnce(syms, l, r)
+    }
+
+  /** Tokenize the corpus with learned merge rules — the ENCODE half of
+    * BPE. Pieces are computed once per DISTINCT word (the vocabulary
+    * table — the same object [[merges]] trains on) by chaining the
+    * greedy merge fold per rule, then joined back onto the corpus
+    * token stream; the vocabulary side broadcasts. Output: one row per
+    * document — (idCol, n_words, n_pieces). */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+             rules: Seq[(String, String)]): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    val pieces = rules.foldLeft(
+        filter(split(col("word"), ""), x => x =!= lit(""))) {
+      case (syms, (l, r)) => mergeExpr(syms, l, r)
+    }
+    val vocab = tok.select(col("word")).distinct()
+      .select(col("word"), size(pieces).as("n_pieces"))
+    tok.join(broadcast(vocab), "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"))
+  }
+
   private def mergesDistributed(spark: SparkSession, words: DataFrame,
       nMerges: Int): Seq[(Int, String, String, Long)] = {
     val out = Seq.newBuilder[(Int, String, String, Long)]

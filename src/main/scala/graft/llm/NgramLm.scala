@@ -53,4 +53,39 @@ object NgramLm {
           (col("cu") + lit(vocab.toDouble)))).as("avg_ll"))
     graft.Util.finishAndRelease(scored, bi)
   }
+
+  /** Collocation mining by pointwise mutual information over adjacent
+    * token pairs: PMI(u,w) = ln(p(u,w) / (p(u)·p(w))) with p from corpus
+    * counts (T total bigrams, U total tokens). Computed as one
+    * fixed-order double expression — ln((c_uw·U·U) / (T·c_u·c_w)) with
+    * left-associated products — so the oracle replays it bit-for-bit.
+    * All inputs are three hash aggregates; the unigram side joins twice
+    * (left token, right token), both broadcast at vocabulary size. */
+  def pmiCollocations(df: DataFrame, textCol: String,
+                      minCount: Long): DataFrame = {
+    val bi = df.select(explode(TextFunctions.wordNGrams(
+        TextFunctions.tokens(col(textCol)), 2)).as("gram"))
+      .select(substring_index(col("gram"), " ", 1).as("u"),
+        substring_index(col("gram"), " ", -1).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totBigrams = bi.count()
+    val uni = df.select(explode(TextFunctions.tokens(col(textCol)))
+        .as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totTokens = uni.agg(sum(col("c"))).collect()(0).getLong(0)
+    val pairs = bi.groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("c_uw"))
+      .filter(col("c_uw") >= minCount)
+    val out = pairs
+      .join(broadcast(uni.select(col("tok").as("u"), col("c").as("c_u"))),
+        "u")
+      .join(broadcast(uni.select(col("tok").as("w"), col("c").as("c_w"))),
+        "w")
+      .select(col("u"), col("w"), col("c_uw"),
+        log(col("c_uw") * lit(1.0) * lit(totTokens) * lit(totTokens) /
+          (lit(totBigrams) * lit(1.0) * col("c_u") * col("c_w")))
+          .as("pmi"))
+    graft.Util.finishAndRelease(out, bi, uni)
+  }
 }

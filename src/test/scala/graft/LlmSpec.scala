@@ -716,6 +716,27 @@ class LlmSpec extends SparkSpec {
     assert(tri(1) === ((1, "aa", "a", 1L)))
   }
 
+  test("BPE encode matches per-word local encoding") {
+    import graft.llm.BpeTrain
+    val small = docs.limit(40)
+    val rules = BpeTrain.merges(small, "text", nMerges = 6)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = BpeTrain.encode(small, "doc_id", "text", rules)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val expected = small.select("doc_id", "text").collect().map { r =>
+      val words = r.getString(1).split(" ", -1).filter(_.nonEmpty)
+      r.getLong(0) -> ((words.length.toLong,
+        words.map(w => BpeTrain.encodeLocal(w, rules).length.toLong).sum))
+    }.toMap
+    assert(got === expected)
+    // merges actually compress: fewer pieces than characters
+    val chars = small.select("text").collect()
+      .map(_.getString(0).count(_ != ' ').toLong).sum
+    assert(got.values.map(_._2).sum < chars)
+  }
+
   test("bigram LM scores a tiny corpus exactly") {
     val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
       .toDF("doc_id", "text")

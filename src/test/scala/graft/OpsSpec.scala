@@ -547,4 +547,57 @@ class OpsSpec extends SparkSpec {
       ("2024-01-01", 0) -> 1L, ("2024-01-01", 1) -> 1L,
       ("2024-01-01", 3) -> 1L, ("2024-01-08", 0) -> 1L))
   }
+
+  test("Profile: one-pass column stats with nulls, strings, timestamps") {
+    import graft.quality.Profile
+    val df = Seq(
+      (Some(1L), Some("b"), Some("2024-01-02 00:00:00")),
+      (Some(5L), None, Some("2024-01-01 00:00:00")),
+      (None, Some("a"), None),
+      (Some(5L), Some("c"), Some("2024-01-03 00:00:00"))
+    ).toDF("n", "s", "t_raw")
+      .withColumn("t", col("t_raw").cast("timestamp")).drop("t_raw")
+    val out = Profile.profile(df, Seq("n", "s", "t")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("n").getLong(1) === 4L && out("n").getLong(2) === 1L)
+    assert(out("n").getLong(3) === 2L) // distinct of {1, 5, 5}
+    assert(out("n").getDouble(4) === 1.0 && out("n").getDouble(5) === 5.0)
+    assert(out("s").getString(6) === "a" && out("s").getString(7) === "c")
+    assert(out("s").isNullAt(4) && out("s").isNullAt(5))
+    // timestamp ends as epoch micros
+    val day = 86400L * 1000000L
+    assert(out("t").getDouble(5) - out("t").getDouble(4) === (2 * day).toDouble)
+    // approx path keeps the same shape
+    val approx = Profile.profile(df, Seq("n", "s"), exactDistinct = false)
+    assert(approx.columns.toSeq === out("n").schema.fieldNames.toSeq)
+    assert(approx.count() === 2L)
+    // histogram: fixed-width buckets, nulls dropped
+    val h = Profile.histogram(
+        Seq(Some(0.5), Some(9.9), Some(10.0), None).toDF("v"), "v", 10.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h === Map(0L -> 2L, 1L -> 1L))
+  }
+
+  test("TableDiff: added/removed/changed with null-safe compares") {
+    import graft.quality.TableDiff
+    val oldDf = Seq(
+      (1L, Some("a"), Some(1.0)), // unchanged
+      (2L, Some("b"), Some(2.0)), // changed value
+      (3L, None, Some(3.0)),      // changed: null -> value
+      (4L, Some("d"), None)       // removed
+    ).toDF("k", "s", "v")
+    val newDf = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("B"), Some(2.0)),
+      (3L, Some("c"), Some(3.0)),
+      (5L, Some("e"), Some(5.0))  // added
+    ).toDF("k", "s", "v")
+    val out = TableDiff.diff(oldDf, newDf, Seq("k")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"))
+    intercept[IllegalArgumentException] {
+      TableDiff.diff(oldDf, newDf.withColumnRenamed("v", "w"), Seq("k"))
+    }
+  }
 }
