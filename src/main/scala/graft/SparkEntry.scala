@@ -2,7 +2,7 @@ package graft
 
 import graft.Util.{spread, table}
 import graft.io.QualtricsReader
-import graft.llm.{BpeTrain, CorpusHygiene, Dedup, Mixture, Multimodal, NgramLm, Quantize, Similarity, SubstringDedup, TextFunctions}
+import graft.llm.{Bm25, BpeTrain, CorpusHygiene, Dedup, Mixture, Multimodal, NgramLm, Quantize, Similarity, SubstringDedup, TextFunctions}
 import graft.ops._
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -1250,6 +1250,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Retrieval: Okapi BM25 against a bag-of-words query — the lexical
+    // baseline next to the ANN index; query-term df table broadcast,
+    // per-term scores floored to exact micros so the sum is
+    // order-independent and the whole score oracle-checks
+    "q_bm25_score" -> ((s, dir) =>
+      Bm25.score(spread(table(s, dir, "documents"), "doc_id"),
+          "doc_id", "text", Seq("hash", "join", "vector", "stream"))
+        .orderBy(col("doc_id"))),
+
     // LLM/corpus analytics: PMI collocations over adjacent token pairs —
     // three hash aggregates + two vocabulary-sized broadcast joins; the
     // fixed-order double expression replays bit-for-bit in the oracle
@@ -2377,6 +2386,32 @@ object SparkEntry {
         |         THEN 'changed' END AS change
         |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
         |WHERE change IS NOT NULL ORDER BY o_orderkey""".stripMargin,
+
+    // BM25 replayed with the engine's exact expression tree; per-term
+    // scores floored to BIGINT micros before the sum (order-independent),
+    // outer CAST because DuckDB's sum(BIGINT) widens to HUGEINT.
+    "q_bm25_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |stats AS (SELECT count(*) AS n,
+        |    avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM toks),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        |  WHERE term IN ('hash', 'join', 'vector', 'stream')
+        |  GROUP BY term),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('hash', 'join', 'vector', 'stream')
+        |  GROUP BY doc_id, term)
+        |SELECT tf.doc_id, count(*) AS n_terms_hit,
+        |  CAST(sum(CAST(floor(
+        |    ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |    ((tf.tf * 1.0 * (1.2 + 1.0)) /
+        |     (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))) *
+        |    1000000.0) AS BIGINT)) AS BIGINT) AS bm25_micros
+        |FROM tf JOIN dfreq d ON tf.term = d.term
+        |JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
 
     // PMI with the engine's exact left-associated double expression:
     // ((c_uw·1.0)·U)·U / (((T·1.0)·c_u)·c_w).

@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 scoring of a corpus against a bag-of-words query — the
+  * lexical-retrieval baseline every data pipeline keeps next to its
+  * embedding index (and the standard hybrid-search partner to the ANN
+  * operators in [[Similarity]]).
+  *
+  * score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+  * with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) — the Robertson/
+  * Sparck-Jones form that stays positive for df > N/2.
+  *
+  * Scale shape: document frequencies live in a vocabulary-sized table
+  * restricted to the QUERY's terms (broadcast, usually a handful of
+  * rows); the corpus side is one narrow explode + per-(doc, term) count.
+  * N and avgdl are driver scalars from one aggregate. Every arithmetic
+  * step is a fixed-order double expression, so DuckDB replays the score
+  * bit-for-bit and the operator is oracle-checkable end to end.
+  */
+object Bm25 {
+
+  def score(df: DataFrame, idCol: String, textCol: String,
+            queryTerms: Seq[String], k1: Double = 1.2,
+            b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = df.agg(count(lit(1)).as("n"),
+      avg(size(TextFunctions.tokens(col(textCol))).cast("double"))
+        .as("avgdl")).collect()(0)
+    val (nDocs, avgdl) = (stats.getLong(0), stats.getDouble(1))
+    val docLen = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"))
+    val qTerms = queryTerms.distinct
+    val dfreq = toks.filter(col("term").isin(qTerms.map(lit): _*))
+      .groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val tf = toks.filter(col("term").isin(qTerms.map(lit): _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // fixed-order doubles, mirrored in the oracle: idf first, then the
+    // saturation fraction, multiplied last. k1+1 and 1−b stay as
+    // in-expression literal arithmetic (not driver-computed Scala
+    // doubles) so constant folding performs the same IEEE ops DuckDB
+    // runs on its own literals.
+    val idf = log((lit(nDocs) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val sat = (col("tf") * lit(1.0) * (lit(k1) + lit(1.0))) /
+      (col("tf") + lit(k1) * ((lit(1.0) - lit(b)) +
+        lit(b) * col("dl") / lit(avgdl)))
+    // a double SUM is partial-agg-order-dependent; flooring each
+    // per-term score to exact integer micros first makes the total
+    // order-independent and engine-exact (the per-term double itself is
+    // bit-identical — one fixed-order expression)
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .join(docLen, "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        sum(floor(idf * sat * lit(1e6)).cast("long")).as("bm25_micros"))
+    graft.Util.finishAndRelease(scored, toks)
+  }
+}

@@ -737,6 +737,22 @@ class LlmSpec extends SparkSpec {
     assert(got.values.map(_._2).sum < chars)
   }
 
+  test("BM25 scores a tiny corpus to exact micros") {
+    val df = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val got = graft.llm.Bm25.score(df, "doc_id", "text", Seq("x", "z"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // N=2, avgdl=2.5; x: df=1, tf(d1)=2, dl(d1)=3; z: df=1, tf(d2)=1, dl=2
+    def bm25(tf: Long, df: Long, dl: Long): Long = {
+      val idf = math.log((2L - df + 0.5) / (df + 0.5) + 1.0)
+      val sat = (tf * 1.0 * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / 2.5))
+      math.floor(idf * sat * 1e6).toLong
+    }
+    assert(got === Map(1L -> ((1L, bm25(2, 1, 3))),
+      2L -> ((1L, bm25(1, 1, 2)))))
+  }
+
   test("bigram LM scores a tiny corpus exactly") {
     val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
       .toDF("doc_id", "text")
