@@ -654,13 +654,10 @@ class LlmSpec extends SparkSpec {
       (1, 1) -> 10.0, (1, 2) -> 20.0))
   }
 
-  test("substring dedup matches a naive driver-side span cut") {
-    import graft.llm.SubstringDedup
-    val k = 5
-    val raw = docs.select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
-    // naive: every k-token window, grams with >1 occurrence keep only the
-    // min (doc, pos); all other occurrences mark [pos, pos+k) for removal
+  /** Naive reference for substring dedup: expected (cleaned text,
+    * n_removed) per doc and (n_windows, n_dup) stats per doc. */
+  private def naiveSubstringDedup(raw: Map[Long, String], k: Int)
+      : (Map[Long, (String, Long)], Map[Long, (Long, Long)]) = {
     val wins = raw.toSeq.flatMap { case (id, text) =>
       val t = text.split(" ", -1)
       (0 to t.length - k).map(p => (id, p, t.slice(p, p + k).mkString(" ")))
@@ -681,16 +678,49 @@ class LlmSpec extends SparkSpec {
       }
       id -> ((kept.mkString(" "), (t.length - kept.length).toLong))
     }
+    val dupGrams = wins.groupBy(_._3).filter(_._2.size > 1).keySet
+    val stats = wins.groupBy(_._1).map { case (id, ws) =>
+      id -> ((ws.size.toLong, ws.count(w => dupGrams(w._3)).toLong))
+    }
+    (expected, stats)
+  }
+
+  test("substring dedup equals naive on random corpora (8 trials)") {
+    import graft.llm.SubstringDedup
+    val rnd = new scala.util.Random(77)
+    (1 to 8).foreach { _ =>
+      val k = 2 + rnd.nextInt(3)
+      val raw = (0L until 25L).map { id =>
+        val n = rnd.nextInt(18)
+        id -> (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar.toString)
+          .mkString(" ")
+      }.toMap
+      val df = raw.toSeq.toDF("doc_id", "text")
+      val (expected, expStats) = naiveSubstringDedup(raw, k)
+      val got = SubstringDedup.dedupSubstrings(df, "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+      assert(got === expected, s"k=$k")
+      val gotStats = SubstringDedup
+        .duplicatedWindowStats(df, "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      // naive emits a row only for docs with >= 1 window, as the op does
+      assert(gotStats === expStats.filter(_._2._1 > 0), s"k=$k")
+    }
+  }
+
+  test("substring dedup matches a naive driver-side span cut") {
+    import graft.llm.SubstringDedup
+    val k = 5
+    val raw = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (expected, statsNaive) = naiveSubstringDedup(raw, k)
     val got = SubstringDedup.dedupSubstrings(docs, "doc_id", "text", k)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
       .toMap
     assert(got === expected)
     assert(got.values.map(_._2).sum > 0, "fixture should have real dups")
-    // stats half agrees with the same naive window table
-    val dupGrams = wins.groupBy(_._3).filter(_._2.size > 1).keySet
-    val statsNaive = wins.groupBy(_._1).map { case (id, ws) =>
-      id -> ((ws.size.toLong, ws.count(w => dupGrams(w._3)).toLong))
-    }
     val stats = SubstringDedup.duplicatedWindowStats(docs, "doc_id", "text", k)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
       .toMap

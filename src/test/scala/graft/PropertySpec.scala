@@ -94,4 +94,27 @@ class PropertySpec extends AnyFunSuite {
     // digit overflow clamps instead of throwing
     assert(Recency.digitKey("X99999999999999999999999") === Long.MaxValue)
   }
+
+  test("BPE encode is lossless and merges shrink monotonically (5k samples)") {
+    import graft.llm.BpeTrain
+    (1 to 5000).foreach { _ =>
+      val word = randStr(12, 2)
+      if (word.nonEmpty) {
+        val nRules = rnd.nextInt(5)
+        def sym(): String = { val s = randStr(2, 2); if (s.isEmpty) "a" else s }
+        val rules = (0 until nRules).map(_ => (sym(), sym()))
+        // every prefix of the rule list yields pieces that concatenate
+        // back to the word (no tokens invented or lost) and piece counts
+        // never increase as more merges apply
+        val counts = (0 to nRules).map { i =>
+          val pieces = BpeTrain.encodeLocal(word, rules.take(i))
+          assert(pieces.mkString("") === word,
+            s"lossy encode: '$word' via ${rules.take(i)} -> $pieces")
+          pieces.length
+        }
+        assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+          s"piece count grew: $counts for '$word' $rules")
+      }
+    }
+  }
 }
