@@ -1259,6 +1259,28 @@ object SparkEntry {
           "doc_id", "text", Seq("hash", "join", "vector", "stream"))
         .orderBy(col("doc_id"))),
 
+    // Retrieval: hybrid search — BM25 top-20 (TakeOrdered, no global
+    // window sort) fused with cosine top-20 by reciprocal-rank fusion;
+    // the two reciprocal terms add in fixed order, so the fused score
+    // oracle-checks exactly
+    "q_hybrid_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lexTop = Bm25.score(spread(table(s, dir, "documents"), "doc_id"),
+          "doc_id", "text", Seq("hash", "join", "vector", "stream"))
+        .orderBy(col("bm25_micros").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("bm25_micros").desc, col("doc_id"))))
+      val emb = spread(table(s, dir, "embeddings"), "vec_id")
+      val sem = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 7),
+          emb, "vec_id", "vec_id", "embedding", 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      Bm25.rrfFuse(lexTop.select(col("doc_id"), col("rank")), sem,
+          "doc_id", "rank")
+        .select(col("doc_id"), col("rank_lex").cast("long").as("rank_lex"),
+          col("rank_sem").cast("long").as("rank_sem"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
     // LLM/corpus analytics: PMI collocations over adjacent token pairs —
     // three hash aggregates + two vocabulary-sized broadcast joins; the
     // fixed-order double expression replays bit-for-bit in the oracle
@@ -2412,6 +2434,48 @@ object SparkEntry {
         |FROM tf JOIN dfreq d ON tf.term = d.term
         |JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
         |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+
+    // Hybrid search: the BM25 oracle's scored CTE feeding a lexical
+    // top-20, a cosine top-20, and the fixed-order RRF sum.
+    "q_hybrid_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+        |stats AS (SELECT count(*) AS n,
+        |    avg(CAST(len(t) AS DOUBLE)) AS avgdl FROM toks),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok
+        |  WHERE term IN ('hash', 'join', 'vector', 'stream')
+        |  GROUP BY term),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('hash', 'join', 'vector', 'stream')
+        |  GROUP BY doc_id, term),
+        |scored AS (SELECT tf.doc_id,
+        |  CAST(sum(CAST(floor(
+        |    ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0) *
+        |    ((tf.tf * 1.0 * (1.2 + 1.0)) /
+        |     (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / s.avgdl))) *
+        |    1000000.0) AS BIGINT)) AS BIGINT) AS bm25_micros
+        |  FROM tf JOIN dfreq d ON tf.term = d.term
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+        |  GROUP BY tf.doc_id),
+        |lex AS (SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY bm25_micros DESC, doc_id) AS BIGINT) AS rank_lex
+        |  FROM scored
+        |  QUALIFY rank_lex <= 20),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+        |sem AS (SELECT c.vec_id AS doc_id,
+        |    CAST(row_number() OVER (ORDER BY
+        |      list_cosine_similarity(c.embedding, q.qv) DESC, c.vec_id)
+        |      AS BIGINT) AS rank_sem
+        |  FROM embeddings c, q WHERE c.vec_id <> 7
+        |  QUALIFY rank_sem <= 20)
+        |SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+        |  rank_lex, rank_sem,
+        |  COALESCE(1.0 / (60 + rank_lex), 0.0) +
+        |  COALESCE(1.0 / (60 + rank_sem), 0.0) AS rrf
+        |FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        |ORDER BY rrf DESC, doc_id""".stripMargin,
 
     // PMI with the engine's exact left-associated double expression:
     // ((c_uw·1.0)·U)·U / (((T·1.0)·c_u)·c_w).

@@ -62,4 +62,23 @@ object Bm25 {
         sum(floor(idf * sat * lit(1e6)).cast("long")).as("bm25_micros"))
     graft.Util.finishAndRelease(scored, toks)
   }
+
+  /** Reciprocal-rank fusion of two ranked candidate lists — the standard
+    * hybrid-search combiner (lexical BM25 list + semantic ANN list):
+    * rrf(d) = Σ_lists 1/(k0 + rank_d), absent treated as no
+    * contribution. Both inputs are (idCol, rankCol) with dense 1-based
+    * ranks. The two reciprocal terms are added in a fixed order, so the
+    * fused score is engine-exact. Candidate lists are top-N-sized —
+    * this is orders of magnitude smaller than any corpus, so the outer
+    * join is trivially broadcastable. */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, idCol: String,
+              rankCol: String, k0: Int = 60): DataFrame = {
+    val l = lex.select(col(idCol), col(rankCol).as("rank_lex"))
+    val s = sem.select(col(idCol), col(rankCol).as("rank_sem"))
+    l.join(s, Seq(idCol), "full_outer")
+      .select(col(idCol), col("rank_lex"), col("rank_sem"),
+        (coalesce(lit(1.0) / (lit(k0) + col("rank_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k0) + col("rank_sem")), lit(0.0)))
+          .as("rrf"))
+  }
 }

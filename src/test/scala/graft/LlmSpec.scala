@@ -783,6 +783,18 @@ class LlmSpec extends SparkSpec {
       2L -> ((1L, bm25(1, 1, 2)))))
   }
 
+  test("RRF fusion sums reciprocal ranks, absence contributes zero") {
+    val lex = Seq((10L, 1), (20L, 2)).toDF("doc_id", "rank")
+    val sem = Seq((20L, 1), (30L, 2)).toDF("doc_id", "rank")
+    val got = graft.llm.Bm25.rrfFuse(lex, sem, "doc_id", "rank")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(got(20L) - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(got(10L) - 1.0 / 61) < 1e-15)
+    assert(math.abs(got(30L) - 1.0 / 62) < 1e-15)
+    // overlap doc outranks both single-list docs
+    assert(got(20L) > got(10L) && got(20L) > got(30L))
+  }
+
   test("bigram LM scores a tiny corpus exactly") {
     val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
       .toDF("doc_id", "text")
