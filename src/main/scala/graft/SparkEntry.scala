@@ -601,6 +601,21 @@ object SparkEntry {
           "event_type")
         .orderBy(col("user_id"), col("valid_from"))),
 
+    // Warehouse: point-in-time SCD2 lookup — every event joined to the
+    // dimension version valid at its timestamp (equi-join on the key,
+    // interval predicate as a cheap residual; no range-join machinery)
+    "q_scd2_lookup" -> ((s, dir) => {
+      val events = table(s, dir, "events")
+      val dim = TimeSeries.scd2(events, "user_id", "ts", "event_id",
+        "event_type")
+      TimeSeries.scd2Lookup(
+          events.select(col("event_id"), col("user_id"), col("ts")),
+          dim, "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("attr"),
+          col("valid_from"))
+        .orderBy(col("event_id"))
+    }),
+
     // Product-analytics: most-common session paths (30-min inactivity gap,
     // same rule as q_sessionize), deterministic (count desc, path) top-20
     "q_session_paths" -> ((s, dir) =>
@@ -1821,6 +1836,30 @@ object SparkEntry {
         |    AS valid_to,
         |  n_events
         |FROM g ORDER BY user_id, valid_from""".stripMargin,
+
+    // The q_scd2 interval chain joined back point-in-time: every event
+    // picks the version whose [valid_from, valid_to) holds its ts.
+    "q_scd2_lookup" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (SELECT user_id, event_type, ts,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS run FROM m),
+        |g AS (SELECT user_id, run, min(event_type) AS attr,
+        |    min(ts) AS valid_from FROM r GROUP BY 1, 2),
+        |d AS (SELECT user_id, attr, valid_from,
+        |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+        |      AS valid_to
+        |  FROM g)
+        |SELECT e.event_id, e.user_id, d.attr, d.valid_from
+        |FROM events e JOIN d ON e.user_id = d.user_id
+        |  AND d.valid_from <= e.ts
+        |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_session_paths" ->
       """WITH m AS (SELECT user_id, ts, event_id, event_type,

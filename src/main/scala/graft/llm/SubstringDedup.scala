@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact substring deduplication at k-token granularity — the
@@ -20,8 +19,8 @@ import org.apache.spark.sql.functions._
   *    corpus-wide minimum (doc_id, pos), a deterministic choice), merging
   *    overlapping marked spans per document before cutting tokens.
   *
-  * Scale notes: the stats path partitions by the window TEXT (needed for
-  * the cross-engine oracle); the dedup path keys every shuffle by
+  * Scale notes: the stats path aggregates on the window TEXT (needed
+  * for the cross-engine oracle); the dedup path keys every shuffle by
   * `xxhash64(window)` instead, so 8-byte hashes move through the
   * exchanges rather than k-token strings (collision odds at 2^64 are
   * negligible next to tokenizer noise). Marked starts are folded into
@@ -40,12 +39,20 @@ object SubstringDedup {
 
   /** Per-document duplicated-window tallies: `n_windows` total k-token
     * windows, `n_dup_windows` of them whose exact text occurs at more
-    * than one (doc, pos) corpus-wide. One window count over the gram
-    * partition — a single shuffle on the window text. */
+    * than one (doc, pos) corpus-wide.
+    *
+    * Deliberately a hash AGGREGATE + join, not `count() over
+    * (partition by gram)`: the window form sorts and fully materializes
+    * each gram partition, so one boilerplate window repeated millions of
+    * times corpus-wide becomes a single hot partition. The aggregate
+    * map-side combines the hot gram before the shuffle, and the join
+    * back is AQE-skew-splittable. */
   def duplicatedWindowStats(df: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame = {
     val wins = tokenWindows(df, idCol, textCol, k)
-    wins.withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("gram"))))
+    val counts = wins.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    wins.join(counts, "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
         count(when(col("cnt") > 1, 1)).as("n_dup_windows"))
@@ -55,22 +62,25 @@ object SubstringDedup {
     * canonical occurrence per window value. Output: (doc_id, cleaned
     * text under the original column name, n_tokens_removed).
     *
-    * Plan shape: hash windows → per-hash min-(doc,pos) + count via one
-    * window over the hash → marked starts per doc (hash aggregate) →
-    * left equi-join back onto the documents by doc_id. Marked-span lists
-    * are per-document and small; the interval merge and token cut are
-    * narrow per-row folds. */
+    * Plan shape: hash windows → per-hash count + canonical min-(doc,pos)
+    * via one map-side-combined AGGREGATE (not a window over the hash —
+    * same hot-partition argument as [[duplicatedWindowStats]]), filtered
+    * to duplicated hashes (a small fraction) before joining back → marked
+    * starts per doc (hash aggregate) → left equi-join onto the documents
+    * by doc_id. Marked-span lists are per-document and small; the
+    * interval merge and token cut are narrow per-row folds. */
   def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {
     val wins = tokenWindows(df, idCol, textCol, k)
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("whash"))
-    val w = Window.partitionBy(col("whash"))
-    val marked = wins
-      .withColumn("cnt", count(lit(1)).over(w))
-      .withColumn("keep", min(struct(col("doc_id"), col("pos"))).over(w))
-      .filter(col("cnt") > 1 &&
-        !(col("doc_id") === col("keep.doc_id") &&
-          col("pos") === col("keep.pos")))
+    val dupes = wins.groupBy(col("whash"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("cnt") > 1)
+      .select(col("whash"), col("keep"))
+    val marked = wins.join(dupes, "whash")
+      .filter(!(col("doc_id") === col("keep.doc_id") &&
+        col("pos") === col("keep.pos")))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("__starts"))
     // fold sorted starts into disjoint [s, e) intervals (e exclusive)

@@ -64,6 +64,31 @@ object TimeSeries {
         col("n_events"))
   }
 
+  /** Point-in-time lookup against an SCD2 dimension (the output shape of
+    * [[scd2]]): each fact row picks the dimension version whose
+    * [valid_from, valid_to) interval contains its timestamp — the
+    * join that makes "what was the attribute AT THE TIME" queries
+    * correct instead of leaking current values into history.
+    *
+    * Physical shape: hash equi-join on the key with the interval
+    * predicate as a join residual — version chains per key are short
+    * (bounded by attribute churn, not event volume), so the residual
+    * scan is constant-ish per probe and no range-join machinery is
+    * needed. Dimension tables are key×versions — usually broadcastable
+    * even when facts are not. */
+  def scd2Lookup(facts: DataFrame, dim: DataFrame, keyCol: String,
+                 tsCol: String): DataFrame = {
+    val f = facts.alias("f")
+    val d = dim.alias("d")
+    f.join(d,
+        col(s"f.$keyCol") === col(s"d.$keyCol") &&
+          col("d.valid_from") <= col(s"f.$tsCol") &&
+          (col("d.valid_to").isNull ||
+            col(s"f.$tsCol") < col("d.valid_to")))
+      .select(f.columns.map(c => col(s"f.$c")) :+
+        col("d.attr") :+ col("d.valid_from"): _*)
+  }
+
   /** Calendar-anchored rolling sum: per key, the sum of `valueExpr` over
     * the trailing `days`-day window INCLUDING missing days (RANGE frame
     * over the epoch-day number, so a 7-day window spans 7 calendar days

@@ -548,6 +548,25 @@ class OpsSpec extends SparkSpec {
       ("2024-01-01", 3) -> 1L, ("2024-01-08", 0) -> 1L))
   }
 
+  test("scd2Lookup picks the version containing each fact timestamp") {
+    import graft.ops.TimeSeries
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "A"),
+      (1L, ts("2024-01-03 00:00:00"), 2L, "B"),
+      (1L, ts("2024-01-05 00:00:00"), 3L, "A")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val dim = TimeSeries.scd2(events, "user_id", "ts", "event_id",
+      "event_type")
+    val facts = Seq(
+      (10L, 1L, ts("2024-01-02 23:59:59")), // last instant of version A
+      (11L, 1L, ts("2024-01-03 00:00:00")), // boundary: B starts inclusive
+      (12L, 1L, ts("2024-01-09 00:00:00"))  // open-ended current version
+    ).toDF("fact_id", "user_id", "ts")
+    val out = TimeSeries.scd2Lookup(facts, dim, "user_id", "ts")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out === Map(10L -> "A", 11L -> "B", 12L -> "A"))
+  }
+
   test("Profile: one-pass column stats with nulls, strings, timestamps") {
     import graft.quality.Profile
     val df = Seq(
