@@ -567,6 +567,22 @@ class OpsSpec extends SparkSpec {
     assert(out === Map(10L -> "A", 11L -> "B", 12L -> "A"))
   }
 
+  test("scd2Lookup plans as a hash join with residual, not a nested loop") {
+    import graft.ops.TimeSeries
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val dim = TimeSeries.scd2(events, "user_id", "ts", "event_id",
+      "event_type")
+    val out = TimeSeries.scd2Lookup(
+      events.select(col("event_id"), col("user_id"), col("ts")),
+      dim, "user_id", "ts")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"interval residual must ride the equi-join:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
   test("Profile: one-pass column stats with nulls, strings, timestamps") {
     import graft.quality.Profile
     val df = Seq(
