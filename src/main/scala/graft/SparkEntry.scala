@@ -1198,8 +1198,8 @@ object SparkEntry {
     // LLM: exact substring dedup, rewrite half — every duplicated 8-token
     // span cut from all but its canonical (min doc,pos) occurrence,
     // overlapping spans merged per doc. Spans shuffle as 8-byte window
-    // hashes; not SQL-expressible (span merge), rows-only + LlmSpec naive
-    // cross-check
+    // hashes; hash-checked (the oracle replays the span cut with an
+    // ordered string_agg) + LlmSpec naive cross-check
     "q_substring_dedup" -> ((s, dir) =>
       SubstringDedup.dedupSubstrings(
           spread(table(s, dir, "documents"), "doc_id"),
@@ -2370,6 +2370,41 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_windows,
         |  count(*) FILTER (WHERE cnt > 1) AS n_dup_windows
         |FROM counted GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The rewrite half replayed in SQL: duplicated windows (all but the
+    // min-(doc,pos) occurrence, encoded as doc_id·1e6+i — positions are
+    // far below 1e6, so integer order == the engine's struct order),
+    // expanded to covered token positions, anti-joined from the token
+    // stream, reassembled with an ORDER BY string_agg.
+    "q_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |tidx AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t))) AS i FROM toks),
+        |tok AS (SELECT doc_id, i, t[i] AS w FROM tidx),
+        |widx AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t) - 7)) AS i FROM toks),
+        |wins AS (SELECT doc_id, i,
+        |    array_to_string(t[i:i+7], ' ') AS gram FROM widx),
+        |marked AS (SELECT doc_id, i FROM (
+        |    SELECT doc_id, i,
+        |      count(*) OVER (PARTITION BY gram) AS cnt,
+        |      min(doc_id * 1000000 + i) OVER (PARTITION BY gram)
+        |        AS keepenc
+        |    FROM wins)
+        |  WHERE cnt > 1 AND doc_id * 1000000 + i <> keepenc),
+        |covered AS (SELECT DISTINCT doc_id,
+        |    unnest(generate_series(i, i + 7)) AS ci FROM marked),
+        |kept AS (SELECT tok.doc_id, tok.i, tok.w FROM tok
+        |  LEFT JOIN covered cv
+        |    ON tok.doc_id = cv.doc_id AND tok.i = cv.ci
+        |  WHERE cv.doc_id IS NULL)
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(k.w, ' ' ORDER BY k.i), '') AS text,
+        |  CAST(len(any_value(d.t)) - count(k.w) AS BIGINT)
+        |    AS n_tokens_removed
+        |FROM toks d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // Add-one bigram LM replayed exactly: context counts = bigram-left
     // counts, V = corpus distinct tokens, mean ln P over each doc's
