@@ -27,9 +27,12 @@ object Bm25 {
     val toks = df.select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // coalesce: avg over an EMPTY corpus is NULL and getDouble would
+    // throw; 1.0 keeps the downstream division well-defined (no rows
+    // reach it anyway)
     val stats = df.agg(count(lit(1)).as("n"),
-      avg(size(TextFunctions.tokens(col(textCol))).cast("double"))
-        .as("avgdl")).collect()(0)
+      coalesce(avg(size(TextFunctions.tokens(col(textCol)))
+        .cast("double")), lit(1.0)).as("avgdl")).collect()(0)
     val (nDocs, avgdl) = (stats.getLong(0), stats.getDouble(1))
     val docLen = toks.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("dl"))

@@ -73,7 +73,11 @@ object NgramLm {
         .as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totTokens = uni.agg(sum(col("c"))).collect()(0).getLong(0)
+    // coalesce: sum over an EMPTY vocabulary is NULL, and getLong on a
+    // null cell throws — an empty batch must yield an empty result, not
+    // a driver crash
+    val totTokens = uni.agg(coalesce(sum(col("c")), lit(0L)))
+      .collect()(0).getLong(0)
     val pairs = bi.groupBy(col("u"), col("w"))
       .agg(count(lit(1)).as("c_uw"))
       .filter(col("c_uw") >= minCount)

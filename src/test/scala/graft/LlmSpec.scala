@@ -783,6 +783,16 @@ class LlmSpec extends SparkSpec {
       2L -> ((1L, bm25(1, 1, 2)))))
   }
 
+  test("empty corpus: LM / PMI / BM25 / BPE / substring ops return empty, no crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.llm.NgramLm.scoreDocs(empty, "doc_id", "text").count() === 0L)
+    assert(graft.llm.NgramLm.pmiCollocations(empty, "text", 1).count() === 0L)
+    assert(graft.llm.Bm25.score(empty, "doc_id", "text", Seq("x")).count() === 0L)
+    assert(graft.llm.BpeTrain.merges(empty, "text", 4).count() === 0L)
+    assert(graft.llm.SubstringDedup
+      .dedupSubstrings(empty, "doc_id", "text", 3).count() === 0L)
+  }
+
   test("RRF fusion sums reciprocal ranks, absence contributes zero") {
     val lex = Seq((10L, 1), (20L, 2)).toDF("doc_id", "rank")
     val sem = Seq((20L, 1), (30L, 2)).toDF("doc_id", "rank")
