@@ -1206,6 +1206,20 @@ object SparkEntry {
           "doc_id", "text", k = 8)
         .orderBy(col("doc_id"))),
 
+    // LLM: incremental substring dedup — a new batch probed against the
+    // corpus's stored window-hash index (two hash joins on one 8-byte
+    // column; per-batch cost, zero corpus recompute); corpus windows cut
+    // everywhere, intra-batch dups keep their canonical occurrence
+    "q_substring_incremental" -> ((s, dir) => {
+      val docs = spread(table(s, dir, "documents"), "doc_id")
+      val path = "target/tmp/q_substring_windex"
+      SubstringDedup.writeWindowIndex(
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 8, path)
+      SubstringDedup.dedupSubstringsVsIndex(
+          docs.filter(col("doc_id") % 5 === 0), "doc_id", "text", 8, path)
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM: bigram-LM quality scoring (CCNet/KenLM pattern) — add-one
     // smoothed corpus bigram stats, per-doc mean ln P(w|u); count tables
     // are vocabulary-sized and broadcast to the scoring join
@@ -2404,6 +2418,47 @@ object SparkEntry {
         |  CAST(len(any_value(d.t)) - count(k.w) AS BIGINT)
         |    AS n_tokens_removed
         |FROM toks d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+
+    // Incremental ingest replayed: corpus grams cut from every batch
+    // occurrence, intra-batch dups keep the min-(doc,pos) occurrence.
+    "q_substring_incremental" ->
+      """WITH ctoks AS (SELECT string_split(text, ' ') AS t FROM documents
+        |    WHERE doc_id % 5 <> 0),
+        |cidx AS (SELECT t,
+        |    unnest(generate_series(1, len(t) - 7)) AS i FROM ctoks),
+        |cgrams AS (SELECT DISTINCT array_to_string(t[i:i+7], ' ')
+        |    AS gram FROM cidx),
+        |btoks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |btidx AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t))) AS i FROM btoks),
+        |btok AS (SELECT doc_id, i, t[i] AS w FROM btidx),
+        |bwidx AS (SELECT doc_id, t,
+        |    unnest(generate_series(1, len(t) - 7)) AS i FROM btoks),
+        |bwins AS (SELECT doc_id, i,
+        |    array_to_string(t[i:i+7], ' ') AS gram FROM bwidx),
+        |incorp AS (SELECT b.doc_id, b.i FROM bwins b
+        |  JOIN cgrams g ON b.gram = g.gram),
+        |freshm AS (SELECT doc_id, i FROM (
+        |    SELECT doc_id, i, count(*) OVER (PARTITION BY gram) AS cnt,
+        |      min(doc_id * 1000000 + i) OVER (PARTITION BY gram)
+        |        AS keepenc
+        |    FROM bwins WHERE gram NOT IN (SELECT gram FROM cgrams))
+        |  WHERE cnt > 1 AND doc_id * 1000000 + i <> keepenc),
+        |marked AS (SELECT doc_id, i FROM incorp
+        |  UNION SELECT doc_id, i FROM freshm),
+        |covered AS (SELECT DISTINCT doc_id,
+        |    unnest(generate_series(i, i + 7)) AS ci FROM marked),
+        |kept AS (SELECT btok.doc_id, btok.i, btok.w FROM btok
+        |  LEFT JOIN covered cv
+        |    ON btok.doc_id = cv.doc_id AND btok.i = cv.ci
+        |  WHERE cv.doc_id IS NULL)
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(k.w, ' ' ORDER BY k.i), '') AS text,
+        |  CAST(len(any_value(d.t)) - count(k.w) AS BIGINT)
+        |    AS n_tokens_removed
+        |FROM btoks d LEFT JOIN kept k ON d.doc_id = k.doc_id
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // Add-one bigram LM replayed exactly: context counts = bigram-left

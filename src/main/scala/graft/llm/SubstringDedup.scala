@@ -81,9 +81,19 @@ object SubstringDedup {
     val marked = wins.join(dupes, "whash")
       .filter(!(col("doc_id") === col("keep.doc_id") &&
         col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos"))
+    cutSpans(df, idCol, textCol, k, marked)
+  }
+
+  /** Cut the k-token spans starting at each marked (doc_id, pos) from
+    * the documents: merge overlapping starts into disjoint [s, e)
+    * intervals per doc (one sorted-array fold), then drop covered
+    * tokens. Shared tail of the batch and incremental paths. */
+  private def cutSpans(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, marked: DataFrame): DataFrame = {
+    val spans = marked
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("pos"))).as("__starts"))
-    // fold sorted starts into disjoint [s, e) intervals (e exclusive)
     val emptyIv = array().cast("array<struct<s:int,e:int>>")
     val intervals = aggregate(col("__starts"), emptyIv, (acc, s) => {
       val last = element_at(acc, -1)
@@ -93,7 +103,7 @@ object SubstringDedup {
             greatest(last("e"), s + k).as("e")))))
         .otherwise(concat(acc, array(struct(s.as("s"), (s + k).as("e")))))
     })
-    df.join(marked.withColumnRenamed("doc_id", "__did"),
+    df.join(spans.withColumnRenamed("doc_id", "__did"),
         col(idCol) === col("__did"), "left")
       .withColumn("__iv", coalesce(intervals, emptyIv))
       .withColumn("__toks", TextFunctions.tokens(col(textCol)))
@@ -103,5 +113,53 @@ object SubstringDedup {
         array_join(col("__kept"), " ").as(textCol),
         (size(col("__toks")) - size(col("__kept"))).cast("long")
           .as("n_tokens_removed"))
+  }
+
+  private def hashedWindows(df: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame =
+    tokenWindows(df, idCol, textCol, k)
+      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("whash"))
+
+  /** Persist the corpus's DISTINCT window hashes as the substring index —
+    * one 8-byte column, the artifact incremental ingest probes against.
+    * Append new batches' hashes with [[appendWindowIndex]]; duplicate
+    * hashes across appends are harmless (probes are semi-joins). */
+  def writeWindowIndex(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, path: String): Unit =
+    hashedWindows(df, idCol, textCol, k).select(col("whash")).distinct()
+      .write.mode("overwrite").parquet(path)
+
+  def appendWindowIndex(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, path: String): Unit =
+    hashedWindows(df, idCol, textCol, k).select(col("whash")).distinct()
+      .write.mode("append").parquet(path)
+
+  /** Incremental ingest: dedup a NEW batch against the stored window
+    * index without touching the corpus. Windows already in the corpus
+    * are cut from every batch occurrence (the canonical copy lives in
+    * the corpus); windows new to the corpus but duplicated WITHIN the
+    * batch keep their min-(doc, pos) occurrence, same rule as the batch
+    * path. Per-batch cost is O(batch) — the index side is one scan of
+    * one hashed column, probed by two hash joins. Call
+    * [[appendWindowIndex]] with the same batch afterwards so the next
+    * batch dedups against this one too. */
+  def dedupSubstringsVsIndex(batch: DataFrame, idCol: String,
+      textCol: String, k: Int, indexPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val wins = hashedWindows(batch, idCol, textCol, k)
+    val idx = spark.read.parquet(indexPath).select(col("whash"))
+    val inCorpus = wins.join(idx, Seq("whash"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val fresh = wins.join(idx, Seq("whash"), "left_anti")
+    val freshDupes = fresh.groupBy(col("whash"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("keep"))
+      .filter(col("cnt") > 1)
+      .select(col("whash"), col("keep"))
+    val intraMarked = fresh.join(freshDupes, "whash")
+      .filter(!(col("doc_id") === col("keep.doc_id") &&
+        col("pos") === col("keep.pos")))
+      .select(col("doc_id"), col("pos"))
+    cutSpans(batch, idCol, textCol, k, inCorpus.unionByName(intraMarked))
   }
 }

@@ -710,6 +710,64 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("incremental substring dedup: index probe == naive, appends accumulate") {
+    import graft.llm.SubstringDedup
+    val k = 4
+    val all = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val part1 = all.filter(_._1 % 3 == 0)
+    val part2 = all.filter(_._1 % 3 == 1)
+    val part3 = all.filter(_._1 % 3 == 2)
+    def grams(m: Map[Long, String]): Set[String] = m.values.flatMap { t =>
+      val w = t.split(" ", -1)
+      (0 to w.length - k).map(p => w.slice(p, p + k).mkString(" "))
+    }.toSet
+    // naive incremental reference against a known-gram set
+    def naive(batch: Map[Long, String], corpus: Set[String])
+        : Map[Long, (String, Long)] = {
+      val wins = batch.toSeq.flatMap { case (id, text) =>
+        val t = text.split(" ", -1)
+        (0 to t.length - k).map(p => (id, p, t.slice(p, p + k).mkString(" ")))
+      }
+      val inCorpus = wins.filter(w => corpus(w._3)).map(w => (w._1, w._2))
+      val intra = wins.filterNot(w => corpus(w._3)).groupBy(_._3).values
+        .filter(_.size > 1)
+        .flatMap { occ =>
+          val keep = occ.minBy(o => (o._1, o._2))
+          occ.filterNot(o => (o._1, o._2) == ((keep._1, keep._2)))
+            .map(o => (o._1, o._2))
+        }
+      val marked = (inCorpus ++ intra).groupBy(_._1)
+        .map { case (id, ps) => id -> ps.map(_._2).toSet }
+      batch.map { case (id, text) =>
+        val t = text.split(" ", -1)
+        val covered = marked.getOrElse(id, Set.empty)
+          .flatMap(s => s until s + k)
+        val kept = t.zipWithIndex.collect {
+          case (tok, i) if !covered.contains(i) => tok
+        }
+        id -> ((kept.mkString(" "), (t.length - kept.length).toLong))
+      }
+    }
+    def run(batch: Map[Long, String], path: String) =
+      SubstringDedup.dedupSubstringsVsIndex(
+          docs.filter(col("doc_id").isin(batch.keys.toSeq: _*)),
+          "doc_id", "text", k, path)
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+        .toMap
+    val path = "target/tmp/llmspec_windex"
+    val p1 = docs.filter(col("doc_id").isin(part1.keys.toSeq: _*))
+    SubstringDedup.writeWindowIndex(p1, "doc_id", "text", k, path)
+    assert(run(part2, path) === naive(part2, grams(part1)))
+    // append batch 2; batch 3 must now dedup against parts 1 AND 2
+    SubstringDedup.appendWindowIndex(
+      docs.filter(col("doc_id").isin(part2.keys.toSeq: _*)),
+      "doc_id", "text", k, path)
+    val got3 = run(part3, path)
+    assert(got3 === naive(part3, grams(part1) ++ grams(part2)))
+    assert(got3.values.map(_._2).sum > 0, "cross-part dups should exist")
+  }
+
   test("substring dedup matches a naive driver-side span cut") {
     import graft.llm.SubstringDedup
     val k = 5
