@@ -37,6 +37,34 @@ object BpeTrain {
       else acc :+ s
     }
 
+  /** Spark string comparison is binary over UTF-8 bytes; Scala's
+    * `compareTo` is UTF-16 code-unit order. They disagree above the BMP
+    * (surrogate pairs sort before U+E000..U+FFFF in UTF-16, after in
+    * UTF-8), so the local tie-break MUST compare UTF-8 bytes or the
+    * driver fast path could learn different rules than the distributed
+    * path on non-ASCII corpora. */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
+
+  private val bestPairOrd: Ordering[((String, String), Long)] =
+    (p, q) => {
+      val c = java.lang.Long.compare(q._2, p._2) // count desc
+      if (c != 0) c
+      else {
+        val cl = utf8Compare(p._1._1, q._1._1)
+        if (cl != 0) cl else utf8Compare(p._1._2, q._1._2)
+      }
+    }
+
   /** The local reference loop: deterministic merge rules from a
     * (word, freq) table. Exposed for the spec's cross-path check. */
   def mergesLocal(words: Seq[(String, Long)],
@@ -54,7 +82,7 @@ object BpeTrain {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        val ((l, r), c) = counts.toSeq.min(bestPairOrd)
         out += ((rank, l, r, c))
         table = table.map { case (syms, f) => (mergeOnce(syms, l, r), f) }
         rank += 1
@@ -111,7 +139,8 @@ object BpeTrain {
     * table — the same object [[merges]] trains on) by chaining the
     * greedy merge fold per rule, then joined back onto the corpus
     * token stream; the vocabulary side broadcasts. Output: one row per
-    * document — (idCol, n_words, n_pieces). */
+    * document — (idCol, n_words, n_pieces) — including token-less
+    * documents at (0, 0). */
   def encode(df: DataFrame, idCol: String, textCol: String,
              rules: Seq[(String, String)]): DataFrame = {
     val tok = df.select(col(idCol),
@@ -123,10 +152,15 @@ object BpeTrain {
     }
     val vocab = tok.select(col("word")).distinct()
       .select(col("word"), size(pieces).as("n_pieces"))
-    tok.join(broadcast(vocab), "word")
+    val counted = tok.join(broadcast(vocab), "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_pieces")).as("n_pieces"))
+    // keep token-less documents (empty/whitespace text) in the output
+    df.select(col(idCol)).join(counted, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
   }
 
   private def mergesDistributed(spark: SparkSession, words: DataFrame,

@@ -50,12 +50,14 @@ object SubstringDedup {
   def duplicatedWindowStats(df: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame = {
     val wins = tokenWindows(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = wins.groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"))
-    wins.join(counts, "gram")
+    val out = wins.join(counts, "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
         count(when(col("cnt") > 1, 1)).as("n_dup_windows"))
+    graft.Util.finishAndRelease(out, wins)
   }
 
   /** Remove duplicated k-token spans from every document except the one
@@ -71,8 +73,8 @@ object SubstringDedup {
     * interval merge and token cut are narrow per-row folds. */
   def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {
-    val wins = tokenWindows(df, idCol, textCol, k)
-      .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("whash"))
+    val wins = hashedWindows(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupes = wins.groupBy(col("whash"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("pos"))).as("keep"))
@@ -82,7 +84,8 @@ object SubstringDedup {
       .filter(!(col("doc_id") === col("keep.doc_id") &&
         col("pos") === col("keep.pos")))
       .select(col("doc_id"), col("pos"))
-    cutSpans(df, idCol, textCol, k, marked)
+    graft.Util.finishAndRelease(cutSpans(df, idCol, textCol, k, marked),
+      wins)
   }
 
   /** Cut the k-token spans starting at each marked (doc_id, pos) from
@@ -103,12 +106,18 @@ object SubstringDedup {
             greatest(last("e"), s + k).as("e")))))
         .otherwise(concat(acc, array(struct(s.as("s"), (s + k).as("e")))))
     })
+    // bind the merged-interval array ONCE as a lambda variable (the
+    // transform-over-1-element-array "let") — referencing the fold via a
+    // projected column lets CollapseProject inline it into the per-token
+    // filter lambda, re-running the O(m) interval fold for every token
+    // (the wordNGrams pathology)
     df.join(spans.withColumnRenamed("doc_id", "__did"),
         col(idCol) === col("__did"), "left")
-      .withColumn("__iv", coalesce(intervals, emptyIv))
       .withColumn("__toks", TextFunctions.tokens(col(textCol)))
-      .withColumn("__kept", filter(col("__toks"), (t, i) =>
-        !exists(col("__iv"), iv => iv("s") <= i && i < iv("e"))))
+      .withColumn("__kept",
+        flatten(transform(array(coalesce(intervals, emptyIv)), ivs =>
+          filter(col("__toks"), (t, i) =>
+            !exists(ivs, iv => iv("s") <= i && i < iv("e"))))))
       .select(col(idCol),
         array_join(col("__kept"), " ").as(textCol),
         (size(col("__toks")) - size(col("__kept"))).cast("long")
@@ -147,6 +156,7 @@ object SubstringDedup {
       textCol: String, k: Int, indexPath: String): DataFrame = {
     val spark = batch.sparkSession
     val wins = hashedWindows(batch, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idx = spark.read.parquet(indexPath).select(col("whash"))
     val inCorpus = wins.join(idx, Seq("whash"), "left_semi")
       .select(col("doc_id"), col("pos"))
@@ -160,6 +170,9 @@ object SubstringDedup {
       .filter(!(col("doc_id") === col("keep.doc_id") &&
         col("pos") === col("keep.pos")))
       .select(col("doc_id"), col("pos"))
-    cutSpans(batch, idCol, textCol, k, inCorpus.unionByName(intraMarked))
+    graft.Util.finishAndRelease(
+      cutSpans(batch, idCol, textCol, k,
+        inCorpus.unionByName(intraMarked)),
+      wins)
   }
 }

@@ -804,6 +804,23 @@ class LlmSpec extends SparkSpec {
     assert(tri(1) === ((1, "aa", "a", 1L)))
   }
 
+  test("BPE local tie-break ordering equals Spark's binary string order") {
+    import graft.llm.BpeTrain
+    // strings where UTF-16 code-unit order and UTF-8 byte order DISAGREE:
+    // a supplementary char (surrogate pair) vs U+F900, plus accents/ASCII
+    val tricky = Seq("豈", new String(Character.toChars(0x10000)),
+      "é", "é", "z", "ÿ", "a", "")
+    val sparkOrder = tricky.toDF("s").orderBy(col("s")).collect()
+      .map(_.getString(0)).toSeq
+    val localOrder = tricky.sorted(
+      (a: String, b: String) => BpeTrain.utf8Compare(a, b))
+    assert(localOrder === sparkOrder,
+      "driver fast path must tie-break exactly like a Spark orderBy")
+    // and plain compareTo genuinely disagrees on this input, so the
+    // UTF-8 comparator is load-bearing, not decorative
+    assert(tricky.sorted != sparkOrder)
+  }
+
   test("BPE encode matches per-word local encoding") {
     import graft.llm.BpeTrain
     val small = docs.limit(40)
@@ -823,6 +840,12 @@ class LlmSpec extends SparkSpec {
     val chars = small.select("text").collect()
       .map(_.getString(0).count(_ != ' ').toLong).sum
     assert(got.values.map(_._2).sum < chars)
+    // token-less documents stay in the output at (0, 0)
+    val withEmpty = Seq((900L, ""), (901L, "ab ab")).toDF("doc_id", "text")
+    val enc = BpeTrain.encode(withEmpty, "doc_id", "text", rules)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(enc(900L) === ((0L, 0L)) && enc(901L)._1 === 2L)
   }
 
   test("BM25 scores a tiny corpus to exact micros") {
