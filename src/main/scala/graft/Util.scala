@@ -20,6 +20,24 @@ object Util {
     when(c.cast("string") === lit(""), lit(null).cast("string"))
       .otherwise(c.cast("string"))
 
+  /** Spark compares strings as binary UTF-8 bytes; Java/Scala
+    * `compareTo` is UTF-16 code-unit order. They disagree above the BMP
+    * (supplementary characters sort before U+E000..U+FFFF in UTF-16,
+    * after in UTF-8), so any driver-side fast path whose results depend
+    * on a string ORDER (min-label roots, tie-breaks) must compare UTF-8
+    * bytes or it can diverge from the distributed path it mirrors. */
+  def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
+
   /** Spread an under-partitioned source for compute-heavy map work.
     *
     * The testdata tables are single-row-group parquet files, and a row

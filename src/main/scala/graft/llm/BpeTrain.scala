@@ -37,31 +37,16 @@ object BpeTrain {
       else acc :+ s
     }
 
-  /** Spark string comparison is binary over UTF-8 bytes; Scala's
-    * `compareTo` is UTF-16 code-unit order. They disagree above the BMP
-    * (surrogate pairs sort before U+E000..U+FFFF in UTF-16, after in
-    * UTF-8), so the local tie-break MUST compare UTF-8 bytes or the
-    * driver fast path could learn different rules than the distributed
-    * path on non-ASCII corpora. */
-  private[graft] def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    while (i < x.length && i < y.length) {
-      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    java.lang.Integer.compare(x.length, y.length)
-  }
-
+  // the driver fast path must tie-break exactly like the distributed
+  // path's Spark orderBy: count desc, then BINARY UTF-8 string order
+  // (graft.Util.utf8Compare — UTF-16 compareTo diverges above the BMP)
   private val bestPairOrd: Ordering[((String, String), Long)] =
     (p, q) => {
       val c = java.lang.Long.compare(q._2, p._2) // count desc
       if (c != 0) c
       else {
-        val cl = utf8Compare(p._1._1, q._1._1)
-        if (cl != 0) cl else utf8Compare(p._1._2, q._1._2)
+        val cl = graft.Util.utf8Compare(p._1._1, q._1._1)
+        if (cl != 0) cl else graft.Util.utf8Compare(p._1._2, q._1._2)
       }
     }
 

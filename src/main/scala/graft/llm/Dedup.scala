@@ -313,7 +313,38 @@ object Dedup {
       shingleBuckets(corpus, idCol, textCol, shingleN, numHashes, bands)
     docs.write.mode("overwrite").parquet(s"$path/docs")
     buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    writeIndexParams(corpus.sparkSession, path, shingleN, numHashes, bands)
     docs.unpersist()
+  }
+
+  /** The signature parameters are part of the index's identity: probing
+    * with different shingleN/numHashes/bands silently produces near-zero
+    * candidates (band keys hash different signature columns) and
+    * meaningless verify scores. Stamp them at write time; every reader
+    * and appender validates before touching the data. */
+  private def writeIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, shingleN: Int, numHashes: Int, bands: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$shingleN,$numHashes,$bands"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def requireIndexParams(spark: org.apache.spark.sql.SparkSession,
+      path: String, shingleN: Int, numHashes: Int, bands: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return // pre-stamp index: keep the old contract
+    val in = fs.open(p)
+    val stored = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val want = s"$shingleN,$numHashes,$bands"
+    require(stored == want,
+      s"corpus index at $path was built with (shingleN,numHashes,bands)=" +
+        s"($stored) but caller passed ($want) — probing across mismatched " +
+        "signature parameters finds near-zero candidates silently")
   }
 
   /** Append a batch's shingle sets + band buckets to a stored corpus index
@@ -323,6 +354,7 @@ object Dedup {
   def appendCorpusIndex(batch: DataFrame, idCol: String, textCol: String,
                         path: String, shingleN: Int = 3, numHashes: Int = 32,
                         bands: Int = 8): Unit = {
+    requireIndexParams(batch.sparkSession, path, shingleN, numHashes, bands)
     val (docs, buckets) =
       shingleBuckets(batch, idCol, textCol, shingleN, numHashes, bands)
     docs.write.mode("append").parquet(s"$path/docs")
@@ -345,6 +377,7 @@ object Dedup {
                            bands: Int = 8, threshold: Double = 0.8)
       : DataFrame = {
     val spark = newDocs.sparkSession
+    requireIndexParams(spark, indexPath, shingleN, numHashes, bands)
     val corpusDocs = spark.read.parquet(s"$indexPath/docs")
     val corpusBuckets = spark.read.parquet(s"$indexPath/buckets")
     val (newDocsP, newBuckets) =
@@ -378,6 +411,11 @@ object Dedup {
                    maxBucketSize: Int = 5000): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPerChunk = 64 / chunks
+    // (1L << 64) wraps to 1 in Java, so the maxHamming=0 single-chunk
+    // mask must be spelled -1L (all ones) or every ckey collapses to 0 —
+    // one giant bucket that the hot-bucket valve would then DROP,
+    // silently returning zero pairs
+    val chunkMask = if (bitsPerChunk >= 64) -1L else (1L << bitsPerChunk) - 1
     // Relational SimHash: explode tokens, hash once in codegen, then one
     // hash aggregate with 64 bit-vote sums — same rationale as the MinHash
     // path (interpreted HOF lambdas are the slow shape).
@@ -396,7 +434,7 @@ object Dedup {
     val chunkStructs = (0 until chunks).map { k =>
       struct(lit(k).as("chunk"),
         shiftright(col("sim"), k * bitsPerChunk)
-          .bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("ckey"))
+          .bitwiseAND(lit(chunkMask)).as("ckey"))
     }
     val banded0 = sigs.select(col("id"), col("sim"),
         explode(array(chunkStructs: _*)).as("c"))
@@ -420,8 +458,11 @@ object Dedup {
         col("a.ckey") === col("b.ckey") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is functionally determined by the
+      // pair, so the result is identical, but the dedup exchange now
+      // carries only surviving pairs instead of every chunk collision
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding near-duplicates: cosine >= threshold via the Similarity
@@ -487,9 +528,14 @@ object Dedup {
       val isString =
         srcField.dataType == org.apache.spark.sql.types.StringType
       if (isIntegral || isString) {
+        // String roots must order by BINARY UTF-8 bytes, matching the
+        // distributed loop's Spark min(): UTF-16 compareTo picks a
+        // different representative when supplementary characters tie
+        // against U+E000..U+FFFF ids (graft.Util.utf8Compare)
         implicit val ord: Ordering[Any] =
           if (isIntegral) Ordering.by((x: Any) => x.asInstanceOf[Number].longValue)
-          else Ordering.by((x: Any) => x.asInstanceOf[String])
+          else (a: Any, b: Any) => graft.Util.utf8Compare(
+            a.asInstanceOf[String], b.asInstanceOf[String])
         val parent = scala.collection.mutable.HashMap.empty[Any, Any]
         def find(x: Any): Any = {
           var r = x

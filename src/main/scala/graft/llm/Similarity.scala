@@ -111,7 +111,11 @@ object Similarity {
       return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
         lit(0.0).as("cos")).limit(0)
     val planes = hyperplanes(dim, planesPerTable, tables, seed)
+    // v feeds the bucket-key build AND both verify-join sides — persist
+    // so the source scan + float→double transform runs once, released
+    // via finishAndRelease (same shape as the Dedup prefix kernels)
     val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = v.select(col("id"), col("v"),
         explode(lshKeys(col("v"), planes)).as("k"))
       .select(col("id"), col("v"), col("k.table").as("t"),
@@ -125,10 +129,11 @@ object Similarity {
       .distinct()
     val va = v.select(col("id").as("id_a"), col("v").as("v_a"))
     val vb = v.select(col("id").as("id_b"), col("v").as("v_b"))
-    candidates.join(va, "id_a").join(vb, "id_b")
+    val out = candidates.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
         cosineFor(df.sparkSession)(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
+    graft.Util.finishAndRelease(out, v)
   }
 
   /** Vector dimensionality, or 0 for an empty/all-null input (an empty
@@ -153,9 +158,12 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               queryIdCol: String, corpusIdCol: String, vecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
-              seed: Long = 42L, trainN: Int = 2048): DataFrame = {
+              seed: Long = 42L, trainN: Int = 2048,
+              excludeSelf: Boolean = true): DataFrame = {
     val corpusVec = corpus.select(col(corpusIdCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("cv"))
+    val q0 = queries.select(col(queryIdCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
     // Coarse quantizer trains driver-side on a deterministic hash-ordered
     // sample, like pqTopK's codebooks (IVF only needs a reasonable space
     // partition, not converged clusters); the cell ASSIGNMENT of the full
@@ -163,34 +171,30 @@ object Similarity {
     // centroid distances, centroids folded as literals. Replacing the
     // Spark-ML fit's per-iteration job overhead cut the sf0.1 query from
     // ~2 s to the assignment+probe cost.
-    val sample = corpusVec
-      .orderBy(md5(col("neighbor_id").cast("string")))
-      .limit(trainN)
-      .select(col("cv")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample = trainSample(corpusVec, "cv", "neighbor_id", trainN)
+    if (sample.isEmpty) // empty corpus: zero neighbors, not a train error
+      return q0.limit(0).crossJoin(corpusVec.limit(0))
+        .select(col("query_id"), lit(0).as("rank"), col("neighbor_id"),
+          lit(0.0).as("cos"))
     val centers = localLloyd(sample, nlist, iters = 5, seed = seed)
-    def sqDistTo(s: Column, c: Array[Double]): Column =
-      aggregate(zip_with(s, array(c.map(lit).toSeq: _*),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
     val dists = array(centers.map(c => sqDistTo(col("cv"), c)).toSeq: _*)
     val assigned = corpusVec
       .withColumn("cell",
         (array_position(dists, array_min(dists)) - 1).cast("int"))
       .select(col("neighbor_id"), col("cv"), col("cell"))
-    val q = queries.select(col(queryIdCol).as("query_id"),
-      toDouble(col(vecCol)).as("qv"))
     val cellScores = centers.zipWithIndex.map { case (c, i) =>
       val cArr = array(c.map(lit).toSeq: _*)
       val c2 = c.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * dot(col("qv"), cArr)).as("d"),
         lit(i).as("cell"))
     }
-    val probed = q.withColumn("cell",
+    val probed = q0.withColumn("cell",
       explode(transform(
         slice(array_sort(array(cellScores.toSeq: _*)), 1, nprobe),
         s => s.getField("cell"))))
     val scored = probed.join(assigned, "cell")
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         cosineFor(queries.sparkSession)(col("qv"), col("cv")).as("cos"))
     graft.ops.BestMatch.topKPerKey(scored, Seq(col("query_id")),
@@ -223,15 +227,19 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame,
              queryIdCol: String, corpusIdCol: String, vecCol: String,
              k: Int, m: Int = 8, ksub: Int = 16,
-             seed: Long = 42L, trainN: Int = 2048): DataFrame = {
+             seed: Long = 42L, trainN: Int = 2048,
+             excludeSelf: Boolean = true): DataFrame = {
     val dim = headDim(corpus, vecCol)
-    require(dim > 0 && dim % m == 0, s"dim=$dim must be a multiple of m=$m")
-    val sub = dim / m
     val corpusD = corpus.select(col(corpusIdCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("cv"))
-    def sqDistTo(s: Column, c: Array[Double]): Column =
-      aggregate(zip_with(s, array(c.map(lit).toSeq: _*),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+    val q0 = queries.select(col(queryIdCol).as("query_id"),
+      toDouble(col(vecCol)).as("qv"))
+    if (dim == 0) // empty corpus: zero neighbors, not a dim error
+      return q0.limit(0).crossJoin(corpusD.limit(0))
+        .select(col("query_id"), lit(0).as("rank"), col("neighbor_id"),
+          lit(0.0).as("adc"))
+    require(dim % m == 0, s"dim=$dim must be a multiple of m=$m")
+    val sub = dim / m
     // Codebooks train driver-side on a deterministic hash-ordered sample
     // (the faiss posture: PQ codebooks never see the full corpus). ONE
     // TakeOrdered collect of trainN vectors feeds all m subspace fits —
@@ -240,11 +248,7 @@ object Similarity {
     // md5 ordering makes the sample stable under row order, partitioning,
     // and engine; a few Lloyd rounds suffice (space partition, not
     // convergence — same rationale as ivfTopK's maxIter = 5).
-    val sample = corpusD
-      .orderBy(md5(col("neighbor_id").cast("string")))
-      .limit(trainN)
-      .select(col("cv")).collect()
-      .map(_.getSeq[Double](0).toArray)
+    val sample = trainSample(corpusD, "cv", "neighbor_id", trainN)
     val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
       localLloyd(sample.map(v => java.util.Arrays.copyOfRange(
         v, j * sub, (j + 1) * sub)), ksub, iters = 5, seed = seed + j)
@@ -261,21 +265,39 @@ object Similarity {
       val s = slice(col("qv"), j * sub + 1, sub)
       array(codebooks(j).map(c => sqDistTo(s, c)).toSeq: _*).as(s"__pql$j")
     }
-    val q = queries.select(col(queryIdCol).as("query_id"),
-        toDouble(col(vecCol)).as("qv"))
-      .select(col("query_id") +: col("qv") +: lutCols: _*)
+    val q = q0.select(col("query_id") +: col("qv") +: lutCols: _*)
     // per-candidate cost: m element_at lookups + adds
     val adc = (0 until m)
       .map(j => element_at(col(s"__pql$j"), col(s"__pqc$j") + 1))
       .reduce(_ + _)
     val scored = codes
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(q),
+        if (excludeSelf) col("query_id") =!= col("neighbor_id")
+        else lit(true))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
     graft.ops.BestMatch.topKPerKey(scored, Seq(col("query_id")),
         Seq(col("adc").asc, col("neighbor_id").asc), k)
       .withColumnRenamed("__graft_rank", "rank")
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
   }
+
+  /** Squared L2 distance from a vector column to a literal centroid —
+    * shared by the IVF assignment and the PQ encode/ADC builds. */
+  private def sqDistTo(s: Column, c: Array[Double]): Column =
+    aggregate(zip_with(s, array(c.map(lit).toSeq: _*),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+
+  /** Deterministic hash-ordered quantizer-training sample collected to
+    * the driver (md5 order is stable under row order, partitioning, and
+    * engine). Null vectors carry no geometry and are dropped before the
+    * collect rather than NPE-ing inside it. */
+  private def trainSample(vec: DataFrame, vecCol: String, idCol: String,
+                          n: Int): Array[Array[Double]] =
+    vec.filter(col(vecCol).isNotNull)
+      .orderBy(md5(col(idCol).cast("string")))
+      .limit(n)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Double](0).toArray)
 
   /** Seeded driver-side Lloyd iterations for PQ codebook training (inputs
     * are a bounded sample by contract — see pqTopK). Empty clusters keep
@@ -325,10 +347,11 @@ object Similarity {
   def pqTopKReranked(queries: DataFrame, corpus: DataFrame,
                      queryIdCol: String, corpusIdCol: String, vecCol: String,
                      k: Int, shortlist: Int, m: Int = 8, ksub: Int = 16,
-                     seed: Long = 42L): DataFrame = {
+                     seed: Long = 42L, trainN: Int = 2048,
+                     excludeSelf: Boolean = true): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val short = pqTopK(queries, corpus, queryIdCol, corpusIdCol, vecCol,
-      shortlist, m, ksub, seed)
+      shortlist, m, ksub, seed, trainN, excludeSelf)
     val qv = queries.select(col(queryIdCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"))
     val cv = corpus.select(col(corpusIdCol).as("neighbor_id"),

@@ -71,14 +71,20 @@ object SummaryMaintenance {
         throw new java.io.IOException(s"summary repair $old -> $data failed")
     }
     if (batchId <= lastBatchId(spark, summaryDir)) return // replay: no-op
+    // the running sum lives at decimal(38,6) on EVERY commit: a narrower
+    // cast (the old 18,6) overflows once a key's lifetime sum passes
+    // 10^12 — an ANSI ARITHMETIC_OVERFLOW rethrown on every micro-batch
+    // retry, i.e. a permanently wedged stream — and writing the first
+    // commit wider than later ones leaves the sink schema inconsistent
     val delta = batch.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast("decimal(18,6)")).as("sum_value"))
+        sum(col(valueCol).cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("sum_value"))
     val merged = readSummary(spark, summaryDir) match {
       case Some(cur) => cur.unionByName(delta)
         .groupBy(keyCols.map(col): _*)
         .agg(sum(col("n_events")).as("n_events"),
-          sum(col("sum_value")).cast("decimal(18,6)").as("sum_value"))
+          sum(col("sum_value")).cast("decimal(38,6)").as("sum_value"))
       case None => delta
     }
     val tmp = new Path(root, "data.__graft_tmp")

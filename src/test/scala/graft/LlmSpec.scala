@@ -98,6 +98,46 @@ class LlmSpec extends SparkSpec {
     assert(viaLsh === naive)
   }
 
+  test("simhash maxHamming=0 finds exactly the identical-signature pairs") {
+    // chunks=1, bitsPerChunk=64: the single-chunk mask must be all ones
+    // ((1L<<64)-1 wraps to 0 and would funnel every doc into one bucket)
+    val d = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "one two three four"), (4L, "completely different words here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("stored corpus index rejects mismatched signature parameters") {
+    val path = "target/tmp/llmspec_param_index"
+    Dedup.writeCorpusIndex(docs.limit(20), "doc_id", "text", path,
+      shingleN = 3, numHashes = 32, bands = 8)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashLshNewVsIndex(docs.limit(5), path, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 8)
+    }
+    assert(e.getMessage.contains("mismatched"))
+    intercept[IllegalArgumentException] {
+      Dedup.appendCorpusIndex(docs.limit(5), "doc_id", "text", path,
+        shingleN = 3, numHashes = 64, bands = 16)
+    }
+    // matching parameters still pass
+    assert(Dedup.minhashLshNewVsIndex(docs.limit(5), path, "doc_id",
+      "text").count() >= 0)
+  }
+
+  test("IVF and PQ return empty on an empty corpus instead of a train error") {
+    val emptyC = embs.limit(0)
+    val q = embs.filter(col("vec_id") < 3)
+    assert(Similarity.ivfTopK(q, emptyC, "vec_id", "vec_id",
+      "embedding", 5).count() === 0L)
+    assert(Similarity.pqTopK(q, emptyC, "vec_id", "vec_id",
+      "embedding", 5).count() === 0L)
+  }
+
   test("LSH ANN pairs ⊆ brute force, with measurable recall") {
     val brute = Similarity.allPairsAbove(embs, "vec_id", "embedding", 0.4)
       .select("id_a", "id_b").collect()
@@ -813,7 +853,7 @@ class LlmSpec extends SparkSpec {
     val sparkOrder = tricky.toDF("s").orderBy(col("s")).collect()
       .map(_.getString(0)).toSeq
     val localOrder = tricky.sorted(
-      (a: String, b: String) => BpeTrain.utf8Compare(a, b))
+      (a: String, b: String) => Util.utf8Compare(a, b))
     assert(localOrder === sparkOrder,
       "driver fast path must tie-break exactly like a Spark orderBy")
     // and plain compareTo genuinely disagrees on this input, so the
