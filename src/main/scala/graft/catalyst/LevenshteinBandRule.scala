@@ -26,24 +26,27 @@ import org.apache.spark.sql.types.IntegerType
   */
 object LevenshteinBandRule extends Rule[LogicalPlan] {
 
+  // every case duplicates a and b into the Length() conjuncts, so the
+  // rewrite only fires on deterministic operands (a nondeterministic
+  // operand would be evaluated twice with different draws)
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       // lev(a,b) <= d  /  d >= lev(a,b)
       case LessThanOrEqual(lev @ Levenshtein(a, b, None), Literal(d: Int, IntegerType))
-          if d >= 0 => banded(lev, a, b, d)
+          if d >= 0 && lev.deterministic => banded(lev, a, b, d)
       case GreaterThanOrEqual(Literal(d: Int, IntegerType), lev @ Levenshtein(a, b, None))
-          if d >= 0 => banded(lev, a, b, d)
+          if d >= 0 && lev.deterministic => banded(lev, a, b, d)
       // lev(a,b) < d  ⟺  lev(a,b) <= d-1
       case LessThan(lev @ Levenshtein(a, b, None), Literal(d: Int, IntegerType))
-          if d > 0 => banded(lev, a, b, d - 1)
+          if d > 0 && lev.deterministic => banded(lev, a, b, d - 1)
       case GreaterThan(Literal(d: Int, IntegerType), lev @ Levenshtein(a, b, None))
-          if d > 0 => banded(lev, a, b, d - 1)
+          if d > 0 && lev.deterministic => banded(lev, a, b, d - 1)
       // lev(a,b) = d: the bounded DP still applies — the distance is d iff
       // the d-bounded computation returns exactly d
       case EqualTo(lev @ Levenshtein(a, b, None), Literal(d: Int, IntegerType))
-          if d >= 0 => bandedEq(lev, a, b, d)
+          if d >= 0 && lev.deterministic => bandedEq(lev, a, b, d)
       case EqualTo(Literal(d: Int, IntegerType), lev @ Levenshtein(a, b, None))
-          if d >= 0 => bandedEq(lev, a, b, d)
+          if d >= 0 && lev.deterministic => bandedEq(lev, a, b, d)
     }
 
   private def banded(lev: Levenshtein, a: Expression, b: Expression,

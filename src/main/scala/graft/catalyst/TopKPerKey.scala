@@ -108,7 +108,12 @@ case class TopKPerKeyExec(
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit, ord.reverse)
+          // initial capacity stays SMALL: PriorityQueue grows on demand,
+          // and eagerly sizing to `limit` allocates a k-element array per
+          // key — a row_number <= 50M filter rewritten here by
+          // WindowTopKRule would OOM on its first row otherwise
+          heap = new java.util.PriorityQueue[InternalRow](
+            math.min(limit, 16), ord.reverse)
           heaps.put(key.copy(), heap)
         }
         if (heap.size < limit) heap.add(toUnsafe(row).copy())

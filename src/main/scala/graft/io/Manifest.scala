@@ -57,7 +57,12 @@ object Manifest {
         val schema = spark.read.parquet(path).schema
         spark.createDataFrame(spark.sparkContext
           .emptyRDD[org.apache.spark.sql.Row], schema)
-      } else spark.read.parquet(files: _*)
+      } else
+        // basePath keeps hive partition columns (path/date=.../part-*)
+        // in the schema when reading explicit leaf files — without it
+        // the pruned read and the empty-candidates branch would return
+        // DIFFERENT schemas for the same table
+        spark.read.option("basePath", path).parquet(files: _*)
     base.filter(col(column) >= lo && col(column) <= hi)
   }
 }

@@ -26,15 +26,19 @@ object Versioned {
 
   private def dir(root: String, v: Long) = f"$root/v=$v%05d"
 
-  /** All committed versions, ascending (directories only — a version is
-    * committed by its write completing; the pointer marks latest, not
-    * existence). */
+  /** All committed versions, ascending. Committed = the directory holds
+    * the parquet committer's `_SUCCESS` marker — a bare `v=` directory is
+    * a crashed write in progress and must stay invisible, or the
+    * no-pointer fallback would hand readers a half-written snapshot (and
+    * the next write() would reuse the orphan's slot while someone reads
+    * it). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val f = fs(spark, root)
     val p = new Path(root)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v=") &&
+        f.exists(new Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
   }
 
@@ -58,16 +62,22 @@ object Versioned {
   def write(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
-    val v = latestVersion(spark, root)
-      .orElse(versions(spark, root).lastOption).map(_ + 1).getOrElse(0L)
+    // latestVersion already falls back to the committed-directory listing
+    // when the pointer is missing, so no extra orElse; uncommitted crash
+    // leftovers are invisible to versions() (no _SUCCESS) and their slot
+    // is safely overwritten here
+    val v = latestVersion(spark, root).map(_ + 1).getOrElse(0L)
     df.write.mode("overwrite").parquet(dir(root, v))
     val tmp = new Path(root, s"$Pointer.tmp")
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
     val ptr = new Path(root, Pointer)
-    if (f.exists(ptr)) f.delete(ptr, false)
-    if (!f.rename(tmp, ptr))
-      throw new java.io.IOException(s"pointer swap failed for $root v$v")
+    // single overwriting rename (FileContext), NOT delete-then-rename: a
+    // crash between those two leaves no pointer at all and silently
+    // downgrades every reader to the listing fallback
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      ptr.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     v
   }
 

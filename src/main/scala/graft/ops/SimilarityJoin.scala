@@ -64,6 +64,15 @@ object SimilarityJoin {
       : DataFrame = {
     require(leftKey != rightKey,
       s"dedupKeys needs distinct key column names, got '$leftKey' twice")
+    // the final select resolves by bare name across three joined frames —
+    // any shared name (or a column equal to distCol) would be an
+    // AMBIGUOUS_REFERENCE deep in analysis; fail loudly up front instead
+    locally {
+      val all = left.columns.toSeq ++ right.columns :+ distCol
+      val dup = all.diff(all.distinct).distinct
+      require(dup.isEmpty,
+        s"dedupKeys needs globally unique column names; rename ${dup.mkString(", ")} first")
+    }
     val dl = left.select(qc(leftKey)).distinct()
     val dr = right.select(qc(rightKey)).distinct()
     val core = kernel(dl, dr) // columns: leftKey, rightKey, distCol
@@ -86,6 +95,8 @@ object SimilarityJoin {
         (dl, dr) => blockedInnerJoin(dl, dr, leftKey, rightKey, maxDist,
           distCol))
     val band = "__graft_len_band"
+    require(!left.columns.contains(band) && !right.columns.contains(band),
+      s"input may not carry the internal working column '$band'")
     val l = left.withColumn(band, length(qc(leftKey))).alias("sj_l")
     val r = right
       .withColumn(band,
@@ -94,9 +105,13 @@ object SimilarityJoin {
       .alias("sj_r")
     val lk = col(s"sj_l.${q(leftKey)}")
     val rk = col(s"sj_r.${q(rightKey)}")
-    l.join(r, col(s"sj_l.$band") === col(s"sj_r.$band") &&
-              boundedDistance(lk, rk, maxDist) >= 0)
+    // join purely on the band equality and verify AFTER — computing the
+    // bounded DP in the join condition and again in withColumn ran the
+    // O(d·min|a|,|b|) kernel twice per surviving pair (the chunked
+    // kernel already used this compute-once shape)
+    l.join(r, col(s"sj_l.$band") === col(s"sj_r.$band"))
       .withColumn(distCol, boundedDistance(lk, rk, maxDist))
+      .filter(col(distCol) >= 0)
       .drop(band)
   }
 
@@ -105,6 +120,13 @@ object SimilarityJoin {
   def blockedLeftJoin(left: DataFrame, right: DataFrame,
                       leftKey: String, rightKey: String, maxDist: Int,
                       distCol: String = "string_distance"): DataFrame = {
+    // shared names would surface only as a unionByName AnalysisException
+    // (duplicate columns) after the join — fail loudly with the remedy
+    locally {
+      val shared = left.columns.toSet.intersect(right.columns.toSet)
+      require(shared.isEmpty,
+        s"blockedLeftJoin needs disjoint column names; rename ${shared.mkString(", ")} first")
+    }
     val inner = blockedInnerJoin(left, right, leftKey, rightKey, maxDist, distCol)
     // the matched-key side is renamed to a unique name: it shares lineage
     // with `left`, and Spark's ambiguous-self-join repair re-parses
@@ -150,6 +172,11 @@ object SimilarityJoin {
       return viaDistinctKeys(left, right, leftKey, rightKey, distCol,
         (dl, dr) => chunkedInnerJoin(dl, dr, leftKey, rightKey, maxDist,
           distCol))
+    locally {
+      val reserved = (left.columns ++ right.columns).filter(_.startsWith("__g"))
+      require(reserved.isEmpty,
+        s"input may not carry internal working columns: ${reserved.mkString(", ")}")
+    }
     val d = maxDist
     // NULL keys qualify for no pair (same as the sibling kernels) — and
     // must be dropped BEFORE the collect, where a null length row would NPE
