@@ -1870,7 +1870,7 @@ object SparkEntry {
         |      AS valid_to
         |  FROM g)
         |SELECT e.event_id, e.user_id, d.attr, d.valid_from
-        |FROM events e JOIN d ON e.user_id = d.user_id
+        |FROM events e LEFT JOIN d ON e.user_id = d.user_id
         |  AND d.valid_from <= e.ts
         |  AND (d.valid_to IS NULL OR e.ts < d.valid_to)
         |ORDER BY e.event_id""".stripMargin,
@@ -1878,7 +1878,7 @@ object SparkEntry {
     "q_session_paths" ->
       """WITH m AS (SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -1914,7 +1914,7 @@ object SparkEntry {
       """WITH m AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -58,7 +58,12 @@ object Csv {
     val part = fs.globStatus(new Path(tmp, "part-*.csv"))(0).getPath
     val target = new Path(path)
     if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(part, target)
+    // rename failure (e.g. missing parent dir on HDFS) returns FALSE, not
+    // an exception — unchecked, the tmp delete below would destroy the
+    // only copy of the checkpoint file silently
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(
+        s"csv sink rename $part -> $target failed; data retained at $tmp")
     fs.delete(new Path(tmp), true)
   }
 }

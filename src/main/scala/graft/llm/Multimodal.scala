@@ -106,6 +106,7 @@ object Multimodal {
   def sampleFrames(df: DataFrame, idCol: String,
                    dataCol: String = "media.data",
                    frames: Int = 4): Dataset[FrameSample] = {
+    require(frames >= 1, s"frames=$frames must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(dataCol))

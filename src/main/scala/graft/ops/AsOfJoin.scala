@@ -63,8 +63,6 @@ object AsOfJoin {
       .withColumn("__graft_key", col(leftKey))
       .withColumn("__graft_ts", col(leftTs))
       .withColumn("__graft_is_left", lit(1))
-    val lPadded = payloadAll.foldLeft(l)((df, c) =>
-      df.withColumn(s"__graft_p_$c", lit(null)))
     // a NULL right timestamp can never satisfy ts <= / >= anything (ASOF
     // semantics; DuckDB agrees) — but unfiltered it would sort first and
     // its payload would be carried into early left rows
@@ -73,13 +71,20 @@ object AsOfJoin {
       .withColumn("__graft_ts", col(rightTs))
       .withColumn("__graft_is_left", lit(0))
       .withColumn(matchTs, col(rightTs))
-    val rProjected = payloadAll.foldLeft(r)((df, c) =>
-        df.withColumn(s"__graft_p_$c", col(c)))
-      .select(("__graft_key" +: "__graft_ts" +: "__graft_is_left" +:
-        payloadAll.map(c => s"__graft_p_$c")).map(col): _*)
-    val lProjected = lPadded.select(
-      (leftCols ++ Seq("__graft_key", "__graft_ts", "__graft_is_left") ++
-        payloadAll.map(c => s"__graft_p_$c")).map(col): _*)
+    // the payload is carried as ONE struct, never column-by-column: a
+    // NULL cell in the matched row must come through as NULL, not be
+    // papered over by an older row's non-null value for that column
+    // (per-column ignoreNulls carries would stitch together a row that
+    // never existed)
+    val rProjected = r.select(col("__graft_key"), col("__graft_ts"),
+      col("__graft_is_left"),
+      struct(payloadAll.map(c => col(c).as(c)): _*).as("__graft_p"))
+    val pType = rProjected.schema("__graft_p").dataType
+    val lProjected = l
+      .withColumn("__graft_p", lit(null).cast(pType))
+      .select((leftCols ++
+        Seq("__graft_key", "__graft_ts", "__graft_is_left", "__graft_p"))
+        .map(col): _*)
     val unioned = lProjected.unionByName(rProjected,
       allowMissingColumns = true)
     // backward: right rows sort before left rows at equal ts and the most
@@ -93,18 +98,18 @@ object AsOfJoin {
         val w = Window.partitionBy(col("__graft_key"))
           .orderBy(col("__graft_ts"), col("__graft_is_left"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        payloadAll.foldLeft(unioned)((df, c) =>
-          df.withColumn(outName(c),
-            last(col(s"__graft_p_$c"), ignoreNulls = true).over(w)))
+        unioned.withColumn("__graft_c",
+          last(col("__graft_p"), ignoreNulls = true).over(w))
       } else {
         val w = Window.partitionBy(col("__graft_key"))
           .orderBy(col("__graft_ts"), col("__graft_is_left").desc)
           .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        payloadAll.foldLeft(unioned)((df, c) =>
-          df.withColumn(outName(c),
-            first(col(s"__graft_p_$c"), ignoreNulls = true).over(w)))
+        unioned.withColumn("__graft_c",
+          first(col("__graft_p"), ignoreNulls = true).over(w))
       }
-    val kept = carried.filter(col("__graft_is_left") === 1)
+    val kept = payloadAll.foldLeft(
+        carried.filter(col("__graft_is_left") === 1))((df, c) =>
+      df.withColumn(outName(c), col("__graft_c").getField(c)))
     val toleranced = toleranceSeconds match {
       case None => kept
       case Some(tol) =>

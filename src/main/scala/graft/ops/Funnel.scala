@@ -75,7 +75,7 @@ object Funnel {
   }
 
   /** Most-common session paths: events are sessionized by an inactivity
-    * gap (`gapMicros`, strictly-greater starts a new session — same rule
+    * gap (`gapMicros`, gap >= gapMicros starts a new session — same rule
     * as `EventsStream.sessionize`), each session is rendered as its
     * `'>'`-joined event-type sequence, and the `topN` most frequent paths
     * are returned with a deterministic (count desc, path) tiebreak.
@@ -90,7 +90,7 @@ object Funnel {
       .withColumn("__us", expr(s"unix_micros($tsCol)"))
       .withColumn("__new",
         when(lag(col("__us"), 1).over(w).isNull ||
-          col("__us") - lag(col("__us"), 1).over(w) > gapMicros, 1)
+          col("__us") - lag(col("__us"), 1).over(w) >= gapMicros, 1)
           .otherwise(0))
       .withColumn("__sid", sum(col("__new")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

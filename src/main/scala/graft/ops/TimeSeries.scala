@@ -80,11 +80,16 @@ object TimeSeries {
                  tsCol: String): DataFrame = {
     val f = facts.alias("f")
     val d = dim.alias("d")
+    // LEFT join: a fact before its key's first version (or for a key the
+    // dimension never saw) survives with a null attribute — silently
+    // dropping it would undercount any rollup over the result (same
+    // convention as AsOfJoin)
     f.join(d,
         col(s"f.$keyCol") === col(s"d.$keyCol") &&
           col("d.valid_from") <= col(s"f.$tsCol") &&
           (col("d.valid_to").isNull ||
-            col(s"f.$tsCol") < col("d.valid_to")))
+            col(s"f.$tsCol") < col("d.valid_to")),
+        "left")
       .select(f.columns.map(c => col(s"f.$c")) :+
         col("d.attr") :+ col("d.valid_from"): _*)
   }

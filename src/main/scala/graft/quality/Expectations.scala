@@ -58,8 +58,12 @@ object Expectations {
     agged.select(explode(array(entries: _*)).as("r"))
       .select(col("r.name").as("name"), col("r.column").as("column"),
         col("r.value").as("value"), col("r.lo").as("lo"), col("r.hi").as("hi"),
-        (col("r.value") >= col("r.lo") && col("r.value") <= col("r.hi"))
-          .as("pass"))
+        // a NULL metric (e.g. avg of an all-null column — the classic
+        // producer failure) must FAIL the expectation, not evaluate to
+        // NULL: gates aggregate pass with min(), which skips nulls and
+        // would wave the batch through
+        coalesce(col("r.value") >= col("r.lo") && col("r.value") <= col("r.hi"),
+          lit(false)).as("pass"))
       .orderBy(col("name"))
   }
 
@@ -97,8 +101,8 @@ object Expectations {
   def tableFingerprint(df: org.apache.spark.sql.DataFrame,
                        cols: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(cols.nonEmpty, "fingerprint needs at least one column")
-    val rendered = concat_ws("",
-      cols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+    val rendered = concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
     val h = conv(substring(md5(rendered), 1, 15), 16, 10)
       .cast("decimal(38,0)")
     df.agg(count(lit(1)).as("n_rows"),

@@ -36,9 +36,10 @@ object EventsStream {
       .parquet(dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), duration).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
-        col("n_events"))
+        col("n_events"), col("sum_value"))
   }
 
   /** Per-user sessionization with a gap timeout: Spark's native

@@ -42,16 +42,29 @@ object IngestDedup {
     val schema = spark.read.parquet(srcDir).schema
     val gate: (Dataset[Row], Long) => Unit = (batch, _) => {
       if (!batch.isEmpty) {
-        val dups = Dedup.minhashLshNewVsIndex(batch.toDF(), indexPath,
-            idCol, textCol, shingleN, numHashes, bands, threshold)
-          .select(col("new_id").as("__graft_dup")).distinct()
-        val accepted = batch.toDF()
-          .join(dups, batch(idCol) === col("__graft_dup"), "left_anti")
-          .persist()
-        accepted.write.mode("append").parquet(outDir)
-        Dedup.appendCorpusIndex(accepted, idCol, textCol, indexPath,
-          shingleN, numHashes, bands)
-        accepted.unpersist()
+        // bootstrap: before any index exists (fresh pipeline, no prior
+        // writeCorpusIndex), the first batch IS the corpus — accept it
+        // and WRITE (not append) the index so the parameter stamp lands
+        val fs = new org.apache.hadoop.fs.Path(indexPath + "/docs")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bootstrapped = fs.exists(
+          new org.apache.hadoop.fs.Path(indexPath + "/docs"))
+        if (!bootstrapped) {
+          batch.toDF().write.mode("append").parquet(outDir)
+          Dedup.writeCorpusIndex(batch.toDF(), idCol, textCol, indexPath,
+            shingleN, numHashes, bands)
+        } else {
+          val dups = Dedup.minhashLshNewVsIndex(batch.toDF(), indexPath,
+              idCol, textCol, shingleN, numHashes, bands, threshold)
+            .select(col("new_id").as("__graft_dup")).distinct()
+          val accepted = batch.toDF()
+            .join(dups, batch(idCol) === col("__graft_dup"), "left_anti")
+            .persist()
+          accepted.write.mode("append").parquet(outDir)
+          Dedup.appendCorpusIndex(accepted, idCol, textCol, indexPath,
+            shingleN, numHashes, bands)
+          accepted.unpersist()
+        }
       }
     }
     spark.readStream.schema(schema).parquet(srcDir)

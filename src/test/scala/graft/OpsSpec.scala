@@ -117,6 +117,28 @@ class OpsSpec extends SparkSpec {
     assert(plain === Set(Some("b"), None))
   }
 
+  test("AsOfJoin carries the matched row atomically, nulls included") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // the matched (latest) right row has a NULL in column a — that null
+    // must come through, not be papered over by the older row's a=5
+    val left = Seq((1L, 10L, ts("2024-01-05 00:00:00")))
+      .toDF("eid", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:00"), Some(5L), None: Option[Long]),
+      (10L, ts("2024-01-03 00:00:00"), None: Option[Long], Some(7L))
+    ).toDF("rk", "rt", "a", "b")
+    val out = ops.AsOfJoin.asofLeftJoin(left, right, "k", "rk", "t", "rt",
+      Seq("a", "b")).collect()(0)
+    assert(out.isNullAt(3) && out.getLong(4) === 7L,
+      "per-column carry would resurrect a=5 from the stale row")
+    // same atomicity under tolerance: the stale row is out of tolerance,
+    // the matched row in — no mixing
+    val tol = ops.AsOfJoin.asofLeftJoin(left, right, "k", "rk", "t", "rt",
+      Seq("a", "b"), toleranceSeconds = Some(3L * 86400)).collect()(0)
+    assert(tol.isNullAt(3) && tol.getLong(4) === 7L)
+  }
+
   test("AsOfJoin picks the latest right row at-or-before each left ts") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
