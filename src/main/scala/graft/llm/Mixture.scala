@@ -41,5 +41,9 @@ object Mixture {
   }
 
   /** Whitespace token count — the mixture's default size measure. */
-  def tokenCount(text: Column): Column = size(split(text, " ")).cast("long")
+  /** Engine-wide tokenizer contract (TextFunctions.tokens): single-space
+    * split, like every dedup/LM/BM25 operator and their oracles — NOT a
+    * \\s+ regex; normalize whitespace upstream (normalizeText) first. */
+  def tokenCount(text: Column): Column =
+    size(TextFunctions.tokens(text)).cast("long")
 }

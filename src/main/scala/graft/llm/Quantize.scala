@@ -29,9 +29,13 @@ object Quantize {
     * folding the single point v == mx into the top cell. Midpoint
     * reconstruction error is then ≤ half a cell everywhere. */
   def code8(v: Column, mn: Column, mx: Column): Column =
-    when(mx === mn, lit(0L)).otherwise(
-      least(lit(255L), floor((v.cast("double") - mn.cast("double")) /
-        (mx.cast("double") - mn.cast("double")) * lit(256))))
+    // null guard FIRST: least() skips nulls, so a null element would
+    // otherwise silently quantize to the top cell (code 255)
+    when(v.isNull, lit(null).cast("long"))
+      .when(mx === mn, lit(0L))
+      .otherwise(
+        least(lit(255L), floor((v.cast("double") - mn.cast("double")) /
+          (mx.cast("double") - mn.cast("double")) * lit(256))))
       .cast("long")
 
   /** Quantize every vector: one exploded (id, dim, code) row per element,

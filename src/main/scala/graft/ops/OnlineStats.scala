@@ -18,7 +18,7 @@ import org.apache.spark.sql.expressions.Aggregator
 final case class StatsState(n: Long, mean: Double, m2: Double)
 final case class StatsResult(n: Long, mean: Double, variance: Double)
 
-object OnlineStats extends Aggregator[Double, StatsState, StatsResult] {
+object OnlineStats extends Aggregator[java.lang.Double, StatsState, StatsResult] {
   type State = StatsState
   type Result = StatsResult
   private def State(n: Long, mean: Double, m2: Double) = StatsState(n, mean, m2)
@@ -26,11 +26,16 @@ object OnlineStats extends Aggregator[Double, StatsState, StatsResult] {
 
   override def zero: State = State(0L, 0.0, 0.0)
 
-  override def reduce(s: State, x: Double): State = {
+  // boxed input + null skip: the built-ins (avg/var_pop) ignore NULL
+  // rows, and a primitive Double input would either coerce null to 0.0
+  // or throw, silently diverging from them
+  override def reduce(s: State, x: java.lang.Double): State = {
+    if (x == null) return s
+    val v = x.doubleValue
     val n = s.n + 1
-    val d = x - s.mean
+    val d = v - s.mean
     val mean = s.mean + d / n
-    State(n, mean, s.m2 + d * (x - mean))
+    State(n, mean, s.m2 + d * (v - mean))
   }
 
   override def merge(a: State, b: State): State = {

@@ -20,6 +20,8 @@ object RangeJoin {
   /** Self-join: (id_a, id_b, gap_us) with id_a < id_b, |ts diff| <= gap. */
   def timeProximitySelfJoin(df: DataFrame, keyCol: String, tsCol: String,
                             idCol: String, maxGapSeconds: Long): DataFrame = {
+    require(maxGapSeconds > 0,
+      s"maxGapSeconds=$maxGapSeconds must be > 0 (DIV by zero otherwise)")
     val gapUs = maxGapSeconds * 1000000L
     val base = df.select(col(keyCol).as("k"), col(idCol).as("id"),
       unix_micros(col(tsCol)).as("us"))

@@ -27,9 +27,13 @@ object Recency {
     else BigInt(digits).min(BigInt(Long.MaxValue)).toLong
   }
 
-  /** Newest (largest digit key) first; name as deterministic tiebreaker. */
+  /** Newest (largest digit key) first; name as deterministic tiebreaker.
+    * Ordered with a reverse Ordering, NOT by negating the key:
+    * -Long.MinValue (the digitless sentinel) wraps back to Long.MinValue
+    * and would sort digitless columns NEWEST instead of oldest. */
   def sortedNewestFirst(cols: Seq[String]): Seq[String] =
-    cols.sortBy(c => (-digitKey(c), c))
+    cols.sorted(Ordering.by((c: String) => (digitKey(c), c))(
+      Ordering.Tuple2(Ordering.Long.reverse, Ordering.String)))
 
   /** A3 — per-column single-value extraction, one aggregate pass: for each
     * recency column, the FIRST (by `rowIdCol`) non-NA/non-"" value, plus the

@@ -40,6 +40,14 @@ object SimilarityJoin {
   def leftJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String, maxDist: Int,
                distCol: String = "string_distance"): DataFrame = {
+    // same contract as blockedLeftJoin, enforced equally: a shared name
+    // would come through as ambiguous duplicate columns that break the
+    // caller later, and the two kernels must stay interchangeable
+    locally {
+      val shared = left.columns.toSet.intersect(right.columns.toSet)
+      require(shared.isEmpty,
+        s"leftJoin needs disjoint column names; rename ${shared.mkString(", ")} first")
+    }
     val l = left.alias("sj_l")
     val r = right.alias("sj_r")
     val lk = col(s"sj_l.${q(leftKey)}")

@@ -21,9 +21,11 @@ object SkewJoin {
                       factKey: String, dimKey: String,
                       salts: Int = 8,
                       fingerprint: Seq[String] = Nil): DataFrame = {
+    require(salts > 0, s"salts=$salts must be > 0")
+    // qcol: bare col() would parse dotted names as struct-field access
     val fpCols: Seq[Column] =
-      if (fingerprint.nonEmpty) fingerprint.map(col)
-      else fact.columns.toSeq.map(col)
+      if (fingerprint.nonEmpty) fingerprint.map(graft.Util.qcol)
+      else fact.columns.toSeq.map(graft.Util.qcol)
     val saltedFact = fact.withColumn("__graft_salt",
       pmod(xxhash64(fpCols: _*), lit(salts)).cast("int"))
     val saltedDim = dim.withColumn("__graft_salt",

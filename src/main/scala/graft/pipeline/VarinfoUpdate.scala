@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object VarinfoUpdate {
 
-  /** Match statistics (reference varinfo-update.R:110-136 messages). */
+  /** Match statistics (reference varinfo-update.R:110-136 messages).
+    * Intentional deviation: `unmatchedText`/`stillUnmatched` subtract
+    * DISTINCT matched variables from the variable total — the reference
+    * subtracts matched prior-ROW counts, which double-counts a variable
+    * matched by several codebook rows and goes negative on cumulative
+    * codebooks. `exact`/`fuzzy` stay row tallies like the reference. */
   final case class MatchStats(totalVars: Long, exact: Long, fuzzy: Long,
                               unmatchedText: Long, totalMatched: Long,
                               stillUnmatched: Long) {
@@ -58,15 +63,19 @@ object VarinfoUpdate {
       .cache() // reused by stats, rescue join, and both sinks
 
     val totalVars = columnInfo.count()
+    // unmatched counts subtract DISTINCT matched variables, not matched
+    // prior rows: a cumulative codebook has many rows per variable, and
+    // row counts would drive "N unmatched (out of M)" negative
     val statsRow = fuzzyJoined.agg(
       count(when(col("string_distance") === 0 &&
         qcol(d.qualtricsColName).isNotNull, 1)).as("exact"),
       count(when(col("string_distance") > 0 &&
-        qcol(d.qualtricsColName).isNotNull, 1)).as("fuzzy")
+        qcol(d.qualtricsColName).isNotNull, 1)).as("fuzzy"),
+      count_distinct(qcol(d.qualtricsColName)).as("vars_matched")
     ).collect()(0)
     val (exact, fuzzy) =
       (statsRow.getAs[Long]("exact"), statsRow.getAs[Long]("fuzzy"))
-    val unmatchedText = totalVars - exact - fuzzy
+    val unmatchedText = totalVars - statsRow.getAs[Long]("vars_matched")
 
     // Rescue join by variable name with column-wise coalesce (J3) — values
     // from the fuzzy join win over the variable-name join.
@@ -74,19 +83,25 @@ object VarinfoUpdate {
       fuzzyJoined, columnInfo, cfg.joinColumnVar, d.qualtricsColName)
 
     val totalMatched = joined
-      .agg(count(when(qcol(d.qualtricsColName).isNotNull, 1))).collect()(0)
+      .agg(count_distinct(qcol(d.qualtricsColName))).collect()(0)
       .getLong(0)
     val stillUnmatched = totalVars - totalMatched
     val stats = MatchStats(totalVars, exact, fuzzy, unmatchedText,
       totalMatched, stillUnmatched)
 
+    // release the stage cache before returning (the codebase-wide
+    // finishAndRelease convention): the checkpoint severs the outputs'
+    // lineage from the cached plan, so a service calling this per batch
+    // accumulates no persisted state
+    val joinedFinal = graft.Util.finishAndRelease(joined, fuzzyJoined)
+
     // Unmatched new variables (J4) — null-safe keys like dplyr's
     // na_matches = "na", so the sentinel row (NULL name) is excluded when
     // any prior row stayed unmatched.
     val unmatched =
-      AntiJoin.antiJoin(columnInfo, joined, d.qualtricsColName)
+      AntiJoin.antiJoin(columnInfo, joinedFinal, d.qualtricsColName)
 
-    (joined, unmatched, stats)
+    (joinedFinal, unmatched, stats)
   }
 
   /** Phase 1 (reference Steps 1–2): read inputs, join, export the two
