@@ -396,8 +396,9 @@ object Dedup {
   /** The dedup end product: drop every clustered document except its
     * component representative (minimum id); documents in no near-dup pair
     * pass through untouched. One components run + one null-safe anti join. */
-  def dedupedCorpus(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val losers = connectedComponents(pairs)
+  def dedupedCorpus(df: DataFrame, idCol: String, pairs: DataFrame,
+                    reliableDir: Option[String] = None): DataFrame = {
+    val losers = connectedComponents(pairs, reliableDir = reliableDir)
       .filter(col("id") =!= col("comp"))
       .select(col("id").as("__graft_loser"))
     df.join(losers, col(idCol) === col("__graft_loser"), "left_anti")
@@ -478,14 +479,27 @@ object Dedup {
     * Min-label propagation: each round every node takes the minimum label
     * among itself and its neighbors; converges in O(diameter) rounds. Each
     * round is one equi-join + hash aggregate (shuffle on id), and the
-    * result is `localCheckpoint`ed so the plan does not grow with the
+    * result is materialized (checkpoint) so the plan does not grow with the
     * iteration count — without the checkpoint the lineage doubles per round
     * and the driver dies re-optimizing it long before 100 TB does.
+    *
+    * Fault tolerance: the default materialization is `localCheckpoint`,
+    * whose blocks live on executors — fast, but one lost executor aborts
+    * the whole multi-round job (the lineage was truncated, so Spark cannot
+    * recompute the lost blocks). On a real cluster pass `reliableDir`
+    * (shared storage: HDFS/S3/...): each round's label table is then
+    * written to parquet and read back, so a lost executor costs one file
+    * re-read instead of the job. Rounds before the previous one are
+    * deleted as the loop advances; the FINAL round's files back the
+    * returned DataFrame and stay at
+    * `reliableDir/cc-<uuid>/round-<k>` until the caller deletes them
+    * (consume the result, then remove the run directory).
     * Output: (id, component) for every id appearing in `pairs`. */
   def connectedComponents(pairs: DataFrame, idColA: String = "id_a",
                           idColB: String = "id_b",
                           maxIter: Int = 20,
-                          localEdgeThreshold: Long = 1000000L): DataFrame = {
+                          localEdgeThreshold: Long = 1000000L,
+                          reliableDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val fwd = pairs.select(col(idColA).as("src"), col(idColB).as("dst"))
     val edges = fwd
@@ -493,6 +507,29 @@ object Dedup {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = pairs.sparkSession
+    // Per-round materialization (see scaladoc): executor-local blocks by
+    // default, parquet-on-shared-storage when reliableDir is given. Keeping
+    // only the current and previous rounds bounds storage at two label
+    // tables regardless of iteration count. The previous round must
+    // survive until the next is fully written: the write reads it.
+    val runDir = reliableDir.map(d => s"$d/cc-${java.util.UUID.randomUUID()}")
+    var roundIdx = 0
+    var prevRoundPath: Option[String] = None
+    def materialize(df: DataFrame): DataFrame = runDir match {
+      case Some(dir) =>
+        val path = s"$dir/round-$roundIdx"
+        roundIdx += 1
+        df.write.parquet(path)
+        val out = spark.read.parquet(path)
+        prevRoundPath.foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(hp, true)
+        }
+        prevRoundPath = Some(path)
+        out
+      case None => df.localCheckpoint()
+    }
     // Size the iteration's shuffles to the graph, not the session default:
     // AQE's partition coalescing cannot see across the localCheckpoint
     // boundaries this loop needs, so a small edge set would otherwise pay
@@ -585,10 +622,9 @@ object Dedup {
     // build: every node starts at min(self, neighbors) from one hash
     // aggregate over the symmetrized edges, instead of identity labels plus
     // a full join round to reach the same state.
-    var labels = sized(edges, "src").groupBy(col("src").as("id"))
+    var labels = materialize(sized(edges, "src").groupBy(col("src").as("id"))
         .agg(min(col("dst")).as("mn"))
-        .select(col("id"), least(col("id"), col("mn")).as("comp"))
-        .localCheckpoint()
+        .select(col("id"), least(col("id"), col("mn")).as("comp")))
       // When the label table fits a broadcast (nodes ≤ ~2M → tens of MB),
       // ship IT to the edges instead of shuffling the edges to it: the
       // per-round neighbor join and pointer-jump join become map-side, and
@@ -621,11 +657,10 @@ object Dedup {
         // collapses long chains in O(log n) rounds instead of O(diameter)
         val byLabel = bcast(labels.select(col("id").as("lid"),
           col("comp").as("lcomp")))
-        val next = propagated
+        val next = materialize(propagated
           .join(byLabel, propagated("comp") === byLabel("lid"), "left")
           .select(col("id"),
-            least(col("comp"), coalesce(col("lcomp"), col("comp"))).as("comp"))
-          .localCheckpoint()
+            least(col("comp"), coalesce(col("lcomp"), col("comp"))).as("comp")))
         val s = next.agg(sum(col("comp").cast("decimal(38,0)")))
           .collect()(0).getDecimal(0)
         converged = s == prevSum

@@ -36,7 +36,13 @@ object NgramLm {
 
   /** Score every document against bigram statistics trained on the same
     * corpus: (doc_id, n_bigrams, avg_ll). Documents with fewer than two
-    * tokens have no bigrams and are absent from the output. */
+    * tokens have no bigrams and are absent from the output.
+    *
+    * Each bigram's ln P is floored to exact integer MICROS before the
+    * per-document sum (the Bm25.score pattern): a double `avg()` is
+    * partial-aggregation-order-dependent, and the oracle harness compares
+    * bits — the integer sum is order-independent, and the final
+    * micros→double division replays bit-for-bit cross-engine. */
   def scoreDocs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bi = bigrams(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -44,13 +50,17 @@ object NgramLm {
       .as("tok")).distinct().count()
     val bigramCounts = bi.groupBy(col("gram")).agg(count(lit(1)).as("cb"))
     val contextCounts = bi.groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    val llMicros = floor(log((col("cb") + lit(1.0)) /
+      (col("cu") + lit(vocab.toDouble))) * lit(1000000.0)).cast("long")
     val scored = bi
       .join(broadcast(bigramCounts), "gram")
       .join(broadcast(contextCounts), "u")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        avg(log((col("cb") + lit(1.0)) /
-          (col("cu") + lit(vocab.toDouble)))).as("avg_ll"))
+        sum(llMicros).as("__ll_micros"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__ll_micros").cast("double") / lit(1000000.0) /
+          col("n_bigrams")).as("avg_ll"))
     graft.Util.finishAndRelease(scored, bi)
   }
 

@@ -159,7 +159,8 @@ object Similarity {
               queryIdCol: String, corpusIdCol: String, vecCol: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4,
               seed: Long = 42L, trainN: Int = 2048,
-              excludeSelf: Boolean = true): DataFrame = {
+              excludeSelf: Boolean = true,
+              maxInlineLiterals: Int = MaxInlineLiterals): DataFrame = {
     val corpusVec = corpus.select(col(corpusIdCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("cv"))
     val q0 = queries.select(col(queryIdCol).as("query_id"),
@@ -177,20 +178,30 @@ object Similarity {
         .select(col("query_id"), lit(0).as("rank"), col("neighbor_id"),
           lit(0.0).as("cos"))
     val centers = localLloyd(sample, nlist, iters = 5, seed = seed)
-    val dists = array(centers.map(c => sqDistTo(col("cv"), c)).toSeq: _*)
+    // two-regime literal folding (see MaxInlineLiterals): per-centroid
+    // inline literals for small quantizers, one typedLit above the budget
+    val inline = nlist.toLong * centers.head.length <= maxInlineLiterals
+    val dists = centroidDists(col("cv"), centers, inline)
     val assigned = corpusVec
       .withColumn("cell",
         (array_position(dists, array_min(dists)) - 1).cast("int"))
       .select(col("neighbor_id"), col("cv"), col("cell"))
-    val cellScores = centers.zipWithIndex.map { case (c, i) =>
-      val cArr = array(c.map(lit).toSeq: _*)
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * dot(col("qv"), cArr)).as("d"),
-        lit(i).as("cell"))
-    }
+    // cell rank key: ||c||² − 2 q·c. The driver-side `c.map(x*x).sum` and
+    // the engine-side dot(c, c) both accumulate in ascending index order,
+    // so the two regimes stay bit-identical.
+    val cellScoreArr =
+      if (inline) array(centers.zipWithIndex.map { case (c, i) =>
+        val cArr = array(c.map(lit).toSeq: _*)
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dot(col("qv"), cArr)).as("d"),
+          lit(i).as("cell"))
+      }.toSeq: _*)
+      else transform(typedLit(centers.map(_.toSeq).toSeq), (c, i) =>
+        struct((dot(c, c) - lit(2.0) * dot(col("qv"), c)).as("d"),
+          i.as("cell")))
     val probed = q0.withColumn("cell",
       explode(transform(
-        slice(array_sort(array(cellScores.toSeq: _*)), 1, nprobe),
+        slice(array_sort(cellScoreArr), 1, nprobe),
         s => s.getField("cell"))))
     val scored = probed.join(assigned, "cell")
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
@@ -228,7 +239,8 @@ object Similarity {
              queryIdCol: String, corpusIdCol: String, vecCol: String,
              k: Int, m: Int = 8, ksub: Int = 16,
              seed: Long = 42L, trainN: Int = 2048,
-             excludeSelf: Boolean = true): DataFrame = {
+             excludeSelf: Boolean = true,
+             maxInlineLiterals: Int = MaxInlineLiterals): DataFrame = {
     val dim = headDim(corpus, vecCol)
     val corpusD = corpus.select(col(corpusIdCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("cv"))
@@ -253,17 +265,20 @@ object Similarity {
       localLloyd(sample.map(v => java.util.Arrays.copyOfRange(
         v, j * sub, (j + 1) * sub)), ksub, iters = 5, seed = seed + j)
     }
+    // two-regime literal folding (see MaxInlineLiterals): total codebook
+    // payload across the m subspaces is ksub × dim doubles
+    val inline = ksub.toLong * dim <= maxInlineLiterals
     // encode: argmin over the ksub centroid distances per subspace
     val codeCols = (0 until m).map { j =>
       val s = slice(col("cv"), j * sub + 1, sub)
-      val ds = array(codebooks(j).map(c => sqDistTo(s, c)).toSeq: _*)
+      val ds = centroidDists(s, codebooks(j), inline)
       (array_position(ds, array_min(ds)) - 1).cast("int").as(s"__pqc$j")
     }
     val codes = corpusD.select(col("neighbor_id") +: codeCols: _*)
     // ADC tables: computed once per QUERY row, broadcast with it
     val lutCols = (0 until m).map { j =>
       val s = slice(col("qv"), j * sub + 1, sub)
-      array(codebooks(j).map(c => sqDistTo(s, c)).toSeq: _*).as(s"__pql$j")
+      centroidDists(s, codebooks(j), inline).as(s"__pql$j")
     }
     val q = q0.select(col("query_id") +: col("qv") +: lutCols: _*)
     // per-candidate cost: m element_at lookups + adds
@@ -281,11 +296,36 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
   }
 
+  /** Squared L2 distance between two array columns (either may be a
+    * lambda variable) — accumulates in ascending index order. */
+  private def sqDist(s: Column, c: Column): Column =
+    aggregate(zip_with(s, c, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x)
+
   /** Squared L2 distance from a vector column to a literal centroid —
     * shared by the IVF assignment and the PQ encode/ADC builds. */
   private def sqDistTo(s: Column, c: Array[Double]): Column =
-    aggregate(zip_with(s, array(c.map(lit).toSeq: _*),
-      (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+    sqDist(s, array(c.map(lit).toSeq: _*))
+
+  /** Inline-literal budget (total centroid DOUBLES folded into the plan
+    * as per-element `lit` nodes). Small codebooks inline — Catalyst
+    * constant-folds each centroid array and whole-stage codegen sees
+    * flat constants. Past the budget the per-element form explodes the
+    * expression tree (ksub=256, m=32, dim 2048 ⇒ 512K literal NODES:
+    * plan serialization, analysis, and codegen all blow up), so the
+    * codebook folds as ONE `typedLit` nested-array literal instead —
+    * a single expression node whose payload rides the task binary — and
+    * distances come from `transform` over it: same IEEE op order, so
+    * the two regimes are bit-identical (the LlmSpec parity pin). */
+  val MaxInlineLiterals = 8192
+
+  /** Distance-to-every-centroid array under the two-regime rule:
+    * per-centroid inline literals below the budget, one typedLit +
+    * transform above it. */
+  private def centroidDists(s: Column, cb: Array[Array[Double]],
+                            inline: Boolean): Column =
+    if (inline) array(cb.map(c => sqDistTo(s, c)).toSeq: _*)
+    else transform(typedLit(cb.map(_.toSeq).toSeq), c => sqDist(s, c))
 
   /** Deterministic hash-ordered quantizer-training sample collected to
     * the driver (md5 order is stable under row order, partitioning, and

@@ -32,10 +32,14 @@ object SubstringDedup {
   /** Every k-token window of every document: (doc_id, pos, gram) with
     * 0-based pos. Documents shorter than k tokens contribute no rows. */
   def tokenWindows(df: DataFrame, idCol: String, textCol: String,
-                   k: Int): DataFrame =
+                   k: Int): DataFrame = {
+    // k = 0 would make wordNGrams emit an empty gram at every position —
+    // every window "duplicated", zero-width spans cut — so fail loudly
+    require(k >= 1, s"window size k must be >= 1, got $k")
     df.select(col(idCol).as("doc_id"),
       posexplode(TextFunctions.wordNGrams(
         TextFunctions.tokens(col(textCol)), k)).as(Seq("pos", "gram")))
+  }
 
   /** Per-document duplicated-window tallies: `n_windows` total k-token
     * windows, `n_dup_windows` of them whose exact text occurs at more
@@ -73,6 +77,7 @@ object SubstringDedup {
     * interval merge and token cut are narrow per-row folds. */
   def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
                       k: Int): DataFrame = {
+    require(k >= 1, s"window size k must be >= 1, got $k")
     val wins = hashedWindows(df, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupes = wins.groupBy(col("whash"))
@@ -154,6 +159,7 @@ object SubstringDedup {
     * batch dedups against this one too. */
   def dedupSubstringsVsIndex(batch: DataFrame, idCol: String,
       textCol: String, k: Int, indexPath: String): DataFrame = {
+    require(k >= 1, s"window size k must be >= 1, got $k")
     val spark = batch.sparkSession
     val wins = hashedWindows(batch, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -28,6 +28,12 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String],
               exactDistinct: Boolean = true): DataFrame = {
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    // fail with the offending names, not a bare NoSuchElementException
+    // from the type map lookup below
+    val missing = cols.filterNot(types.contains)
+    require(missing.isEmpty,
+      s"profile: column(s) not in schema: ${missing.mkString(", ")} " +
+        s"(available: ${df.columns.mkString(", ")})")
     def numeric(c: String): Option[Column] = types(c) match {
       case _: NumericType => Some(col(c).cast("double"))
       // parquet naive timestamps arrive as TIMESTAMP_NTZ in Spark 4; the

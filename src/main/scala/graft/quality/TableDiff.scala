@@ -25,8 +25,15 @@ object TableDiff {
   def diff(oldDf: DataFrame, newDf: DataFrame,
            keyCols: Seq[String]): DataFrame = {
     val payload = oldDf.columns.filterNot(keyCols.contains).toSeq
-    require(newDf.columns.filterNot(keyCols.contains).toSeq == payload,
-      "snapshots must share one schema")
+    // compare (name, type) pairs, not names: same-named columns with
+    // different types would otherwise surface as a confusing analysis
+    // error (or silent coercion) inside the struct <=> compare
+    def shape(df: DataFrame) = df.schema.fields
+      .filterNot(f => keyCols.contains(f.name))
+      .map(f => f.name -> f.dataType).toSeq
+    require(shape(newDf) == shape(oldDf),
+      s"snapshots must share one schema; old=${shape(oldDf).mkString(",")} " +
+        s"new=${shape(newDf).mkString(",")}")
     def tagged(df: DataFrame, side: String) = df.select(
       keyCols.map(col) :+
         struct(payload.map(col): _*).as(s"__${side}_p") :+

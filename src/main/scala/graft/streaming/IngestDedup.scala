@@ -18,8 +18,9 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *
   * Semantics and caveats (the honest contract of this shape):
   *  - duplicates WITHIN one micro-batch are not cross-checked against each
-  *    other — run `Dedup.minhashLshPairs` on the batch first if intra-batch
-  *    dups matter at your batch size;
+  *    other (except the bootstrap batch, which is self-deduped because it
+  *    becomes the corpus) — run `Dedup.minhashLshPairs` on the batch first
+  *    if intra-batch dups matter at your batch size;
   *  - `foreachBatch` is at-least-once on failure/retry: a replayed batch
   *    can re-append output rows and index entries. Duplicate index entries
   *    only add candidate pairs (harmless to the gate — the verify step is
@@ -50,9 +51,24 @@ object IngestDedup {
         val bootstrapped = fs.exists(
           new org.apache.hadoop.fs.Path(indexPath + "/docs"))
         if (!bootstrapped) {
-          batch.toDF().write.mode("append").parquet(outDir)
-          Dedup.writeCorpusIndex(batch.toDF(), idCol, textCol, indexPath,
+          // intra-batch near-dups are removed here (the gate can't do it:
+          // there is no index yet and the batch IS the corpus) — without
+          // this, first-batch duplicates live in the corpus forever
+          val pairs = Dedup.minhashLshPairs(batch.toDF(), idCol, textCol,
+            shingleN, numHashes, bands, threshold)
+          val accepted = Dedup.dedupedCorpus(batch.toDF(), idCol, pairs)
+            .persist()
+          // crash-safe ordering: the output write is OVERWRITE (outDir
+          // holds nothing but this batch at bootstrap, so a replay
+          // rewrites the same rows instead of appending a second copy)
+          // and the index lands last. A retry after any crash converges:
+          // index absent -> bootstrap re-runs idempotently; index
+          // present -> the gate flags the whole batch as dups of itself
+          // and appends nothing, and the output is already down.
+          accepted.write.mode("overwrite").parquet(outDir)
+          Dedup.writeCorpusIndex(accepted, idCol, textCol, indexPath,
             shingleN, numHashes, bands)
+          accepted.unpersist()
         } else {
           val dups = Dedup.minhashLshNewVsIndex(batch.toDF(), indexPath,
               idCol, textCol, shingleN, numHashes, bands, threshold)

@@ -632,6 +632,43 @@ class LlmSpec extends SparkSpec {
     assert(top.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("PQ/IVF compact literal regime equals inline bit-for-bit, bounds the plan") {
+    val queries = embs.filter(col("vec_id") < 5)
+    def pqRows(maxInline: Int) = {
+      val df = graft.llm.Similarity.pqTopK(queries, embs, "vec_id",
+        "vec_id", "embedding", k = 5, ksub = 256,
+        maxInlineLiterals = maxInline)
+      (df, df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet)
+    }
+    // ksub=256 × dim crosses the default budget -> compact typedLit
+    // regime; forcing the budget to MaxValue replays the inline regime
+    val (compactDf, compact) = pqRows(graft.llm.Similarity.MaxInlineLiterals)
+    val (inlineDf, inline) = pqRows(Int.MaxValue)
+    assert(compact === inline,
+      "compact and inline regimes must agree bit-for-bit (adc included)")
+    // the point of the threshold: the inline plan at ksub=256 carries a
+    // literal expression NODE per centroid element (analysis, codegen,
+    // and serialization all walk them); the compact plan folds each
+    // codebook as ONE typedLit node whose payload is data, not tree
+    def nodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case p =>
+        p.expressions.map(e => e.collect { case _ => 1 }.sum).sum
+      }.sum
+    val (compactN, inlineN) = (nodes(compactDf), nodes(inlineDf))
+    assert(compactN * 10 < inlineN,
+      s"compact plan $compactN expr nodes, inline $inlineN")
+    // IVF: same parity pin (cell scores + assignment), compact forced
+    def ivfRows(maxInline: Int) = graft.llm.Similarity.ivfTopK(queries,
+        embs, "vec_id", "vec_id", "embedding", k = 5,
+        maxInlineLiterals = maxInline)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(ivfRows(1) === ivfRows(Int.MaxValue))
+  }
+
   test("PQ rerank with a full-corpus shortlist equals brute force exactly") {
     val rnd = new scala.util.Random(13)
     val corpus = (0 until 120)
@@ -934,11 +971,14 @@ class LlmSpec extends SparkSpec {
       .toMap
     // V=3 (a,b,x); bigrams: (a,b)x2+(a,b)=3? doc1: ab, ba, ab; doc2: ab.
     // c(a,b)=3, c(b,a)=1; contexts: c(a)=3, c(b)=1.
-    val pab = math.log(4.0 / 6.0) // (3+1)/(3+3)
-    val pba = math.log(2.0 / 4.0) // (1+1)/(1+3)
+    // per-bigram ln P is floored to integer micros before the sum (the
+    // order-independent form the oracle replays) — mirror it here
+    def q(x: Double) = math.floor(x * 1e6).toLong
+    val pab = q(math.log(4.0 / 6.0)) // (3+1)/(3+3)
+    val pba = q(math.log(2.0 / 4.0)) // (1+1)/(1+3)
     assert(got.keySet === Set(1L, 2L), "doc with <2 tokens absent")
     assert(got(1L)._1 === 3L)
-    assert(math.abs(got(1L)._2 - (2 * pab + pba) / 3.0) < 1e-12)
-    assert(math.abs(got(2L)._2 - pab) < 1e-12)
+    assert(got(1L)._2 === (2 * pab + pba).toDouble / 1e6 / 3L)
+    assert(got(2L)._2 === pab.toDouble / 1e6 / 1L)
   }
 }

@@ -191,6 +191,35 @@ class ScaleSpec extends SparkSpec {
     info("bucketed join plan is exchange-free on the join keys")
   }
 
+  test("connected components survive on reliable checkpoints (shared storage)") {
+    import graft.llm.Dedup
+    // a 30-node path graph needs several pointer-jumping rounds to collapse
+    // — enough to exercise the per-round parquet write/read/delete cycle
+    val pairs = (0L until 29L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_rel").toString
+    val comps = Dedup.connectedComponents(pairs, localEdgeThreshold = 0L,
+        reliableDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps === (0L until 30L).map(_ -> 0L).toMap,
+      "every node labels to the minimum id 0")
+    // the reliable path actually ran: round files exist on shared storage,
+    // at least 3 propagation rounds happened, and only the final round's
+    // files remain (earlier rounds were cleaned as the loop advanced)
+    val runDirs = new java.io.File(dir).listFiles.filter(_.isDirectory)
+    assert(runDirs.length === 1, "one cc run directory")
+    val rounds = runDirs.head.listFiles.filter(_.isDirectory).map(_.getName)
+    assert(rounds.length === 1,
+      s"only the final round's files remain, got ${rounds.toSeq}")
+    val finalRound = rounds.head.stripPrefix("round-").toInt
+    assert(finalRound >= 3, s"expected >= 3 propagation rounds, " +
+      s"final checkpoint was $finalRound")
+    // reliable and local-checkpoint paths agree exactly
+    val local = Dedup.connectedComponents(pairs, localEdgeThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local === comps)
+    scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("schema evolution: mergeSchema unions columns across parquet batches") {
     // the ingest reality at scale: later batches grow columns; readers must
     // see the union schema with nulls for pre-evolution rows
