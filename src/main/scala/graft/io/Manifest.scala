@@ -35,34 +35,62 @@ object Manifest {
       .agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Files whose [min, max] interval for `column` intersects [lo, hi] —
-    * sound for any predicate implied by that interval (files never contain
-    * values outside their recorded bounds). Driver-side list: manifests
-    * are file-count-sized. */
-  def candidateFiles(manifest: DataFrame, column: String,
-                     lo: Column, hi: Column): Seq[String] =
+  /** The pruned file set AS A DATAFRAME — files whose [min, max] interval
+    * for `column` intersects [lo, hi]; sound for any predicate implied by
+    * that interval (files never contain values outside their recorded
+    * bounds). This form never transits the driver, so it composes at
+    * million-file manifest sizes. */
+  def candidateFileDF(manifest: DataFrame, column: String,
+                      lo: Column, hi: Column): DataFrame =
     manifest
       .filter(col(s"${column}_max") >= lo && col(s"${column}_min") <= hi)
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+      .select(col("file"))
+
+  /** Driver-side candidate list — convenient for tests and small tables;
+    * at large file counts prefer `candidateFileDF`/`readRange`, which
+    * never hold the full list in driver memory. */
+  def candidateFiles(manifest: DataFrame, column: String,
+                     lo: Column, hi: Column): Seq[String] =
+    candidateFileDF(manifest, column, lo, hi)
+      .collect().map(_.getString(0)).toSeq
 
   /** Range read through the manifest: open only overlapping files, then
     * re-apply the exact predicate (bounds overlap is necessary, not
     * sufficient). Empty candidate set → empty frame with the source
-    * schema, no file opened. */
+    * schema, no file opened.
+    *
+    * Scale shape: candidate paths stream through the driver in BOUNDED
+    * batches (`toLocalIterator` — one partition resident at a time, each
+    * batch capped at `maxPathsPerBatch`), one parquet scan per batch,
+    * unioned. A million-file manifest costs the driver one batch of path
+    * strings at a time, never the full list — the reader must be handed
+    * concrete paths eventually (that is its API), so bounded streaming,
+    * not avoidance, is the scalable contract. */
   def readRange(spark: SparkSession, path: String, manifest: DataFrame,
-                column: String, lo: Column, hi: Column): DataFrame = {
-    val files = candidateFiles(manifest, column, lo, hi)
-    val base =
-      if (files.isEmpty) {
-        val schema = spark.read.parquet(path).schema
-        spark.createDataFrame(spark.sparkContext
-          .emptyRDD[org.apache.spark.sql.Row], schema)
-      } else
+                column: String, lo: Column, hi: Column,
+                maxPathsPerBatch: Int = 100000): DataFrame = {
+    require(maxPathsPerBatch >= 1,
+      s"maxPathsPerBatch must be >= 1, got $maxPathsPerBatch")
+    val it = candidateFileDF(manifest, column, lo, hi)
+      .toLocalIterator()
+    val scans = Iterator.continually(it)
+      .takeWhile(_.hasNext)
+      .map { i =>
+        val batch = new scala.collection.mutable.ArrayBuffer[String]
+        while (i.hasNext && batch.length < maxPathsPerBatch)
+          batch += i.next().getString(0)
         // basePath keeps hive partition columns (path/date=.../part-*)
         // in the schema when reading explicit leaf files — without it
         // the pruned read and the empty-candidates branch would return
         // DIFFERENT schemas for the same table
-        spark.read.option("basePath", path).parquet(files: _*)
+        spark.read.option("basePath", path).parquet(batch.toSeq: _*)
+      }
+      .toSeq
+    val base = scans.reduceOption(_.unionByName(_)).getOrElse {
+      val schema = spark.read.parquet(path).schema
+      spark.createDataFrame(spark.sparkContext
+        .emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     base.filter(col(column) >= lo && col(column) <= hi)
   }
 }

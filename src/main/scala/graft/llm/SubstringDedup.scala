@@ -50,14 +50,15 @@ object SubstringDedup {
     * each gram partition, so one boilerplate window repeated millions of
     * times corpus-wide becomes a single hot partition. The aggregate
     * map-side combines the hot gram before the shuffle, and the join
-    * back is AQE-skew-splittable. */
+    * back is AQE-skew-splittable via [[exchangeBarrier]] (pinned by
+    * ScaleSpec's hot-gram test). */
   def duplicatedWindowStats(df: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame = {
     val wins = tokenWindows(df, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = wins.groupBy(col("gram"))
       .agg(count(lit(1)).as("cnt"))
-    val out = wins.join(counts, "gram")
+    val out = wins.join(exchangeBarrier(counts), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"),
         count(when(col("cnt") > 1, 1)).as("n_dup_windows"))
@@ -85,13 +86,29 @@ object SubstringDedup {
         min(struct(col("doc_id"), col("pos"))).as("keep"))
       .filter(col("cnt") > 1)
       .select(col("whash"), col("keep"))
-    val marked = wins.join(dupes, "whash")
+    val marked = wins.join(exchangeBarrier(dupes), "whash")
       .filter(!(col("doc_id") === col("keep.doc_id") &&
         col("pos") === col("keep.pos")))
       .select(col("doc_id"), col("pos"))
     graft.Util.finishAndRelease(cutSpans(df, idCol, textCol, k, marked),
       wins)
   }
+
+  /** Lazy partitioning-erasing barrier for the aggregate side of the
+    * dedup join-backs. Without it the final gram/hash aggregate fuses
+    * into the join's own stage (its exchange already satisfies the join
+    * distribution), and AQE's OptimizeSkewedJoin then CANNOT split a hot
+    * gram partition on the windows side — the rule requires BOTH join
+    * children to be materialized shuffle stages, so one corpus-wide
+    * boilerplate gram rides a single straggler task. The RDD round-trip
+    * erases the aggregate's reported output partitioning (nothing is
+    * materialized, lineage is intact), which makes EnsureRequirements
+    * plan a fresh exchange at the join — a stage boundary the skew
+    * rewrite can work with. Price: one extra exchange of the
+    * vocabulary-sized count table; the corpus-sized windows side is
+    * untouched. Verified by ScaleSpec's hot-gram skew test. */
+  private def exchangeBarrier(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
 
   /** Cut the k-token spans starting at each marked (doc_id, pos) from
     * the documents: merge overlapping starts into disjoint [s, e)
@@ -172,7 +189,7 @@ object SubstringDedup {
         min(struct(col("doc_id"), col("pos"))).as("keep"))
       .filter(col("cnt") > 1)
       .select(col("whash"), col("keep"))
-    val intraMarked = fresh.join(freshDupes, "whash")
+    val intraMarked = fresh.join(exchangeBarrier(freshDupes), "whash")
       .filter(!(col("doc_id") === col("keep.doc_id") &&
         col("pos") === col("keep.pos")))
       .select(col("doc_id"), col("pos"))

@@ -98,6 +98,12 @@ class ScaleSpec extends SparkSpec {
     val full = spark.read.parquet(s"$dir/li")
       .filter(col("l_orderkey") >= 100L && col("l_orderkey") <= 500L)
     assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // the bounded-batch path (million-file manifests: paths stream
+    // through the driver maxPathsPerBatch at a time) returns the same
+    // rows even when the candidate set spans several batches
+    val batched = graft.io.Manifest.readRange(spark, s"$dir/li", manifest,
+      "l_orderkey", lo, hi, maxPathsPerBatch = 1)
+    assert(batched.exceptAll(full).isEmpty && full.exceptAll(batched).isEmpty)
     // disjoint range → zero candidates, zero files opened, empty result
     val none = graft.io.Manifest.readRange(spark, s"$dir/li", manifest,
       "l_orderkey", lit(-100L), lit(-1L))
@@ -189,6 +195,64 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed join should not shuffle:\n$plan")
     info("bucketed join plan is exchange-free on the join keys")
+  }
+
+  test("AQE splits the hot-gram skew in the substring stats join-back") {
+    // SubstringDedup claims its wins ⋈ counts join-back is
+    // AQE-skew-splittable (a corpus-wide boilerplate gram lands every
+    // occurrence in one join partition) — pin it. An isolated session
+    // (own SQLConf, shared context) forces the shuffled-join regime the
+    // claim is about: broadcast off, skew thresholds sized to the test.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // thresholds sized to a test corpus: shuffle partition sizes are
+    // COMPRESSED bytes, and a million copies of one gram compress hard,
+    // so production defaults (256MB) would never register here. NOT
+    // forced — the split must clear AQE's own skew test.
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    // ONE exactly-k-token boilerplate text at ~99% corpus frequency:
+    // every hot document contributes the SAME single gram, so the whole
+    // hot mass hashes to one join partition. (A longer boilerplate would
+    // smear its sliding windows — distinct grams — across partitions,
+    // so the skew must be concentrated on one key to register.)
+    val docs = s2.range(0, 1010000).select(col("id").as("doc_id"),
+      when(col("id") < 1000000, lit("all rights reserved today"))
+        .otherwise(concat_ws(" ", lit("document"), col("id"),
+          concat(lit("alpha"), col("id")), concat(lit("beta"), col("id")),
+          concat(lit("gamma"), col("id")), concat(lit("delta"), col("id"))))
+        .as("text"))
+    // the operator materializes internally (finishAndRelease), so the
+    // returned frame is a checkpoint scan — observe the INTERNAL
+    // execution via a listener and look for the skew rewrite there
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ex: Exception): Unit = ()
+    }
+    s2.listenerManager.register(listener)
+    try {
+      val out = graft.llm.SubstringDedup.duplicatedWindowStats(
+        docs, "doc_id", "text", k = 4)
+      assert(out.count() === 1010000)
+      // listener callbacks are delivered asynchronously
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      import scala.jdk.CollectionConverters._
+      while (!plans.asScala.exists(_.contains("skew=true")) &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+      assert(plans.asScala.exists(_.contains("skew=true")),
+        s"expected the AQE skew-join rewrite to fire; saw " +
+          s"${plans.size} executions:\n${plans.asScala.mkString("\n---\n")}")
+    } finally s2.listenerManager.unregister(listener)
   }
 
   test("connected components survive on reliable checkpoints (shared storage)") {
