@@ -9,14 +9,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * `multiLine` + escape `"` reproduce RFC-4180 quoting including embedded
   * newlines in quoted fields (the CONSENT rows of both reference fixtures).
-  * `multiLine` disables input splitting — fine at codebook scale; large
-  * inputs should arrive as many files (one split each) or as parquet.
+  * `multiLine` disables input splitting — one task per file — so inputs
+  * with any file above [[SplitThreshold]] route to [[CsvSplit]], the
+  * two-pass quoted-newline-aware splitter with identical parse semantics
+  * (it feeds Spark's own univocity parser; PipelineSpec pins the paths
+  * byte-identical).
   */
 object Csv {
 
+  /** Above this per-file size the unsplittable multiLine scan becomes the
+    * ingest bottleneck (one 32-core-idle task per file) and [[CsvSplit]]
+    * takes over. Codebook-sized fixtures stay on the stock reader. */
+  val SplitThreshold: Long = 256L * 1024 * 1024
+
   def read(spark: SparkSession, path: String,
            inferSchema: Boolean = true): DataFrame =
-    spark.read
+    if (maxFileLen(spark, path) > SplitThreshold)
+      CsvSplit.read(spark, path, inferSchema)
+    else spark.read
       .option("header", "true")
       .option("multiLine", "true")
       .option("escape", "\"")
@@ -27,6 +37,18 @@ object Csv {
       .option("nullValue", "NA")
       .option("inferSchema", inferSchema.toString)
       .csv(path)
+
+  /** Largest data-file size under `path` (0 when unresolvable — then the
+    * stock reader surfaces its own, clearer error). */
+  private def maxFileLen(spark: SparkSession, path: String): Long =
+    try {
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+      st.flatMap { s =>
+        if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s)
+      }.filter(_.isFile).map(_.getLen).maxOption.getOrElse(0L)
+    } catch { case _: java.io.IOException => 0L }
 
   /** All-strings read: matching-critical columns must keep R character
     * semantics (SURVEY.md §1.4 — `25-2`-style admin values). */

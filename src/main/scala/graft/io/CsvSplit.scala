@@ -1,0 +1,239 @@
+package graft.io
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.SerializableWritable
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+
+/** S1 at scale — splittable RFC-4180 CSV ingest
+  * (reference varinfo-update.R:54 `read_csv`; SURVEY §7.4 scale note).
+  *
+  * Spark's `multiLine=true` CSV reader — which S1 fidelity needs for the
+  * CONSENT rows' embedded newlines — disables input splitting: one task
+  * per file, however large. This is the two-pass quoted-newline-aware
+  * splitter that restores parallelism:
+  *
+  *  - '''pass 1''' (parallel): count quote bytes per fixed-size block —
+  *    one long per block. The driver folds the counts into the quote
+  *    PARITY at each block start. RFC-4180 has no backslash escapes:
+  *    every `"` toggles quoted state, and a doubled `""` toggles twice
+  *    (net zero), so parity-at-offset == "is offset inside a quoted
+  *    field" without parsing anything.
+  *  - '''pass 2''' (parallel): each block, seeded with its start parity,
+  *    scans for record boundaries (newlines at unquoted positions) and
+  *    emits the raw text of the records it OWNS — TextInputFormat's
+  *    ownership contract generalized to quotes: block 0 owns records
+  *    starting in `[0, end]`, later blocks `(start, end]`, each reading
+  *    past its `end` to finish a tail record. No record is emitted
+  *    twice, none is dropped, and no task ever holds more than one
+  *    block plus one record.
+  *
+  * The record strings then feed Spark's OWN univocity parser via
+  * `csv(Dataset[String])`, so quoting, escape, nullValue, header naming
+  * and schema-inference semantics are identical to [[Csv.read]] — only
+  * record-boundary discovery is replaced. PipelineSpec pins both paths
+  * byte-identical on the reference's CONSENT fixture and on synthetic
+  * multi-split corpora with boundaries landing inside quoted newlines.
+  *
+  * Scale ledger: driver state is one long per block (a 100 TB input at
+  * the default 32 MiB blocks is ~3.3M longs ≈ 26 MB — metadata-sized,
+  * same budget class as a file manifest); pass 2 is one task per block.
+  * Requires well-formed RFC-4180 quoting (readr, Qualtrics exports and
+  * Spark's own writer all produce it) and `\n` / `\r\n` line endings.
+  */
+object CsvSplit {
+
+  /** Splittable equivalent of [[Csv.read]]. `blockSize` is the split
+    * granularity; tests shrink it to force many splits over tiny files.
+    * With `inferSchema=true` the inference pass re-reads the input once
+    * more (same cost class as the file-based reader's inference scan). */
+  def read(spark: SparkSession, path: String,
+           inferSchema: Boolean = true,
+           blockSize: Long = 32L * 1024 * 1024): DataFrame = {
+    require(blockSize >= 16, s"blockSize must be >= 16 bytes, got $blockSize")
+    val sconf = new SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(path).getFileSystem(sconf.value)
+    // same file set Spark's csv(path) would read: data files only, no
+    // _SUCCESS / hidden files; deterministic order so the global first
+    // record is file 0's header
+    val rootStatus = fs.globStatus(new Path(path))
+    require(rootStatus != null && rootStatus.nonEmpty,
+      s"csv input not found: $path")
+    val files: Seq[(String, Long)] = rootStatus.toSeq
+      .flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+      }
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(st => (st.getPath.toString, st.getLen))
+      .filter(_._2 > 0L)
+      .sortBy(_._1)
+
+    if (files.isEmpty)
+      return Csv.read(spark, path, inferSchema) // empty input: same answer
+
+    // block ranges per file
+    val ranges: Seq[(String, Int, Int, Long, Long)] = for {
+      ((f, len), fi) <- files.zipWithIndex
+      nBlocks = ((len + blockSize - 1) / blockSize).toInt
+      bi <- 0 until nBlocks
+    } yield (f, fi, bi, bi * blockSize, math.min((bi + 1L) * blockSize, len))
+
+    // pass 1: quote count per block (distributed; result is block-count
+    // longs — the only driver-resident state this reader keeps)
+    val counts: Map[(Int, Int), Long] = spark.sparkContext
+      .parallelize(ranges, ranges.size)
+      .map { case (f, fi, bi, s, e) =>
+        ((fi, bi), countQuotes(sconf.value, f, s, e))
+      }
+      .collect().toMap
+
+    // prefix parity: is block (fi, bi)'s first byte inside a quoted field?
+    val parity: Map[(Int, Int), Boolean] = ranges.groupBy(_._2).flatMap {
+      case (fi, rs) =>
+        var acc = 0L
+        rs.sortBy(_._3).map { case (_, _, bi, _, _) =>
+          val p = (fi, bi) -> ((acc & 1L) == 1L)
+          acc += counts((fi, bi))
+          p
+        }
+    }
+
+    val blocks = ranges.map { case (f, fi, bi, s, e) =>
+      // Spark's file reader drops the first line of EVERY file under
+      // header=true; here file 0's header must instead survive as the
+      // dataset's header element, so only later files drop theirs
+      Block(f, s, e, parity((fi, bi)), dropFirst = fi > 0 && bi == 0)
+    }
+
+    // pass 2: records in file order (parallelize keeps Seq order across
+    // partitions; flatMap keeps order within each), parsed by Spark's own
+    // csv reader with the exact Csv.read option set sans multiLine
+    val recordsRdd = spark.sparkContext
+      .parallelize(blocks, blocks.size)
+      .flatMap(b => records(sconf.value, b))
+    val ds = spark.createDataset(recordsRdd)(Encoders.STRING)
+    spark.read
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("nullValue", "NA")
+      .option("inferSchema", inferSchema.toString)
+      .csv(ds)
+  }
+
+  private case class Block(file: String, start: Long, end: Long,
+                           startsInQuote: Boolean, dropFirst: Boolean)
+
+  private val ReadBuf = 1 << 16
+
+  /** Pass 1 kernel: `"` bytes in `[start, end)`. Quote and newline are
+    * single bytes that never occur inside UTF-8 multibyte sequences, so
+    * byte-level counting is encoding-safe. */
+  private def countQuotes(conf: Configuration, file: String,
+                          start: Long, end: Long): Long = {
+    val in = new Path(file).getFileSystem(conf).open(new Path(file))
+    try {
+      in.seek(start)
+      val buf = new Array[Byte](ReadBuf)
+      var remaining = end - start
+      var quotes = 0L
+      while (remaining > 0) {
+        val n = in.read(buf, 0, math.min(remaining, ReadBuf.toLong).toInt)
+        if (n < 0) remaining = 0
+        else {
+          var i = 0
+          while (i < n) { if (buf(i) == '"') quotes += 1; i += 1 }
+          remaining -= n
+        }
+      }
+      quotes
+    } finally in.close()
+  }
+
+  /** A malformed file (unbalanced quote) would otherwise make "one
+    * record" swallow the rest of the input silently. */
+  private val MaxRecordBytes = 256 << 20
+
+  /** Pass 2 kernel: the records owned by `b`, in order, as raw strings
+    * (terminator excluded, one trailing `\r` stripped — univocity sees
+    * the same text the multiLine file parser would). */
+  private def records(conf: Configuration, b: Block): Iterator[String] = {
+    val raw = new Path(b.file).getFileSystem(conf).open(new Path(b.file))
+    raw.seek(b.start)
+    val in = new java.io.BufferedInputStream(raw, ReadBuf)
+    // the parser may stop consuming early (limit pushdown); close on task
+    // completion, not on iterator exhaustion
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+    var pos = b.start
+    var inQuote = b.startsInQuote
+    var eof = false
+
+    def nextByte(): Int = {
+      val v = in.read()
+      if (v < 0) { eof = true; in.close() } else pos += 1
+      v
+    }
+
+    // phase A: a block that starts mid-stream discards bytes through the
+    // first unquoted newline — that newline terminates a record owned by
+    // the PREVIOUS block (which read past its end to finish it)
+    if (b.start > 0) {
+      var boundary = false
+      while (!boundary && !eof) {
+        val v = nextByte()
+        if (v == '"') inQuote = !inQuote
+        else if (v == '\n' && !inQuote) boundary = true
+      }
+    }
+
+    new Iterator[String] {
+      private var nextRec: String = null
+      private var dropped = !b.dropFirst
+      advance()
+
+      private def advance(): Unit = {
+        nextRec = null
+        while (nextRec == null) {
+          // ownership: the record about to start at `pos` is ours only
+          // while pos <= end (TextInputFormat contract, see scaladoc)
+          if (eof || pos > b.end) return
+          val recStart = pos
+          val buf = new java.io.ByteArrayOutputStream(256)
+          var done = false
+          while (!done) {
+            val v = nextByte()
+            if (v < 0) done = true
+            else if (v == '"') { inQuote = !inQuote; buf.write(v) }
+            else if (v == '\n' && !inQuote) done = true
+            else {
+              if (buf.size >= MaxRecordBytes) throw new java.io.IOException(
+                s"csv record at ${b.file}:$recStart exceeds $MaxRecordBytes " +
+                  "bytes — unbalanced quote in the input?")
+              buf.write(v)
+            }
+          }
+          val bytes = buf.toByteArray
+          val n = // strip the \r of a \r\n terminator
+            if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+              bytes.length - 1
+            else bytes.length
+          if (eof && n == 0) { return } // file ended exactly at a newline
+          val s = new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+          if (!dropped) dropped = true // header line of a non-first file
+          else nextRec = s
+        }
+      }
+
+      override def hasNext: Boolean = nextRec != null
+      override def next(): String = {
+        val r = nextRec
+        advance()
+        r
+      }
+    }
+  }
+}

@@ -228,6 +228,75 @@ class PipelineSpec extends SparkSpec {
     assert(back.toSeq === expected)
   }
 
+  test("splittable CSV reader is byte-identical to multiLine on the fixtures") {
+    assume(fixturesPresent)
+    import graft.io.CsvSplit
+    // blockSize far below file size forces many splits, with boundaries
+    // landing inside the CONSENT rows' quoted embedded newlines — the
+    // case plain TextInputFormat splitting corrupts
+    for (f <- Seq(prior, responses)) {
+      val stock = Csv.readAsStrings(spark, f)
+      val split = CsvSplit.read(spark, f, inferSchema = false,
+        blockSize = 4096)
+      assert(split.schema === stock.schema, s"schema parity for $f")
+      assert(split.collect().toSeq === stock.collect().toSeq,
+        s"row parity (incl. order) for $f")
+    }
+    // inferSchema parity too: typed columns must infer identically
+    val stockTyped = Csv.read(spark, prior)
+    val splitTyped = CsvSplit.read(spark, prior, blockSize = 4096)
+    assert(splitTyped.schema === stockTyped.schema)
+    assert(splitTyped.collect().toSeq === stockTyped.collect().toSeq)
+  }
+
+  test("splittable CSV survives adversarial quoting at 64-byte splits") {
+    import graft.io.{Csv, CsvSplit}
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(4031)
+    val alphabet = Array('a', 'b', '"', ',', '\n', '\r', ' ', '\'')
+    def cell(): Option[String] =
+      if (rnd.nextInt(10) == 0) None
+      else Some((0 until rnd.nextInt(16))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (1 to 400).map(i => (i.toLong, cell(), cell()))
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvsplit")
+      .toString
+    Csv.writeSingle(rows.toDF("id", "c1", "c2"), s"$dir/fuzz.csv")
+    val stock = Csv.readAsStrings(spark, s"$dir/fuzz.csv")
+    // 64-byte blocks: every record spans blocks, most quoted fields
+    // straddle a boundary, many blocks START inside quotes
+    val split = CsvSplit.read(spark, s"$dir/fuzz.csv",
+      inferSchema = false, blockSize = 64)
+    assert(split.schema === stock.schema)
+    assert(split.collect().toSeq === stock.collect().toSeq)
+  }
+
+  test("splittable CSV reads a multi-file directory like the stock reader") {
+    import graft.io.{Csv, CsvSplit}
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvdir")
+      .toString
+    val a = (1 to 50).map(i => (i.toLong, s"alpha\n$i", s"x,$i"))
+    val b = (51 to 90).map(i => (i.toLong, s"beta \"$i\"", s"y\r\n$i"))
+    Csv.writeSingle(a.toDF("id", "c1", "c2"), s"$dir/a.csv")
+    Csv.writeSingle(b.toDF("id", "c1", "c2"), s"$dir/b.csv")
+    val stock = Csv.readAsStrings(spark, dir)
+    val split = CsvSplit.read(spark, dir, inferSchema = false,
+      blockSize = 128)
+    assert(split.schema === stock.schema)
+    // the stock reader packs whole files into partitions by SIZE, so row
+    // order across files differs by design — compare as ordered-by-key
+    val key = col("id").cast("long")
+    assert(split.orderBy(key).collect().toSeq ===
+      stock.orderBy(key).collect().toSeq)
+    // every later file's header line is dropped exactly once
+    assert(split.count() === 90)
+  }
+
   test("JSONL sink/source round-trips documents exactly (schema-first read)") {
     import graft.io.Jsonl
     import org.apache.spark.sql.functions.col
