@@ -916,6 +916,27 @@ object SparkEntry {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // Streaming similarity ingest gate, batch-replay form — documents
+    // arrive as 3 micro-batches through the exactly-once gate: MinHash
+    // near-dup + substring-saturation probes against BOTH stored indexes,
+    // quarantine on hit, accepted docs indexed for later batches. Output:
+    // final per-doc disposition. Rows-only (verdicts are LSH/engine-
+    // specific); StreamingSpec pins cross-batch semantics, replay no-op,
+    // and crash-window convergence.
+    "q_similarity_ingest" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_simingest_q").toString
+      for (b <- 0L to 2L)
+        graft.streaming.SimilarityIngest.applyBatch(s, state,
+          docs.filter(col("doc_id") % 3 === b), b, "doc_id", "text")
+      graft.streaming.SimilarityIngest.accepted(s, state)
+        .select(col("doc_id"), lit("accepted").as("status"))
+        .unionByName(graft.streaming.SimilarityIngest.quarantined(s, state)
+          .select(col("doc_id"), col("reason").as("status")))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM: EXACT incremental dedup — the lossless ingest gate (prefix-
     // filtered Jaccard, new batch × corpus, no LSH recall loss; the
     // minhash variant above is the recall-traded scale path). Oracle: the

@@ -347,6 +347,32 @@ object Dedup {
         "signature parameters finds near-zero candidates silently")
   }
 
+  /** Idempotent per-batch variant of write/appendCorpusIndex for
+    * at-least-once callers (streaming foreachBatch replays): the batch's
+    * docs and buckets land in partition-style `batch=<id>` subdirs with
+    * OVERWRITE semantics, so a replayed batch overwrites its own earlier
+    * append instead of duplicating it. Readers discover `batch` as a
+    * partition column; every probe selects its columns by name, so the
+    * extra column is inert. The params stamp is written on first use and
+    * validated after — bootstrap and append are the same call. An index
+    * must use EITHER this layout or the flat write/append one, not both
+    * (mixed root files + partition dirs break parquet discovery). */
+  def putCorpusIndexBatch(batch: DataFrame, idCol: String, textCol: String,
+                          path: String, batchId: Long, shingleN: Int = 3,
+                          numHashes: Int = 32, bands: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_params")))
+      writeIndexParams(spark, path, shingleN, numHashes, bands)
+    else requireIndexParams(spark, path, shingleN, numHashes, bands)
+    val (docs, buckets) =
+      shingleBuckets(batch, idCol, textCol, shingleN, numHashes, bands)
+    docs.write.mode("overwrite").parquet(s"$path/docs/batch=$batchId")
+    buckets.write.mode("overwrite").parquet(s"$path/buckets/batch=$batchId")
+    docs.unpersist()
+  }
+
   /** Append a batch's shingle sets + band buckets to a stored corpus index
     * (see `writeCorpusIndex`) — the per-accepted-batch half of the
     * incremental dedup loop: once appended, later batches dedup against
@@ -378,8 +404,23 @@ object Dedup {
       : DataFrame = {
     val spark = newDocs.sparkSession
     requireIndexParams(spark, indexPath, shingleN, numHashes, bands)
-    val corpusDocs = spark.read.parquet(s"$indexPath/docs")
-    val corpusBuckets = spark.read.parquet(s"$indexPath/buckets")
+    minhashLshNewVsIndexFrames(newDocs,
+      spark.read.parquet(s"$indexPath/docs"),
+      spark.read.parquet(s"$indexPath/buckets"),
+      idCol, textCol, shingleN, numHashes, bands, threshold)
+  }
+
+  /** Relation-input variant of [[minhashLshNewVsIndex]]: the caller
+    * supplies the corpus docs/buckets frames — e.g. a partition-pruned
+    * read of a per-batch index ([[putCorpusIndexBatch]]) that excludes a
+    * half-committed batch's own entries. Signature-parameter validation
+    * is the caller's burden here; the path variant stamps and checks. */
+  def minhashLshNewVsIndexFrames(newDocs: DataFrame, corpusDocs: DataFrame,
+                                 corpusBuckets: DataFrame,
+                                 idCol: String, textCol: String,
+                                 shingleN: Int = 3, numHashes: Int = 32,
+                                 bands: Int = 8, threshold: Double = 0.8)
+      : DataFrame = {
     val (newDocsP, newBuckets) =
       shingleBuckets(newDocs, idCol, textCol, shingleN, numHashes, bands)
     val candidates = newBuckets.alias("a")

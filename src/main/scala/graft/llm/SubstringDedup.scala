@@ -165,6 +165,51 @@ object SubstringDedup {
     hashedWindows(df, idCol, textCol, k).select(col("whash")).distinct()
       .write.mode("append").parquet(path)
 
+  /** Idempotent per-batch window-index write for at-least-once callers:
+    * the batch's distinct window hashes land in a `batch=<id>` subdir
+    * with OVERWRITE semantics, so a replay overwrites its own earlier
+    * append. Probes select `whash` by name; the discovered `batch`
+    * partition column is inert. An index must use EITHER this layout or
+    * the flat write/append one, not both. */
+  def putWindowIndexBatch(df: DataFrame, idCol: String, textCol: String,
+                          k: Int, path: String, batchId: Long): Unit =
+    hashedWindows(df, idCol, textCol, k).select(col("whash")).distinct()
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+
+  /** Gate-side metric for incremental ingest: per-doc window counts and
+    * how many of those windows already exist in the stored index — the
+    * saturation signal a quarantine threshold reads. Every batch doc
+    * appears (docs shorter than k tokens report 0 windows). O(batch)
+    * probe: one semi-join on the 8-byte hash column. */
+  def duplicatedWindowStatsVsIndex(batch: DataFrame, idCol: String,
+      textCol: String, k: Int, indexPath: String): DataFrame =
+    duplicatedWindowStatsVsIndexFrame(batch, idCol, textCol, k,
+      batch.sparkSession.read.parquet(indexPath))
+
+  /** Relation-input variant — the caller supplies the index frame (e.g.
+    * a partition-pruned read of a [[putWindowIndexBatch]] layout). */
+  def duplicatedWindowStatsVsIndexFrame(batch: DataFrame, idCol: String,
+      textCol: String, k: Int, index: DataFrame): DataFrame = {
+    require(k >= 1, s"window size k must be >= 1, got $k")
+    val wins = hashedWindows(batch, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = index.select(col("whash"))
+    val all = wins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    // left_semi, not inner: appended indexes may hold duplicate hashes,
+    // which an inner join would double-count
+    val hit = wins.join(idx, Seq("whash"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    graft.Util.finishAndRelease(
+      batch.select(col(idCol).as("doc_id")).distinct()
+        .join(all, Seq("doc_id"), "left")
+        .join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows")),
+      wins)
+  }
+
   /** Incremental ingest: dedup a NEW batch against the stored window
     * index without touching the corpus. Windows already in the corpus
     * are cut from every batch occurrence (the canonical copy lives in

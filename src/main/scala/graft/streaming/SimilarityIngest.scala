@@ -1,0 +1,174 @@
+package graft.streaming
+
+import graft.llm.{Dedup, SubstringDedup}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Streaming near-dup ingest gate — the composition of the engine's two
+  * stored similarity indexes behind ONE exactly-once micro-batch loop:
+  *
+  *   1. '''whole-document gate''': the batch probes the stored MinHash
+  *      corpus index ([[graft.llm.Dedup.putCorpusIndexBatch]]); docs
+  *      within `threshold` Jaccard of any corpus doc quarantine with
+  *      reason `near_dup`;
+  *   2. '''substring-saturation gate''': survivors probe the stored
+  *      window-hash index ([[graft.llm.SubstringDedup.putWindowIndexBatch]]);
+  *      docs whose k-token windows are already ≥ `maxDupWindowRatio`
+  *      present in the corpus quarantine with reason `substring_dup` —
+  *      the stitched-boilerplate class MinHash misses (a concatenation of
+  *      two corpus halves is near-dup of NEITHER whole doc but ~100%
+  *      window-saturated);
+  *   3. accepted docs append to `accepted/`, and their signatures append
+  *      to BOTH indexes, so every later batch dedups against them at
+  *      O(batch) probe cost — no corpus recompute, ever.
+  *
+  * Exactly-once without a transactional table format (the
+  * SummaryMaintenance ledger pattern, adapted to append-shaped output):
+  * every write is keyed by batch id — `accepted/batch=<id>`,
+  * `quarantine/batch=<id>`, and the per-batch index subdirs — with
+  * OVERWRITE semantics, and the `_last_batch_id` stamp lands LAST. A
+  * checkpoint replay of a stamped batch no-ops; a replay of a
+  * half-committed batch re-derives the gate verdicts with its own
+  * half-written index entries partition-pruned OUT (`batch =!= id`), so
+  * it reproduces the same accepted/quarantined split and overwrites the
+  * same directories. Nothing double-appends, nothing self-matches.
+  *
+  * Scale shape: per-batch cost is O(batch) on the stream side — the
+  * corpus only ever appears as two hash-partitioned parquet probes (band
+  * buckets; 8-byte window hashes). The gates inherit the batch operators'
+  * scale design: banded candidates, hot-bucket valve, AQE-splittable
+  * join-backs. 100 TB of corpus behind the indexes costs a batch exactly
+  * what 1 GB does, modulo the probe scans' partition pruning. */
+object SimilarityIngest {
+
+  /** Gate parameters. `windowK`/`maxDupWindowRatio` drive the saturation
+    * gate; the rest are the MinHash index's signature identity. */
+  case class Params(shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                    threshold: Double = 0.8, windowK: Int = 8,
+                    maxDupWindowRatio: Double = 0.5)
+
+  private val StampName = "_last_batch_id"
+
+  /** Stamped batch id, -1 before the first commit. */
+  def lastBatchId(spark: SparkSession, stateDir: String): Long = {
+    val stamp = new Path(stateDir, StampName)
+    val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(stamp)) -1L
+    else {
+      val in = fs.open(stamp)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeStamp(spark: SparkSession, stateDir: String,
+                         batchId: Long): Unit = {
+    val stamp = new Path(stateDir, StampName)
+    val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(stamp, true)
+    try out.write(batchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The accepted corpus so far (partitioned by the `batch` that admitted
+    * each doc). */
+  def accepted(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/accepted")
+
+  /** Quarantined docs with their gate `reason` (`near_dup` /
+    * `substring_dup`), partitioned by `batch`. */
+  def quarantined(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/quarantine")
+
+  /** Gate one micro-batch; idempotent under replay of the same (or an
+    * older) batchId, including replays of a half-committed batch. Exposed
+    * for batch backfills that reuse the streaming gate path. */
+  def applyBatch(spark: SparkSession, stateDir: String, batch0: DataFrame,
+                 batchId: Long, idCol: String, textCol: String,
+                 p: Params = Params()): Unit = {
+    if (batchId <= lastBatchId(spark, stateDir)) return // replay: no-op
+    val minhashDir = s"$stateDir/minhash"
+    val windowsDir = s"$stateDir/windows"
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bootstrapped = fs.exists(new Path(s"$minhashDir/docs"))
+    val batch = batch0.persist()
+    try {
+      if (batch.isEmpty) { writeStamp(spark, stateDir, batchId); return }
+      val (acc, quar) =
+        if (!bootstrapped) {
+          // first batch IS the corpus: self-dedup (no index exists to do
+          // it), everything surviving bootstraps both indexes
+          val pairs = Dedup.minhashLshPairs(batch, idCol, textCol,
+            p.shingleN, p.numHashes, p.bands, p.threshold)
+          val a = Dedup.dedupedCorpus(batch, idCol, pairs)
+          val q = batch.join(a.select(col(idCol).as("__graft_keep")),
+              batch(idCol) === col("__graft_keep"), "left_anti")
+            .withColumn("reason", lit("near_dup"))
+          (a, q)
+        } else {
+          // replay guard: a crash BETWEEN the index writes and the stamp
+          // left this batch's own entries in the indexes; prune them out
+          // by partition so the replay sees exactly the pre-batch corpus
+          val corpusDocs = spark.read.parquet(s"$minhashDir/docs")
+            .filter(col("batch") =!= batchId)
+          val corpusBuckets = spark.read.parquet(s"$minhashDir/buckets")
+            .filter(col("batch") =!= batchId)
+          val windowIdx = spark.read.parquet(windowsDir)
+            .filter(col("batch") =!= batchId)
+          val near = Dedup.minhashLshNewVsIndexFrames(batch, corpusDocs,
+              corpusBuckets, idCol, textCol, p.shingleN, p.numHashes,
+              p.bands, p.threshold)
+            .select(col("new_id").as("__graft_bad")).distinct()
+            .withColumn("reason", lit("near_dup"))
+          val sat = SubstringDedup.duplicatedWindowStatsVsIndexFrame(
+              batch, idCol, textCol, p.windowK, windowIdx)
+            .filter(col("n_windows") > 0 &&
+              col("n_dup_windows") >=
+                col("n_windows") * lit(p.maxDupWindowRatio))
+            .select(col("doc_id").as("__graft_bad"))
+            .join(near.select(col("__graft_bad")), Seq("__graft_bad"),
+              "left_anti")
+            .withColumn("reason", lit("substring_dup"))
+          val bad = near.unionByName(sat)
+          val q = batch.join(bad, batch(idCol) === col("__graft_bad"))
+            .drop("__graft_bad")
+          val a = batch.join(bad, batch(idCol) === col("__graft_bad"),
+            "left_anti")
+          (a, q)
+        }
+      val accP = acc.persist()
+      // commit order: outputs then indexes then stamp — every write is
+      // batch-keyed + overwrite, so any prefix of this sequence replays
+      // to the identical final state
+      accP.write.mode("overwrite").parquet(s"$stateDir/accepted/batch=$batchId")
+      quar.write.mode("overwrite")
+        .parquet(s"$stateDir/quarantine/batch=$batchId")
+      Dedup.putCorpusIndexBatch(accP, idCol, textCol, minhashDir, batchId,
+        p.shingleN, p.numHashes, p.bands)
+      SubstringDedup.putWindowIndexBatch(accP, idCol, textCol, p.windowK,
+        windowsDir, batchId)
+      writeStamp(spark, stateDir, batchId)
+      accP.unpersist()
+    } finally batch.unpersist()
+  }
+
+  /** The gate as a Structured Streaming query over a parquet directory
+    * source; caller `.start()`s it. WAL checkpoint + the batch-keyed
+    * writes + the trailing stamp give exactly-once end to end. */
+  def ingest(spark: SparkSession, srcDir: String, stateDir: String,
+             checkpointDir: String, idCol: String, textCol: String,
+             p: Params = Params()): DataStreamWriter[Row] = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(spark, stateDir, b, id, idCol, textCol, p)
+      }
+  }
+}

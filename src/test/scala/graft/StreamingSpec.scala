@@ -363,4 +363,91 @@ class StreamingSpec extends SparkSpec {
     assert(ledger.size === 4) // 2 batches x 2 expectations
     assert(ledger.filter(_._3 == false).map(_._2) === Set("id_complete"))
   }
+
+  test("similarity ingest gate: both indexes, cross-batch, replay-proof") {
+    import graft.streaming.SimilarityIngest
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_simingest").toString
+    val p = SimilarityIngest.Params(windowK = 4, maxDupWindowRatio = 0.5)
+    val A = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val B = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    val C = "one two three four five six seven eight nine ten eleven twelve"
+    val D = "red orange yellow green blue indigo violet cyan magenta teal maroon navy"
+    // the stitched-boilerplate class: half of A + half of B — a MinHash
+    // near-dup of NEITHER whole doc (shared shingles ~25%), but 6 of its
+    // 9 4-token windows already live in the corpus (ratio 0.67 >= 0.5)
+    val stitched = (A.split(" ").take(6) ++ B.split(" ").take(6))
+      .mkString(" ")
+
+    // batch 0 bootstraps: doc 3 is an intra-batch dup of doc 1
+    SimilarityIngest.applyBatch(spark, state,
+      Seq((1L, A), (2L, B), (3L, A)).toDF("doc_id", "text"), 0L,
+      "doc_id", "text", p)
+    // batch 1: corpus near-dup, stitched substring-dup, one fresh
+    SimilarityIngest.applyBatch(spark, state,
+      Seq((10L, A), (11L, stitched), (12L, C)).toDF("doc_id", "text"), 1L,
+      "doc_id", "text", p)
+    // batch 2: near-dup of BATCH-1-accepted doc 12 (cross-batch index
+    // growth), one fresh
+    val batch2 = Seq((20L, C), (21L, D)).toDF("doc_id", "text")
+    SimilarityIngest.applyBatch(spark, state, batch2, 2L,
+      "doc_id", "text", p)
+
+    def disposition() = {
+      val acc = SimilarityIngest.accepted(spark, state)
+        .select(col("doc_id"), lit("accepted").as("status"))
+      val quar = SimilarityIngest.quarantined(spark, state)
+        .select(col("doc_id"), col("reason").as("status"))
+      acc.unionByName(quar).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    val expected = Set(
+      1L -> "accepted", 2L -> "accepted", 3L -> "near_dup",
+      10L -> "near_dup", 11L -> "substring_dup", 12L -> "accepted",
+      20L -> "near_dup", 21L -> "accepted")
+    assert(disposition() === expected)
+
+    // replay of a STAMPED batch: no-op (exactly-once ledger)
+    SimilarityIngest.applyBatch(spark, state,
+      Seq((99L, D)).toDF("doc_id", "text"), 1L, "doc_id", "text", p)
+    assert(disposition() === expected)
+    assert(SimilarityIngest.lastBatchId(spark, state) === 2L)
+
+    // crash-window replay: the stamp is gone but batch 2's outputs AND
+    // index entries are already down — the re-run must prune its own
+    // half-committed entries (no self-matching) and converge on the
+    // identical final state
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(state, "_last_batch_id"), false)
+    SimilarityIngest.applyBatch(spark, state, batch2, 2L,
+      "doc_id", "text", p)
+    assert(disposition() === expected)
+    assert(SimilarityIngest.lastBatchId(spark, state) === 2L)
+
+    // the streaming form composes the same gate: fresh state, file
+    // source, two micro-batches
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_simingest_src").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_simingest_chk").toString
+    val state2 = java.nio.file.Files
+      .createTempDirectory("graft_simingest_st2").toString
+    Seq((1L, A), (2L, B)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    val q = SimilarityIngest.ingest(spark, src, state2, chk,
+      "doc_id", "text", p).start()
+    q.processAllAvailable()
+    Seq((10L, A), (11L, stitched), (12L, C)).toDF("doc_id", "text")
+      .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    val acc2 = SimilarityIngest.accepted(spark, state2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(acc2 === Set(1L, 2L, 12L))
+    val quar2 = SimilarityIngest.quarantined(spark, state2)
+      .select("doc_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(quar2 === Set(10L -> "near_dup", 11L -> "substring_dup"))
+  }
 }
