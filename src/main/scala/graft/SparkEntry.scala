@@ -68,8 +68,10 @@ object SparkEntry {
     * sessions. */
   private val winIndexBuilt = scala.collection.mutable.Set.empty[String]
   private def substringIndexFixture(s: SparkSession, dir: String): String = {
+    // full path sanitized into the key — a 32-bit hashCode could collide
+    // two different sf dirs in one JVM and silently cross their indexes
     val path = "target/tmp/q_substring_windex_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      dir.replaceAll("[^A-Za-z0-9._-]", "_")
     winIndexBuilt.synchronized {
       if (!winIndexBuilt.contains(path)) {
         val docs = spread(table(s, dir, "documents"), "doc_id")

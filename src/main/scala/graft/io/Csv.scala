@@ -38,16 +38,21 @@ object Csv {
       .option("inferSchema", inferSchema.toString)
       .csv(path)
 
-  /** Largest data-file size under `path` (0 when unresolvable — then the
-    * stock reader surfaces its own, clearer error). */
+  /** Largest data-file size under `path`; 0 when unresolvable OR when the
+    * layout is nested (hive partitions etc.) — both cases stay on the
+    * stock reader, which has partition discovery and clearer errors. */
   private def maxFileLen(spark: SparkSession, path: String): Long =
     try {
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val st = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-      st.flatMap { s =>
+      val children = st.flatMap { s =>
         if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s)
-      }.filter(_.isFile).map(_.getLen).maxOption.getOrElse(0L)
+      }
+      if (children.exists(s => s.isDirectory &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))) 0L
+      else children.filter(_.isFile).map(_.getLen).maxOption.getOrElse(0L)
     } catch { case _: java.io.IOException => 0L }
 
   /** All-strings read: matching-critical columns must keep R character

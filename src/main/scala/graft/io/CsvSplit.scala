@@ -29,11 +29,18 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   *    block plus one record.
   *
   * The record strings then feed Spark's OWN univocity parser via
-  * `csv(Dataset[String])`, so quoting, escape, nullValue, header naming
-  * and schema-inference semantics are identical to [[Csv.read]] — only
-  * record-boundary discovery is replaced. PipelineSpec pins both paths
-  * byte-identical on the reference's CONSENT fixture and on synthetic
-  * multi-split corpora with boundaries landing inside quoted newlines.
+  * `csv(Dataset[String])` with `header=false` and an explicitly-bound
+  * schema (per-file header records are dropped by the splitter itself —
+  * the dataset path's header=true would drop every data row byte-equal
+  * to the header, which the file reader keeps), so quoting, escape,
+  * nullValue, header naming and schema-inference semantics are identical
+  * to [[Csv.read]] — only record-boundary discovery is replaced.
+  * PipelineSpec pins both paths byte-identical on the reference's
+  * CONSENT fixture and on synthetic multi-split corpora with boundaries
+  * landing inside quoted newlines. Known divergence: whitespace-only
+  * records are dropped here (Spark's dataset-CSV line filter) but
+  * surface as a one-field row from the file reader; RFC-4180 writers
+  * produce neither.
   *
   * Scale ledger: driver state is one long per block (a 100 TB input at
   * the default 32 MiB blocks is ~3.3M longs ≈ 26 MB — metadata-sized,
@@ -60,10 +67,19 @@ object CsvSplit {
     val rootStatus = fs.globStatus(new Path(path))
     require(rootStatus != null && rootStatus.nonEmpty,
       s"csv input not found: $path")
-    val files: Seq[(String, Long)] = rootStatus.toSeq
-      .flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
-      }
+    val children = rootStatus.toSeq.flatMap { st =>
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+    }
+    // one flat level only — nested layouts (hive partitions etc.) would
+    // silently lose their files here; fail loudly and leave those to the
+    // stock reader's partition discovery
+    val nested = children.filter(s => s.isDirectory &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    require(nested.isEmpty,
+      s"CsvSplit.read expects a file or a flat directory of files; $path " +
+        s"contains subdirectories (${nested.take(3).map(_.getPath.getName)
+          .mkString(", ")}...) — read nested layouts with the stock reader")
+    val files: Seq[(String, Long)] = children
       .filter { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
@@ -104,28 +120,93 @@ object CsvSplit {
 
     val blocks = ranges.map { case (f, fi, bi, s, e) =>
       // Spark's file reader drops the first line of EVERY file under
-      // header=true; here file 0's header must instead survive as the
-      // dataset's header element, so only later files drop theirs
-      Block(f, s, e, parity((fi, bi)), dropFirst = fi > 0 && bi == 0)
+      // header=true; mirror that here. The header itself is parsed
+      // separately below — feeding it through csv(ds) with header=true
+      // would trip Spark's filterHeaderLine, which drops EVERY data row
+      // byte-equal to the header (unlike the file reader).
+      Block(f, s, e, parity((fi, bi)), dropFirst = bi == 0)
     }
+
+    // column names via Spark's own header machinery (quoting, duplicate-
+    // name deduplication) — a one-element dataset parse, no data rows
+    val header = headerRecord(sconf.value, files.head._1)
+    val names = spark.read
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("nullValue", "NA")
+      .csv(spark.createDataset(Seq(header))(Encoders.STRING))
+      .schema.fieldNames
 
     // pass 2: records in file order (parallelize keeps Seq order across
     // partitions; flatMap keeps order within each), parsed by Spark's own
-    // csv reader with the exact Csv.read option set sans multiLine
+    // csv reader with the exact Csv.read option set sans multiLine.
+    // header=false everywhere below: the per-file header records are
+    // already dropped above, so a data row that happens to equal the
+    // header line survives, exactly as in the multiLine file reader.
     val recordsRdd = spark.sparkContext
       .parallelize(blocks, blocks.size)
       .flatMap(b => records(sconf.value, b))
     val ds = spark.createDataset(recordsRdd)(Encoders.STRING)
-    spark.read
-      .option("header", "true")
-      .option("escape", "\"")
-      .option("nullValue", "NA")
-      .option("inferSchema", inferSchema.toString)
-      .csv(ds)
+    val strings = org.apache.spark.sql.types.StructType(names.map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    def parse(dataSchema: org.apache.spark.sql.types.StructType) =
+      spark.read
+        .option("header", "false")
+        .option("escape", "\"")
+        .option("nullValue", "NA")
+        .schema(dataSchema)
+        .csv(ds)
+    if (!inferSchema) parse(strings)
+    else {
+      // infer types with Spark's own CSV inference over the data records
+      // (same pass the stock reader runs), then bind the header's names
+      val inferred = spark.read
+        .option("header", "false")
+        .option("inferSchema", "true")
+        .option("escape", "\"")
+        .option("nullValue", "NA")
+        .csv(ds)
+        .schema
+      if (inferred.isEmpty) parse(strings) // header-only input: no rows
+      else {
+        require(inferred.length == names.length,
+          s"csv at $path: ${names.length} header columns but data rows " +
+            s"infer ${inferred.length} columns — ragged input needs " +
+            "inferSchema=false")
+        parse(org.apache.spark.sql.types.StructType(
+          names.zip(inferred).map { case (n, f) => f.copy(name = n) }))
+      }
+    }
   }
 
   private case class Block(file: String, start: Long, end: Long,
                            startsInQuote: Boolean, dropFirst: Boolean)
+
+  /** First record of the file — the header — via the same quote-aware
+    * scan pass 2 uses (headers can contain quoted embedded newlines). */
+  private def headerRecord(conf: Configuration, file: String): String = {
+    val raw = new Path(file).getFileSystem(conf).open(new Path(file))
+    val in = new java.io.BufferedInputStream(raw, ReadBuf)
+    try {
+      val buf = new java.io.ByteArrayOutputStream(256)
+      var inQuote = false
+      var done = false
+      while (!done) {
+        val v = in.read()
+        if (v < 0) done = true
+        else if (v == '"') { inQuote = !inQuote; buf.write(v) }
+        else if (v == '\n' && !inQuote) done = true
+        else buf.write(v)
+      }
+      val bytes = buf.toByteArray
+      val n =
+        if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+          bytes.length - 1
+        else bytes.length
+      new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 
   private val ReadBuf = 1 << 16
 

@@ -59,13 +59,17 @@ object Manifest {
     * sufficient). Empty candidate set → empty frame with the source
     * schema, no file opened.
     *
-    * Scale shape: candidate paths stream through the driver in BOUNDED
-    * batches (`toLocalIterator` — one partition resident at a time, each
-    * batch capped at `maxPathsPerBatch`), one parquet scan per batch,
-    * unioned. A million-file manifest costs the driver one batch of path
-    * strings at a time, never the full list — the reader must be handed
-    * concrete paths eventually (that is its API), so bounded streaming,
-    * not avoidance, is the scalable contract. */
+    * Scale shape, stated honestly: any Spark scan holds its file list on
+    * the driver (`InMemoryFileIndex` keeps a FileStatus per file), and
+    * the final union plan here is no exception — the driver footprint is
+    * O(pruned files), the same class as an ordinary read of the pruned
+    * set, and strictly smaller than the unpruned table's own index. What
+    * the batching buys is bounded TRANSIENT state during construction
+    * (`toLocalIterator` holds one manifest partition of path strings at
+    * a time, `maxPathsPerBatch` caps each scan's path array) — it does
+    * not, and cannot, make the plan itself smaller than its file list.
+    * The structural win of a manifest stays the pruning ratio: pruned ≪
+    * total is what keeps million-file tables readable. */
   def readRange(spark: SparkSession, path: String, manifest: DataFrame,
                 column: String, lo: Column, hi: Column,
                 maxPathsPerBatch: Int = 100000): DataFrame = {

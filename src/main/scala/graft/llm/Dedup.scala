@@ -436,7 +436,15 @@ object Dedup {
 
   /** The dedup end product: drop every clustered document except its
     * component representative (minimum id); documents in no near-dup pair
-    * pass through untouched. One components run + one null-safe anti join. */
+    * pass through untouched. One components run + one null-safe anti join.
+    *
+    * When `reliableDir` is set, each call leaves ONE `cc-<uuid>` run
+    * directory under it whose final-round label files back the returned
+    * frame (see [[connectedComponents]]) — the handle is deliberately not
+    * deleted here, because the result would dangle. Contract: pass a
+    * JOB-SCOPED directory and delete it wholesale after the result is
+    * consumed; do not share one reliableDir across concurrent runs you
+    * are not prepared to clean together. */
   def dedupedCorpus(df: DataFrame, idCol: String, pairs: DataFrame,
                     reliableDir: Option[String] = None): DataFrame = {
     val losers = connectedComponents(pairs, reliableDir = reliableDir)

@@ -48,9 +48,30 @@ object IngestDedup {
         // and WRITE (not append) the index so the parameter stamp lands
         val fs = new org.apache.hadoop.fs.Path(indexPath + "/docs")
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val bootstrapped = fs.exists(
-          new org.apache.hadoop.fs.Path(indexPath + "/docs"))
+        // BOTH halves must exist before the gate may probe: a bootstrap
+        // crash between writeCorpusIndex's docs and buckets writes would
+        // otherwise route the replay to the gate branch, whose read of
+        // the missing buckets dir fails on every retry — a wedged stream
+        val bootstrapped =
+          fs.exists(new org.apache.hadoop.fs.Path(indexPath + "/docs")) &&
+          fs.exists(new org.apache.hadoop.fs.Path(indexPath + "/buckets"))
         if (!bootstrapped) {
+          // The output write below is mode=overwrite (that is the
+          // bootstrap's replay-safety) — it must never be pointed at data
+          // it did not write itself. A marker created BEFORE the first
+          // output write distinguishes "our own half-committed bootstrap
+          // output" (overwrite allowed on replay) from "a pre-existing
+          // corpus the caller pointed us at" (refuse loudly).
+          val bootMark =
+            new org.apache.hadoop.fs.Path(indexPath + "/_bootstrap_started")
+          if (!fs.exists(bootMark)) {
+            val outP = new org.apache.hadoop.fs.Path(outDir)
+            require(!fs.exists(outP) || fs.listStatus(outP).isEmpty,
+              s"dedupIngest bootstrap would OVERWRITE non-empty $outDir; " +
+                "point outDir at a fresh directory (the accepted corpus " +
+                "is built here from batch one)")
+            fs.create(bootMark, true).close()
+          }
           // intra-batch near-dups are removed here (the gate can't do it:
           // there is no index yet and the batch IS the corpus) — without
           // this, first-batch duplicates live in the corpus forever

@@ -28,7 +28,8 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * SummaryMaintenance ledger pattern, adapted to append-shaped output):
   * every write is keyed by batch id — `accepted/batch=<id>`,
   * `quarantine/batch=<id>`, and the per-batch index subdirs — with
-  * OVERWRITE semantics, and the `_last_batch_id` stamp lands LAST. A
+  * OVERWRITE semantics, and the `_committed/batch-<id>` marker lands
+  * LAST (append-only ledger — see [[lastBatchId]]). A
   * checkpoint replay of a stamped batch no-ops; a replay of a
   * half-committed batch re-derives the gate verdicts with its own
   * half-written index entries partition-pruned OUT (`batch =!= id`), so
@@ -49,29 +50,31 @@ object SimilarityIngest {
                     threshold: Double = 0.8, windowK: Int = 8,
                     maxDupWindowRatio: Double = 0.5)
 
-  private val StampName = "_last_batch_id"
+  // The commit ledger is append-only marker files, not one overwritten
+  // stamp: `_committed/batch-<id>`, created empty as the LAST write of a
+  // batch. Existence is the commit record — nothing is ever rewritten,
+  // so there is no crash window in which the ledger itself can be lost
+  // or truncated (an overwritten single-file stamp has exactly that
+  // window, and a corrupted stamp would wedge or mis-route every
+  // subsequent replay). One empty file per committed nonempty batch.
+  private val LedgerDir = "_committed"
 
-  /** Stamped batch id, -1 before the first commit. */
+  /** Highest committed batch id, -1 before the first commit. */
   def lastBatchId(spark: SparkSession, stateDir: String): Long = {
-    val stamp = new Path(stateDir, StampName)
-    val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(stamp)) -1L
-    else {
-      val in = fs.open(stamp)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    }
+    val dir = new Path(stateDir, LedgerDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) -1L
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch-") => s.drop(6).toLong }
+      .maxOption.getOrElse(-1L)
   }
 
   private def writeStamp(spark: SparkSession, stateDir: String,
                          batchId: Long): Unit = {
-    val stamp = new Path(stateDir, StampName)
-    val fs = stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(stamp, true)
-    try out.write(batchId.toString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val marker = new Path(new Path(stateDir, LedgerDir), s"batch-$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
   }
 
   /** The accepted corpus so far (partitioned by the `batch` that admitted
@@ -90,15 +93,24 @@ object SimilarityIngest {
   def applyBatch(spark: SparkSession, stateDir: String, batch0: DataFrame,
                  batchId: Long, idCol: String, textCol: String,
                  p: Params = Params()): Unit = {
-    if (batchId <= lastBatchId(spark, stateDir)) return // replay: no-op
+    val last = lastBatchId(spark, stateDir)
+    if (batchId <= last) return // replay of a committed batch: no-op
     val minhashDir = s"$stateDir/minhash"
     val windowsDir = s"$stateDir/windows"
-    val fs = new Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bootstrapped = fs.exists(new Path(s"$minhashDir/docs"))
+    // Bootstrap detection rides the STAMP, not index-directory existence:
+    // the stamp is the last write of a committed NONEMPTY batch (empty
+    // batches write nothing at all — trivially idempotent), so
+    //   stamp present  <=> some nonempty batch committed
+    //                  <=> all index paths exist and hold committed data.
+    // A bootstrap batch that crashed mid-write (docs down, buckets or
+    // windows missing) therefore replays through the bootstrap branch
+    // again — same self-dedup, same verdicts, overwriting its own
+    // half-committed batch=0 subdirs — instead of wedging the stream on
+    // a PATH_NOT_FOUND read or skipping intra-batch dedup.
+    val bootstrapped = last >= 0L
     val batch = batch0.persist()
     try {
-      if (batch.isEmpty) { writeStamp(spark, stateDir, batchId); return }
+      if (batch.isEmpty) return
       val (acc, quar) =
         if (!bootstrapped) {
           // first batch IS the corpus: self-dedup (no index exists to do

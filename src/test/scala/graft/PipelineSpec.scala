@@ -273,6 +273,23 @@ class PipelineSpec extends SparkSpec {
     assert(split.collect().toSeq === stock.collect().toSeq)
   }
 
+  test("splittable CSV keeps data rows byte-equal to the header line") {
+    import graft.io.{Csv, CsvSplit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvhdr")
+    val f = dir.resolve("h.csv")
+    // row 2 repeats the header verbatim (concatenated exports do this);
+    // the multiLine file reader keeps it as a data row — the splitter
+    // must too (csv(Dataset[String]) with header=true would drop it)
+    java.nio.file.Files.write(f,
+      "id,c1,c2\n1,a,b\nid,c1,c2\n2,c,d\n".getBytes("UTF-8"))
+    val stock = Csv.readAsStrings(spark, f.toString)
+    val split = CsvSplit.read(spark, f.toString, inferSchema = false,
+      blockSize = 16)
+    assert(stock.count() === 3, "stock reader keeps the interior header row")
+    assert(split.schema === stock.schema)
+    assert(split.collect().toSeq === stock.collect().toSeq)
+  }
+
   test("splittable CSV reads a multi-file directory like the stock reader") {
     import graft.io.{Csv, CsvSplit}
     import org.apache.spark.sql.functions.col

@@ -413,17 +413,47 @@ class StreamingSpec extends SparkSpec {
     assert(disposition() === expected)
     assert(SimilarityIngest.lastBatchId(spark, state) === 2L)
 
-    // crash-window replay: the stamp is gone but batch 2's outputs AND
-    // index entries are already down — the re-run must prune its own
-    // half-committed entries (no self-matching) and converge on the
-    // identical final state
+    // crash-window replay: batch 2's commit marker is gone but its
+    // outputs AND index entries are already down — the re-run must prune
+    // its own half-committed entries (no self-matching) and converge on
+    // the identical final state
     val fs = new org.apache.hadoop.fs.Path(state)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(state, "_last_batch_id"), false)
+    fs.delete(
+      new org.apache.hadoop.fs.Path(state, "_committed/batch-2"), false)
     SimilarityIngest.applyBatch(spark, state, batch2, 2L,
       "doc_id", "text", p)
     assert(disposition() === expected)
     assert(SimilarityIngest.lastBatchId(spark, state) === 2L)
+
+    // BOOTSTRAP crash-window replay: batch 0 wrote its outputs and the
+    // minhash index but crashed before the window index and the stamp.
+    // The replay must re-enter the bootstrap branch (stamp-based
+    // detection) — not wedge on the missing windows/ read, and not skip
+    // the intra-batch self-dedup
+    val state3 = java.nio.file.Files
+      .createTempDirectory("graft_simingest_bs").toString
+    val batch0 = Seq((1L, A), (2L, B), (3L, A)).toDF("doc_id", "text")
+    SimilarityIngest.applyBatch(spark, state3, batch0, 0L,
+      "doc_id", "text", p)
+    val fs3 = new org.apache.hadoop.fs.Path(state3)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs3.delete(
+      new org.apache.hadoop.fs.Path(state3, "_committed/batch-0"), false)
+    fs3.delete(new org.apache.hadoop.fs.Path(state3, "windows"), true)
+    SimilarityIngest.applyBatch(spark, state3, batch0, 0L,
+      "doc_id", "text", p)
+    assert(SimilarityIngest.accepted(spark, state3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(SimilarityIngest.quarantined(spark, state3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(3L))
+    // and the stream proceeds normally from the repaired state
+    SimilarityIngest.applyBatch(spark, state3,
+      Seq((10L, A), (12L, C)).toDF("doc_id", "text"), 1L,
+      "doc_id", "text", p)
+    assert(SimilarityIngest.accepted(spark, state3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 12L))
 
     // the streaming form composes the same gate: fresh state, file
     // source, two micro-batches
