@@ -114,10 +114,14 @@ object SimilarityIngest {
       val (acc, quar) =
         if (!bootstrapped) {
           // first batch IS the corpus: self-dedup (no index exists to do
-          // it), everything surviving bootstraps both indexes
+          // it), everything surviving bootstraps both indexes. Persist
+          // BEFORE deriving the quarantine side — its anti-join re-reads
+          // the accepted set, which would otherwise re-run the whole
+          // components pass
           val pairs = Dedup.minhashLshPairs(batch, idCol, textCol,
             p.shingleN, p.numHashes, p.bands, p.threshold)
           val a = Dedup.dedupedCorpus(batch, idCol, pairs)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val q = batch.join(a.select(col(idCol).as("__graft_keep")),
               batch(idCol) === col("__graft_keep"), "left_anti")
             .withColumn("reason", lit("near_dup"))
@@ -150,10 +154,11 @@ object SimilarityIngest {
           val q = batch.join(bad, batch(idCol) === col("__graft_bad"))
             .drop("__graft_bad")
           val a = batch.join(bad, batch(idCol) === col("__graft_bad"),
-            "left_anti")
+              "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           (a, q)
         }
-      val accP = acc.persist()
+      val accP = acc // persisted by its branch; 3 consumers below
       // commit order: outputs then indexes then stamp — every write is
       // batch-keyed + overwrite, so any prefix of this sequence replays
       // to the identical final state
