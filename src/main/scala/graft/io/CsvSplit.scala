@@ -99,13 +99,24 @@ object CsvSplit {
     } yield (f, fi, bi, bi * blockSize, math.min((bi + 1L) * blockSize, len))
 
     // pass 1: quote count per block (distributed; result is block-count
-    // longs — the only driver-resident state this reader keeps)
-    val counts: Map[(Int, Int), Long] = spark.sparkContext
+    // longs — the only driver-resident state this reader keeps). Block 0
+    // of each file also reports the file's line-terminator style (was
+    // the first unquoted newline preceded by \r?) — univocity normalizes
+    // \r\n INSIDE quoted values to \n when the file's separator is \r\n,
+    // and pass 2 must reproduce that to stay byte-identical.
+    val pass1: Map[(Int, Int), (Long, Option[Boolean])] = spark.sparkContext
       .parallelize(ranges, ranges.size)
       .map { case (f, fi, bi, s, e) =>
-        ((fi, bi), countQuotes(sconf.value, f, s, e))
+        ((fi, bi), scanBlock(sconf.value, f, s, e, detectTerm = bi == 0))
       }
       .collect().toMap
+    val counts = pass1.view.mapValues(_._1).toMap
+    val crlfByFile: Map[Int, Boolean] = files.indices.map { fi =>
+      fi -> pass1((fi, 0))._2.getOrElse(
+        // header longer than one block (no terminator in block 0):
+        // resolve with a driver scan of that file
+        usesCrlf(sconf.value, files(fi)._1))
+    }.toMap
 
     // prefix parity: is block (fi, bi)'s first byte inside a quoted field?
     val parity: Map[(Int, Int), Boolean] = ranges.groupBy(_._2).flatMap {
@@ -124,12 +135,13 @@ object CsvSplit {
       // separately below — feeding it through csv(ds) with header=true
       // would trip Spark's filterHeaderLine, which drops EVERY data row
       // byte-equal to the header (unlike the file reader).
-      Block(f, s, e, parity((fi, bi)), dropFirst = bi == 0)
+      Block(f, s, e, parity((fi, bi)), dropFirst = bi == 0,
+        crlf = crlfByFile(fi))
     }
 
     // column names via Spark's own header machinery (quoting, duplicate-
     // name deduplication) — a one-element dataset parse, no data rows
-    val header = headerRecord(sconf.value, files.head._1)
+    val header = headerRecord(sconf.value, files.head._1, crlfByFile(0))
     val names = spark.read
       .option("header", "true")
       .option("escape", "\"")
@@ -181,22 +193,35 @@ object CsvSplit {
   }
 
   private case class Block(file: String, start: Long, end: Long,
-                           startsInQuote: Boolean, dropFirst: Boolean)
+                           startsInQuote: Boolean, dropFirst: Boolean,
+                           crlf: Boolean)
 
-  /** First record of the file — the header — via the same quote-aware
-    * scan pass 2 uses (headers can contain quoted embedded newlines). */
-  private def headerRecord(conf: Configuration, file: String): String = {
+  /** First record of the file — the header — with the same quote-aware
+    * scan and \r\n normalization pass 2 applies (headers can contain
+    * quoted embedded newlines). Standalone so the driver-side read
+    * closes its stream deterministically. */
+  private def headerRecord(conf: Configuration, file: String,
+                           crlf: Boolean): String = {
     val raw = new Path(file).getFileSystem(conf).open(new Path(file))
     val in = new java.io.BufferedInputStream(raw, ReadBuf)
     try {
       val buf = new java.io.ByteArrayOutputStream(256)
       var inQuote = false
       var done = false
+      var pushback = -2
+      def nb(): Int =
+        if (pushback != -2) { val v = pushback; pushback = -2; v }
+        else in.read()
       while (!done) {
-        val v = in.read()
+        val v = nb()
         if (v < 0) done = true
         else if (v == '"') { inQuote = !inQuote; buf.write(v) }
         else if (v == '\n' && !inQuote) done = true
+        else if (v == '\r' && inQuote && crlf) {
+          val n2 = nb()
+          if (n2 == '\n') buf.write('\n')
+          else { buf.write('\r'); pushback = n2 }
+        }
         else buf.write(v)
       }
       val bytes = buf.toByteArray
@@ -210,27 +235,59 @@ object CsvSplit {
 
   private val ReadBuf = 1 << 16
 
-  /** Pass 1 kernel: `"` bytes in `[start, end)`. Quote and newline are
-    * single bytes that never occur inside UTF-8 multibyte sequences, so
-    * byte-level counting is encoding-safe. */
-  private def countQuotes(conf: Configuration, file: String,
-                          start: Long, end: Long): Long = {
+  /** Pass 1 kernel: `"` bytes in `[start, end)`, plus (for block 0) the
+    * file's terminator style — Some(true) when the first unquoted
+    * newline is preceded by `\r`, None if the block holds no unquoted
+    * newline. Quote and newline are single bytes that never occur inside
+    * UTF-8 multibyte sequences, so byte-level scanning is encoding-safe. */
+  private def scanBlock(conf: Configuration, file: String,
+                        start: Long, end: Long,
+                        detectTerm: Boolean): (Long, Option[Boolean]) = {
     val in = new Path(file).getFileSystem(conf).open(new Path(file))
     try {
       in.seek(start)
       val buf = new Array[Byte](ReadBuf)
       var remaining = end - start
       var quotes = 0L
+      var term: Option[Boolean] = None
+      var prev: Int = -1
       while (remaining > 0) {
         val n = in.read(buf, 0, math.min(remaining, ReadBuf.toLong).toInt)
         if (n < 0) remaining = 0
         else {
           var i = 0
-          while (i < n) { if (buf(i) == '"') quotes += 1; i += 1 }
+          while (i < n) {
+            val v = buf(i)
+            if (v == '"') quotes += 1
+            else if (detectTerm && term.isEmpty && v == '\n' &&
+                (quotes & 1L) == 0L)
+              term = Some(prev == '\r')
+            prev = v
+            i += 1
+          }
           remaining -= n
         }
       }
-      quotes
+      (quotes, term)
+    } finally in.close()
+  }
+
+  /** Driver fallback for [[scanBlock]]'s terminator detection when a
+    * file's first record is longer than one block. */
+  private def usesCrlf(conf: Configuration, file: String): Boolean = {
+    val raw = new Path(file).getFileSystem(conf).open(new Path(file))
+    val in = new java.io.BufferedInputStream(raw, ReadBuf)
+    try {
+      var inQuote = false
+      var prev = -1
+      var v = in.read()
+      while (v >= 0) {
+        if (v == '"') inQuote = !inQuote
+        else if (v == '\n' && !inQuote) return prev == '\r'
+        prev = v
+        v = in.read()
+      }
+      false
     } finally in.close()
   }
 
@@ -252,12 +309,18 @@ object CsvSplit {
     var pos = b.start
     var inQuote = b.startsInQuote
     var eof = false
+    // one-byte pushback for the quoted-\r\n lookahead; always drained
+    // before a record boundary, never double-counted in pos
+    var pushback = -2
 
     def nextByte(): Int = {
       val v = in.read()
       if (v < 0) { eof = true; in.close() } else pos += 1
       v
     }
+    def nb(): Int =
+      if (pushback != -2) { val v = pushback; pushback = -2; v }
+      else nextByte()
 
     // phase A: a block that starts mid-stream discards bytes through the
     // first unquoted newline — that newline terminates a record owned by
@@ -286,10 +349,17 @@ object CsvSplit {
           val buf = new java.io.ByteArrayOutputStream(256)
           var done = false
           while (!done) {
-            val v = nextByte()
+            val v = nb()
             if (v < 0) done = true
             else if (v == '"') { inQuote = !inQuote; buf.write(v) }
             else if (v == '\n' && !inQuote) done = true
+            else if (v == '\r' && inQuote && b.crlf) {
+              // the file's separator is \r\n: univocity normalizes that
+              // sequence to \n inside quoted values — reproduce it
+              val n2 = nb()
+              if (n2 == '\n') buf.write('\n')
+              else { buf.write('\r'); pushback = n2 }
+            }
             else {
               if (buf.size >= MaxRecordBytes) throw new java.io.IOException(
                 s"csv record at ${b.file}:$recStart exceeds $MaxRecordBytes " +

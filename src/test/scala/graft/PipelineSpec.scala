@@ -273,6 +273,35 @@ class PipelineSpec extends SparkSpec {
     assert(split.collect().toSeq === stock.collect().toSeq)
   }
 
+  test("splittable CSV edge cases: EOF, CRLF, header-only, huge blocks") {
+    import graft.io.{Csv, CsvSplit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvedge")
+    def write(name: String, text: String) = {
+      val f = dir.resolve(name)
+      java.nio.file.Files.write(f, text.getBytes("UTF-8"))
+      f.toString
+    }
+    def parity(path: String, blockSize: Long): Unit = {
+      val stock = Csv.readAsStrings(spark, path)
+      val split = CsvSplit.read(spark, path, inferSchema = false, blockSize)
+      assert(split.schema === stock.schema, s"schema parity for $path")
+      assert(split.collect().toSeq === stock.collect().toSeq,
+        s"row parity for $path at blockSize=$blockSize")
+    }
+    // no trailing newline — final record ends at EOF
+    parity(write("noeol.csv", "a,b\n1,x\n2,y"), 16)
+    // quoted field runs to the last byte of the file
+    parity(write("qeof.csv", "a,b\n1,\"x\ny\""), 16)
+    // CRLF terminators throughout, including inside a quoted field
+    parity(write("crlf.csv", "a,b\r\n1,\"x\r\nz\"\r\n2,y\r\n"), 16)
+    // header only, no data rows
+    parity(write("hdr.csv", "a,b\n"), 16)
+    // blockSize far larger than the file — single block, single task
+    parity(write("big.csv", "a,b\n1,x\n2,y\n"), 1 << 20)
+    // header with a quoted embedded newline in a column name
+    parity(write("qhdr.csv", "\"a\nx\",b\n1,y\n"), 16)
+  }
+
   test("splittable CSV keeps data rows byte-equal to the header line") {
     import graft.io.{Csv, CsvSplit}
     val dir = java.nio.file.Files.createTempDirectory("graft_csvhdr")
