@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** JSON-lines source/sink — the interchange format most training-data
-  * pipelines ingest (one JSON document per line, splittable, appendable).
+  * pipelines ingest (one JSON document per line, appendable; uncompressed
+  * text splits freely, gzip parts split only at file granularity — see
+  * [[write]]).
   *
   * Always read WITH an explicit schema at scale: schema inference is a
   * full extra pass over the data, and a drifting field in one file would
@@ -38,9 +40,13 @@ object Jsonl {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
 
-  /** Multi-file (splittable) JSONL sink; gzip-compressed parts by default —
-    * JSONL is a text interchange format, so per-file compression beats the
-    * columnar codecs that don't apply here. */
+  /** Multi-file JSONL sink; gzip-compressed parts by default. Honest
+    * scale note: a .gz part is NOT splittable — each becomes exactly one
+    * task on every later read, so downstream parallelism equals the part
+    * COUNT, not the byte count. That is the industry JSONL posture (many
+    * moderately-sized gzip parts); just never coalesce to a few giant
+    * parts before writing compressed — repartition so parts land
+    * ~100-500 MB, or pass compress=false for intra-file splittability. */
   def write(df: DataFrame, path: String, compress: Boolean = true): Unit = {
     val w = df.write.mode("overwrite")
     (if (compress) w.option("compression", "gzip") else w).json(path)

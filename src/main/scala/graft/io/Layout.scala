@@ -47,6 +47,9 @@ object Layout {
       .repartitionByRange(nFiles, col("__graft_z"))
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
-      .write.parquet(path)
+      // overwrite like every other graft.io sink: re-clustering the same
+      // path is this sink's primary use, and the default ErrorIfExists
+      // would fail the second run
+      .write.mode("overwrite").parquet(path)
   }
 }

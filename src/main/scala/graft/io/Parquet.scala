@@ -38,6 +38,15 @@ object Parquet {
     val conf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(conf)
+    // crash repair BEFORE anything else: a previous compact that died
+    // between its two renames left the dataset at `old` and nothing at
+    // `path` — restore it, or every reader (and this listing) fails on a
+    // missing path while both copies sit under hidden names
+    val old = new Path(path + ".__graft_compact_old")
+    if (!fs.exists(dir) && fs.exists(old)) {
+      if (!fs.rename(old, dir))
+        throw new java.io.IOException(s"compact: repair $old -> $dir failed")
+    }
     val entries = fs.listStatus(dir)
     // A hive-partitioned dataset has partition SUBDIRECTORIES here; naively
     // reading+rewriting it would fold the partition columns into the data
@@ -48,8 +57,13 @@ object Parquet {
       s"$path contains partition subdirectories " +
         s"(${subdirs.take(3).map(_.getPath.getName).mkString(", ")}...) — " +
         "compact each leaf partition directory instead")
+    // size from the same file set the read consumes (every non-hidden
+    // data file) — counting only Spark's part-* names would compute 0
+    // bytes for externally-written parquet and funnel the whole dataset
+    // through repartition(1)
     val bytes = entries
-      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
       .map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val tmp = new Path(path + ".__graft_compact_tmp")
@@ -63,7 +77,6 @@ object Parquet {
     // is restored. (The swap is two renames, so a concurrent reader can
     // observe a brief path-not-found between them — old XOR new data,
     // never a mix; readers needing stronger atomicity use a table format.)
-    val old = new Path(path + ".__graft_compact_old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(dir, old))
       throw new java.io.IOException(s"compact: rename $dir -> $old failed")

@@ -43,9 +43,11 @@ object Versioned {
   }
 
   /** Version the `_LATEST` pointer names, if any. Falls back to the
-    * highest committed directory when the pointer is missing (a crash
-    * between write and swap leaves the new version invisible-but-present;
-    * the next write overwrites the same slot or a later one). */
+    * highest committed directory when the pointer is missing. A crash
+    * between write and swap leaves the new version committed-but-unnamed:
+    * readers resolving the stale pointer keep the previous snapshot, and
+    * the next `write` allocates PAST the orphan (see write) — it becomes
+    * a dead-but-safe slot until vacuumed. */
   def latestVersion(spark: SparkSession, root: String): Option[Long] = {
     val f = fs(spark, root)
     val ptr = new Path(root, Pointer)
@@ -62,11 +64,16 @@ object Versioned {
   def write(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
     val f = fs(spark, root)
-    // latestVersion already falls back to the committed-directory listing
-    // when the pointer is missing, so no extra orElse; uncommitted crash
-    // leftovers are invisible to versions() (no _SUCCESS) and their slot
-    // is safely overwritten here
-    val v = latestVersion(spark, root).map(_ + 1).getOrElse(0L)
+    // Next slot = one past BOTH the pointer and the highest committed
+    // directory. The pointer alone is not enough: a crash between the
+    // previous write's parquet commit and its pointer swap leaves a
+    // committed (_SUCCESS-bearing) snapshot the pointer does not name —
+    // versions() exposes it and a reader may pin it, so its slot must
+    // never be reused. Uncommitted leftovers (no _SUCCESS) stay invisible
+    // and ARE safely overwritten.
+    val v = math.max(
+      latestVersion(spark, root).map(_ + 1).getOrElse(0L),
+      versions(spark, root).lastOption.map(_ + 1).getOrElse(0L))
     df.write.mode("overwrite").parquet(dir(root, v))
     val tmp = new Path(root, s"$Pointer.tmp")
     val out = f.create(tmp, true)

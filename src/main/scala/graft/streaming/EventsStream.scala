@@ -178,8 +178,17 @@ object EventsStream {
     * equals the batch fold over the same events — the parity the spec
     * locks via AvailableNow. Late events (seq below the high-water mark)
     * cannot rewind the stage: a funnel is monotone, so they are skipped
-    * rather than reprocessed out of order. State is two longs per user —
-    * horizontal scale is the key partitioning. */
+    * rather than reprocessed out of order. Batch parity therefore
+    * requires per-user IN-ORDER delivery ACROSS micro-batches (within a
+    * batch we sort): if seq 10 arrives in batch N and seq 5 only in
+    * batch N+1, the non-matching 10 was already consumed and is never
+    * revisited — order by a Kafka key = user_id or run AvailableNow over
+    * ordered files to satisfy the precondition. State is two longs per
+    * user — horizontal scale is the key partitioning. Like the other
+    * stateful operators here, state has NO timeout: on an unbounded
+    * churning user population, set a GroupStateTimeout TTL (drop the
+    * state on timeout) or run as bounded AvailableNow backfills, or the
+    * state store grows monotonically. */
   def funnelStages(events: Dataset[UserEvent],
                    stages: Seq[String]): Dataset[FunnelProgress] = {
     val spark = events.sparkSession

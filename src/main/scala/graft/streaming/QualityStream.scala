@@ -19,9 +19,11 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *      corpus-level expectation (mean shift, uniqueness collapse) is not
   *      separable into good and bad rows.
   *
-  * Same at-least-once caveat as the other foreachBatch sinks: a replayed
-  * batch can re-append metrics/output; ledger consumers dedup on
-  * (batch_id, name). */
+  * Exactly-once on the data dirs: every write is keyed by batch id
+  * (`batch=<id>` subdir, overwrite), so a foreachBatch replay overwrites
+  * its own earlier attempt instead of appending duplicate corpus rows —
+  * and the id rides along as a partition column for lineage. Metrics
+  * stay append-shaped; ledger consumers dedup on (batch_id, name). */
 object QualityStream {
 
   def gatedIngest(spark: SparkSession, srcDir: String, outDir: String,
@@ -29,17 +31,24 @@ object QualityStream {
                   checkpointDir: String,
                   expectations: Seq[Expectation]): DataStreamWriter[Row] = {
     val schema = spark.read.parquet(srcDir).schema
-    val gate: (Dataset[Row], Long) => Unit = (batch, batchId) => {
-      if (!batch.isEmpty) {
-        val report = Expectations.check(batch.toDF(), expectations)
-          .withColumn("batch_id", lit(batchId))
-          .persist()
-        val allPass = report.agg(min(col("pass"))).collect()(0).getBoolean(0)
-        report.write.mode("append").parquet(metricsDir)
-        batch.toDF().write.mode("append")
-          .parquet(if (allPass) outDir else quarantineDir)
-        report.unpersist()
-      }
+    val gate: (Dataset[Row], Long) => Unit = (batch0, batchId) => {
+      // one persist at entry: the gate otherwise scans the batch three
+      // times (emptiness probe, expectations aggregate, routed write) —
+      // ~3x redundant source I/O per micro-batch on the hot ingest path
+      val batch = batch0.persist()
+      try {
+        if (!batch.isEmpty) {
+          val report = Expectations.check(batch.toDF(), expectations)
+            .withColumn("batch_id", lit(batchId))
+            .persist()
+          val allPass = report.agg(min(col("pass"))).collect()(0).getBoolean(0)
+          report.write.mode("append").parquet(metricsDir)
+          batch.toDF().write.mode("overwrite")
+            .parquet((if (allPass) outDir else quarantineDir) +
+              s"/batch=$batchId")
+          report.unpersist()
+        }
+      } finally batch.unpersist()
     }
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream

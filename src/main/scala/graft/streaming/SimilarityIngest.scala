@@ -94,7 +94,16 @@ object SimilarityIngest {
                  batchId: Long, idCol: String, textCol: String,
                  p: Params = Params()): Unit = {
     val last = lastBatchId(spark, stateDir)
-    if (batchId <= last) return // replay of a committed batch: no-op
+    // batchId == last is the legitimate same-run replay (no-op below);
+    // batchId < last means a FRESH CHECKPOINT was pointed at this state
+    // dir — its restarted ids would silently no-op through the ledger,
+    // dropping batches. Fail loudly instead. (Empty batches never stamp,
+    // so in-run ids can only arrive at or above the stamp.)
+    require(batchId >= last,
+      s"batch id $batchId regressed below the committed ledger ($last) at " +
+        s"$stateDir: state was built by a different checkpoint lineage. " +
+        "Use a fresh stateDir or restore the original checkpoint.")
+    if (batchId == last) return // replay of the committed batch: no-op
     val minhashDir = s"$stateDir/minhash"
     val windowsDir = s"$stateDir/windows"
     // Bootstrap detection rides the STAMP, not index-directory existence:

@@ -70,7 +70,19 @@ object SummaryMaintenance {
       if (!fs.rename(old, data))
         throw new java.io.IOException(s"summary repair $old -> $data failed")
     }
-    if (batchId <= lastBatchId(spark, summaryDir)) return // replay: no-op
+    val last = lastBatchId(spark, summaryDir)
+    // Same-run replays only ever re-deliver the LAST batch (commits are
+    // sequential), so batchId == last is the legitimate idempotent no-op.
+    // batchId < last means the stream RESTARTED WITH A FRESH CHECKPOINT
+    // against this summary — ids restarted from 0 and every batch up to
+    // the stamp would silently no-op, dropping their data. Fail loudly;
+    // reprocessing from scratch requires a fresh summaryDir too.
+    require(batchId >= last,
+      s"batch id $batchId regressed below the committed stamp $last at " +
+        s"$summaryDir: the summary was built by a different checkpoint " +
+        "lineage. Start a fresh summaryDir (or restore the original " +
+        "checkpoint) instead of silently dropping batches.")
+    if (batchId == last) return // replay of the committed batch: no-op
     // the running sum lives at decimal(38,6) on EVERY commit: a narrower
     // cast (the old 18,6) overflows once a key's lifetime sum passes
     // 10^12 — an ANSI ARITHMETIC_OVERFLOW rethrown on every micro-batch

@@ -157,14 +157,29 @@ class ScaleSpec extends SparkSpec {
     assert(Versioned.vacuum(spark, root, keep = 2) === Seq(0L))
     assert(Versioned.versions(spark, root) === Seq(1L, 2L))
     assert(Versioned.readLatest(spark, root).count() === 30L)
-    // a crash between write and pointer swap: data dir present, pointer
-    // stale -> latest falls back correctly on the NEXT write's numbering
+    // a crash between write and pointer swap leaves v=3 COMMITTED
+    // (_SUCCESS present) but unnamed by the stale pointer. versions()
+    // exposes it, so a reader may pin it — the next write must allocate
+    // PAST it, never reuse the slot under that reader
     snap(40).write.mode("overwrite").parquet(s"$root/v=00003")
     assert(Versioned.latestVersion(spark, root) === Some(2L),
       "pointer wins while it exists")
-    assert(Versioned.write(snap(50), root) === 3L,
-      "next write claims the orphaned slot")
+    assert(Versioned.versions(spark, root).contains(3L),
+      "committed orphan is visible (pinnable)")
+    assert(Versioned.write(snap(50), root) === 4L,
+      "next write allocates past the committed orphan")
+    assert(Versioned.readVersion(spark, root, 3L).count() === 40L,
+      "pinned orphan snapshot untouched")
     assert(Versioned.readLatest(spark, root).count() === 50L)
+    // an UNCOMMITTED leftover (no _SUCCESS: a write that died mid-flight)
+    // stays invisible and its slot IS reused
+    snap(60).write.mode("overwrite").parquet(s"$root/v=00005")
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(s"$root/v=00005/_SUCCESS"), false)
+    assert(!Versioned.versions(spark, root).contains(5L))
+    assert(Versioned.write(snap(70), root) === 5L,
+      "uncommitted slot safely overwritten")
     scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
   }
 
@@ -316,6 +331,29 @@ class ScaleSpec extends SparkSpec {
     val after = spark.read.parquet(dir)
       .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
     assert(after === before, "compaction must not change the data")
+    // crash repair: a compact that died between its two renames leaves
+    // the dataset at .__graft_compact_old and NOTHING at the path; the
+    // next compact must restore before listing, not FileNotFound
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".__graft_compact_old")))
+    graft.io.Parquet.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    val repaired = spark.read.parquet(dir)
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(repaired === before, "repair must restore then compact")
+    // sizing counts ALL data files, not just part-*: externally-named
+    // parquet must not collapse to repartition(1)'s single task
+    val ext = java.nio.file.Files.createTempDirectory("graft_cext").toString
+    docs.repartition(8).write.mode("overwrite").parquet(ext)
+    val extFs = new java.io.File(ext)
+    extFs.listFiles.filter(_.getName.startsWith("part-")).zipWithIndex
+      .foreach { case (f, i) =>
+        assert(f.renameTo(new java.io.File(extFs, f"data_$i%04d.parquet")))
+      }
+    val nExt = graft.io.Parquet.compact(spark, ext, targetFileBytes = 4096)
+    assert(nExt > 1, s"external file names must still size the output " +
+      s"(got $nExt files)")
   }
 
   test("compaction refuses hive-partitioned directories") {

@@ -240,6 +240,13 @@ class StreamingSpec extends SparkSpec {
     SummaryMaintenance.applyBatch(spark, sumDir, events, stamped,
       Seq("event_type"), "value")
     assert(summary() === expected, "replay must not double-count")
+    // a batch id BELOW the stamp means a fresh checkpoint was pointed at
+    // this summary (ids restarted from 0): loud failure, not silent drops
+    intercept[IllegalArgumentException] {
+      SummaryMaintenance.applyBatch(spark, sumDir, events, stamped - 1,
+        Seq("event_type"), "value")
+    }
+    assert(summary() === expected)
     // crash repair: simulate dying between the two swap renames (data
     // moved aside, new dir never landed) — next applyBatch restores it
     val fs = new org.apache.hadoop.fs.Path(sumDir)
@@ -407,11 +414,19 @@ class StreamingSpec extends SparkSpec {
       20L -> "near_dup", 21L -> "accepted")
     assert(disposition() === expected)
 
-    // replay of a STAMPED batch: no-op (exactly-once ledger)
+    // replay of the committed LAST batch: no-op (exactly-once ledger)
     SimilarityIngest.applyBatch(spark, state,
-      Seq((99L, D)).toDF("doc_id", "text"), 1L, "doc_id", "text", p)
+      Seq((99L, D)).toDF("doc_id", "text"), 2L, "doc_id", "text", p)
     assert(disposition() === expected)
     assert(SimilarityIngest.lastBatchId(spark, state) === 2L)
+    // an OLDER id can only mean a fresh checkpoint pointed at this
+    // state dir (same-run replays only re-deliver the last batch):
+    // loud failure, not a silent batch drop
+    intercept[IllegalArgumentException] {
+      SimilarityIngest.applyBatch(spark, state,
+        Seq((99L, D)).toDF("doc_id", "text"), 1L, "doc_id", "text", p)
+    }
+    assert(disposition() === expected)
 
     // crash-window replay: batch 2's commit marker is gone but its
     // outputs AND index entries are already down — the re-run must prune
