@@ -1269,8 +1269,9 @@ object SparkEntry {
     // LLM: bigram-LM quality scoring (CCNet/KenLM pattern) — add-one
     // smoothed corpus bigram stats, per-doc mean ln P(w|u) summed as
     // exact integer micros (order-independent, so the float oracle
-    // compare can't flake on partial-agg order); count tables are
-    // vocabulary-sized and broadcast to the scoring join
+    // compare can't flake on partial-agg order); the context table
+    // broadcasts (vocabulary-sized), the corpus-growing bigram table
+    // joins by shuffle
     "q_ngram_lm_score" -> ((s, dir) =>
       NgramLm.scoreDocs(spread(table(s, dir, "documents"), "doc_id"),
           "doc_id", "text")
@@ -1882,8 +1883,8 @@ object SparkEntry {
 
     "q_scd2" ->
       """WITH m AS (SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN lag(event_type) OVER w IS NULL
-        |           OR lag(event_type) OVER w <> event_type
+        |    CASE WHEN row_number() OVER w = 1
+        |           OR lag(event_type) OVER w IS DISTINCT FROM event_type
         |         THEN 1 ELSE 0 END AS chg
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -1903,8 +1904,8 @@ object SparkEntry {
     // picks the version whose [valid_from, valid_to) holds its ts.
     "q_scd2_lookup" ->
       """WITH m AS (SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN lag(event_type) OVER w IS NULL
-        |           OR lag(event_type) OVER w <> event_type
+        |    CASE WHEN row_number() OVER w = 1
+        |           OR lag(event_type) OVER w IS DISTINCT FROM event_type
         |         THEN 1 ELSE 0 END AS chg
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -1951,11 +1952,15 @@ object SparkEntry {
         |  FROM documents GROUP BY 1),
         |n AS (SELECT source, n_tokens,
         |    n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE) AS p,
-        |    power(n_tokens / CAST(sum(n_tokens) OVER () AS DOUBLE), 0.5) AS w
+        |    CAST(floor(power(n_tokens /
+        |      CAST(sum(n_tokens) OVER () AS DOUBLE), 0.5) * 1e12)
+        |      AS BIGINT) AS w12
         |  FROM t)
         |SELECT source, n_tokens, round(p, 6) AS p_natural,
-        |  round(w / sum(w) OVER (), 6) AS weight,
-        |  round(w / sum(w) OVER () / p, 6) AS boost
+        |  round(CAST(w12 AS DOUBLE) / CAST(sum(w12) OVER () AS DOUBLE), 6)
+        |    AS weight,
+        |  round(CAST(w12 AS DOUBLE) / CAST(sum(w12) OVER () AS DOUBLE) / p, 6)
+        |    AS boost
         |FROM n ORDER BY source""".stripMargin,
 
     "q_sessionize" ->

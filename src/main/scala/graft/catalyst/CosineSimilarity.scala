@@ -35,53 +35,74 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"cosine_sim requires array<double> inputs, got $l and $r")
     }
 
-  // Ragged lengths and null elements return NULL — matching the HOF form
-  // (zip_with pads with null, which poisons the aggregate), so the
-  // `cosineFor` implementation switch can never change query results.
+  // Edge semantics REPLICATE the HOF form exactly, in its evaluation
+  // order, so the `cosineFor` implementation switch can never change
+  // query results: a null ELEMENT on either side poisons that side's
+  // norm -> NULL (even against a zero-norm other side: null * 0 is
+  // null); else a ZERO NORM on either side -> 0.0, including ragged
+  // lengths (the HOF's `when(d === 0, 0.0)` fires before the padded
+  // dot is looked at); else ragged lengths -> NULL (zip_with pads with
+  // null and poisons the dot); else dot / d.
   override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    if (n != y.numElements()) return null
-    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    val nA = x.numElements(); val nB = y.numElements()
+    var nx = 0.0; var ny = 0.0
     var i = 0
-    while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
-      dot += xi * yi; nx += xi * xi; ny += yi * yi
-      i += 1
+    while (i < nA) {
+      if (x.isNullAt(i)) return null
+      val xi = x.getDouble(i); nx += xi * xi; i += 1
     }
-    val d = math.sqrt(nx) * math.sqrt(ny)
-    if (d == 0.0) 0.0 else dot / d
+    i = 0
+    while (i < nB) {
+      if (y.isNullAt(i)) return null
+      val yi = y.getDouble(i); ny += yi * yi; i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) return 0.0
+    if (nA != nB) return null
+    var dot = 0.0
+    i = 0
+    while (i < nA) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // mirrors nullSafeEval: null element -> NULL; zero norm (either
+      // side, any lengths) -> 0.0; ragged -> NULL; else dot / d
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
+      val nA = ctx.freshName("nA")
+      val nB = ctx.freshName("nB")
       val dot = ctx.freshName("dot")
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
-      val d = ctx.freshName("d")
       s"""
-         |int $n = $a.numElements();
-         |if ($n != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    double $xi = $a.getDouble($i);
-         |    double $yi = $b.getDouble($i);
-         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
-         |  }
-         |  if (!${ev.isNull}) {
-         |    double $d = Math.sqrt($nx) * Math.sqrt($ny);
-         |    ${ev.value} = ($d == 0.0) ? 0.0 : $dot / $d;
+         |int $nA = $a.numElements();
+         |int $nB = $b.numElements();
+         |double $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $nA && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; }
+         |  else { double $xi = $a.getDouble($i); $nx += $xi * $xi; }
+         |}
+         |for (int $i = 0; $i < $nB && !${ev.isNull}; $i++) {
+         |  if ($b.isNullAt($i)) { ${ev.isNull} = true; }
+         |  else { double $yi = $b.getDouble($i); $ny += $yi * $yi; }
+         |}
+         |if (!${ev.isNull}) {
+         |  if ($nx == 0.0 || $ny == 0.0) {
+         |    ${ev.value} = 0.0;
+         |  } else if ($nA != $nB) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $nA; $i++) {
+         |      $dot += $a.getDouble($i) * $b.getDouble($i);
+         |    }
+         |    ${ev.value} = $dot / (Math.sqrt($nx) * Math.sqrt($ny));
          |  }
          |}
          |""".stripMargin

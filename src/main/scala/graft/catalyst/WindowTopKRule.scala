@@ -54,17 +54,28 @@ object WindowTopKRule extends Rule[LogicalPlan] {
       }
   }
 
-  /** The k for which `cond` is exactly "rank in 1..k", if provable. */
+  /** Above this k the rewrite is declined: TopKPerKeyExec holds k row
+    * copies per key in an on-heap priority queue with no spill, so a
+    * giant literal (the exec contemplates k in the millions) must stay
+    * on Spark's native window exec, whose external sort CAN spill. 1M
+    * rows × a few hundred bytes ≈ low hundreds of MB per hot key —
+    * executor-sized; beyond that the heap bound is the wrong trade. */
+  private val MaxRewriteK = 1 << 20
+
+  /** The k for which `cond` is exactly "rank in 1..k", if provable.
+    * Strict comparisons compute k-1 in Long first — `rn < Int.MinValue`
+    * must prove k = negative (unsatisfiable, left alone), not wrap to
+    * top-Int.MaxValue. */
   private def extractK(cond: Expression, rn: Attribute): Option[Int] =
-    cond match {
+    (cond match {
       case LessThanOrEqual(a: Attribute, IntLit(k))
         if a.semanticEquals(rn) => Some(k)
       case LessThan(a: Attribute, IntLit(k))
-        if a.semanticEquals(rn) => Some(k - 1)
+        if a.semanticEquals(rn) => Some(math.max(k.toLong - 1L, -1L).toInt)
       case GreaterThanOrEqual(IntLit(k), a: Attribute)
         if a.semanticEquals(rn) => Some(k)
       case GreaterThan(IntLit(k), a: Attribute)
-        if a.semanticEquals(rn) => Some(k - 1)
+        if a.semanticEquals(rn) => Some(math.max(k.toLong - 1L, -1L).toInt)
       // rn = 1 is top-1; rn = k for k > 1 keeps rows BELOW k out of the
       // result, which top-k alone cannot express — not rewritten
       case EqualTo(a: Attribute, IntLit(1))
@@ -72,7 +83,7 @@ object WindowTopKRule extends Rule[LogicalPlan] {
       case EqualTo(IntLit(1), a: Attribute)
         if a.semanticEquals(rn) => Some(1)
       case _ => None
-    }
+    }).filter(_ <= MaxRewriteK)
 
   private object IntLit {
     def unapply(e: Expression): Option[Int] = e match {

@@ -30,13 +30,22 @@ object Mixture {
     val byStratum = df.groupBy(col(stratumCol))
       .agg(sum(sizeExpr).cast("long").as("n_tokens"))
     val all = Window.partitionBy()
+    // The normalizers must be ORDER-INDEPENDENT: token sums are exact
+    // longs already, but a double sum of the pow() weights accumulates
+    // in row-arrival order and can flip the 6-dp rounding between runs/
+    // engines — so each weight is floored to exact integer PICOS (1e12;
+    // weights are <= 1 and strata are dozens, so the long sum stays far
+    // under 2^53 and the final double division replays bit-for-bit —
+    // the Bm25/NgramLm integer-micros pattern).
     byStratum
       .withColumn("__p", col("n_tokens") / sum(col("n_tokens")).over(all))
-      .withColumn("__w", pow(col("__p"), lit(alpha)))
+      .withColumn("__w12",
+        floor(pow(col("__p"), lit(alpha)) * lit(1e12)).cast("long"))
+      .withColumn("__wsum", sum(col("__w12")).over(all).cast("double"))
       .select(col(stratumCol), col("n_tokens"),
         round(col("__p"), 6).as("p_natural"),
-        round(col("__w") / sum(col("__w")).over(all), 6).as("weight"),
-        round(col("__w") / sum(col("__w")).over(all) / col("__p"), 6)
+        round(col("__w12").cast("double") / col("__wsum"), 6).as("weight"),
+        round(col("__w12").cast("double") / col("__wsum") / col("__p"), 6)
           .as("boost"))
   }
 

@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   * `ln P` over its bigrams (higher = more typical). Every step is
   * SQL-expressible, so the whole operator is oracle-checked end to end.
   *
-  * Scale shape: bigram and context count tables are vocabulary²- and
-  * vocabulary-sized — orders of magnitude smaller than the corpus — so
-  * they broadcast to the scoring join; the corpus side is one narrow
-  * explode. V is a driver scalar folded in as a literal (one aggregate,
-  * computed once at train time, not per row).
+  * Scale shape: the CONTEXT count table is vocabulary-sized and
+  * broadcasts; the DISTINCT-BIGRAM table grows with the corpus (the
+  * heavy tail never saturates vocab²), so it joins by shuffle — AQE
+  * still broadcasts it when it measures small. The corpus side is one
+  * narrow explode. V is a driver scalar folded in as a literal (one
+  * aggregate, computed once at train time, not per row).
   */
 object NgramLm {
 
@@ -52,8 +53,14 @@ object NgramLm {
     val contextCounts = bi.groupBy(col("u")).agg(count(lit(1)).as("cu"))
     val llMicros = floor(log((col("cb") + lit(1.0)) /
       (col("cu") + lit(vocab.toDouble))) * lit(1000000.0)).cast("long")
+    // The DISTINCT-BIGRAM table is NOT broadcastable at corpus scale: its
+    // cardinality grows with the corpus (heavy tail never saturates
+    // vocab²), so forcing it onto the driver + every executor dies at
+    // web scale — plain shuffle join, and AQE still broadcasts it when
+    // it is actually small. The CONTEXT table is unigram-cardinality
+    // (vocabulary-sized) and stays a forced broadcast.
     val scored = bi
-      .join(broadcast(bigramCounts), "gram")
+      .join(bigramCounts, "gram")
       .join(broadcast(contextCounts), "u")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),

@@ -114,7 +114,13 @@ object Similarity {
     // v feeds the bucket-key build AND both verify-join sides — persist
     // so the source scan + float→double transform runs once, released
     // via finishAndRelease (same shape as the Dedup prefix kernels)
+    // drop null/ragged vectors up front: every null vector votes 0 on
+    // every plane, so ALL of them collide in bucket 0 of every table —
+    // a failed-encoder shard of n nulls would build O(n²) candidate
+    // pairs that verify to null and vanish, correct but quadratic.
+    // (trainSample filters the same class for the same reason.)
     val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .filter(size(col("v")) === dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = v.select(col("id"), col("v"),
         explode(lshKeys(col("v"), planes)).as("k"))
@@ -136,12 +142,17 @@ object Similarity {
     graft.Util.finishAndRelease(out, v)
   }
 
-  /** Vector dimensionality, or 0 for an empty/all-null input (an empty
-    * ingest batch is a realistic call — it must yield zero pairs, not a
-    * head-of-empty crash). */
+  /** Corpus dimensionality = the MODAL vector size (ties to the smaller),
+    * or 0 for an empty/all-null input (an empty ingest batch must yield
+    * zero pairs, not a head-of-empty crash). Modal, not max: the ANN
+    * kernels filter to `size === dim`, and under max a single oversized
+    * junk vector would silently drop the entire well-formed corpus. */
   private def headDim(df: DataFrame, vecCol: String): Int = {
-    val r = df.agg(max(size(col(vecCol)))).head()
-    if (r.isNullAt(0)) 0 else r.getInt(0)
+    val rows = df.groupBy(size(col(vecCol)).as("__d")).count()
+      .filter(col("__d").isNotNull && col("__d") > 0)
+      .orderBy(col("count").desc, col("__d").asc)
+      .limit(1).collect()
+    if (rows.isEmpty) 0 else rows(0).getInt(0)
   }
 
   /** IVF (inverted-file) approximate top-k: partition the corpus into
@@ -165,6 +176,13 @@ object Similarity {
       toDouble(col(vecCol)).as("cv"))
     val q0 = queries.select(col(queryIdCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"))
+    // well-formed vectors only, like pqTopK: a ragged vector in the
+    // training sample crashes the driver-side Lloyd distance loop, and
+    // null vectors carry no geometry (size(null) is null, so one
+    // predicate covers both)
+    val dim = headDim(corpus, vecCol)
+    val corpusF = corpusVec.filter(size(col("cv")) === dim)
+    val qF = q0.filter(size(col("qv")) === dim)
     // Coarse quantizer trains driver-side on a deterministic hash-ordered
     // sample, like pqTopK's codebooks (IVF only needs a reasonable space
     // partition, not converged clusters); the cell ASSIGNMENT of the full
@@ -172,7 +190,7 @@ object Similarity {
     // centroid distances, centroids folded as literals. Replacing the
     // Spark-ML fit's per-iteration job overhead cut the sf0.1 query from
     // ~2 s to the assignment+probe cost.
-    val sample = trainSample(corpusVec, "cv", "neighbor_id", trainN)
+    val sample = trainSample(corpusF, "cv", "neighbor_id", trainN)
     if (sample.isEmpty) // empty corpus: zero neighbors, not a train error
       return q0.limit(0).crossJoin(corpusVec.limit(0))
         .select(col("query_id"), lit(0).as("rank"), col("neighbor_id"),
@@ -182,7 +200,7 @@ object Similarity {
     // inline literals for small quantizers, one typedLit above the budget
     val inline = nlist.toLong * centers.head.length <= maxInlineLiterals
     val dists = centroidDists(col("cv"), centers, inline)
-    val assigned = corpusVec
+    val assigned = corpusF
       .withColumn("cell",
         (array_position(dists, array_min(dists)) - 1).cast("int"))
       .select(col("neighbor_id"), col("cv"), col("cell"))
@@ -199,7 +217,7 @@ object Similarity {
       else transform(typedLit(centers.map(_.toSeq).toSeq), (c, i) =>
         struct((dot(c, c) - lit(2.0) * dot(col("qv"), c)).as("d"),
           i.as("cell")))
-    val probed = q0.withColumn("cell",
+    val probed = qF.withColumn("cell",
       explode(transform(
         slice(array_sort(cellScoreArr), 1, nprobe),
         s => s.getField("cell"))))
@@ -252,6 +270,13 @@ object Similarity {
           lit(0.0).as("adc"))
     require(dim % m == 0, s"dim=$dim must be a multiple of m=$m")
     val sub = dim / m
+    // well-formed vectors only (size(null) is null, so one predicate
+    // covers null AND ragged): a null/short corpus vector's ADC is null,
+    // and the ascending rank would otherwise put those rows FIRST
+    // (NULLS FIRST default) — k null neighbors for every query. Same
+    // poisoning on the query side via null lookup tables.
+    val corpusF = corpusD.filter(size(col("cv")) === dim)
+    val qF = q0.filter(size(col("qv")) === dim)
     // Codebooks train driver-side on a deterministic hash-ordered sample
     // (the faiss posture: PQ codebooks never see the full corpus). ONE
     // TakeOrdered collect of trainN vectors feeds all m subspace fits —
@@ -260,7 +285,7 @@ object Similarity {
     // md5 ordering makes the sample stable under row order, partitioning,
     // and engine; a few Lloyd rounds suffice (space partition, not
     // convergence — same rationale as ivfTopK's maxIter = 5).
-    val sample = trainSample(corpusD, "cv", "neighbor_id", trainN)
+    val sample = trainSample(corpusF, "cv", "neighbor_id", trainN)
     val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
       localLloyd(sample.map(v => java.util.Arrays.copyOfRange(
         v, j * sub, (j + 1) * sub)), ksub, iters = 5, seed = seed + j)
@@ -274,13 +299,13 @@ object Similarity {
       val ds = centroidDists(s, codebooks(j), inline)
       (array_position(ds, array_min(ds)) - 1).cast("int").as(s"__pqc$j")
     }
-    val codes = corpusD.select(col("neighbor_id") +: codeCols: _*)
+    val codes = corpusF.select(col("neighbor_id") +: codeCols: _*)
     // ADC tables: computed once per QUERY row, broadcast with it
     val lutCols = (0 until m).map { j =>
       val s = slice(col("qv"), j * sub + 1, sub)
       centroidDists(s, codebooks(j), inline).as(s"__pql$j")
     }
-    val q = q0.select(col("query_id") +: col("qv") +: lutCols: _*)
+    val q = qF.select(col("query_id") +: col("qv") +: lutCols: _*)
     // per-candidate cost: m element_at lookups + adds
     val adc = (0 until m)
       .map(j => element_at(col(s"__pql$j"), col(s"__pqc$j") + 1))
@@ -291,7 +316,7 @@ object Similarity {
         else lit(true))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
     graft.ops.BestMatch.topKPerKey(scored, Seq(col("query_id")),
-        Seq(col("adc").asc, col("neighbor_id").asc), k)
+        Seq(col("adc").asc_nulls_last, col("neighbor_id").asc), k)
       .withColumnRenamed("__graft_rank", "rank")
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
   }

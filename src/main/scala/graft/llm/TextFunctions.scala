@@ -209,6 +209,9 @@ object TextFunctions {
   def packBins(df: org.apache.spark.sql.DataFrame, idCol: String,
                weightCol: String, groupCol: String,
                budget: Long): org.apache.spark.sql.DataFrame = {
+    // budget=0 is DIVIDE_BY_ZERO under ANSI (or silent null bins without
+    // it); negatives yield negative bin ids — loud, like the sibling ops
+    require(budget >= 1, s"bin budget must be >= 1, got $budget")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -45,9 +45,15 @@ object TimeSeries {
            orderCol: String, attrCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(orderCol))
     val runs = events
+      // null-SAFE change flag: `lag =!= attr` evaluates to null when the
+      // current attr is null, so a null state would silently merge into
+      // the preceding run (and split the equal-value run around it) —
+      // wrong point-in-time history. row_number marks the first row
+      // (lag-is-null cannot: a genuine null attr looks the same), <=>
+      // compares null states as values.
       .withColumn("__chg",
-        when(lag(col(attrCol), 1).over(w).isNull ||
-          lag(col(attrCol), 1).over(w) =!= col(attrCol), 1).otherwise(0))
+        when(row_number().over(w) === 1 ||
+          !(lag(col(attrCol), 1).over(w) <=> col(attrCol)), 1).otherwise(0))
       .withColumn("__run", sum(col("__chg")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(keyCol), col("__run"))

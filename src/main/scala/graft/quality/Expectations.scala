@@ -2,6 +2,7 @@ package graft.quality
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Util.qcol
 
 /** Single-pass data-quality checks for ingest gating — the validation a
   * pipeline runs on every batch before letting it into the corpus
@@ -19,22 +20,22 @@ object Expectations {
   /** Fraction of non-null values. */
   final case class Completeness(column: String) extends Metric {
     def expr: Column =
-      (count(col(column)).cast("double") / count(lit(1))).as("value")
+      (count(qcol(column)).cast("double") / count(lit(1))).as("value")
   }
   /** Fraction of distinct values among non-nulls. */
   final case class Uniqueness(column: String) extends Metric {
     def expr: Column =
-      (count_distinct(col(column)).cast("double") /
-        greatest(count(col(column)), lit(1L)).cast("double")).as("value")
+      (count_distinct(qcol(column)).cast("double") /
+        greatest(count(qcol(column)), lit(1L)).cast("double")).as("value")
   }
   final case class MinOf(column: String) extends Metric {
-    def expr: Column = min(col(column)).cast("double").as("value")
+    def expr: Column = min(qcol(column)).cast("double").as("value")
   }
   final case class MaxOf(column: String) extends Metric {
-    def expr: Column = max(col(column)).cast("double").as("value")
+    def expr: Column = max(qcol(column)).cast("double").as("value")
   }
   final case class MeanOf(column: String) extends Metric {
-    def expr: Column = avg(col(column)).cast("double").as("value")
+    def expr: Column = avg(qcol(column)).cast("double").as("value")
   }
 
   final case class Expectation(name: String, metric: Metric,
@@ -102,7 +103,7 @@ object Expectations {
                        cols: Seq[String]): org.apache.spark.sql.DataFrame = {
     require(cols.nonEmpty, "fingerprint needs at least one column")
     val rendered = concat_ws("\u0001",
-      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+      cols.map(c => coalesce(qcol(c).cast("string"), lit("\u0002"))): _*)
     val h = conv(substring(md5(rendered), 1, 15), 16, 10)
       .cast("decimal(38,0)")
     df.agg(count(lit(1)).as("n_rows"),

@@ -3,6 +3,7 @@ package graft.quality
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.Util.qcol
 
 /** One-pass column profiling — the data-catalog summary every pipeline
   * wants before it trusts a table: per column, row/null/distinct counts
@@ -35,19 +36,19 @@ object Profile {
       s"profile: column(s) not in schema: ${missing.mkString(", ")} " +
         s"(available: ${df.columns.mkString(", ")})")
     def numeric(c: String): Option[Column] = types(c) match {
-      case _: NumericType => Some(col(c).cast("double"))
+      case _: NumericType => Some(qcol(c).cast("double"))
       // parquet naive timestamps arrive as TIMESTAMP_NTZ in Spark 4; the
       // cast pins micros under the session zone (harness: UTC)
       case _: TimestampType | _: TimestampNTZType | _: DateType =>
-        Some(unix_micros(col(c).cast("timestamp")).cast("double"))
+        Some(unix_micros(qcol(c).cast("timestamp")).cast("double"))
       case _ => None
     }
     val nd: Column => Column =
       if (exactDistinct) count_distinct(_) else approx_count_distinct(_)
     val aggs = cols.flatMap { c =>
       val base = Seq(
-        count(col(c)).as(s"__${c}__nn"),
-        nd(col(c)).as(s"__${c}__ndist"))
+        count(qcol(c)).as(s"__${c}__nn"),
+        nd(qcol(c)).as(s"__${c}__ndist"))
       val ends = numeric(c) match {
         case Some(n) => Seq(min(n).as(s"__${c}__min_num"),
           max(n).as(s"__${c}__max_num"),
@@ -55,8 +56,8 @@ object Profile {
           lit(null).cast("string").as(s"__${c}__max_str"))
         case None => Seq(lit(null).cast("double").as(s"__${c}__min_num"),
           lit(null).cast("double").as(s"__${c}__max_num"),
-          min(col(c).cast("string")).as(s"__${c}__min_str"),
-          max(col(c).cast("string")).as(s"__${c}__max_str"))
+          min(qcol(c).cast("string")).as(s"__${c}__min_str"),
+          max(qcol(c).cast("string")).as(s"__${c}__max_str"))
       }
       base ++ ends
     }
@@ -64,12 +65,12 @@ object Profile {
     val perCol = cols.map { c =>
       struct(lit(c).as("column"),
         col("__nrows").as("n_rows"),
-        (col("__nrows") - col(s"__${c}__nn")).as("n_null"),
-        col(s"__${c}__ndist").as("n_distinct"),
-        col(s"__${c}__min_num").as("min_num"),
-        col(s"__${c}__max_num").as("max_num"),
-        col(s"__${c}__min_str").as("min_str"),
-        col(s"__${c}__max_str").as("max_str"))
+        (col("__nrows") - qcol(s"__${c}__nn")).as("n_null"),
+        qcol(s"__${c}__ndist").as("n_distinct"),
+        qcol(s"__${c}__min_num").as("min_num"),
+        qcol(s"__${c}__max_num").as("max_num"),
+        qcol(s"__${c}__min_str").as("min_str"),
+        qcol(s"__${c}__max_str").as("max_str"))
     }
     row.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
   }
@@ -78,8 +79,8 @@ object Profile {
     * on ⌊v / width⌋ — single pass, no pre-scan for bounds, portable
     * integer bucketing. */
   def histogram(df: DataFrame, c: String, width: Double): DataFrame =
-    df.filter(col(c).isNotNull)
-      .groupBy(floor(col(c).cast("double") / lit(width)).cast("long")
+    df.filter(qcol(c).isNotNull)
+      .groupBy(floor(qcol(c).cast("double") / lit(width)).cast("long")
         .as("bucket"))
       .agg(count(lit(1)).as("n"))
 }

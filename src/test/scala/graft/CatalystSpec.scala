@@ -56,6 +56,27 @@ class CatalystSpec extends SparkSpec {
     }
   }
 
+  test("cosine_sim zero-norm edges match the HOF form, incl. ragged") {
+    // the HOF's `when(d === 0, 0.0)` fires on a zero-norm side BEFORE the
+    // padded dot is looked at — so empty/zero vectors yield 0.0 even
+    // against a different-length side, and the native expression must
+    // agree or the cosineFor install switch changes query results
+    val df = Seq(
+      (Seq.empty[Option[Double]], Seq(Some(1.0), Some(2.0))),
+      (Seq(Some(0.0), Some(0.0)), Seq(Some(1.0), Some(2.0), Some(3.0))),
+      (Seq(Some(1.0), None), Seq(Some(0.0)))
+    ).toDF("a", "b")
+    val out = df.select(
+      GraftExtensions.cosineSim(col("a"), col("b")).as("native"),
+      Similarity.cosine(col("a"), col("b")).as("hof")).collect()
+    assert(out(0).getDouble(0) === 0.0 && out(0).getDouble(1) === 0.0,
+      "empty side: 0.0 on both paths")
+    assert(out(1).getDouble(0) === 0.0 && out(1).getDouble(1) === 0.0,
+      "zero-norm ragged: 0.0 on both paths")
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1),
+      "null element poisons the norm product before the zero check")
+  }
+
   test("LevenshteinBandRule rewrites naive predicates and preserves results") {
     val l = Seq("kitten", "apple", "zzzzzzzzzzzzzz").toDF("a")
     val r = Seq("sitting", "apples", "mitten").toDF("b")

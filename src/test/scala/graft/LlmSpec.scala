@@ -632,6 +632,30 @@ class LlmSpec extends SparkSpec {
     assert(top.sorted.toSeq === again.sorted.toSeq)
   }
 
+  test("PQ and LSH ignore null/ragged vectors instead of ranking them") {
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat).toSeq
+    val good = (0 until 60).map(i => (i.toLong, Some(vec())))
+    // a failed-encoder shard: null embeddings, plus one ragged vector.
+    // Their ADC is null, and ascending rank (NULLS FIRST default) would
+    // otherwise fill the ENTIRE top-k with them for every query
+    val bad = (1000 until 1010).map(i => (i.toLong, None)) :+
+      (1100L, Some(vec().take(7)))
+    val corpus = (good ++ bad).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    val top = graft.llm.Similarity.pqTopK(queries, corpus,
+        "vec_id", "vec_id", "embedding", k = 5, m = 4, ksub = 8)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(top.nonEmpty)
+    assert(top.forall(_._1 < 1000L), "no null/ragged neighbor may rank")
+    assert(top.forall(t => !t._2.isNaN), "adc must be real for every rank")
+    // LSH pair generation: nulls must not form a quadratic bucket-0 blob
+    val pairs = graft.llm.Similarity.lshPairsAbove(corpus, "vec_id",
+        "embedding", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall(p => p._1 < 1000L && p._2 < 1000L))
+  }
+
   test("PQ/IVF compact literal regime equals inline bit-for-bit, bounds the plan") {
     val queries = embs.filter(col("vec_id") < 5)
     def pqRows(maxInline: Int) = {

@@ -488,6 +488,30 @@ class OpsSpec extends SparkSpec {
     assert(out(3) === (2L, "C", ts("2024-01-01 09:00:00"), None, 1L))
   }
 
+  test("scd2 preserves null attribute states as their own intervals") {
+    // the old lag =!= attr flag evaluated to null for a null state,
+    // silently merging it into the preceding run — wrong history
+    val events = Seq(
+      (1L, Some("A"), ts("2024-01-01 10:00:00"), 1L),
+      (1L, None, ts("2024-01-01 11:00:00"), 2L), // null STATE, own run
+      (1L, Some("A"), ts("2024-01-01 12:00:00"), 3L), // back to A: new run
+      (2L, None, ts("2024-01-01 09:00:00"), 4L), // first row null
+      (2L, None, ts("2024-01-01 10:00:00"), 5L) // same null run
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val out = TimeSeries.scd2(events, "user_id", "ts", "event_id",
+        "event_type")
+      .orderBy("user_id", "valid_from").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getTimestamp(2), Option(r.getTimestamp(3)), r.getLong(4)))
+    assert(out.length === 4)
+    assert(out(0) === (1L, Some("A"), ts("2024-01-01 10:00:00"),
+      Some(ts("2024-01-01 11:00:00")), 1L))
+    assert(out(1) === (1L, None, ts("2024-01-01 11:00:00"),
+      Some(ts("2024-01-01 12:00:00")), 1L))
+    assert(out(2) === (1L, Some("A"), ts("2024-01-01 12:00:00"), None, 1L))
+    assert(out(3) === (2L, None, ts("2024-01-01 09:00:00"), None, 2L))
+  }
+
   test("OnlineStats registers as a SQL UDAF and matches builtins") {
     spark.udf.register("graft_welford",
       org.apache.spark.sql.functions.udaf(OnlineStats))
