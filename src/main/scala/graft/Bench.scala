@@ -11,6 +11,12 @@ import org.apache.spark.sql.SparkSession
   *    never sees a torn line.
   * Both carry `"metric"`, `"value"`, `"unit"`, `"queries"`, `"sf"`.
   *
+  * Since round 6 each query materializes through the `noop` sink, not
+  * `count()`: count() let the optimizer prune final-projection
+  * expressions and the trailing sort, under-measuring real query cost
+  * (q_profile_table's exact multi-distinct was invisible). Totals are
+  * therefore NOT comparable to rounds <= 5 without reading PERF.md.
+  *
   * Each query runs twice and the reported time is the MIN of the two runs:
   * a transient machine-load spike during one run (the round-2 failure mode —
   * 4-45x per-query inflation under contention) cannot distort the headline
@@ -35,8 +41,17 @@ object Bench {
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case _: Throwable => false }
+      // noop sink, not count(): a count() plans as Aggregate[count(1)],
+      // letting the optimizer prune every expression that exists only in
+      // the final projection — a regression landing there would be
+      // invisible to the perf gate. The noop write materializes every
+      // output column, the same work Verify's parquet write pays.
+      // NonFatal only: an OOM leaves the JVM untrustworthy — aborting
+      // beats timing the remaining queries on a wrecked heap.
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      } catch { case scala.util.control.NonFatal(_) => false }
       val secs = (System.nanoTime() - t0) / 1e9
       // free caches and (local)checkpoint blocks the query left behind —
       // block-manager/GC pressure otherwise accumulates across ~70 queries
@@ -61,15 +76,9 @@ object Bench {
         else math.min(cold, warm)
       (name, cold, best)
     }
-    // JSON string escaping (quotes/backslashes/control chars) so a query name
-    // or sfDir containing a special character can't emit invalid JSON.
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"'           => "\\\""
-        case '\\'          => "\\\\"
-        case c if c < ' '  => "\\u%04x".format(c.toInt)
-        case c             => c.toString
-      } + "\""
+    // JSON string escaping shared with Verify (graft.Util.jsonEscape) so
+    // the two driver-facing emitters cannot drift apart.
+    def jstr(s: String): String = Util.jsonEscape(s)
     def jsonMap(kvs: Seq[(String, Double)], fmt: Double => String): String =
       kvs.map { case (k, v) => jstr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val ms = (v: Double) =>
@@ -84,7 +93,7 @@ object Bench {
     // preserves them; key order is irrelevant to any real JSON parser when
     // the line does fit. Full detail lives in target/bench.json.
     val line =
-      s"""{"metric":"total","queries":${jsonMap(results.map { case (n, _, best) => n -> best }, ms)},"value":${ms(total)},"unit":"sec","sf":${jstr(sfDir)},"n_queries":${results.size},"errors":$nFailed}"""
+      s"""{"metric":"total","queries":${jsonMap(results.map { case (n, _, best) => n -> best }, ms)},"value":${ms(total)},"unit":"sec","sf":${jstr(sfDir)},"materialization":"noop","n_queries":${results.size},"errors":$nFailed}"""
     println(line)
     // File-based output keeps the full detail (cold first-run times too):
     // atomic-ish (write temp then rename) so a reader never sees a torn line.

@@ -26,6 +26,12 @@ object PlanAudit {
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // run it so AQE finalizes and codegen spans appear
+      // same per-query cleanup as Bench/Verify: localCheckpoint blocks
+      // from finishAndRelease otherwise accumulate across all 118
+      // collect()ed queries in this one JVM (observed 10s -> 146s
+      // distortion before those mains added it)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       // executedPlan.toString of the finalized adaptive plan prints
       // WholeStageCodegen spans as "*(id)" operator prefixes
       val plan = df.queryExecution.executedPlan.toString

@@ -14,6 +14,23 @@ object Util {
   /** Column by exact (possibly dotted) name. */
   def qcol(name: String): Column = col(q(name))
 
+  /** JSON string escape for the driver-facing emitters (Bench stdout
+    * line / bench.json, Verify's oracle_sql.json): backslash, quote, and
+    * ALL control chars (< 0x20) — a tab or CR in builder-authored SQL
+    * would otherwise make the driver's json.load fail and silently zero
+    * a round's gate. ONE shared implementation so the two gate outputs
+    * cannot drift apart. */
+  def jsonEscape(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   /** R treats both NA and "" as missing in recency logic
     * (reference varinfo-update.R:176,198): map "" to NULL. */
   def nullifEmpty(c: Column): Column =
@@ -77,9 +94,21 @@ object Util {
     * at micro resolution. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      // scope the legacy flag to THIS read: the parquet relation captures
+      // the conf when spark.read resolves the schema, so restoring it
+      // immediately after keeps the session's read semantics unchanged —
+      // left set, every LATER read in the JVM would silently accept
+      // TIMESTAMP(NANOS) as raw longs instead of failing loudly, and
+      // only when an events query happened to run first (order-dependent)
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      try spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      finally prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }

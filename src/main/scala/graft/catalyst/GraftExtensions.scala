@@ -72,8 +72,16 @@ object GraftExtensions {
       CosineSimilarity(cast.head, cast(1))
     })
 
-  /** Idempotent post-hoc installation on a live session. */
+  /** Idempotent post-hoc installation on a live session — including one
+    * built with `spark.sql.extensions=graft.catalyst.GraftExtensions`
+    * (the production path): rules injected there are NOT visible in
+    * `experimental.extraOptimizations`, so without the registry-based
+    * guard a harness main calling install() would append the rules and
+    * strategy a second time and every query would pay double
+    * optimizer/planner passes. The function registry IS populated by
+    * both paths, so it is the reliable marker. */
   def install(spark: SparkSession): Unit = synchronized {
+    if (isInstalled(spark)) return
     if (!spark.experimental.extraOptimizations.contains(LevenshteinBandRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LevenshteinBandRule

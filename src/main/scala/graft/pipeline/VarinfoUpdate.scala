@@ -127,7 +127,14 @@ object VarinfoUpdate {
     * the dashboard trim. */
   def phase2(spark: SparkSession, cfg: VarinfoConfig): DataFrame = {
     val updated = Csv.readAsStrings(spark, cfg.manuallyUpdatedFile)
+    // The cumulative codebook must NOT carry phase 1's join internals:
+    // the reference's own cumulative fixture has neither row_id nor
+    // string_distance (its rowid_to_column would even ERROR on a
+    // pre-existing row_id next cycle), and OUR next cycle's
+    // withRowId1(prior, "row_id") would hit an ambiguous reference —
+    // the pipeline has to round-trip its own output as priorVarinfoFile.
     val sorted = Recency.sortVarinfo(updated)
+      .drop("row_id", "string_distance")
     Csv.writeSingle(sorted, cfg.outputFile)
     val dash = Dashboard.dashboard(sorted, cfg.joinColumnVar)
     Csv.writeSingle(dash, cfg.trimmedOutputFile)

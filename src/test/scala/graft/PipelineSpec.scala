@@ -165,6 +165,21 @@ class PipelineSpec extends SparkSpec {
     // resumed file round-trips through CSV with embedded newlines intact
     val reread = Csv.readAsStrings(spark, c.outputFile)
     assert(reread.count() === 420)
+    // the cumulative codebook must not leak phase 1's join internals: the
+    // reference's own cumulative fixture carries neither, and the NEXT
+    // cycle reuses this file as priorVarinfoFile — withRowId1 would hit
+    // an ambiguous row_id reference otherwise
+    assert(!reread.columns.contains("row_id") &&
+      !reread.columns.contains("string_distance"),
+      "phase-2 output must drop row_id/string_distance")
+    // full next-cycle round trip: the output joins as the prior codebook
+    // under the NEXT survey year (the real cadence — this year's columns
+    // are already in the cumulative file, next cycle brings new names)
+    val c2 = c.copy(surveyYear = "2026")
+    val ci = QualtricsReader.loadSurveyColumnInfo(
+      spark, c2.responseFile, c2.surveyYear)
+    val (joined2, _, stats2) = VarinfoUpdate.joinVarinfo(reread, ci, c2)
+    assert(joined2.count() === 420 && stats2.totalVars > 0)
   }
 
   test("permissive JSONL read quarantines malformed lines, keeps good ones") {
