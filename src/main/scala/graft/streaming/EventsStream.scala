@@ -144,13 +144,18 @@ object EventsStream {
     * user's running mean so far (a simple online anomaly detector). State
     * is the (count, sum) pair per user. */
   def userAnomalies(events: Dataset[UserEvent],
-                    factor: Double = 3.0): Dataset[Anomaly] = {
+                    factor: Double = 3.0,
+                    stateTtlMillis: Option[Long] = None): Dataset[Anomaly] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Double), Anomaly](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), ttlConf(stateTtlMillis)) {
         (uid: Long, it: Iterator[UserEvent], state: GroupState[(Long, Double)]) =>
+          if (state.hasTimedOut) { // inactive past the TTL: drop the state
+            state.remove()
+            Iterator.empty
+          } else {
           var (n, total) = state.getOption.getOrElse((0L, 0.0))
           val out = scala.collection.mutable.ArrayBuffer[Anomaly]()
           // the group iterator's order is NOT guaranteed (it follows the
@@ -163,7 +168,9 @@ object EventsStream {
             n += 1; total += e.value
           }
           state.update((n, total))
+          stateTtlMillis.foreach(state.setTimeoutDuration)
           out.iterator
+          }
       }
   }
 
@@ -184,26 +191,38 @@ object EventsStream {
     * batch N+1, the non-matching 10 was already consumed and is never
     * revisited — order by a Kafka key = user_id or run AvailableNow over
     * ordered files to satisfy the precondition. State is two longs per
-    * user — horizontal scale is the key partitioning. Like the other
-    * stateful operators here, state has NO timeout: on an unbounded
-    * churning user population, set a GroupStateTimeout TTL (drop the
-    * state on timeout) or run as bounded AvailableNow backfills, or the
-    * state store grows monotonically. */
+    * user — horizontal scale is the key partitioning. By default state
+    * has NO timeout (right for bounded backfills and the batch-parity
+    * contract); on an unbounded churning user population pass
+    * `stateTtlMillis` so inactive users are flushed and dropped (see
+    * [[ttlConf]]) instead of growing the state store monotonically. */
   def funnelStages(events: Dataset[UserEvent],
-                   stages: Seq[String]): Dataset[FunnelProgress] = {
+                   stages: Seq[String],
+                   stateTtlMillis: Option[Long] = None)
+      : Dataset[FunnelProgress] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelState, FunnelProgress] {
+      .mapGroupsWithState[FunnelState, FunnelProgress](
+        ttlConf(stateTtlMillis)) {
         (uid: Long, it: Iterator[UserEvent], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
-          it.toArray.sortBy(_.seq).foreach { e =>
-            if (e.seq > st.last_seq && st.stage < stages.size &&
-                e.event_type == stages(st.stage))
-              st = FunnelState(st.stage + 1, e.seq)
+          if (state.hasTimedOut) {
+            // inactive past the TTL: flush the final stage and forget the
+            // user — a later reappearance restarts the funnel at stage 0
+            val last = state.get
+            state.remove()
+            FunnelProgress(uid, last.stage)
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            it.toArray.sortBy(_.seq).foreach { e =>
+              if (e.seq > st.last_seq && st.stage < stages.size &&
+                  e.event_type == stages(st.stage))
+                st = FunnelState(st.stage + 1, e.seq)
+            }
+            state.update(st)
+            stateTtlMillis.foreach(state.setTimeoutDuration)
+            FunnelProgress(uid, st.stage)
           }
-          state.update(st)
-          FunnelProgress(uid, st.stage)
       }
   }
 
@@ -211,19 +230,44 @@ object EventsStream {
     * `mapGroupsWithState` (KeyValueGroupedDataset). In batch the state
     * starts empty and the result equals a plain groupBy — the test locks
     * that equivalence. */
-  def userRunningTotals(events: Dataset[UserEvent]): Dataset[UserStats] = {
+  def userRunningTotals(events: Dataset[UserEvent],
+                        stateTtlMillis: Option[Long] = None)
+      : Dataset[UserStats] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[UserStats, UserStats] {
+      .mapGroupsWithState[UserStats, UserStats](ttlConf(stateTtlMillis)) {
         (uid: Long, it: Iterator[UserEvent], state: GroupState[UserStats]) =>
-          val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
-          var n = prev.n_events
-          var tot = prev.total_value
-          it.foreach { e => n += 1; tot += e.value }
-          val next = UserStats(uid, n, tot)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            // inactive past the TTL: flush the final totals and forget —
+            // a later reappearance starts a fresh count (windowed-lifetime
+            // semantics, the price of bounded state on a churning keyspace)
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserStats(uid, 0L, 0.0))
+            var n = prev.n_events
+            var tot = prev.total_value
+            it.foreach { e => n += 1; tot += e.value }
+            val next = UserStats(uid, n, tot)
+            state.update(next)
+            stateTtlMillis.foreach(state.setTimeoutDuration)
+            next
+          }
       }
   }
+
+  /** Bounded-state knob shared by the stateful operators: with a TTL the
+    * state store stops growing monotonically on an unbounded, churning
+    * user population — the processing-time timeout drops (and flushes)
+    * any key inactive for `ttl`, at the cost of windowed-lifetime rather
+    * than true-lifetime semantics for keys that outlive it. Without a
+    * TTL (the default, and the batch-parity mode) state is kept forever:
+    * right for bounded backfills, wrong for perpetual streams. */
+  private def ttlConf(ttl: Option[Long]): GroupStateTimeout =
+    ttl.map { t =>
+      require(t > 0, s"stateTtlMillis must be > 0, got $t")
+      GroupStateTimeout.ProcessingTimeTimeout()
+    }.getOrElse(GroupStateTimeout.NoTimeout())
 }

@@ -210,6 +210,49 @@ class StreamingSpec extends SparkSpec {
       "checkpointed streaming fold must equal the batch fold")
   }
 
+  test("stateful TTL expires inactive per-key state and restarts it fresh") {
+    import EventsStream.UserEvent
+    val src = java.nio.file.Files.createTempDirectory("graft_ttl_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_ttl_out").toString
+    val chk = java.nio.file.Files.createTempDirectory("graft_ttl_chk").toString
+    Seq(UserEvent(1L, 1L, "click", 10.0), UserEvent(1L, 2L, "click", 20.0))
+      .toDF().write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema).parquet(src)
+        .as[UserEvent]
+      val q = EventsStream.userRunningTotals(stream,
+          stateTtlMillis = Some(500L)).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", chk)
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[EventsStream.UserStats],
+           _: Long) => ds.write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    def rows() = spark.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows().toSet === Set((1L, 2L, 30.0)))
+    // let user 1's state pass its TTL, then trigger with ANOTHER user's
+    // batch: the processing-time timeout fires on that trigger, flushing
+    // and dropping user 1's state
+    Thread.sleep(1500)
+    Seq(UserEvent(2L, 3L, "click", 1.0))
+      .toDF().write.mode("append").parquet(src)
+    runOnce()
+    // user 1 reappears AFTER expiry: totals restart fresh — bounded-state
+    // windowed-lifetime semantics, not a resumed lifetime count
+    Thread.sleep(1500)
+    Seq(UserEvent(1L, 4L, "click", 5.0))
+      .toDF().write.mode("append").parquet(src)
+    runOnce()
+    assert(rows().contains((1L, 1L, 5.0)),
+      s"expired user must restart at (1, 5.0); saw ${rows().mkString(", ")}")
+  }
+
   test("incremental summary maintenance: exactly-once, replay-proof, crash-repair") {
     import graft.streaming.SummaryMaintenance
     val events = Util.table(spark, "/root/testdata/sf0.001", "events")
