@@ -24,8 +24,13 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *  - `foreachBatch` is at-least-once on failure/retry: a replayed batch
   *    can re-append output rows and index entries. Duplicate index entries
   *    only add candidate pairs (harmless to the gate — the verify step is
-  *    exact); a production output sink would dedup on batchId or write
-  *    transactionally;
+  *    exact). For exactly-once output use [[SimilarityIngest]] — the
+  *    evolution of this gate whose batch-keyed writes, per-batch index
+  *    layout, and append-only commit ledger make every crash window
+  *    replay-convergent (a batch-keyed output bolted onto THIS gate's
+  *    flat index would clobber itself: a replay whose docs match their
+  *    own index entries would overwrite the batch dir with an empty
+  *    accepted set);
   *  - the gate itself is LSH-based (recall < 1 by the S-curve); use
   *    `Dedup.jaccardNewVsCorpusPrefix` per batch where the gate must be
   *    lossless.
