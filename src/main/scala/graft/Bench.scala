@@ -98,7 +98,7 @@ object Bench {
     // File-based output keeps the full detail (cold first-run times too):
     // atomic-ish (write temp then rename) so a reader never sees a torn line.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map { case (n, _, best) => n -> best }, _.toString)},"cold_queries":${jsonMap(results.map { case (n, cold, _) => n -> cold }, _.toString)},"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map { case (n, _, best) => n -> best }, _.toString)},"cold_queries":${jsonMap(results.map { case (n, cold, _) => n -> cold }, _.toString)},"sf":${jstr(sfDir)},"materialization":"noop","n_queries":${results.size},"errors":$nFailed}"""
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     val tmp = out.resolveSibling("bench.json.tmp")

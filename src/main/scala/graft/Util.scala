@@ -100,7 +100,12 @@ object Util {
       // left set, every LATER read in the JVM would silently accept
       // TIMESTAMP(NANOS) as raw longs instead of failing loudly, and
       // only when an events query happened to run first (order-dependent)
+      // synchronized: concurrent events reads could otherwise capture
+      // each other's "true" as the prior value (re-leaking the flag) or
+      // unset it mid-schema-resolution; the mains are sequential today,
+      // but the helper must not silently depend on that
       val key = "spark.sql.legacy.parquet.nanosAsLong"
+      Util.synchronized {
       val prior = spark.conf.getOption(key)
       spark.conf.set(key, "true")
       try spark.read.parquet(s"$sfDir/$name.parquet")
@@ -108,6 +113,7 @@ object Util {
       finally prior match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
+      }
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }

@@ -213,6 +213,9 @@ object CsvSplit {
         if (pushback != -2) { val v = pushback; pushback = -2; v }
         else in.read()
       while (!done) {
+        if (buf.size >= MaxRecordBytes) throw new java.io.IOException(
+          s"csv header of $file exceeds $MaxRecordBytes bytes — " +
+            "unbalanced quote in the input?")
         val v = nb()
         if (v < 0) done = true
         else if (v == '"') { inQuote = !inQuote; buf.write(v) }
@@ -225,8 +228,8 @@ object CsvSplit {
         else buf.write(v)
       }
       val bytes = buf.toByteArray
-      val n =
-        if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+      val n = // same conditional \r strip as records() — see there
+        if (crlf && bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
           bytes.length - 1
         else bytes.length
       new String(bytes, 0, n, java.nio.charset.StandardCharsets.UTF_8)
@@ -236,10 +239,11 @@ object CsvSplit {
   private val ReadBuf = 1 << 16
 
   /** Pass 1 kernel: `"` bytes in `[start, end)`, plus (for block 0) the
-    * file's terminator style — Some(true) when the first unquoted
-    * newline is preceded by `\r`, None if the block holds no unquoted
-    * newline. Quote and newline are single bytes that never occur inside
-    * UTF-8 multibyte sequences, so byte-level scanning is encoding-safe. */
+    * file's terminator style — Some(true) when the FIRST newline (quote-
+    * BLIND, matching univocity's raw-stream separator detector) is
+    * preceded by `\r`; None if the block holds no newline at all. Quote
+    * and newline are single bytes that never occur inside UTF-8
+    * multibyte sequences, so byte-level scanning is encoding-safe. */
   private def scanBlock(conf: Configuration, file: String,
                         start: Long, end: Long,
                         detectTerm: Boolean): (Long, Option[Boolean]) = {
@@ -259,8 +263,7 @@ object CsvSplit {
           while (i < n) {
             val v = buf(i)
             if (v == '"') quotes += 1
-            else if (detectTerm && term.isEmpty && v == '\n' &&
-                (quotes & 1L) == 0L)
+            if (detectTerm && term.isEmpty && v == '\n')
               term = Some(prev == '\r')
             prev = v
             i += 1
@@ -273,17 +276,16 @@ object CsvSplit {
   }
 
   /** Driver fallback for [[scanBlock]]'s terminator detection when a
-    * file's first record is longer than one block. */
+    * file's first newline sits past block 0 (quote-blind, like the
+    * block-0 scan — see scanBlock). */
   private def usesCrlf(conf: Configuration, file: String): Boolean = {
     val raw = new Path(file).getFileSystem(conf).open(new Path(file))
     val in = new java.io.BufferedInputStream(raw, ReadBuf)
     try {
-      var inQuote = false
       var prev = -1
       var v = in.read()
       while (v >= 0) {
-        if (v == '"') inQuote = !inQuote
-        else if (v == '\n' && !inQuote) return prev == '\r'
+        if (v == '\n') return prev == '\r'
         prev = v
         v = in.read()
       }
@@ -349,6 +351,12 @@ object CsvSplit {
           val buf = new java.io.ByteArrayOutputStream(256)
           var done = false
           while (!done) {
+            // guard BEFORE dispatch so quote bytes and normalized
+            // newlines count too — an unbalanced-quote file dominated by
+            // '"' must throw, not buffer to OOM
+            if (buf.size >= MaxRecordBytes) throw new java.io.IOException(
+              s"csv record at ${b.file}:$recStart exceeds $MaxRecordBytes " +
+                "bytes — unbalanced quote in the input?")
             val v = nb()
             if (v < 0) done = true
             else if (v == '"') { inQuote = !inQuote; buf.write(v) }
@@ -360,16 +368,14 @@ object CsvSplit {
               if (n2 == '\n') buf.write('\n')
               else { buf.write('\r'); pushback = n2 }
             }
-            else {
-              if (buf.size >= MaxRecordBytes) throw new java.io.IOException(
-                s"csv record at ${b.file}:$recStart exceeds $MaxRecordBytes " +
-                  "bytes — unbalanced quote in the input?")
-              buf.write(v)
-            }
+            else buf.write(v)
           }
           val bytes = buf.toByteArray
-          val n = // strip the \r of a \r\n terminator
-            if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+          // strip the \r of a \r\n terminator — ONLY in \r\n files: when
+          // the detected separator is \n, univocity keeps a stray \r
+          // before the terminator as field content (probed empirically)
+          val n =
+            if (b.crlf && bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
               bytes.length - 1
             else bytes.length
           if (eof && n == 0) { return } // file ended exactly at a newline

@@ -20,7 +20,10 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *      the stitched-boilerplate class MinHash misses (a concatenation of
   *      two corpus halves is near-dup of NEITHER whole doc but ~100%
   *      window-saturated);
-  *   3. accepted docs append to `accepted/`, and their signatures append
+  *   3. survivors self-dedup WITHIN the batch (duplicates typically
+  *      arrive together; the index gates only see the pre-batch corpus),
+  *      keeping each near-dup cluster's minimum id;
+  *   4. accepted docs append to `accepted/`, and their signatures append
   *      to BOTH indexes, so every later batch dedups against them at
   *      O(batch) probe cost — no corpus recompute, ever.
   *
@@ -66,7 +69,10 @@ object SimilarityIngest {
     if (!fs.exists(dir)) -1L
     else fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .collect { case s if s.startsWith("batch-") => s.drop(6).toLong }
+      // strict name match, not startsWith: a stray editor/tool artifact
+      // ("batch-2~", "batch-2.tmp") in the ledger dir must be ignored,
+      // not crash every subsequent batch inside toLong
+      .collect { case s if s.matches("batch-\\d+") => s.drop(6).toLong }
       .maxOption.getOrElse(-1L)
   }
 
@@ -87,12 +93,18 @@ object SimilarityIngest {
   def quarantined(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/quarantine")
 
-  /** Gate one micro-batch; idempotent under replay of the same (or an
-    * older) batchId, including replays of a half-committed batch. Exposed
-    * for batch backfills that reuse the streaming gate path. */
+  /** Gate one micro-batch. Replaying the COMMITTED last batchId is an
+    * idempotent no-op (including replays of a half-committed batch, which
+    * re-derive and overwrite); an id BELOW the committed ledger fails
+    * loudly — that only happens when a fresh checkpoint is pointed at
+    * existing state, where silent no-ops would drop data. Batch backfills
+    * reusing this path must therefore feed monotonically increasing
+    * non-negative ids against a fresh stateDir. */
   def applyBatch(spark: SparkSession, stateDir: String, batch0: DataFrame,
                  batchId: Long, idCol: String, textCol: String,
                  p: Params = Params()): Unit = {
+    // -1 would collide with the empty-ledger sentinel and no-op silently
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val last = lastBatchId(spark, stateDir)
     // batchId == last is the legitimate same-run replay (no-op below);
     // batchId < last means a FRESH CHECKPOINT was pointed at this state
@@ -160,26 +172,40 @@ object SimilarityIngest {
               "left_anti")
             .withColumn("reason", lit("substring_dup"))
           val bad = near.unionByName(sat)
-          val q = batch.join(bad, batch(idCol) === col("__graft_bad"))
+          val qIndex = batch.join(bad, batch(idCol) === col("__graft_bad"))
             .drop("__graft_bad")
-          val a = batch.join(bad, batch(idCol) === col("__graft_bad"),
-              "left_anti")
+          val a0 = batch.join(bad, batch(idCol) === col("__graft_bad"),
+            "left_anti")
+          // INTRA-batch near-dups: the index gates only see the pre-batch
+          // corpus, and duplicates typically arrive together — without
+          // this pass, two near-identical fresh docs in one micro-batch
+          // would BOTH be accepted and indexed forever. Same self-dedup
+          // the bootstrap runs, scoped to the index-gate survivors.
+          val intraPairs = Dedup.minhashLshPairs(a0, idCol, textCol,
+            p.shingleN, p.numHashes, p.bands, p.threshold)
+          val a = Dedup.dedupedCorpus(a0, idCol, intraPairs)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          (a, q)
+          val qIntra = a0.join(a.select(col(idCol).as("__graft_keep")),
+              a0(idCol) === col("__graft_keep"), "left_anti")
+            .withColumn("reason", lit("near_dup"))
+          (a, qIndex.unionByName(qIntra))
         }
       val accP = acc // persisted by its branch; 3 consumers below
       // commit order: outputs then indexes then stamp — every write is
       // batch-keyed + overwrite, so any prefix of this sequence replays
-      // to the identical final state
-      accP.write.mode("overwrite").parquet(s"$stateDir/accepted/batch=$batchId")
-      quar.write.mode("overwrite")
-        .parquet(s"$stateDir/quarantine/batch=$batchId")
-      Dedup.putCorpusIndexBatch(accP, idCol, textCol, minhashDir, batchId,
-        p.shingleN, p.numHashes, p.bands)
-      SubstringDedup.putWindowIndexBatch(accP, idCol, textCol, p.windowK,
-        windowsDir, batchId)
-      writeStamp(spark, stateDir, batchId)
-      accP.unpersist()
+      // to the identical final state. unpersist in finally: a transient
+      // FS failure mid-commit must not leak the persist into the retry.
+      try {
+        accP.write.mode("overwrite")
+          .parquet(s"$stateDir/accepted/batch=$batchId")
+        quar.write.mode("overwrite")
+          .parquet(s"$stateDir/quarantine/batch=$batchId")
+        Dedup.putCorpusIndexBatch(accP, idCol, textCol, minhashDir, batchId,
+          p.shingleN, p.numHashes, p.bands)
+        SubstringDedup.putWindowIndexBatch(accP, idCol, textCol, p.windowK,
+          windowsDir, batchId)
+        writeStamp(spark, stateDir, batchId)
+      } finally accP.unpersist()
     } finally batch.unpersist()
   }
 

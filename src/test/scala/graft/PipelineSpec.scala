@@ -315,6 +315,10 @@ class PipelineSpec extends SparkSpec {
     parity(write("big.csv", "a,b\n1,x\n2,y\n"), 1 << 20)
     // header with a quoted embedded newline in a column name
     parity(write("qhdr.csv", "\"a\nx\",b\n1,y\n"), 16)
+    // quoted bare \n BEFORE the first \r\n terminator: univocity's
+    // separator detector scans raw chars (quote-blind) and picks \n, so
+    // quoted \r\n is NOT normalized — the splitter must agree
+    parity(write("qhdrcrlf.csv", "\"a\nx\",b\r\n1,\"p\r\nq\"\r\n"), 16)
   }
 
   test("splittable CSV keeps data rows byte-equal to the header line") {

@@ -438,8 +438,10 @@ class StreamingSpec extends SparkSpec {
       Seq((10L, A), (11L, stitched), (12L, C)).toDF("doc_id", "text"), 1L,
       "doc_id", "text", p)
     // batch 2: near-dup of BATCH-1-accepted doc 12 (cross-batch index
-    // growth), one fresh
-    val batch2 = Seq((20L, C), (21L, D)).toDF("doc_id", "text")
+    // growth), one fresh, and an INTRA-batch dup of the fresh doc (both
+    // are new to the corpus, so only the in-batch self-dedup can catch
+    // it; min id 21 is kept)
+    val batch2 = Seq((20L, C), (21L, D), (22L, D)).toDF("doc_id", "text")
     SimilarityIngest.applyBatch(spark, state, batch2, 2L,
       "doc_id", "text", p)
 
@@ -454,7 +456,7 @@ class StreamingSpec extends SparkSpec {
     val expected = Set(
       1L -> "accepted", 2L -> "accepted", 3L -> "near_dup",
       10L -> "near_dup", 11L -> "substring_dup", 12L -> "accepted",
-      20L -> "near_dup", 21L -> "accepted")
+      20L -> "near_dup", 21L -> "accepted", 22L -> "near_dup")
     assert(disposition() === expected)
 
     // replay of the committed LAST batch: no-op (exactly-once ledger)
