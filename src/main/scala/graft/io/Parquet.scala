@@ -89,4 +89,108 @@ object Parquet {
     fs.delete(old, true)
     nOut
   }
+
+  private val FoldTmpPrefix = ".__graft_fold_tmp-"
+
+  /** Fold the committed `batch=<id>` subdirectories of a per-batch
+    * (at-least-once) store layout — [[graft.llm.Dedup.putCorpusIndexBatch]],
+    * [[graft.llm.SubstringDedup.putWindowIndexBatch]], the
+    * [[graft.streaming.SimilarityIngest]] accepted/quarantine stores — into
+    * ONE compacted base segment at `batch=-1`, leaving batches above
+    * `upToBatch` untouched. This is the long-running-ingest fix: after 10k
+    * micro-batches every probe of a per-batch store scans 10k tiny
+    * directories; folding them restores O(data/targetFileBytes) files.
+    *
+    * Why `batch=-1` preserves the layout's replay semantics:
+    * live batch ids are required non-negative, so the base can never
+    * collide with a batch directory a replay overwrites, and the replay
+    * prune `filter(batch =!= id)` always KEEPS the base. Callers must pass
+    * an `upToBatch` at or below their commit frontier, so an uncommitted
+    * (half-written) batch keeps its own subdir for its replay to overwrite.
+    *
+    * Crash-safe two-phase fold: phase A writes base ∪ batches ≤ upToBatch
+    * to a dot-prefixed tmp dir INSIDE the leaf (invisible to parquet
+    * partition discovery; Spark's `_SUCCESS` marks it complete); phase B —
+    * delete old base, delete folded batch dirs, rename tmp to `batch=-1` —
+    * is idempotent given the upToBatch recorded in the tmp dir's name, so
+    * [[repairBatchStore]] replays it after a crash at any point. Must not
+    * run concurrently with writers or other folds of the same store. */
+  def compactBatchStore(spark: SparkSession, path: String, upToBatch: Long,
+                        targetFileBytes: Long = 128L * 1024 * 1024,
+                        compression: String = "zstd"): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(upToBatch >= 0, s"upToBatch must be >= 0, got $upToBatch")
+    repairBatchStore(spark, path)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    val batchIds = fs.listStatus(dir).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .collect { case s if s.matches("batch=-?\\d+") => s.drop(6).toLong }
+    val fold = batchIds.filter(id => id >= 0 && id <= upToBatch)
+    if (fold.isEmpty) return // base-only (or empty) store: nothing to fold
+    val hasBase = batchIds.contains(-1L)
+    // output sizing from the on-disk bytes of exactly the folded inputs
+    val srcDirs = (fold.map(id => s"batch=$id") ++
+      (if (hasBase) Seq("batch=-1") else Nil)).map(new Path(dir, _))
+    val bytes = srcDirs.flatMap(d => fs.listStatus(d).toSeq)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+      .map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new Path(dir, s"$FoldTmpPrefix$upToBatch")
+    spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("batch") <= upToBatch)
+      .drop("batch") // partition-dir attribution folds into the base
+      .repartition(nOut)
+      .write.mode("overwrite").option("compression", compression)
+      .parquet(tmp.toString)
+    finishFold(fs, dir, upToBatch)
+  }
+
+  /** Complete (or roll back) an interrupted [[compactBatchStore]] fold.
+    * Safe whenever no fold is concurrently running: a tmp dir WITH
+    * `_SUCCESS` finished phase A, so its destructive phase B is replayed
+    * to completion; one without it died mid-write and is discarded (the
+    * original batch dirs are intact). No-op when no tmp dirs exist. */
+  def repairBatchStore(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith(FoldTmpPrefix))
+      .sortBy(_.getName.stripPrefix(FoldTmpPrefix).toLong)
+      .foreach { tmp =>
+        val upTo = tmp.getName.stripPrefix(FoldTmpPrefix).toLong
+        if (fs.exists(new Path(tmp, "_SUCCESS"))) finishFold(fs, dir, upTo)
+        else if (!fs.delete(tmp, true))
+          throw new java.io.IOException(
+            s"repairBatchStore: delete of incomplete fold $tmp failed")
+      }
+  }
+
+  /** Idempotent destructive phase of a fold: while the tmp dir exists the
+    * final rename has not happened, so any `batch=-1` present is the OLD
+    * base (already folded into tmp) — delete it, delete the folded batch
+    * dirs, rename tmp into place. A crash at any point replays this same
+    * sequence from [[repairBatchStore]]. */
+  private def finishFold(fs: org.apache.hadoop.fs.FileSystem,
+                         dir: org.apache.hadoop.fs.Path,
+                         upTo: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(dir, s"$FoldTmpPrefix$upTo")
+    val base = new Path(dir, "batch=-1")
+    if (fs.exists(base) && !fs.delete(base, true))
+      throw new java.io.IOException(s"fold: delete of old base $base failed")
+    fs.listStatus(dir).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.matches("batch=\\d+") &&
+        p.getName.drop(6).toLong <= upTo)
+      .foreach { p =>
+        if (!fs.delete(p, true))
+          throw new java.io.IOException(s"fold: delete of folded $p failed")
+      }
+    if (!fs.rename(tmp, base))
+      throw new java.io.IOException(s"fold: rename $tmp -> $base failed")
+  }
 }

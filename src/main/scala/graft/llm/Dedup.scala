@@ -373,6 +373,33 @@ object Dedup {
     docs.unpersist()
   }
 
+  /** Seed a per-batch corpus index with an EXISTING corpus: the seed lands
+    * as the `batch=-1` base segment ([[putCorpusIndexBatch]] with id -1 —
+    * the same slot compaction folds into), so an exactly-once gate whose
+    * live batch ids are non-negative can replay any batch without ever
+    * overwriting or self-matching the seed. Use this (not
+    * [[writeCorpusIndex]], whose flat layout cannot be mixed with batch
+    * subdirs) to pre-load [[graft.streaming.IngestDedup]]. */
+  def seedCorpusIndex(corpus: DataFrame, idCol: String, textCol: String,
+                      path: String, shingleN: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8): Unit =
+    putCorpusIndexBatch(corpus, idCol, textCol, path, -1L,
+      shingleN, numHashes, bands)
+
+  /** Fold committed batches (ids 0..upToBatch) of a [[putCorpusIndexBatch]]
+    * layout into one compacted `batch=-1` base segment per table, so
+    * incremental probes stay O(few files) after years of appends. The
+    * caller guarantees every folded batch is committed by its own ledger;
+    * batches above `upToBatch` keep their subdirs for replay overwrite.
+    * The `_params` stamp is untouched. Streaming-gate state dirs should
+    * use [[graft.streaming.SimilarityIngest.compactIndexes]], which
+    * derives the frontier from its commit ledger. */
+  def compactCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, upToBatch: Long): Unit = {
+    graft.io.Parquet.compactBatchStore(spark, s"$path/docs", upToBatch)
+    graft.io.Parquet.compactBatchStore(spark, s"$path/buckets", upToBatch)
+  }
+
   /** Append a batch's shingle sets + band buckets to a stored corpus index
     * (see `writeCorpusIndex`) — the per-accepted-batch half of the
     * incremental dedup loop: once appended, later batches dedup against
@@ -548,7 +575,9 @@ object Dedup {
                           idColB: String = "id_b",
                           maxIter: Int = 20,
                           localEdgeThreshold: Long = 1000000L,
-                          reliableDir: Option[String] = None): DataFrame = {
+                          reliableDir: Option[String] = None,
+                          broadcastNodeThreshold: Long = 2000000L)
+      : DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val fwd = pairs.select(col(idColA).as("src"), col(idColB).as("dst"))
     val edges = fwd
@@ -674,14 +703,18 @@ object Dedup {
     var labels = materialize(sized(edges, "src").groupBy(col("src").as("id"))
         .agg(min(col("dst")).as("mn"))
         .select(col("id"), least(col("id"), col("mn")).as("comp")))
-      // When the label table fits a broadcast (nodes ≤ ~2M → tens of MB),
-      // ship IT to the edges instead of shuffling the edges to it: the
-      // per-round neighbor join and pointer-jump join become map-side, and
-      // the only shuffle left per round is the min-label hash aggregate.
-      // Past that size the plain shuffle joins take over — label state at
-      // billions of nodes must never transit the driver.
+      // When the label table fits a broadcast (nodes ≤ the threshold,
+      // default ~2M → tens of MB), ship IT to the edges instead of
+      // shuffling the edges to it: the per-round neighbor join and
+      // pointer-jump join become map-side, and the only shuffle left per
+      // round is the min-label hash aggregate. Past that size the plain
+      // shuffle joins take over — label state at billions of nodes must
+      // never transit the driver. The two regimes are label-identical by
+      // construction (ScaleSpec runs the same graph through both and
+      // compares); the threshold is a parameter so clusters with bigger
+      // driver/broadcast budgets can raise it.
       val nNodes = labels.count()
-      val useBroadcast = nNodes <= 2000000L
+      val useBroadcast = nNodes <= broadcastNodeThreshold
       def bcast(df: DataFrame): DataFrame =
         if (useBroadcast) broadcast(df) else df
       // convergence via the monotone label sum: every label change strictly

@@ -176,6 +176,15 @@ object SubstringDedup {
     hashedWindows(df, idCol, textCol, k).select(col("whash")).distinct()
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
+  /** Fold committed batches (ids 0..upToBatch) of a [[putWindowIndexBatch]]
+    * layout into one compacted `batch=-1` base segment — probes are
+    * semi-joins on `whash`, so the folded layout is probe-identical while
+    * cutting a long ingest run's file count from one-per-batch back to
+    * ~data/128MB. Caller guarantees the folded batches are committed. */
+  def compactWindowIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, upToBatch: Long): Unit =
+    graft.io.Parquet.compactBatchStore(spark, path, upToBatch)
+
   /** Gate-side metric for incremental ingest: per-doc window counts and
     * how many of those windows already exist in the stored index — the
     * saturation signal a quarantine threshold reads. Every batch doc

@@ -1,41 +1,173 @@
 package graft.streaming
 
 import graft.llm.Dedup
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-/** Streaming ingest dedup gate — the incremental-dedup loop run as a
-  * Structured Streaming query. Per micro-batch:
+/** Streaming ingest dedup gate — the incremental MinHash dedup loop run as
+  * a Structured Streaming query, EXACTLY-ONCE end to end. Per micro-batch:
   *
-  *   1. near-dup-check the batch against the STORED MinHash corpus index
-  *      (`Dedup.minhashLshNewVsIndex` — the corpus side is two parquet
-  *      scans, per-batch cost O(batch));
-  *   2. write accepted (non-duplicate) documents to the output corpus;
-  *   3. append the accepted documents' shingle sets + band buckets to the
-  *      index, so every LATER batch dedups against them with no corpus
-  *      recompute.
+  *   1. near-dup-check the batch against the stored MinHash corpus index
+  *      (per-batch layout, [[graft.llm.Dedup.putCorpusIndexBatch]]; the
+  *      corpus side is two parquet probes, per-batch cost O(batch));
+  *   2. self-dedup the survivors WITHIN the batch (duplicates typically
+  *      arrive together, and the index only sees the pre-batch corpus);
+  *   3. write accepted documents to `outDir/batch=<id>`, append their
+  *      shingle sets + band buckets to the index under `batch=<id>`
+  *      subdirs, and stamp the `_committed/batch-<id>` ledger marker LAST.
   *
-  * Semantics and caveats (the honest contract of this shape):
-  *  - duplicates WITHIN one micro-batch are not cross-checked against each
-  *    other (except the bootstrap batch, which is self-deduped because it
-  *    becomes the corpus) — run `Dedup.minhashLshPairs` on the batch first
-  *    if intra-batch dups matter at your batch size;
-  *  - `foreachBatch` is at-least-once on failure/retry: a replayed batch
-  *    can re-append output rows and index entries. Duplicate index entries
-  *    only add candidate pairs (harmless to the gate — the verify step is
-  *    exact). For exactly-once output use [[SimilarityIngest]] — the
-  *    evolution of this gate whose batch-keyed writes, per-batch index
-  *    layout, and append-only commit ledger make every crash window
-  *    replay-convergent (a batch-keyed output bolted onto THIS gate's
-  *    flat index would clobber itself: a replay whose docs match their
-  *    own index entries would overwrite the batch dir with an empty
-  *    accepted set);
-  *  - the gate itself is LSH-based (recall < 1 by the S-curve); use
-  *    `Dedup.jaccardNewVsCorpusPrefix` per batch where the gate must be
-  *    lossless.
+  * Exactly-once is the [[SimilarityIngest]] marker-ledger pattern (this
+  * gate is its single-index sibling — use SimilarityIngest when the
+  * substring-saturation gate matters): every write is batch-keyed with
+  * OVERWRITE semantics and the append-only ledger marker lands last, so a
+  * replayed committed batch no-ops and a replay of a half-committed batch
+  * re-derives its verdicts with its own half-written index entries
+  * partition-pruned out (`batch =!= id`), overwriting the same
+  * directories — the historical duplicate-corpus-rows window of the
+  * pre-round-7 append-based gate (a crash between the output append and
+  * the stamp re-appended the whole batch on replay) no longer exists.
+  *
+  * Pre-seeding with an existing corpus: build the seed with
+  * [[graft.llm.Dedup.seedCorpusIndex]] — it lands as the `batch=-1` BASE
+  * segment, which live batches (ids required non-negative) can never
+  * overwrite or self-match, and which [[compact]] folds newer batches
+  * into. A legacy flat index (writeCorpusIndex/appendCorpusIndex layout)
+  * is refused loudly: flat files cannot be partition-pruned by batch, so
+  * they cannot give replay convergence.
+  *
+  * The gate is LSH-based (recall < 1 by the S-curve); use
+  * `Dedup.jaccardNewVsCorpusPrefix` per batch where it must be lossless.
   */
 object IngestDedup {
+
+  /** Highest committed batch id (ledger lives under the index path),
+    * -1 before the first commit. */
+  def lastBatchId(spark: SparkSession, indexPath: String): Long =
+    BatchLedger.last(spark, indexPath)
+
+  /** The accepted corpus so far, committed-batch isolated: rows of a
+    * half-committed (crashed, not yet replayed) batch are pruned via the
+    * ledger; seeded/compacted rows report `batch = -1`. */
+  def corpus(spark: SparkSession, indexPath: String,
+             outDir: String): DataFrame =
+    spark.read.parquet(outDir)
+      .filter(col("batch") <= lastBatchId(spark, indexPath))
+
+  /** Fold committed batches into the `batch=-1` base segment of the
+    * output corpus and both index tables, and prune ledger markers below
+    * the retained maximum — the long-running-ingest small-files fix, same
+    * semantics as [[SimilarityIngest.compactIndexes]]. Must not run
+    * concurrently with an active stream; a crash mid-fold is repaired by
+    * the next batch or compact call. */
+  def compact(spark: SparkSession, indexPath: String, outDir: String,
+              upToBatch: Long = Long.MaxValue): Unit = {
+    val last = lastBatchId(spark, indexPath)
+    if (last < 0L) return
+    val upTo = math.min(upToBatch, last)
+    Dedup.compactCorpusIndex(spark, indexPath, upTo)
+    graft.io.Parquet.compactBatchStore(spark, outDir, upTo)
+    BatchLedger.prune(spark, indexPath, last)
+  }
+
+  /** Gate one micro-batch; public for batch backfills and tests. Same
+    * replay contract as [[SimilarityIngest.applyBatch]]: replaying the
+    * committed last id is a no-op, an id below the ledger fails loudly
+    * (fresh checkpoint pointed at existing state), ids must be
+    * non-negative and monotone. */
+  def applyBatch(spark: SparkSession, batch0: DataFrame, batchId: Long,
+                 indexPath: String, outDir: String,
+                 idCol: String, textCol: String,
+                 shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.8): Unit = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val last = BatchLedger.last(spark, indexPath)
+    require(batchId >= last,
+      s"batch id $batchId regressed below the committed ledger ($last) at " +
+        s"$indexPath: state was built by a different checkpoint lineage. " +
+        "Use a fresh indexPath/outDir or restore the original checkpoint.")
+    if (batchId == last) return // replay of the committed batch: no-op
+    // finish/roll back any interrupted compaction before probing
+    Seq(s"$indexPath/docs", s"$indexPath/buckets", outDir)
+      .foreach(p => graft.io.Parquet.repairBatchStore(spark, p))
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docsDir = new Path(s"$indexPath/docs")
+    // a legacy flat index (writeCorpusIndex layout) has data FILES at the
+    // docs root instead of batch= subdirs — its entries cannot be
+    // partition-pruned on replay, so refuse loudly with the migration
+    if (fs.exists(docsDir)) {
+      val foreign = fs.listStatus(docsDir)
+        .filterNot(e => e.getPath.getName.startsWith("_") ||
+          e.getPath.getName.startsWith("."))
+        .filterNot(e => e.isDirectory &&
+          e.getPath.getName.matches("batch=-?\\d+"))
+      require(foreign.isEmpty,
+        s"legacy flat corpus index at $indexPath — rebuild the seed with " +
+          "Dedup.seedCorpusIndex (batch=-1 base segment); a flat layout " +
+          "cannot be batch-pruned for exactly-once replay")
+    }
+    // bootstrap: nothing committed AND no seed base. (A crashed first
+    // batch may have left its own batch=0 index dirs — the bootstrap
+    // replay overwrites them; a crashed SEEDED first batch replays
+    // through the gate branch with its own entries pruned out.)
+    val seeded = fs.exists(new Path(docsDir, "batch=-1"))
+    val bootstrapped = last >= 0L || seeded
+    val batch = batch0.persist()
+    try {
+      if (batch.isEmpty) return
+      val accepted =
+        if (!bootstrapped) {
+          // first batch IS the corpus: self-dedup and index everything.
+          // The batch-keyed output write only ever overwrites its own
+          // subdir, but a FOREIGN flat dataset at outDir would silently
+          // gain a batch=0 partition — refuse that
+          val outP = new Path(outDir)
+          if (fs.exists(outP)) {
+            val foreignOut = fs.listStatus(outP)
+              .filterNot(e => e.getPath.getName.startsWith("_") ||
+                e.getPath.getName.startsWith("."))
+              .filterNot(e => e.isDirectory &&
+                e.getPath.getName.matches("batch=-?\\d+"))
+            require(foreignOut.isEmpty,
+              s"dedupIngest bootstrap would write into non-empty $outDir " +
+                "that holds data it did not write; point outDir at a " +
+                "fresh directory")
+          }
+          val pairs = Dedup.minhashLshPairs(batch, idCol, textCol,
+            shingleN, numHashes, bands, threshold)
+          Dedup.dedupedCorpus(batch, idCol, pairs)
+        } else {
+          // replay guard: prune this batch's own half-committed entries
+          val docs = spark.read.parquet(s"$indexPath/docs")
+            .filter(col("batch") =!= batchId)
+          val buckets = spark.read.parquet(s"$indexPath/buckets")
+            .filter(col("batch") =!= batchId)
+          val dups = Dedup.minhashLshNewVsIndexFrames(batch, docs, buckets,
+              idCol, textCol, shingleN, numHashes, bands, threshold)
+            .select(col("new_id").as("__graft_dup")).distinct()
+          val a0 = batch.join(dups, batch(idCol) === col("__graft_dup"),
+            "left_anti")
+          // intra-batch near-dups: the index only sees the pre-batch
+          // corpus and duplicates typically arrive together
+          val intraPairs = Dedup.minhashLshPairs(a0, idCol, textCol,
+            shingleN, numHashes, bands, threshold)
+          Dedup.dedupedCorpus(a0, idCol, intraPairs)
+        }
+      val accP = accepted
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // commit order: output, then index, then stamp — every write is
+      // batch-keyed + overwrite, so any prefix replays to the identical
+      // final state and nothing double-appends
+      try {
+        accP.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        Dedup.putCorpusIndexBatch(accP, idCol, textCol, indexPath, batchId,
+          shingleN, numHashes, bands)
+        BatchLedger.stamp(spark, indexPath, batchId)
+      } finally accP.unpersist()
+    } finally batch.unpersist()
+  }
 
   /** Build the gated ingest stream; caller `.start()`s it (and typically
     * `processAllAvailable()` in tests). The source schema is taken from the
@@ -46,72 +178,12 @@ object IngestDedup {
                   shingleN: Int = 3, numHashes: Int = 32, bands: Int = 8,
                   threshold: Double = 0.8): DataStreamWriter[Row] = {
     val schema = spark.read.parquet(srcDir).schema
-    val gate: (Dataset[Row], Long) => Unit = (batch, _) => {
-      if (!batch.isEmpty) {
-        // bootstrap: before any index exists (fresh pipeline, no prior
-        // writeCorpusIndex), the first batch IS the corpus — accept it
-        // and WRITE (not append) the index so the parameter stamp lands
-        val fs = new org.apache.hadoop.fs.Path(indexPath + "/docs")
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // BOTH halves must exist before the gate may probe: a bootstrap
-        // crash between writeCorpusIndex's docs and buckets writes would
-        // otherwise route the replay to the gate branch, whose read of
-        // the missing buckets dir fails on every retry — a wedged stream
-        val bootstrapped =
-          fs.exists(new org.apache.hadoop.fs.Path(indexPath + "/docs")) &&
-          fs.exists(new org.apache.hadoop.fs.Path(indexPath + "/buckets"))
-        if (!bootstrapped) {
-          // The output write below is mode=overwrite (that is the
-          // bootstrap's replay-safety) — it must never be pointed at data
-          // it did not write itself. A marker created BEFORE the first
-          // output write distinguishes "our own half-committed bootstrap
-          // output" (overwrite allowed on replay) from "a pre-existing
-          // corpus the caller pointed us at" (refuse loudly).
-          val bootMark =
-            new org.apache.hadoop.fs.Path(indexPath + "/_bootstrap_started")
-          if (!fs.exists(bootMark)) {
-            val outP = new org.apache.hadoop.fs.Path(outDir)
-            require(!fs.exists(outP) || fs.listStatus(outP).isEmpty,
-              s"dedupIngest bootstrap would OVERWRITE non-empty $outDir; " +
-                "point outDir at a fresh directory (the accepted corpus " +
-                "is built here from batch one)")
-            fs.create(bootMark, true).close()
-          }
-          // intra-batch near-dups are removed here (the gate can't do it:
-          // there is no index yet and the batch IS the corpus) — without
-          // this, first-batch duplicates live in the corpus forever
-          val pairs = Dedup.minhashLshPairs(batch.toDF(), idCol, textCol,
-            shingleN, numHashes, bands, threshold)
-          val accepted = Dedup.dedupedCorpus(batch.toDF(), idCol, pairs)
-            .persist()
-          // crash-safe ordering: the output write is OVERWRITE (outDir
-          // holds nothing but this batch at bootstrap, so a replay
-          // rewrites the same rows instead of appending a second copy)
-          // and the index lands last. A retry after any crash converges:
-          // index absent -> bootstrap re-runs idempotently; index
-          // present -> the gate flags the whole batch as dups of itself
-          // and appends nothing, and the output is already down.
-          accepted.write.mode("overwrite").parquet(outDir)
-          Dedup.writeCorpusIndex(accepted, idCol, textCol, indexPath,
-            shingleN, numHashes, bands)
-          accepted.unpersist()
-        } else {
-          val dups = Dedup.minhashLshNewVsIndex(batch.toDF(), indexPath,
-              idCol, textCol, shingleN, numHashes, bands, threshold)
-            .select(col("new_id").as("__graft_dup")).distinct()
-          val accepted = batch.toDF()
-            .join(dups, batch(idCol) === col("__graft_dup"), "left_anti")
-            .persist()
-          accepted.write.mode("append").parquet(outDir)
-          Dedup.appendCorpusIndex(accepted, idCol, textCol, indexPath,
-            shingleN, numHashes, bands)
-          accepted.unpersist()
-        }
-      }
-    }
     spark.readStream.schema(schema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch(gate)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        applyBatch(spark, b, id, indexPath, outDir, idCol, textCol,
+          shingleN, numHashes, bands, threshold)
+      }
   }
 }

@@ -53,45 +53,81 @@ object SimilarityIngest {
                     threshold: Double = 0.8, windowK: Int = 8,
                     maxDupWindowRatio: Double = 0.5)
 
-  // The commit ledger is append-only marker files, not one overwritten
-  // stamp: `_committed/batch-<id>`, created empty as the LAST write of a
-  // batch. Existence is the commit record — nothing is ever rewritten,
-  // so there is no crash window in which the ledger itself can be lost
-  // or truncated (an overwritten single-file stamp has exactly that
-  // window, and a corrupted stamp would wedge or mis-route every
-  // subsequent replay). One empty file per committed nonempty batch.
-  private val LedgerDir = "_committed"
+  // The commit ledger is append-only marker files (see [[BatchLedger]]):
+  // `_committed/batch-<id>`, created empty as the LAST write of a batch.
+  // One empty file per committed nonempty batch.
 
   /** Highest committed batch id, -1 before the first commit. */
-  def lastBatchId(spark: SparkSession, stateDir: String): Long = {
-    val dir = new Path(stateDir, LedgerDir)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) -1L
-    else fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      // strict name match, not startsWith: a stray editor/tool artifact
-      // ("batch-2~", "batch-2.tmp") in the ledger dir must be ignored,
-      // not crash every subsequent batch inside toLong
-      .collect { case s if s.matches("batch-\\d+") => s.drop(6).toLong }
-      .maxOption.getOrElse(-1L)
-  }
+  def lastBatchId(spark: SparkSession, stateDir: String): Long =
+    BatchLedger.last(spark, stateDir)
 
   private def writeStamp(spark: SparkSession, stateDir: String,
-                         batchId: Long): Unit = {
-    val marker = new Path(new Path(stateDir, LedgerDir), s"batch-$batchId")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(marker, true).close()
-  }
+                         batchId: Long): Unit =
+    BatchLedger.stamp(spark, stateDir, batchId)
 
-  /** The accepted corpus so far (partitioned by the `batch` that admitted
-    * each doc). */
+  /** The accepted corpus so far, with the `batch` that admitted each doc
+    * (`-1` for docs folded into a compacted base — see [[compactIndexes]]).
+    *
+    * Reads are COMMITTED-batch isolated: a crashed batch's half-written
+    * `accepted/batch=N` rows (present on disk until its replay overwrites
+    * them) are partition-pruned out via the ledger, so readers never
+    * observe an uncommitted verdict. Throws IllegalStateException before
+    * the first nonempty batch commits — there is no schema to return. */
   def accepted(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/accepted")
+    committedRead(spark, stateDir, s"$stateDir/accepted")
 
   /** Quarantined docs with their gate `reason` (`near_dup` /
-    * `substring_dup`), partitioned by `batch`. */
+    * `substring_dup`) and admitting `batch` (`-1` once compacted).
+    * Committed-batch isolated and pre-commit behavior as [[accepted]]. */
   def quarantined(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(s"$stateDir/quarantine")
+    committedRead(spark, stateDir, s"$stateDir/quarantine")
+
+  private def committedRead(spark: SparkSession, stateDir: String,
+                            path: String): DataFrame = {
+    val last = lastBatchId(spark, stateDir)
+    if (last < 0L) throw new IllegalStateException(
+      s"no committed batches at $stateDir yet — accepted()/quarantined() " +
+        "have no schema to return before the first nonempty batch commits")
+    // base segment is batch=-1, always <= last here
+    spark.read.parquet(path).filter(col("batch") <= last)
+  }
+
+  /** The five per-batch stores behind one state dir. */
+  private def leafStores(stateDir: String): Seq[String] = Seq(
+    s"$stateDir/accepted", s"$stateDir/quarantine",
+    s"$stateDir/minhash/docs", s"$stateDir/minhash/buckets",
+    s"$stateDir/windows")
+
+  /** Fold all COMMITTED batches up to `upToBatch` (clamped to the ledger
+    * frontier) into one compacted base segment per store — accepted,
+    * quarantine, both MinHash index tables, and the window index — and
+    * prune ledger markers below the newest one. Without this, a year of
+    * micro-batches leaves every O(batch) probe scanning 10k+ tiny
+    * per-batch files; after it, each store is ~data/128MB files again.
+    *
+    * Replay semantics are preserved exactly: the base lands at `batch=-1`
+    * (live ids are required non-negative, so no replay can ever overwrite
+    * or self-match it), the crash-replay prune `batch =!= id` keeps the
+    * base by construction, and a half-committed batch ABOVE the ledger
+    * frontier keeps its own subdirs for its replay to overwrite. The
+    * ledger stays append-only: only markers strictly below the retained
+    * maximum are removed, so `lastBatchId` (and therefore no-op replay
+    * detection) is unchanged. Must not run concurrently with an active
+    * stream's applyBatch; a crash mid-fold is repaired automatically by
+    * the next applyBatch or compactIndexes call. */
+  def compactIndexes(spark: SparkSession, stateDir: String,
+                     upToBatch: Long = Long.MaxValue): Unit = {
+    val last = lastBatchId(spark, stateDir)
+    if (last < 0L) return // nothing committed, nothing to fold
+    val upTo = math.min(upToBatch, last)
+    if (upTo < 0L) return
+    leafStores(stateDir).foreach { p =>
+      graft.io.Parquet.compactBatchStore(spark, p, upTo)
+    }
+    // only the max marker is load-bearing (lastBatchId takes maxOption);
+    // prune the rest so the ledger listing stays O(1) over years of runs
+    BatchLedger.prune(spark, stateDir, last)
+  }
 
   /** Gate one micro-batch. Replaying the COMMITTED last batchId is an
     * idempotent no-op (including replays of a half-committed batch, which
@@ -116,6 +152,12 @@ object SimilarityIngest {
         s"$stateDir: state was built by a different checkpoint lineage. " +
         "Use a fresh stateDir or restore the original checkpoint.")
     if (batchId == last) return // replay of the committed batch: no-op
+    // a compactIndexes crash mid-fold leaves a store in its two-phase
+    // window (tmp segment present, originals half-deleted); finish or
+    // roll back BEFORE probing, or the gates would read duplicated /
+    // missing corpus entries. No-op (5 dir listings) in steady state.
+    leafStores(stateDir).foreach(p =>
+      graft.io.Parquet.repairBatchStore(spark, p))
     val minhashDir = s"$stateDir/minhash"
     val windowsDir = s"$stateDir/windows"
     // Bootstrap detection rides the STAMP, not index-directory existence:

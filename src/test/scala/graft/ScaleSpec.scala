@@ -299,6 +299,37 @@ class ScaleSpec extends SparkSpec {
     scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("connected components agree across the broadcast/shuffle boundary") {
+    import graft.llm.Dedup
+    // a graph that stresses both regimes' join shapes: long chains (several
+    // pointer-jump rounds), a star (min-label through a hub), and a
+    // reversed chain (labels propagate against edge direction), plus
+    // singletons via self-free pair ids
+    val chains = (0L until 40L).filterNot(i => i % 10 == 9)
+      .map(i => (i + 1, i)) // reversed: dst < src
+    val star = (100L until 120L).map(i => (i, 100L))
+    val pairs = (chains ++ star).toDF("id_a", "id_b")
+    def run(bcastThreshold: Long) =
+      Dedup.connectedComponents(pairs, localEdgeThreshold = 0L,
+          broadcastNodeThreshold = bcastThreshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the same graph through the broadcast regime (threshold far above
+    // the node count) and the shuffle regime (threshold 0 — what a
+    // billion-node corpus would plan) must produce identical labels,
+    // so the 2M-node regime switch cannot silently corrupt components
+    val viaBroadcast = run(Long.MaxValue)
+    val viaShuffle = run(0L)
+    assert(viaBroadcast === viaShuffle)
+    // and both agree with the driver union-find fast path
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local === viaShuffle)
+    val expected =
+      ((0L until 40L).map(i => i -> (i / 10 * 10)) ++
+        (100L until 120L).map(_ -> 100L)).toMap
+    assert(viaBroadcast === expected)
+  }
+
   test("schema evolution: mergeSchema unions columns across parquet batches") {
     // the ingest reality at scale: later batches grow columns; readers must
     // see the union schema with nulls for pre-evolution rows

@@ -342,9 +342,10 @@ class StreamingSpec extends SparkSpec {
       "structured streaming processes unbounded data as incremental batches"
     val freshText2 =
       "catalyst optimizes logical plans before tungsten executes them fast"
-    // stored index over the existing corpus
+    // stored index over the existing corpus, seeded as the batch=-1 base
+    // segment (the layout the exactly-once gate can batch-prune)
     val corpus = Seq((1L, corpusText)).toDF("doc_id", "text")
-    Dedup.writeCorpusIndex(corpus, "doc_id", "text", idx)
+    Dedup.seedCorpusIndex(corpus, "doc_id", "text", idx)
     // batch 1 arrives before the stream starts: one corpus dup, one fresh
     Seq((10L, corpusText), (11L, freshText1)).toDF("doc_id", "text")
       .write.mode("append").parquet(src)
@@ -380,6 +381,55 @@ class StreamingSpec extends SparkSpec {
     val indexedAfter = spark.read.parquet(s"$idx/docs")
       .select("id").collect().map(_.getLong(0)).toList.sorted
     assert(indexedAfter === List(1L, 11L, 22L))
+
+    // THE 285d329 window, on the upgraded gate: a batch with accepted
+    // docs goes down fully except the ledger stamp (crash after output +
+    // index writes). The replay must OVERWRITE its own batch dirs — the
+    // pre-r7 append-based gate re-appended the whole batch here,
+    // duplicating corpus rows and index entries.
+    val freshText3 =
+      "window functions rank rows within partitions ordered by keys"
+    val batch3 = Seq((40L, freshText3)).toDF("doc_id", "text")
+    graft.streaming.IngestDedup.applyBatch(spark, batch3, 3L, idx, out,
+      "doc_id", "text")
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(
+      new org.apache.hadoop.fs.Path(s"$idx/_committed/batch-3"), false)
+    graft.streaming.IngestDedup.applyBatch(spark, batch3, 3L, idx, out,
+      "doc_id", "text")
+    assert(spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toList.sorted === List(11L, 22L, 40L)) // no dup
+    assert(spark.read.parquet(s"$idx/docs").select("id").collect()
+      .map(_.getLong(0)).toList.sorted === List(1L, 11L, 22L, 40L))
+    // committed-isolated reader agrees
+    assert(graft.streaming.IngestDedup.corpus(spark, idx, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(11L, 22L, 40L))
+
+    // compaction folds output + index into the base; the gate still
+    // dedups against folded docs afterwards
+    graft.streaming.IngestDedup.compact(spark, idx, out)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/docs"))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet ===
+      Set("batch=-1"))
+    graft.streaming.IngestDedup.applyBatch(spark,
+      Seq((50L, freshText3), (51L, "totally novel content here nine words"))
+        .toDF("doc_id", "text"), 4L, idx, out, "doc_id", "text")
+    assert(graft.streaming.IngestDedup.corpus(spark, idx, out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(11L, 22L, 40L, 51L)) // 50 dups folded 40
+
+    // a legacy flat index layout is refused loudly, with the migration
+    val flatIdx = java.nio.file.Files
+      .createTempDirectory("graft_gate_flat").toString
+    Dedup.writeCorpusIndex(corpus, "doc_id", "text", flatIdx)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.IngestDedup.applyBatch(spark, batch3, 0L, flatIdx,
+        java.nio.file.Files.createTempDirectory("graft_gate_fo").toString,
+        "doc_id", "text")
+    }
+    assert(e.getMessage.contains("seedCorpusIndex"))
   }
 
   test("quality-gated ingest routes failing batches to quarantine and keeps a metrics ledger") {
@@ -412,6 +462,111 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2))).toSet
     assert(ledger.size === 4) // 2 batches x 2 expectations
     assert(ledger.filter(_._3 == false).map(_._2) === Set("id_complete"))
+  }
+
+  test("ingest store compaction preserves verdicts, replay, crash repair") {
+    import graft.streaming.SimilarityIngest
+    import org.apache.hadoop.fs.Path
+    val p = SimilarityIngest.Params(windowK = 4, maxDupWindowRatio = 0.5)
+    val A = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val B = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    val C = "one two three four five six seven eight nine ten eleven twelve"
+    val D = "red orange yellow green blue indigo violet cyan magenta teal maroon navy"
+    val stitched = (A.split(" ").take(6) ++ B.split(" ").take(6))
+      .mkString(" ")
+    val batches = Seq(
+      Seq((1L, A), (2L, B), (3L, A)),
+      Seq((10L, A), (11L, stitched), (12L, C)),
+      Seq((20L, C), (21L, D), (22L, D)))
+    def runGate(compactAfter: Option[Long]): (String, Set[(Long, String)]) = {
+      val state = java.nio.file.Files
+        .createTempDirectory("graft_compact").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        SimilarityIngest.applyBatch(spark, state,
+          b.toDF("doc_id", "text"), i.toLong, "doc_id", "text", p)
+        if (compactAfter.contains(i.toLong))
+          SimilarityIngest.compactIndexes(spark, state)
+      }
+      val d = SimilarityIngest.accepted(spark, state)
+        .select(col("doc_id"), lit("accepted").as("status"))
+        .unionByName(SimilarityIngest.quarantined(spark, state)
+          .select(col("doc_id"), col("reason").as("status")))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      (state, d)
+    }
+    // control (never compacted) vs compacted-after-batch-1: batch 2 probes
+    // the folded base + batch dirs and must reach identical verdicts
+    val (_, control) = runGate(None)
+    val (state, compacted) = runGate(Some(1L))
+    assert(compacted === control)
+    val fs = new Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // layout: batches 0..1 folded into batch=-1 everywhere; batch 2's own
+    // subdirs intact; ledger pruned to its max marker at compact time
+    for (leaf <- Seq("accepted", "quarantine", "minhash/docs",
+        "minhash/buckets", "windows")) {
+      val names = fs.listStatus(new Path(state, leaf))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      assert(names === Set("batch=-1", "batch=2"), leaf)
+    }
+    assert(SimilarityIngest.lastBatchId(spark, state) === 2L)
+    // replay of the committed last batch after compaction: still a no-op
+    SimilarityIngest.applyBatch(spark, state,
+      Seq((99L, D)).toDF("doc_id", "text"), 2L, "doc_id", "text", p)
+    // crash-window replay of batch 2 AGAINST the compacted base: prune its
+    // own entries, keep the base, converge. Compacting in the crashed
+    // state must clamp to the ledger (1) and leave batch 2's dirs alone.
+    fs.delete(new Path(state, "_committed/batch-2"), false)
+    // committed-read isolation: the half-committed batch's on-disk rows
+    // are invisible through accepted()/quarantined() until it re-commits
+    assert(SimilarityIngest.accepted(spark, state)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 12L))
+    SimilarityIngest.compactIndexes(spark, state)
+    assert(fs.exists(new Path(state, "minhash/docs/batch=2")))
+    SimilarityIngest.applyBatch(spark, state,
+      batches(2).toDF("doc_id", "text"), 2L, "doc_id", "text", p)
+    val after = SimilarityIngest.accepted(spark, state)
+      .select(col("doc_id"), lit("accepted").as("status"))
+      .unionByName(SimilarityIngest.quarantined(spark, state)
+        .select(col("doc_id"), col("reason").as("status")))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after === control)
+    // accepted() before any commit: loud, typed failure (no schema exists)
+    val empty = java.nio.file.Files
+      .createTempDirectory("graft_compact_empty").toString
+    intercept[IllegalStateException] {
+      SimilarityIngest.accepted(spark, empty)
+    }
+    // crash DURING a fold, phase A complete (_SUCCESS down): repair
+    // finishes the destructive phase — batch dirs fold into the base
+    val leaf = java.nio.file.Files
+      .createTempDirectory("graft_fold_leaf").toString
+    graft.llm.SubstringDedup.putWindowIndexBatch(
+      Seq((1L, A)).toDF("doc_id", "text"), "doc_id", "text", 4, leaf, 0L)
+    graft.llm.SubstringDedup.putWindowIndexBatch(
+      Seq((2L, B)).toDF("doc_id", "text"), "doc_id", "text", 4, leaf, 1L)
+    val want = spark.read.parquet(leaf).select("whash")
+      .collect().map(_.getLong(0)).toSet
+    spark.read.parquet(leaf).drop("batch")
+      .write.parquet(s"$leaf/.__graft_fold_tmp-1")
+    graft.io.Parquet.repairBatchStore(spark, leaf)
+    val lfs = new Path(leaf)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(lfs.listStatus(new Path(leaf)).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet === Set("batch=-1"))
+    assert(spark.read.parquet(leaf).select("whash")
+      .collect().map(_.getLong(0)).toSet === want)
+    // crash during phase A (no _SUCCESS): repair rolls back, originals
+    // untouched
+    graft.llm.SubstringDedup.putWindowIndexBatch(
+      Seq((3L, C)).toDF("doc_id", "text"), "doc_id", "text", 4, leaf, 2L)
+    spark.read.parquet(leaf).drop("batch")
+      .write.parquet(s"$leaf/.__graft_fold_tmp-2")
+    lfs.delete(new Path(s"$leaf/.__graft_fold_tmp-2/_SUCCESS"), false)
+    graft.io.Parquet.repairBatchStore(spark, leaf)
+    assert(lfs.listStatus(new Path(leaf)).filter(_.isDirectory)
+      .map(_.getPath.getName).toSet === Set("batch=-1", "batch=2"))
   }
 
   test("similarity ingest gate: both indexes, cross-batch, replay-proof") {
