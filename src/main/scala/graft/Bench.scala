@@ -20,8 +20,14 @@ import org.apache.spark.sql.SparkSession
   * Each query runs twice and the reported time is the MIN of the two runs:
   * a transient machine-load spike during one run (the round-2 failure mode —
   * 4-45x per-query inflation under contention) cannot distort the headline
-  * number unless it spans both runs. The cold (first-run) times are kept
-  * under `"cold_queries"` for anyone studying cache/JIT effects.
+  * number unless it spans both runs. When it DOES span both — the two runs
+  * still disagree >= 2x with the better one >= 0.5 s, the r6 signature
+  * where a contiguous alphabetical block read 3-15x its quiet-box time —
+  * the query earns a DEFERRED third run after the whole registry finishes
+  * (minutes later, outside the load window) and reports min-of-three.
+  * Third-run names land in `"retried"` in target/bench.json for auditing.
+  * The cold (first-run) times are kept under `"cold_queries"` for anyone
+  * studying cache/JIT effects.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -66,15 +72,30 @@ object Bench {
     // it, so its full-registry contract is unchanged.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val cold = runOnce(fn)
       val warm = runOnce(fn)
+      (name, fn, cold, warm)
+    }
+    // Deferred min-of-three for load-window outliers: a machine-load spike
+    // long enough to span a query's back-to-back runs inflates BOTH, and
+    // min-of-two can't see past it. Signature: the two runs still disagree
+    // >= 2x (contention is noisy) with the better one >= 0.5 s (sub-500ms
+    // ratios are scheduler noise). Those queries re-run now — after the
+    // full registry, typically minutes later and outside the window.
+    val results = firstPass.map { case (name, fn, cold, warm) =>
       val best =
         if (cold < 0 || warm < 0) -1.0 // fail in either run = failed query
         else math.min(cold, warm)
-      (name, cold, best)
+      val isOutlier = best >= 0.5 && math.max(cold, warm) / best >= 2.0
+      val best3 =
+        if (isOutlier) {
+          val third = runOnce(fn)
+          if (third >= 0) math.min(best, third) else best
+        } else best
+      (name, cold, best3, isOutlier)
     }
     // JSON string escaping shared with Verify (graft.Util.jsonEscape) so
     // the two driver-facing emitters cannot drift apart.
@@ -85,6 +106,7 @@ object Bench {
       if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.map(_._3).filter(_ >= 0).sum
     val nFailed = results.count(_._3 < 0)
+    val retried = results.collect { case (n, _, _, true) => n }
     // stdout line: millisecond precision, warm-min times only — and the
     // HEADLINE FIELDS LAST. The driver keeps only the final ~2000 chars of
     // the log (every BENCH_r0N so far shows the line truncated at the
@@ -93,12 +115,12 @@ object Bench {
     // preserves them; key order is irrelevant to any real JSON parser when
     // the line does fit. Full detail lives in target/bench.json.
     val line =
-      s"""{"metric":"total","queries":${jsonMap(results.map { case (n, _, best) => n -> best }, ms)},"value":${ms(total)},"unit":"sec","sf":${jstr(sfDir)},"materialization":"noop","n_queries":${results.size},"errors":$nFailed}"""
+      s"""{"metric":"total","queries":${jsonMap(results.map { case (n, _, best, _) => n -> best }, ms)},"value":${ms(total)},"unit":"sec","sf":${jstr(sfDir)},"materialization":"noop","n_queries":${results.size},"errors":$nFailed}"""
     println(line)
     // File-based output keeps the full detail (cold first-run times too):
     // atomic-ish (write temp then rename) so a reader never sees a torn line.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map { case (n, _, best) => n -> best }, _.toString)},"cold_queries":${jsonMap(results.map { case (n, cold, _) => n -> cold }, _.toString)},"sf":${jstr(sfDir)},"materialization":"noop","n_queries":${results.size},"errors":$nFailed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map { case (n, _, best, _) => n -> best }, _.toString)},"cold_queries":${jsonMap(results.map { case (n, cold, _, _) => n -> cold }, _.toString)},"retried":${retried.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"materialization":"noop","n_queries":${results.size},"errors":$nFailed}"""
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     val tmp = out.resolveSibling("bench.json.tmp")

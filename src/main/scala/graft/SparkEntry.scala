@@ -83,6 +83,14 @@ object SparkEntry {
     path
   }
 
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Path}
+    val p = Path.of(path)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
   // ---------- the registry ----------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -738,9 +746,13 @@ object SparkEntry {
     }),
 
     // Sketches #2: count-min frequency estimates for the known event types
-    // (rows-only; the sketch is a driver-mergeable KB-sized summary, so
-    // reading it on the driver is the intended use — CMS never
-    // underestimates, StreamingSpec pins the bounds)
+    // (the sketch is a driver-mergeable KB-sized summary, so reading it on
+    // the driver is the intended use). Oracle-checked: CMS with a fixed
+    // seed is deterministic integer math — the oracle replays Spark's
+    // Murmur3_x86_32 (4-byte LE blocks + per-tail-byte full mix rounds,
+    // seed chain h1=murmur(v,42), h2=murmur(v,h1)), the depth-7/width-2000
+    // geometry of (eps=0.001, confidence=0.99), and the min-over-rows
+    // collision sums in DuckDB HUGEINT arithmetic.
     "q_sketch_cms" -> ((s, dir) => {
       import s.implicits._
       val cms = table(s, dir, "events").stat.countMinSketch(
@@ -927,11 +939,21 @@ object SparkEntry {
     // and crash-window convergence.
     "q_similarity_ingest" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_simingest_q").toString
-      for (b <- 0L to 2L)
+      // deterministic state path, cleared up-front: repeated gate runs
+      // (Bench runs each query twice per round) reuse ONE location
+      // instead of leaking a fresh temp corpus copy per invocation
+      val state = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_simingest_q").toString
+      deleteRecursively(state)
+      for (b <- 0L to 2L) {
         graft.streaming.SimilarityIngest.applyBatch(s, state,
           docs.filter(col("doc_id") % 3 === b), b, "doc_id", "text")
+        // fold batches 0..1 into the compacted base mid-stream: batch 2
+        // must probe the folded indexes and produce identical verdicts
+        // (the long-running-ingest small-files fix, exercised in-gate)
+        if (b == 1L)
+          graft.streaming.SimilarityIngest.compactIndexes(s, state)
+      }
       graft.streaming.SimilarityIngest.accepted(s, state)
         .select(col("doc_id"), lit("accepted").as("status"))
         .unionByName(graft.streaming.SimilarityIngest.quarantined(s, state)
@@ -1292,6 +1314,17 @@ object SparkEntry {
       graft.quality.Profile.profile(table(s, dir, "lineitem"),
           Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
             "l_shipdate"))
+        .orderBy(col("column"))),
+
+    // Data catalog at corpus scale: the same profile with HLL++ distinct
+    // estimates (exactDistinct = false) — a true single no-Expand pass,
+    // flat in the column count. Rows-only (estimates are engine-specific);
+    // OpsSpec bounds every estimate within 5% of exact, and this entry
+    // prices the exact/approx pair side by side in the bench.
+    "q_profile_table_approx" -> ((s, dir) =>
+      graft.quality.Profile.profile(table(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+            "l_shipdate"), exactDistinct = false)
         .orderBy(col("column"))),
 
     // Data catalog: fixed-width value histogram — single hash aggregate
@@ -2571,6 +2604,86 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem WHERE l_extendedprice IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Deterministic replay of Spark's CountMinSketch(eps=0.001, conf=0.99,
+    // seed=42): depth 7, width 2000, Murmur3_x86_32 over utf8 bytes
+    // (hashUnsafeBytes: 4-byte LE blocks, then each tail byte as a FULL
+    // mixK1+mixH1 round), h1 = murmur(v, 42), h2 = murmur(v, h1), row i
+    // bucket = java-int(h1 + i*h2) (bit-flip if negative) % width; the
+    // estimate is min over rows of the colliding exact counts. All
+    // 32-bit wraps run in HUGEINT then mod 2^32 (the q_frame_samples
+    // pattern); validated against org.apache.spark.util.sketch directly.
+    "q_sketch_cms" ->
+      """WITH ev AS (
+        |  SELECT event_type AS v, count(*) AS n FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY 1),
+        |probes AS (SELECT * FROM (VALUES ('click'),('error'),('purchase'),
+        |  ('signup'),('view')) p(v)),
+        |vals AS (SELECT v FROM ev UNION SELECT v FROM probes),
+        |hx AS (
+        |  SELECT v, strlen(v) AS len,
+        |    list_transform(
+        |      list_concat(
+        |        list_transform(generate_series(1, strlen(v) // 4), j ->
+        |          CAST(ascii(substring(v, CAST(4*j-3 AS INT), 1))
+        |            + 256 * ascii(substring(v, CAST(4*j-2 AS INT), 1))
+        |            + 65536 * ascii(substring(v, CAST(4*j-1 AS INT), 1))
+        |            + 16777216 * ascii(substring(v, CAST(4*j AS INT), 1))
+        |            AS BIGINT)),
+        |        list_transform(
+        |          generate_series(4*(strlen(v)//4) + 1, strlen(v)), i ->
+        |          CAST(ascii(substring(v, CAST(i AS INT), 1)) AS BIGINT))),
+        |      k -> CAST((((CAST(k AS HUGEINT) * 3432918353) % 4294967296
+        |             * 32768) % 4294967296
+        |             + (CAST(k AS HUGEINT) * 3432918353) % 4294967296
+        |               // 131072)
+        |             * 461845907 % 4294967296 AS BIGINT)) AS mixed
+        |  FROM vals),
+        |h1 AS (
+        |  SELECT v, len, mixed,
+        |    list_reduce(list_prepend(CAST(42 AS BIGINT), mixed), (acc, m) ->
+        |      CAST((((CAST(xor(acc, m) AS HUGEINT) * 8192) % 4294967296
+        |        + xor(acc, m) // 524288) * 5 + 3864292196) % 4294967296
+        |        AS BIGINT)) AS h1pre,
+        |    xor(h1pre, len) AS a1,
+        |    xor(a1, a1 // 65536) AS a2,
+        |    CAST(CAST(a2 AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT)
+        |      AS a3,
+        |    xor(a3, a3 // 8192) AS a4,
+        |    CAST(CAST(a4 AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT)
+        |      AS a5,
+        |    xor(a5, a5 // 65536) AS h1v
+        |  FROM hx),
+        |h2 AS (
+        |  SELECT v, h1v,
+        |    list_reduce(list_prepend(h1v, mixed), (acc, m) ->
+        |      CAST((((CAST(xor(acc, m) AS HUGEINT) * 8192) % 4294967296
+        |        + xor(acc, m) // 524288) * 5 + 3864292196) % 4294967296
+        |        AS BIGINT)) AS h2pre,
+        |    xor(h2pre, len) AS b1,
+        |    xor(b1, b1 // 65536) AS b2,
+        |    CAST(CAST(b2 AS HUGEINT) * 2246822507 % 4294967296 AS BIGINT)
+        |      AS b3,
+        |    xor(b3, b3 // 8192) AS b4,
+        |    CAST(CAST(b4 AS HUGEINT) * 3266489909 % 4294967296 AS BIGINT)
+        |      AS b5,
+        |    xor(b5, b5 // 65536) AS h2v
+        |  FROM h1),
+        |buckets AS (
+        |  SELECT h.v, d.i,
+        |    ((h.h1v + d.i * h.h2v) % 4294967296) AS c,
+        |    (CASE WHEN c >= 2147483648 THEN 4294967295 - c ELSE c END)
+        |      % 2000 AS bkt
+        |  FROM h2 h, (SELECT unnest(generate_series(1, 7)) AS i) d),
+        |rowsums AS (
+        |  SELECT p.v AS probe, pb.i, coalesce(sum(e.n), 0) AS s
+        |  FROM probes p
+        |  JOIN buckets pb ON pb.v = p.v
+        |  LEFT JOIN buckets vb ON vb.i = pb.i AND vb.bkt = pb.bkt
+        |  LEFT JOIN ev e ON e.v = vb.v
+        |  GROUP BY 1, 2)
+        |SELECT probe AS event_type, CAST(min(s) AS BIGINT) AS approx_n
+        |FROM rowsums GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Snapshot diff replayed as a FULL OUTER JOIN with per-column
     // IS DISTINCT FROM compares (the null-safe struct equality).

@@ -23,11 +23,37 @@ import graft.Util.qcol
   * `exactDistinct = false` for HyperLogLog++ estimates
   * (`approx_count_distinct`), which keeps the profile a true single
   * no-Expand pass with KB-sized aggregation state per column.
+  *
+  * The Expand's arity MULTIPLIES with the exact-distinct column count:
+  * each profiled column adds a projection of the input (N columns exact
+  * = an N+1-way row expansion of the whole scan before aggregation), so
+  * a "profile everything" call over a wide table silently plans an
+  * N× blowup of the table. Above [[ExactDistinctWarnCols]] columns the
+  * call warns; above `maxExactDistinctCols` (default 64, overridable) it
+  * refuses, steering to `exactDistinct = false` — whose cost is flat in
+  * the column count.
   */
 object Profile {
 
+  /** Exact-distinct column count above which profile() warns about the
+    * Expand blowup. ~20 columns = a 21× row expansion of the scanned
+    * table feeding the partial aggregate. */
+  val ExactDistinctWarnCols = 20
+
   def profile(df: DataFrame, cols: Seq[String],
-              exactDistinct: Boolean = true): DataFrame = {
+              exactDistinct: Boolean = true,
+              maxExactDistinctCols: Int = 64): DataFrame = {
+    if (exactDistinct && cols.size > maxExactDistinctCols)
+      throw new IllegalArgumentException(
+        s"profile: ${cols.size} exact-distinct columns would plan a " +
+          s"${cols.size + 1}-way Expand of the whole table; pass " +
+          "exactDistinct = false (HLL++ estimates, flat cost) or raise " +
+          s"maxExactDistinctCols (= $maxExactDistinctCols) explicitly")
+    if (exactDistinct && cols.size > ExactDistinctWarnCols)
+      System.err.println(
+        s"[graft] profile: ${cols.size} exact-distinct columns plans a " +
+          s"${cols.size + 1}-way Expand of the input — consider " +
+          "exactDistinct = false at scale")
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     // fail with the offending names, not a bare NoSuchElementException
     // from the type map lookup below

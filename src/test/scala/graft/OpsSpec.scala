@@ -659,6 +659,38 @@ class OpsSpec extends SparkSpec {
     assert(h === Map(0L -> 2L, 1L -> 1L))
   }
 
+  test("Profile: HLL++ estimates within 5% of exact; Expand guard fires") {
+    import graft.quality.Profile
+    // high-cardinality columns where an HLL error would actually show:
+    // 50k distinct longs, 10k distinct strings, 500 distinct ints
+    val df = spark.range(50000L).select(col("id"),
+      concat(lit("s"), (col("id") % 10000)).as("s"),
+      (col("id") % 500).cast("int").as("grp"))
+    val cols = Seq("id", "s", "grp")
+    def nd(exact: Boolean) =
+      Profile.profile(df, cols, exactDistinct = exact).collect()
+        .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val (ex, ap) = (nd(true), nd(false))
+    assert(ex === Map("id" -> 50000L, "s" -> 10000L, "grp" -> 500L))
+    for ((c, exact) <- ex) {
+      val rel = math.abs(ap(c).toDouble - exact) / exact
+      assert(rel <= 0.05, s"$c: HLL++ ${ap(c)} vs exact $exact ($rel)")
+    }
+    // the guard: >maxExactDistinctCols exact-distinct columns refuse with
+    // a steer to exactDistinct=false; the approx path takes any width
+    val wide = spark.range(10L)
+      .select((0 until 65).map(i => (col("id") + i).as(s"c$i")): _*)
+    val wideCols = (0 until 65).map(i => s"c$i")
+    val e = intercept[IllegalArgumentException] {
+      Profile.profile(wide, wideCols)
+    }
+    assert(e.getMessage.contains("exactDistinct = false"))
+    assert(Profile.profile(wide, wideCols, exactDistinct = false)
+      .count() === 65L)
+    assert(Profile.profile(wide, wideCols,
+      maxExactDistinctCols = 65).count() === 65L)
+  }
+
   test("TableDiff: added/removed/changed with null-safe compares") {
     import graft.quality.TableDiff
     val oldDf = Seq(
