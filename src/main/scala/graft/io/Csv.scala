@@ -22,9 +22,28 @@ object Csv {
     * takes over. Codebook-sized fixtures stay on the stock reader. */
   val SplitThreshold: Long = 256L * 1024 * 1024
 
+  /** Read CSV with [[Csv.read]] semantics, auto-routing large inputs to
+    * the splittable [[CsvSplit]] reader.
+    *
+    * COMPRESSION CONTRACT: [[CsvSplit]] splits UNCOMPRESSED byte ranges,
+    * so compressed inputs (`.gz`/`.zst`/`.bz2`/... by extension, the same
+    * convention Hadoop codecs use) never route to it — a compressed
+    * Qualtrics export stays on the stock one-task-per-file reader no
+    * matter its size. When a compressed file IS above [[SplitThreshold]],
+    * pass `decompressDir`: each compressed file is decompressed once
+    * (distributed, one task per file) into that staging directory and the
+    * splittable reader runs over the staged plaintext —
+    * [[CsvSplit.decompressToSplittable]]. The caller owns cleaning the
+    * staging directory after the returned frame is consumed. */
   def read(spark: SparkSession, path: String,
-           inferSchema: Boolean = true): DataFrame =
-    if (maxFileLen(spark, path) > SplitThreshold)
+           inferSchema: Boolean = true,
+           decompressDir: Option[String] = None): DataFrame = {
+    val (maxLen, anyCompressed) = dataFileStats(spark, path)
+    if (maxLen > SplitThreshold && anyCompressed && decompressDir.nonEmpty)
+      CsvSplit.read(spark,
+        CsvSplit.decompressToSplittable(spark, path, decompressDir.get),
+        inferSchema)
+    else if (maxLen > SplitThreshold && !anyCompressed)
       CsvSplit.read(spark, path, inferSchema)
     else spark.read
       .option("header", "true")
@@ -37,11 +56,25 @@ object Csv {
       .option("nullValue", "NA")
       .option("inferSchema", inferSchema.toString)
       .csv(path)
+  }
 
-  /** Largest data-file size under `path`; 0 when unresolvable OR when the
-    * layout is nested (hive partitions etc.) — both cases stay on the
-    * stock reader, which has partition discovery and clearer errors. */
-  private def maxFileLen(spark: SparkSession, path: String): Long =
+  private val CompressedExts =
+    Seq(".gz", ".gzip", ".zst", ".zstd", ".bz2", ".snappy", ".lz4",
+      ".deflate")
+
+  private[io] def isCompressedName(name: String): Boolean = {
+    val n = name.toLowerCase(java.util.Locale.ROOT)
+    CompressedExts.exists(n.endsWith)
+  }
+
+  /** (largest data-file size, any file compressed-by-extension) under
+    * `path`; (0, false) when unresolvable OR when the layout is nested
+    * (hive partitions etc.) — both cases stay on the stock reader, which
+    * has partition discovery and clearer errors. Hidden/metadata files
+    * (`_`/`.` prefixes) are excluded — the routing decision must be made
+    * only on files the reader will actually read. */
+  private def dataFileStats(spark: SparkSession,
+                            path: String): (Long, Boolean) =
     try {
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -51,9 +84,15 @@ object Csv {
       }
       if (children.exists(s => s.isDirectory &&
           !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))) 0L
-      else children.filter(_.isFile).map(_.getLen).maxOption.getOrElse(0L)
-    } catch { case _: java.io.IOException => 0L }
+          !s.getPath.getName.startsWith("."))) (0L, false)
+      else {
+        val data = children.filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        (data.map(_.getLen).maxOption.getOrElse(0L),
+          data.exists(s => isCompressedName(s.getPath.getName)))
+      }
+    } catch { case _: java.io.IOException => (0L, false) }
 
   /** All-strings read: matching-critical columns must keep R character
     * semantics (SURVEY.md §1.4 — `25-2`-style admin values). */

@@ -42,11 +42,19 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   * surface as a one-field row from the file reader; RFC-4180 writers
   * produce neither.
   *
-  * Scale ledger: driver state is one long per block (a 100 TB input at
-  * the default 32 MiB blocks is ~3.3M longs ≈ 26 MB — metadata-sized,
-  * same budget class as a file manifest); pass 2 is one task per block.
-  * Requires well-formed RFC-4180 quoting (readr, Qualtrics exports and
-  * Spark's own writer all produce it) and `\n` / `\r\n` line endings.
+  * Scale ledger: driver state is O(blocks) — the pass-1 count map, the
+  * range and block descriptor lists and the parity map together cost
+  * ~100-200 bytes per block with JVM boxing, so a 100 TB input at the
+  * default 32 MiB blocks (~3.3M blocks) holds roughly 300-600 MB on the
+  * driver, and pass 2 schedules one task per block. At that scale raise
+  * `blockSize` to 128-256 MiB: driver state and task count shrink
+  * linearly (and a 256 MiB block is still one in-memory buffer per
+  * task). The default suits the tens-of-GB class the reference's
+  * exports actually reach. Requires well-formed RFC-4180 quoting
+  * (readr, Qualtrics exports and Spark's own writer all produce it),
+  * `\n` / `\r\n` line endings, and UNCOMPRESSED input — byte ranges of
+  * a compressed stream are not scannable ([[Csv.read]] never routes
+  * compressed files here; [[decompressToSplittable]] stages them).
   */
 object CsvSplit {
 
@@ -140,8 +148,22 @@ object CsvSplit {
     }
 
     // column names via Spark's own header machinery (quoting, duplicate-
-    // name deduplication) — a one-element dataset parse, no data rows
+    // name deduplication) — a one-element dataset parse, no data rows.
+    // Every file's header must MATCH the first file's: the stock reader
+    // binds names from its own partition-packing order (size-descending),
+    // so disagreeing per-file headers would make the two paths silently
+    // bind different column names — fail loudly instead. (One driver
+    // read of the first record per file, the same cost class as the
+    // crlf fallback scan.)
     val header = headerRecord(sconf.value, files.head._1, crlfByFile(0))
+    files.zipWithIndex.drop(1).foreach { case ((f, _), fi) =>
+      val h = headerRecord(sconf.value, f, crlfByFile(fi))
+      require(h == header,
+        s"csv at $path: per-file headers disagree — ${files.head._1} has " +
+          s"'$header' but $f has '$h'; the splittable reader requires one " +
+          "shared header (and the stock reader would bind names " +
+          "arbitrarily by partition packing order)")
+    }
     val names = spark.read
       .option("header", "true")
       .option("escape", "\"")
@@ -190,6 +212,75 @@ object CsvSplit {
           names.zip(inferred).map { case (n, f) => f.copy(name = n) }))
       }
     }
+  }
+
+  /** Stage a directory of (possibly) compressed CSV files as splittable
+    * plaintext under `stagingDir`, returning `stagingDir`: each
+    * compressed file (by Hadoop codec extension) is decompressed in one
+    * distributed task; already-plain files are copied through. This is
+    * the decompress-then-split path for oversized `.gz` exports — one
+    * sequential pass per file (the stream is inherently sequential), but
+    * every DOWNSTREAM pass over the staged bytes is splittable, which is
+    * the trade a >256 MiB gzip member forces. Idempotent: outputs are
+    * overwritten, so a re-run (or a crashed earlier run) converges. The
+    * caller owns deleting `stagingDir` when done. */
+  def decompressToSplittable(spark: SparkSession, path: String,
+                             stagingDir: String): String = {
+    val sconf = new SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val fs = new Path(path).getFileSystem(sconf.value)
+    val rootStatus = fs.globStatus(new Path(path))
+    require(rootStatus != null && rootStatus.nonEmpty,
+      s"csv input not found: $path")
+    val files = rootStatus.toSeq
+      .flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).toSeq else Seq(st)
+      }
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath.toString)
+    new Path(stagingDir).getFileSystem(sconf.value)
+      .mkdirs(new Path(stagingDir))
+    spark.sparkContext.parallelize(files, math.max(1, files.size))
+      .foreach { f =>
+        val conf = sconf.value
+        val src = new Path(f)
+        val srcFs = src.getFileSystem(conf)
+        val factory =
+          new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+        val codec = Option(factory.getCodec(src))
+        // a compressed-by-extension file whose codec is unavailable (e.g.
+        // zstd without native hadoop libs) must fail here, not get staged
+        // verbatim and parsed downstream as garbage plaintext
+        require(codec.nonEmpty || !Csv.isCompressedName(src.getName),
+          s"no hadoop codec available for compressed file $f — " +
+            "decompress it externally or add the codec to the cluster")
+        val outName = codec.map(_ =>
+          org.apache.hadoop.io.compress.CompressionCodecFactory
+            .removeSuffix(src.getName,
+              factory.getCodec(src).getDefaultExtension))
+          .getOrElse(src.getName)
+        val dst = new Path(stagingDir, outName)
+        val dstFs = dst.getFileSystem(conf)
+        val in = codec match {
+          case Some(c) => c.createInputStream(srcFs.open(src))
+          case None => srcFs.open(src)
+        }
+        try {
+          val out = dstFs.create(dst, true)
+          try {
+            val buf = new Array[Byte](1 << 20)
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) out.write(buf, 0, n)
+              n = in.read(buf)
+            }
+          } finally out.close()
+        } finally in.close()
+      }
+    stagingDir
   }
 
   private case class Block(file: String, start: Long, end: Long,

@@ -362,6 +362,58 @@ class PipelineSpec extends SparkSpec {
     assert(split.count() === 90)
   }
 
+  test("compressed CSV: routing contract + decompress-then-split parity") {
+    import graft.io.{Csv, CsvSplit}
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvgz")
+      .toString
+    val rows = (1 to 80).map(i => (i.toLong, s"v\n$i", s"q\"$i\""))
+    Csv.writeSingle(rows.toDF("id", "c1", "c2"), s"$dir/data.csv")
+    // gzip the file the way an exporter would (plaintext removed)
+    val plain = java.nio.file.Paths.get(s"$dir/data.csv")
+    val gz = java.nio.file.Paths.get(s"$dir/data.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gz))
+    try out.write(java.nio.file.Files.readAllBytes(plain))
+    finally out.close()
+    java.nio.file.Files.delete(plain)
+    // the stock reader handles the .gz transparently — this is the path
+    // Csv.read routes compressed inputs to regardless of size
+    val stock = Csv.readAsStrings(spark, dir)
+    assert(stock.count() === 80)
+    // decompress-then-split: staged plaintext through the splittable
+    // reader is row-identical to the stock read of the gzip
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_csvgz_stage").toString
+    CsvSplit.decompressToSplittable(spark, dir, staging)
+    val split = CsvSplit.read(spark, staging, inferSchema = false,
+      blockSize = 128)
+    assert(split.schema === stock.schema)
+    val key = col("id").cast("long")
+    assert(split.orderBy(key).collect().toSeq ===
+      stock.orderBy(key).collect().toSeq)
+    // staged file lost the codec extension (it is plaintext now); hadoop
+    // local-FS .crc siblings are hidden files every reader ignores
+    assert(new java.io.File(staging).listFiles.map(_.getName)
+      .filterNot(_.startsWith(".")).toSet === Set("data.csv"))
+  }
+
+  test("splittable CSV refuses multi-file inputs with disagreeing headers") {
+    import graft.io.{Csv, CsvSplit}
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvhdr")
+      .toString
+    Csv.writeSingle(Seq((1L, "a")).toDF("id", "c1"), s"$dir/a.csv")
+    Csv.writeSingle(Seq((2L, "b")).toDF("id", "OTHER"), s"$dir/b.csv")
+    val e = intercept[IllegalArgumentException] {
+      CsvSplit.read(spark, dir, inferSchema = false, blockSize = 128)
+    }
+    assert(e.getMessage.contains("headers disagree"))
+  }
+
   test("JSONL sink/source round-trips documents exactly (schema-first read)") {
     import graft.io.Jsonl
     import org.apache.spark.sql.functions.col
