@@ -85,35 +85,51 @@ object Util {
 
   /** Load one of the driver's parquet testdata tables.
     *
-    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects outright (PARQUET_TYPE_ILLEGAL) — nanos have no TimestampType
-    * representation. The only read path is the `nanosAsLong` escape hatch;
-    * the long nanos are then floored to microseconds with integer `DIV`
-    * (a double division would lose precision above 2^53) and rebuilt into a
-    * proper TimestampType column, matching engines that read nanos natively
-    * at micro resolution. */
+    * The `events.ts` column has shipped under two physical types across
+    * testdata generations: parquet TIMESTAMP(MICROS) without UTC
+    * adjustment (reads as TIMESTAMP_NTZ) and parquet TIMESTAMP(NANOS)
+    * (which Spark 4 rejects outright — PARQUET_TYPE_ILLEGAL — unless read
+    * through the `nanosAsLong` escape hatch). The engine's contract is one
+    * canonical schema regardless of generation: `ts` as TimestampType at
+    * micro resolution. NTZ is cast under the mains' UTC session timezone
+    * (same instant, bit-identical micros); nanos are floored to micros
+    * with integer `DIV` (a double division would lose precision above
+    * 2^53) and rebuilt with `timestamp_micros`. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // scope the legacy flag to THIS read: the parquet relation captures
-      // the conf when spark.read resolves the schema, so restoring it
-      // immediately after keeps the session's read semantics unchanged —
-      // left set, every LATER read in the JVM would silently accept
-      // TIMESTAMP(NANOS) as raw longs instead of failing loudly, and
-      // only when an events query happened to run first (order-dependent)
-      // synchronized: concurrent events reads could otherwise capture
-      // each other's "true" as the prior value (re-leaking the flag) or
-      // unset it mid-schema-resolution; the mains are sequential today,
-      // but the helper must not silently depend on that
-      val key = "spark.sql.legacy.parquet.nanosAsLong"
-      Util.synchronized {
-      val prior = spark.conf.getOption(key)
-      spark.conf.set(key, "true")
-      try spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      finally prior match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
+      val plain =
+        try Some(spark.read.parquet(s"$sfDir/$name.parquet"))
+        catch { case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
+               e.getMessage.contains("Illegal Parquet type") => None }
+      plain match {
+        case Some(df) => df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            df.withColumn("ts",
+              col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          case _ => df
+        }
+        case None =>
+          // TIMESTAMP(NANOS) generation. Scope the legacy flag to THIS
+          // read: the parquet relation captures the conf when spark.read
+          // resolves the schema, so restoring it immediately after keeps
+          // the session's read semantics unchanged — left set, every LATER
+          // read in the JVM would silently accept TIMESTAMP(NANOS) as raw
+          // longs instead of failing loudly. synchronized: concurrent
+          // events reads could otherwise capture each other's "true" as
+          // the prior value (re-leaking the flag) or unset it
+          // mid-schema-resolution.
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          Util.synchronized {
+            val prior = spark.conf.getOption(key)
+            spark.conf.set(key, "true")
+            try spark.read.parquet(s"$sfDir/$name.parquet")
+              .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+            finally prior match {
+              case Some(v) => spark.conf.set(key, v)
+              case None => spark.conf.unset(key)
+            }
+          }
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
