@@ -2,7 +2,7 @@ package graft
 
 import graft.Util.{spread, table}
 import graft.io.QualtricsReader
-import graft.llm.{Bm25, BpeTrain, CorpusHygiene, Dedup, Mixture, Multimodal, NgramLm, Quantize, Similarity, SubstringDedup, TextFunctions}
+import graft.llm.{Bm25, BpeTrain, CorpusHygiene, Dedup, Mixture, Multimodal, NgramLm, Quantize, QualityClassifier, Similarity, SubstringDedup, TextFunctions}
 import graft.ops._
 import graft.streaming.EventsStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -794,6 +794,30 @@ object SparkEntry {
         "doc_id", "text", "source", 0.9)
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     }),
+
+    // LLM: SemDeDup — semantic dedup of the embedded corpus (sign-bit
+    // cells bound the pair space, exact cosine verifies, CC picks the
+    // kept representative); oracle replays cells + closure in DuckDB
+    "q_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedup(spread(table(s, dir, "embeddings"), "vec_id"),
+          "vec_id", "embedding", 0.35, bits = 8)
+        .orderBy(col("id"))),
+
+    // LLM: model-based quality filter (fastText/DCLM-shaped linear
+    // classifier inference over hashed token features; deterministic
+    // stand-in weights so the oracle replays the whole score)
+    "q_quality_classifier" -> ((s, dir) =>
+      QualityClassifier.score(spread(table(s, dir, "documents"), "doc_id"),
+          "doc_id", "text", QualityClassifier.hashWeights(s, 4096), 4096)
+        .orderBy(col("id"))),
+
+    // LLM: positional inverted index over the corpus (term -> df, total
+    // tf, ordered "doc:pos" postings) — the persistent retrieval artifact
+    // behind BM25 and phrase lookups
+    "q_inverted_index" -> ((s, dir) =>
+      Bm25.invertedIndex(spread(table(s, dir, "documents"), "doc_id"),
+          "doc_id", "text", minDf = 3L)
+        .orderBy(col("term"))),
 
     // LLM: brute-force cosine top-5 for 10 query vectors
     "q_embed_cosine_topk" -> ((s, dir) => {
@@ -2062,6 +2086,62 @@ object SparkEntry {
         |  UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
         |SELECT id, least(id, min(reach)) AS comp FROM r GROUP BY id
         |ORDER BY id""".stripMargin,
+
+    "q_semantic_dedup" ->
+      """WITH RECURSIVE c AS (SELECT vec_id AS id, embedding AS v,
+        |    CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        |  + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |  + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+        |  + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+        |  + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+        |  + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+        |  + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+        |  + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END AS cell
+        |  FROM embeddings),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |r AS (SELECT src AS id, dst AS reach FROM e
+        |  UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
+        |SELECT r.id, CAST(c.cell AS BIGINT) AS cell,
+        |  least(r.id, min(r.reach)) AS comp
+        |FROM r JOIN c ON c.id = r.id
+        |GROUP BY r.id, c.cell ORDER BY r.id""".stripMargin,
+
+    "q_quality_classifier" ->
+      """WITH w AS (SELECT i AS bucket,
+        |    (i * 2654435761) % 2001 AS w_milli FROM range(4096) t(i)),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tb AS (SELECT doc_id,
+        |    ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 4096
+        |   + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 256
+        |   + (strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 16
+        |   + (strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1))
+        |      % 4096 AS bucket
+        |  FROM tok),
+        |s AS (SELECT doc_id AS id, count(*) AS n_tokens,
+        |    CAST(sum(coalesce(w.w_milli, 0)) AS BIGINT) AS w_sum
+        |  FROM tb LEFT JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT id, n_tokens,
+        |  CAST(w_sum * 1000000 // (2000 * n_tokens) AS BIGINT)
+        |    AS score_micro,
+        |  w_sum * 1000000 // (2000 * n_tokens) >= 500000 AS keep
+        |FROM s ORDER BY id""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS term,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents)
+        |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total,
+        |  string_agg(doc_id || ':' || pos, ' ' ORDER BY doc_id, pos)
+        |    AS postings
+        |FROM t GROUP BY term
+        |HAVING count(DISTINCT doc_id) >= 3
+        |ORDER BY term""".stripMargin,
 
     "q_dedup_corpus" ->
       """WITH RECURSIVE s AS (SELECT doc_id, source,

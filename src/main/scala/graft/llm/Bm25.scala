@@ -84,4 +84,35 @@ object Bm25 {
           coalesce(lit(1.0) / (lit(k0) + col("rank_sem")), lit(0.0)))
           .as("rrf"))
   }
+
+  /** Positional inverted index — the persistent artifact behind [[score]]
+    * and phrase/contamination lookups: one row per term with its document
+    * frequency, total frequency, and the full posting list rendered as
+    * "doc:pos doc:pos …" (1-based token positions, ordered by (doc, pos)).
+    *
+    * This is the canonical associative-shuffle workload: posexplode is
+    * narrow, the single shuffle is the hash aggregate on `term`, and
+    * map-side combine collapses each partition's postings before the
+    * exchange. Postings are sorted INSIDE the aggregate (array_sort of
+    * (doc, pos) structs after collect_list), so the rendered string is
+    * deterministic under any partial-aggregation arrival order — the
+    * LISTAGG discipline. A term's posting list is the only unbounded
+    * object; for web-corpus stopwords pair this with a df cap upstream
+    * (the `minDf`/`maxDf` filters) the way Lucene tiers its postings. */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    minDf: Long = 1L,
+                    maxDf: Long = Long.MaxValue): DataFrame = {
+    val hits = df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos0", "term")))
+      .select(col("term"), col("doc_id"), (col("pos0") + 1).as("pos"))
+    hits.groupBy(col("term"))
+      .agg(count_distinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf_total"),
+        array_sort(collect_list(struct(col("doc_id"), col("pos"))))
+          .as("hits"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .select(col("term"), col("df"), col("tf_total"),
+        array_join(transform(col("hits"),
+          h => concat_ws(":", h("doc_id"), h("pos"))), " ").as("postings"))
+  }
 }

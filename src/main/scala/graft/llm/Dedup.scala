@@ -548,6 +548,64 @@ object Dedup {
                         threshold: Double): DataFrame =
     Similarity.lshPairsAbove(df, idCol, vecCol, threshold)
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of an
+    * embedded corpus by clustering it, then marking within-cluster pairs
+    * whose cosine exceeds `tau` as duplicates and keeping one
+    * representative per duplicate group.
+    *
+    * The paper partitions with k-means; here the cells are the SIGN BITS
+    * of the first `bits` dimensions (cell = Σ 2^i · [v_i ≥ 0]) — a
+    * data-independent, training-free partitioner that is deterministic
+    * across engines (a float's sign survives any summation-order
+    * difference), so the whole operator replays bit-for-bit in the
+    * DuckDB oracle — no sampled k-means state to ship. Like the paper's
+    * k-means, sign-cells only APPROXIMATE semantic neighborhoods: a
+    * near-dup pair straddling a sign boundary on an early dimension is
+    * missed, the same recall trade the paper makes when a pair straddles
+    * a k-means cell boundary.
+    *
+    * Scale shape: the self-join is an equi-join on `cell`, so pair
+    * candidates are generated within cells only — with random sign bits,
+    * E[pairs] ≈ n²/2^(bits+1), tunable by `bits`; no all-pairs stage
+    * exists. Exact cosine verifies every candidate (codegen'd native
+    * expression when GraftExtensions is installed), and the duplicate
+    * graph goes through [[connectedComponents]] (min-label, O(log n)
+    * rounds) rather than a per-cluster greedy scan, so a duplicate chain
+    * spanning several cells still collapses to ONE representative.
+    *
+    * Output: (id, cell, comp) for every row that participates in at
+    * least one near-dup pair; `comp` (the min member id) is the kept
+    * representative — dedup = anti-join the corpus against rows where
+    * id != comp. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    tau: Double, bits: Int = 8): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    val spark = df.sparkSession
+    // cell = little-endian integer of the first `bits` sign bits; padded
+    // with zeros when the vector is shorter than `bits` dims
+    val cell = aggregate(
+      zip_with(
+        slice(Similarity.toDouble(col(vecCol)), 1, bits),
+        array((0 until bits).map(i => lit(1L << i)): _*),
+        (v, p) => when(v >= 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val cells = df.select(col(idCol).as("id"),
+      Similarity.toDouble(col(vecCol)).as("v"), cell.as("cell"))
+    val a = cells.alias("a")
+    val b = cells.alias("b")
+    val pairs = a.join(b,
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.cell").as("cell"),
+        Similarity.cosineFor(spark)(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= tau)
+    val comps = connectedComponents(
+      pairs.select(col("id_a"), col("id_b")))
+    comps
+      .join(cells.select(col("id"), col("cell")), Seq("id"))
+      .select(col("id"), col("cell"), col("comp"))
+  }
+
   /** Connected components over near-duplicate pairs — turns pairwise
     * matches into dedup clusters whose representative (the component label)
     * is the minimum member id.

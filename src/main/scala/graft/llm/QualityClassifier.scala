@@ -1,0 +1,69 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the fastText-shaped linear classifier
+  * stage of modern pretraining pipelines (CCNet's LM filter, DCLM and
+  * FineWeb-Edu's quality classifiers): score = mean weight of the
+  * document's hashed token features, keep = score above a cutoff.
+  *
+  * Training happens OFFLINE (the model is a few MB of bucket weights);
+  * this module is the INFERENCE path, which is what has to run at
+  * 100 TB. Its shape: tokens explode narrowly, the weight table joins as
+  * a BROADCAST (2^20 buckets × 8 bytes ≪ the 10 MB default threshold —
+  * far under any executor budget), and the per-document mean is one
+  * hash aggregate keyed by doc id — map-side combined, so the shuffle
+  * carries one partial sum per (doc, partition), not one row per token.
+  *
+  * Feature hashing (the "hashing trick", Weinberger et al. 2009) is
+  * md5-based and engine-portable: bucket = first 16 bits of md5(token)
+  * mod k. The score stays in INTEGER milli-weight units until the final
+  * division to micros — floor division of non-negative integers, so
+  * engines with different float summation orders replay it bit-for-bit.
+  */
+object QualityClassifier {
+
+  /** Hash bucket (0 until k) for a token: the first 4 hex chars of
+    * md5(token) as an integer, mod k. k must be <= 65536 so every bucket
+    * is reachable and the mod is unbiased-enough for a hashing trick. */
+  def bucket(tok: Column, k: Int): Column = {
+    require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
+    conv(substring(md5(tok), 1, 4), 16, 10).cast("long") % k
+  }
+
+  /** Deterministic stand-in weight table (bucket, w_milli in [0, 2000])
+    * for tests and the correctness gate — a Knuth multiplicative hash of
+    * the bucket id. A real deployment loads learned weights instead; the
+    * inference plan below is identical either way. */
+  def hashWeights(spark: org.apache.spark.sql.SparkSession, k: Int): DataFrame =
+    spark.range(k).select(col("id").as("bucket"),
+      (col("id") * 2654435761L) % 2001L)
+      .toDF("bucket", "w_milli")
+
+  /** Score every document: mean hashed-feature weight in integer micros
+    * (0..1e6), plus the keep verdict at `cutoffMicros`.
+    *
+    * `weights` is (bucket, w_milli) with w_milli in [0, 2000]; buckets
+    * absent from the table weigh 0 (an L1-pruned model ships only its
+    * non-zero rows). Output: (id, n_tokens, score_micro, keep). */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            weights: DataFrame, k: Int,
+            cutoffMicros: Long = 500000L): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .withColumn("bucket", bucket(col("tok"), k))
+    toks
+      .join(broadcast(weights.select(col("bucket"),
+        col("w_milli").cast("long").as("w_milli"))), Seq("bucket"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("w_milli"), lit(0L))).as("w_sum"))
+      // floor division of non-negative integers — portable across engines
+      // (negative DIV truncates toward zero in Spark but floors in DuckDB,
+      // which is why the weight range is [0, 2000], not [-1000, 1000])
+      .select(col("id"), col("n_tokens"),
+        expr("w_sum * 1000000L DIV (2000L * n_tokens)").as("score_micro"))
+      .withColumn("keep", col("score_micro") >= cutoffMicros)
+  }
+}

@@ -30,7 +30,7 @@ object Similarity {
   /** Native codegen'd cosine when GraftExtensions is installed on the
     * session, else the built-in HOF composition. Both accumulate in
     * ascending index order, so the results are bit-identical. */
-  private def cosineFor(spark: org.apache.spark.sql.SparkSession)
+  private[llm] def cosineFor(spark: org.apache.spark.sql.SparkSession)
                        (a: Column, b: Column): Column =
     if (graft.catalyst.GraftExtensions.isInstalled(spark))
       graft.catalyst.GraftExtensions.cosineSim(a, b)

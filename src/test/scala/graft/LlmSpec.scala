@@ -1005,4 +1005,91 @@ class LlmSpec extends SparkSpec {
     assert(got(1L)._2 === (2 * pab + pba).toDouble / 1e6 / 3L)
     assert(got(2L)._2 === pab.toDouble / 1e6 / 1L)
   }
+
+  test("semantic dedup equals local union-find over same-cell cosine pairs") {
+    val out = Dedup.semanticDedup(embs, "vec_id", "embedding", 0.3, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // naive reference: same sign-cell pairs above tau, then union-find
+    val rows = embs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cellOf(v: Array[Double]) =
+      (0 until 6).map(i => if (i < v.length && v(i) >= 0) 1L << i else 0L).sum
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (d == 0) 0.0 else dot / d
+    }
+    val byCell = rows.groupBy { case (_, v) => cellOf(v) }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = scala.collection.mutable.Set[Long]()
+    for ((_, grp) <- byCell; i <- grp.indices; j <- (i + 1) until grp.length)
+      if (cos(grp(i)._2, grp(j)._2) >= 0.3) {
+        union(grp(i)._1, grp(j)._1); members += grp(i)._1; members += grp(j)._1
+      }
+    val expected = members.map(id => id -> find(id)).toMap
+    assert(out.map(t => t._1 -> t._3).toMap === expected,
+      "components must match local union-find")
+    val cellById = rows.map { case (id, v) => id -> cellOf(v) }.toMap
+    assert(out.forall { case (id, cell, _) => cellById(id) == cell },
+      "reported cell must be the row's sign-bit cell")
+    // every component label is the minimum member id
+    val byComp = out.groupBy(_._3)
+    assert(byComp.forall { case (comp, ms) => ms.map(_._1).min == comp })
+  }
+
+  test("quality classifier scores a tiny corpus exactly, absent buckets weigh 0") {
+    import graft.llm.QualityClassifier
+    val docs = Seq((1L, "aa bb"), (2L, "aa aa aa"), (3L, "zz"))
+      .toDF("doc_id", "text")
+    val k = 64
+    // per-token buckets exactly as the engine computes them
+    val b = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .select(col("tok"), QualityClassifier.bucket(col("tok"), k).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weight table covering only aa's bucket — bb/zz fall to 0
+    val weights = Seq((b("aa"), 2000L)).toDF("bucket", "w_milli")
+    val got = QualityClassifier.score(docs, "doc_id", "text", weights, k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val bbW = if (b("bb") == b("aa")) 2000L else 0L
+    val zzW = if (b("zz") == b("aa")) 2000L else 0L
+    assert(got(1L) === ((2L, (2000L + bbW) * 1000000L / (2000L * 2L),
+      (2000L + bbW) * 1000000L / (2000L * 2L) >= 500000L)))
+    assert(got(2L) === ((3L, 1000000L, true)), "all-aa doc scores 1.0")
+    assert(got(3L)._2 === zzW * 1000000L / 2000L)
+    // deterministic hash weights: same k -> same table, values in range
+    val w1 = QualityClassifier.hashWeights(spark, 256).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w1.size == 256 && w1.values.forall(w => w >= 0 && w <= 2000))
+  }
+
+  test("inverted index: exact postings, df bounds, partition-invariant") {
+    val docs = Seq((10L, "a b a"), (2L, "b c"), (7L, "a c b"))
+      .toDF("doc_id", "text")
+    val idx = graft.llm.Bm25.invertedIndex(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // postings ordered by (doc, pos), 1-based positions
+    assert(idx("a") === ((2L, 3L, "7:1 10:1 10:3")))
+    assert(idx("b") === ((3L, 3L, "2:1 7:3 10:2")))
+    assert(idx("c") === ((2L, 2L, "2:2 7:2")))
+    // df bounds drop rare/common terms
+    val bounded = graft.llm.Bm25.invertedIndex(docs, "doc_id", "text",
+      minDf = 3L).collect().map(_.getString(0)).toSet
+    assert(bounded === Set("b"))
+    // same result under an adversarial partitioning (map-side combine +
+    // in-aggregate sort make the rendered string partition-invariant)
+    val shuffled = graft.llm.Bm25.invertedIndex(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(shuffled === idx)
+  }
 }
