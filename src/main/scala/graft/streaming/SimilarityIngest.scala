@@ -172,6 +172,15 @@ object SimilarityIngest {
     // a PATH_NOT_FOUND read or skipping intra-batch dedup.
     val bootstrapped = last >= 0L
     val batch = batch0.persist()
+    // every frame persisted by the gate below lands here and is released
+    // in ONE finally — a transient FS failure mid-commit must not leak
+    // persists into the retry
+    val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
+    def pin(df: DataFrame): DataFrame = {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pinned += df
+      df
+    }
     try {
       if (batch.isEmpty) return
       val (acc, quar) =
@@ -183,8 +192,7 @@ object SimilarityIngest {
           // components pass
           val pairs = Dedup.minhashLshPairs(batch, idCol, textCol,
             p.shingleN, p.numHashes, p.bands, p.threshold)
-          val a = Dedup.dedupedCorpus(batch, idCol, pairs)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val a = pin(Dedup.dedupedCorpus(batch, idCol, pairs))
           val q = batch.join(a.select(col(idCol).as("__graft_keep")),
               batch(idCol) === col("__graft_keep"), "left_anti")
             .withColumn("reason", lit("near_dup"))
@@ -199,11 +207,18 @@ object SimilarityIngest {
             .filter(col("batch") =!= batchId)
           val windowIdx = spark.read.parquet(windowsDir)
             .filter(col("batch") =!= batchId)
-          val near = Dedup.minhashLshNewVsIndexFrames(batch, corpusDocs,
+          // pin the verdict frames: `near` feeds the saturation gate's
+          // anti-join AND the union below, `bad` feeds both the
+          // quarantine join and the survivor anti-join, and `a0` feeds
+          // the intra-batch pair gen, the components pass, and the
+          // intra-quarantine anti-join. Unpersisted, each consumer
+          // re-executes the full index PROBE chain behind it — at corpus
+          // scale that triples the per-batch probe cost for nothing.
+          val near = pin(Dedup.minhashLshNewVsIndexFrames(batch, corpusDocs,
               corpusBuckets, idCol, textCol, p.shingleN, p.numHashes,
               p.bands, p.threshold)
             .select(col("new_id").as("__graft_bad")).distinct()
-            .withColumn("reason", lit("near_dup"))
+            .withColumn("reason", lit("near_dup")))
           val sat = SubstringDedup.duplicatedWindowStatsVsIndexFrame(
               batch, idCol, textCol, p.windowK, windowIdx)
             .filter(col("n_windows") > 0 &&
@@ -213,11 +228,11 @@ object SimilarityIngest {
             .join(near.select(col("__graft_bad")), Seq("__graft_bad"),
               "left_anti")
             .withColumn("reason", lit("substring_dup"))
-          val bad = near.unionByName(sat)
+          val bad = pin(near.unionByName(sat))
           val qIndex = batch.join(bad, batch(idCol) === col("__graft_bad"))
             .drop("__graft_bad")
-          val a0 = batch.join(bad, batch(idCol) === col("__graft_bad"),
-            "left_anti")
+          val a0 = pin(batch.join(bad, batch(idCol) === col("__graft_bad"),
+            "left_anti"))
           // INTRA-batch near-dups: the index gates only see the pre-batch
           // corpus, and duplicates typically arrive together — without
           // this pass, two near-identical fresh docs in one micro-batch
@@ -225,30 +240,28 @@ object SimilarityIngest {
           // the bootstrap runs, scoped to the index-gate survivors.
           val intraPairs = Dedup.minhashLshPairs(a0, idCol, textCol,
             p.shingleN, p.numHashes, p.bands, p.threshold)
-          val a = Dedup.dedupedCorpus(a0, idCol, intraPairs)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val a = pin(Dedup.dedupedCorpus(a0, idCol, intraPairs))
           val qIntra = a0.join(a.select(col(idCol).as("__graft_keep")),
               a0(idCol) === col("__graft_keep"), "left_anti")
             .withColumn("reason", lit("near_dup"))
           (a, qIndex.unionByName(qIntra))
         }
-      val accP = acc // persisted by its branch; 3 consumers below
       // commit order: outputs then indexes then stamp — every write is
       // batch-keyed + overwrite, so any prefix of this sequence replays
-      // to the identical final state. unpersist in finally: a transient
-      // FS failure mid-commit must not leak the persist into the retry.
-      try {
-        accP.write.mode("overwrite")
-          .parquet(s"$stateDir/accepted/batch=$batchId")
-        quar.write.mode("overwrite")
-          .parquet(s"$stateDir/quarantine/batch=$batchId")
-        Dedup.putCorpusIndexBatch(accP, idCol, textCol, minhashDir, batchId,
-          p.shingleN, p.numHashes, p.bands)
-        SubstringDedup.putWindowIndexBatch(accP, idCol, textCol, p.windowK,
-          windowsDir, batchId)
-        writeStamp(spark, stateDir, batchId)
-      } finally accP.unpersist()
-    } finally batch.unpersist()
+      // to the identical final state.
+      acc.write.mode("overwrite")
+        .parquet(s"$stateDir/accepted/batch=$batchId")
+      quar.write.mode("overwrite")
+        .parquet(s"$stateDir/quarantine/batch=$batchId")
+      Dedup.putCorpusIndexBatch(acc, idCol, textCol, minhashDir, batchId,
+        p.shingleN, p.numHashes, p.bands)
+      SubstringDedup.putWindowIndexBatch(acc, idCol, textCol, p.windowK,
+        windowsDir, batchId)
+      writeStamp(spark, stateDir, batchId)
+    } finally {
+      pinned.foreach(_.unpersist())
+      batch.unpersist()
+    }
   }
 
   /** The gate as a Structured Streaming query over a parquet directory
