@@ -49,6 +49,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Full-registry manifest: rows-only queries have no oracle_sql entry,
+    // so a rows-only query that fails to WRITE is otherwise invisible to
+    // any checker that iterates oracle keys (this bit q_sketch_merge once
+    // — its dir was missing and nothing noticed). Checkers cross-check
+    // every name here against an output dir.
+    Files.writeString(Paths.get(s"$outDir/queries.json"),
+      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -67,8 +67,15 @@ def main():
     dirs = {d for d in os.listdir(out_dir)
             if os.path.isdir(os.path.join(out_dir, d))}
     # a query that failed in Verify leaves NO output dir — flag it instead
-    # of silently comparing a smaller set
-    for name in sorted(set(oracle) - dirs):
+    # of silently comparing a smaller set. Cross-check against the FULL
+    # registry manifest when present: rows-only queries aren't in
+    # oracle_sql.json, so a failed rows-only query is otherwise invisible
+    # (q_sketch_merge once vanished this way).
+    expected = set(oracle)
+    qj = os.path.join(out_dir, "queries.json")
+    if os.path.exists(qj):
+        expected |= set(json.load(open(qj)))
+    for name in sorted(expected - dirs):
         results[name] = {"status": "MISSING_OUTPUT"}
     for name in sorted(dirs):
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
