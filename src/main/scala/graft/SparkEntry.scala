@@ -803,6 +803,27 @@ object SparkEntry {
           "vec_id", "embedding", 0.35, bits = 8)
         .orderBy(col("id"))),
 
+    // LLM: incremental semantic dedup — new embeddings probe a STORED
+    // sign-cell index at O(batch) (the embedding twin of the MinHash /
+    // substring incremental paths); hash-checked: cells + cosine gate
+    // replay in DuckDB
+    "q_semantic_incremental" -> ((s, dir) => {
+      val emb = spread(table(s, dir, "embeddings"), "vec_id")
+      val newBatch = emb.filter(col("vec_id") % 10 === 0)
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      // deterministic tmp index path, cleared up-front (the
+      // q_similarity_ingest discipline: repeated gate runs reuse ONE
+      // location instead of leaking a copy per invocation)
+      val idx = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_semidx_q").toString
+      deleteRecursively(idx)
+      Dedup.writeSemanticIndex(corpus, "vec_id", "embedding", idx, bits = 6)
+      Dedup.semanticNewVsIndex(newBatch, idx, "vec_id", "embedding",
+          0.3, bits = 6)
+        .select(col("new_id"), col("corpus_id"))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // LLM: model-based quality filter (fastText/DCLM-shaped linear
     // classifier inference over hashed token features; deterministic
     // stand-in weights so the oracle replays the whole score)
@@ -2109,6 +2130,21 @@ object SparkEntry {
         |  least(r.id, min(r.reach)) AS comp
         |FROM r JOIN c ON c.id = r.id
         |GROUP BY r.id, c.cell ORDER BY r.id""".stripMargin,
+
+    "q_semantic_incremental" ->
+      """WITH c AS (SELECT vec_id AS id, embedding AS v,
+        |    CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        |  + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |  + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+        |  + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+        |  + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+        |  + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END AS cell
+        |  FROM embeddings)
+        |SELECT a.id AS new_id, b.id AS corpus_id
+        |FROM c a JOIN c b ON a.cell = b.cell
+        |  AND a.id % 10 = 0 AND b.id % 10 <> 0
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        |ORDER BY new_id, corpus_id""".stripMargin,
 
     "q_quality_classifier" ->
       """WITH w AS (SELECT i AS bucket,

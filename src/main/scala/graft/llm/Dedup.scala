@@ -577,20 +577,26 @@ object Dedup {
     * least one near-dup pair; `comp` (the min member id) is the kept
     * representative — dedup = anti-join the corpus against rows where
     * id != comp. */
-  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    tau: Double, bits: Int = 8): DataFrame = {
+  /** Sign-bit cell id: little-endian integer of the first `bits` sign
+    * bits of the vector (padded with zero bits when shorter). A float's
+    * sign survives any summation-order difference, so the cell is
+    * deterministic across engines. */
+  private def semanticCell(vec: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
-    val spark = df.sparkSession
-    // cell = little-endian integer of the first `bits` sign bits; padded
-    // with zeros when the vector is shorter than `bits` dims
-    val cell = aggregate(
+    aggregate(
       zip_with(
-        slice(Similarity.toDouble(col(vecCol)), 1, bits),
+        slice(Similarity.toDouble(vec), 1, bits),
         array((0 until bits).map(i => lit(1L << i)): _*),
         (v, p) => when(v >= 0, p).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
+  }
+
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    tau: Double, bits: Int = 8): DataFrame = {
+    val spark = df.sparkSession
     val cells = df.select(col(idCol).as("id"),
-      Similarity.toDouble(col(vecCol)).as("v"), cell.as("cell"))
+      Similarity.toDouble(col(vecCol)).as("v"),
+      semanticCell(col(vecCol), bits).as("cell"))
     val a = cells.alias("a")
     val b = cells.alias("b")
     val pairs = a.join(b,
@@ -604,6 +610,107 @@ object Dedup {
     comps
       .join(cells.select(col("id"), col("cell")), Seq("id"))
       .select(col("id"), col("cell"), col("comp"))
+  }
+
+  /** Persist a semantic (sign-cell) embedding index: one parquet table
+    * (id, cell, v) probed by [[semanticNewVsIndex]] at O(batch) — the
+    * embedding-space member of the engine's incremental-dedup family
+    * (exact prefix-filter, MinHash, substring windows, and this). The
+    * `_semparams` stamp pins `bits`; probing with a different `bits`
+    * silently lands new docs in foreign cells, so it fails loudly. */
+  def writeSemanticIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                         path: String, bits: Int = 8): Unit = {
+    semanticRows(corpus, idCol, vecCol, bits)
+      .write.mode("overwrite").parquet(s"$path/cells")
+    writeSemanticParams(corpus.sparkSession, path, bits)
+  }
+
+  /** Append an accepted batch to a [[writeSemanticIndex]] layout. */
+  def appendSemanticIndex(batch: DataFrame, idCol: String, vecCol: String,
+                          path: String, bits: Int = 8): Unit = {
+    requireSemanticParams(batch.sparkSession, path, bits)
+    semanticRows(batch, idCol, vecCol, bits)
+      .write.mode("append").parquet(s"$path/cells")
+  }
+
+  /** Batch-keyed variant (`cells/batch=<id>` subdirs, overwrite-idempotent
+    * — the exactly-once gate layout; see [[putCorpusIndexBatch]]). */
+  def putSemanticIndexBatch(batch: DataFrame, idCol: String, vecCol: String,
+                            path: String, batchId: Long,
+                            bits: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_semparams")))
+      writeSemanticParams(spark, path, bits)
+    else requireSemanticParams(spark, path, bits)
+    semanticRows(batch, idCol, vecCol, bits)
+      .write.mode("overwrite").parquet(s"$path/cells/batch=$batchId")
+  }
+
+  /** Fold committed batches of a [[putSemanticIndexBatch]] layout into the
+    * `batch=-1` base segment (see [[compactCorpusIndex]]). */
+  def compactSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String, upToBatch: Long): Unit =
+    graft.io.Parquet.compactBatchStore(spark, s"$path/cells", upToBatch)
+
+  /** Probe a stored semantic index with a new batch: only the batch is
+    * cell-hashed; the corpus side is ONE parquet scan whose join key is
+    * the cell, so candidates are generated within cells only. Output:
+    * (new_id, corpus_id, cos) for every cross pair with cosine >= tau —
+    * the embedding twin of [[minhashLshNewVsIndex]]'s contract. */
+  def semanticNewVsIndex(newDocs: DataFrame, indexPath: String,
+                         idCol: String, vecCol: String, tau: Double,
+                         bits: Int = 8): DataFrame = {
+    val spark = newDocs.sparkSession
+    requireSemanticParams(spark, indexPath, bits)
+    semanticNewVsIndexFrame(newDocs,
+      spark.read.parquet(s"$indexPath/cells"), idCol, vecCol, tau, bits)
+  }
+
+  /** Relation-input variant of [[semanticNewVsIndex]] for callers that
+    * partition-prune the index read themselves (half-committed replay);
+    * params validation is the caller's burden. */
+  def semanticNewVsIndexFrame(newDocs: DataFrame, corpusCells: DataFrame,
+                              idCol: String, vecCol: String, tau: Double,
+                              bits: Int = 8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val fresh = semanticRows(newDocs, idCol, vecCol, bits).alias("a")
+    fresh.join(corpusCells.alias("b"), col("a.cell") === col("b.cell"))
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"),
+        Similarity.cosineFor(spark)(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  private def semanticRows(df: DataFrame, idCol: String, vecCol: String,
+                           bits: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      semanticCell(col(vecCol), bits).as("cell"),
+      Similarity.toDouble(col(vecCol)).as("v"))
+
+  private def writeSemanticParams(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, bits: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_semparams")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$bits"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def requireSemanticParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, bits: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_semparams")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return // pre-stamp index: keep the old contract
+    val in = fs.open(p)
+    val stored = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    require(stored == s"$bits",
+      s"semantic index at $path was built with bits=$stored but caller " +
+        s"passed bits=$bits — cross-bits probes land in foreign cells and " +
+        "find near-zero candidates silently")
   }
 
   /** Connected components over near-duplicate pairs — turns pairwise

@@ -1045,6 +1045,54 @@ class LlmSpec extends SparkSpec {
     assert(byComp.forall { case (comp, ms) => ms.map(_._1).min == comp })
   }
 
+  test("incremental semantic dedup: stored-index probe == local recompute, appends accumulate, bits pinned") {
+    val dir = java.nio.file.Files.createTempDirectory("semidx").toString
+    val corpus = embs.filter(col("vec_id") % 10 =!= 0)
+    val fresh = embs.filter(col("vec_id") % 10 === 0)
+    Dedup.writeSemanticIndex(corpus, "vec_id", "embedding", dir, bits = 6)
+    val viaIndex = Dedup.semanticNewVsIndex(fresh, dir, "vec_id",
+        "embedding", 0.3, bits = 6)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // local reference: same cells + cosine gate recomputed on the driver
+    val rows = embs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cellOf(v: Array[Double]) =
+      (0 until 6).map(i => if (i < v.length && v(i) >= 0) 1L << i else 0L).sum
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val d = math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)
+      if (d == 0) 0.0 else dot / d
+    }
+    val expected = (for {
+      (na, va) <- rows if na % 10 == 0
+      (cb, vb) <- rows if cb % 10 != 0
+      if cellOf(va) == cellOf(vb) && cos(va, vb) >= 0.3
+    } yield (na, cb)).toSet
+    assert(viaIndex === expected)
+    assert(viaIndex.nonEmpty, "fixture must exercise the gate")
+    // append the probe batch itself under shifted ids: every probe doc now
+    // has an EXACT duplicate (cos = 1) in the index, so the re-probe must
+    // keep all prior pairs and match each doc to its shifted twin
+    val shifted = fresh.withColumn("vec_id", col("vec_id") + 1000000L)
+    Dedup.appendSemanticIndex(shifted, "vec_id", "embedding", dir, bits = 6)
+    val after = Dedup.semanticNewVsIndex(fresh, dir, "vec_id",
+        "embedding", 0.3, bits = 6)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expected.subsetOf(after), "append must not drop prior entries")
+    val freshIds = rows.collect { case (id, _) if id % 10 == 0 => id }.toSet
+    assert(freshIds.forall(id => after.contains((id, id + 1000000L))),
+      "every probe doc must match its appended exact twin")
+    // bits mismatch fails loudly instead of probing foreign cells
+    val e = intercept[IllegalArgumentException] {
+      Dedup.semanticNewVsIndex(fresh, dir, "vec_id", "embedding", 0.3,
+        bits = 8)
+    }
+    assert(e.getMessage.contains("bits"))
+  }
+
   test("quality classifier scores a tiny corpus exactly, absent buckets weigh 0") {
     import graft.llm.QualityClassifier
     val docs = Seq((1L, "aa bb"), (2L, "aa aa aa"), (3L, "zz"))
