@@ -872,6 +872,24 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // LLM: the same IVF search against a PERSISTED index — build once
+    // (centroids + cell-partitioned corpus), probe many times reading
+    // only the nprobe nearest cell partitions. Rows-only like its ANN
+    // siblings; LlmSpec pins result-equality with the in-memory path and
+    // the PartitionFilters pruning
+    "q_embed_ann_ivf_index" -> ((s, dir) => {
+      val emb = spread(table(s, dir, "embeddings"), "vec_id")
+      val idx = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_ivfidx_q").toString
+      deleteRecursively(idx)
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", idx)
+      Similarity.ivfTopKVsIndex(emb.filter(col("vec_id") < 10), idx,
+          "vec_id", "embedding", 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // LLM: embedding scalar quantization (the faiss SQ8 shape) — per-dim
     // ranges from one posexplode aggregate (dimension-sized → broadcast),
     // codes are fixed-order double math + floor, bit-identical on any

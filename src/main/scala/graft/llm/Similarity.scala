@@ -204,28 +204,109 @@ object Similarity {
       .withColumn("cell",
         (array_position(dists, array_min(dists)) - 1).cast("int"))
       .select(col("neighbor_id"), col("cv"), col("cell"))
-    // cell rank key: ||c||² − 2 q·c. The driver-side `c.map(x*x).sum` and
-    // the engine-side dot(c, c) both accumulate in ascending index order,
-    // so the two regimes stay bit-identical.
-    val cellScoreArr =
-      if (inline) array(centers.zipWithIndex.map { case (c, i) =>
-        val cArr = array(c.map(lit).toSeq: _*)
-        val c2 = c.map(x => x * x).sum
-        struct((lit(c2) - lit(2.0) * dot(col("qv"), cArr)).as("d"),
-          lit(i).as("cell"))
-      }.toSeq: _*)
-      else transform(typedLit(centers.map(_.toSeq).toSeq), (c, i) =>
-        struct((dot(c, c) - lit(2.0) * dot(col("qv"), c)).as("d"),
-          i.as("cell")))
     val probed = qF.withColumn("cell",
-      explode(transform(
-        slice(array_sort(cellScoreArr), 1, nprobe),
-        s => s.getField("cell"))))
+      explode(probeCells(col("qv"), centers, inline, nprobe)))
     val scored = probed.join(assigned, "cell")
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
               else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         cosineFor(queries.sparkSession)(col("qv"), col("cv")).as("cos"))
+    graft.ops.BestMatch.topKPerKey(scored, Seq(col("query_id")),
+        Seq(col("cos").desc, col("neighbor_id").asc), k)
+      .withColumnRenamed("__graft_rank", "rank")
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** The nprobe nearest cells for a query vector, as an int array column.
+    * Cell rank key: ||c||² − 2 q·c. The driver-side `c.map(x*x).sum` and
+    * the engine-side dot(c, c) both accumulate in ascending index order,
+    * so the inline and typedLit regimes stay bit-identical. */
+  private def probeCells(qv: Column, centers: Array[Array[Double]],
+                         inline: Boolean, nprobe: Int): Column = {
+    val cellScoreArr =
+      if (inline) array(centers.zipWithIndex.map { case (c, i) =>
+        val cArr = array(c.map(lit).toSeq: _*)
+        val c2 = c.map(x => x * x).sum
+        struct((lit(c2) - lit(2.0) * dot(qv, cArr)).as("d"),
+          lit(i).as("cell"))
+      }.toSeq: _*)
+      else transform(typedLit(centers.map(_.toSeq).toSeq), (c, i) =>
+        struct((dot(c, c) - lit(2.0) * dot(qv, c)).as("d"),
+          i.as("cell")))
+    transform(slice(array_sort(cellScoreArr), 1, nprobe),
+      s => s.getField("cell"))
+  }
+
+  /** Persist an IVF index: the trained coarse quantizer's centroids
+    * (`<path>/centroids`) plus the corpus assigned to cells,
+    * HIVE-PARTITIONED BY CELL (`<path>/cells/cell=N/...`). Partitioning
+    * by cell is the point of the artifact: a probe filters on its nprobe
+    * cell ids, so the scan opens nprobe/nlist of the files — on object
+    * storage that is the difference between touching 25% and 100% of a
+    * corpus-sized index. Training is the same deterministic sample +
+    * driver Lloyd as [[ivfTopK]] (same seed → same centroids → probe
+    * results identical to the in-memory path; LlmSpec pins this). */
+  def writeIvfIndex(corpus: DataFrame, corpusIdCol: String, vecCol: String,
+                    path: String, nlist: Int = 16, seed: Long = 42L,
+                    trainN: Int = 2048,
+                    maxInlineLiterals: Int = MaxInlineLiterals): Unit = {
+    val spark = corpus.sparkSession
+    val corpusVec = corpus.select(col(corpusIdCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+    val dim = headDim(corpus, vecCol)
+    val corpusF = corpusVec.filter(size(col("cv")) === dim)
+    val sample = trainSample(corpusF, "cv", "neighbor_id", trainN)
+    require(sample.nonEmpty,
+      s"cannot build an IVF index over an empty corpus at $path")
+    val centers = localLloyd(sample, nlist, iters = 5, seed = seed)
+    val inline = nlist.toLong * centers.head.length <= maxInlineLiterals
+    val dists = centroidDists(col("cv"), centers, inline)
+    import spark.implicits._
+    centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    corpusF
+      .withColumn("cell",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Probe a stored IVF index ([[writeIvfIndex]]): rank the stored
+    * centroids per query, read ONLY the nprobe nearest cell partitions
+    * (the probe-cell set folds into a static isin filter, so the parquet
+    * source prunes whole `cell=N` directories — PartitionFilters, pinned
+    * by LlmSpec), exact cosine on the probed fraction, bounded-heap
+    * top-k. Same output contract as [[ivfTopK]], and identical results
+    * for the same (nlist, seed, trainN): the quantizer is deterministic. */
+  def ivfTopKVsIndex(queries: DataFrame, indexPath: String,
+                     queryIdCol: String, vecCol: String, k: Int,
+                     nprobe: Int = 4, excludeSelf: Boolean = true,
+                     maxInlineLiterals: Int = MaxInlineLiterals)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    val centers = spark.read.parquet(s"$indexPath/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val dim = centers.head.length
+    val qF = queries.select(col(queryIdCol).as("query_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .filter(size(col("qv")) === dim)
+    val inline = centers.length.toLong * dim <= maxInlineLiterals
+    val probed = qF.withColumn("cell",
+      explode(probeCells(col("qv"), centers, inline, nprobe)))
+    // the distinct probe cells are bounded by nlist — fold them into a
+    // STATIC isin filter so the parquet source prunes whole cell
+    // partitions instead of scanning the full index and joining it away
+    val cellIds = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("cell").isin(cellIds: _*))
+    val scored = probed.join(cells, "cell")
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFor(spark)(col("qv"), col("cv")).as("cos"))
     graft.ops.BestMatch.topKPerKey(scored, Seq(col("query_id")),
         Seq(col("cos").desc, col("neighbor_id").asc), k)
       .withColumnRenamed("__graft_rank", "rank")

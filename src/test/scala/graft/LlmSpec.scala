@@ -1093,6 +1093,32 @@ class LlmSpec extends SparkSpec {
     assert(e.getMessage.contains("bits"))
   }
 
+  test("stored IVF index: probe == in-memory ivfTopK, cell partitions pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val queries = embs.filter(col("vec_id") < 10)
+    Similarity.writeIvfIndex(embs, "vec_id", "embedding", dir,
+      nlist = 8, seed = 42L)
+    val viaIndex = Similarity.ivfTopKVsIndex(queries, dir, "vec_id",
+      "embedding", k = 5, nprobe = 2)
+    val inMemory = Similarity.ivfTopK(queries, embs, "vec_id", "vec_id",
+      "embedding", k = 5, nlist = 8, nprobe = 2, seed = 42L)
+    // same deterministic quantizer -> identical shortlists and ranks
+    val a = viaIndex.select(col("query_id"), col("rank").cast("long"),
+        col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = inMemory.select(col("query_id"), col("rank").cast("long"),
+        col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    // the probe plan must prune cell partitions, not scan-and-discard:
+    // nprobe=2 of nlist=8 cells per query -> a PartitionFilters entry on
+    // the cells scan with the probed ids
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected cell-partition pruning in:\n${plan.take(2000)}")
+  }
+
   test("quality classifier scores a tiny corpus exactly, absent buckets weigh 0") {
     import graft.llm.QualityClassifier
     val docs = Seq((1L, "aa bb"), (2L, "aa aa aa"), (3L, "zz"))
