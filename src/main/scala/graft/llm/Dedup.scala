@@ -567,7 +567,11 @@ object Dedup {
     * Scale shape: the self-join is an equi-join on `cell`, so pair
     * candidates are generated within cells only — with random sign bits,
     * E[pairs] ≈ n²/2^(bits+1), tunable by `bits`; no all-pairs stage
-    * exists. Exact cosine verifies every candidate (codegen'd native
+    * exists. Real embeddings have CORRELATED signs, so a few cells can
+    * run hot; cells above `maxCellSize` subdivide by the next `bits`
+    * sign dimensions (the hot-cell valve — graceful recall degradation
+    * instead of the LSH path's drop-the-bucket or a quadratic stall).
+    * Exact cosine verifies every candidate (codegen'd native
     * expression when GraftExtensions is installed), and the duplicate
     * graph goes through [[connectedComponents]] (min-label, O(log n)
     * rounds) rather than a per-cluster greedy scan, so a duplicate chain
@@ -577,30 +581,54 @@ object Dedup {
     * least one near-dup pair; `comp` (the min member id) is the kept
     * representative — dedup = anti-join the corpus against rows where
     * id != comp. */
-  /** Sign-bit cell id: little-endian integer of the first `bits` sign
-    * bits of the vector (padded with zero bits when shorter). A float's
-    * sign survives any summation-order difference, so the cell is
-    * deterministic across engines. */
-  private def semanticCell(vec: Column, bits: Int): Column = {
+  /** Sign-bit cell id: little-endian integer of `bits` sign bits read
+    * from the vector starting at dimension `offset` (padded with zero
+    * bits when shorter). A float's sign survives any summation-order
+    * difference, so the cell is deterministic across engines. */
+  private def semanticCell(vec: Column, bits: Int,
+                           offset: Int = 0): Column = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
     aggregate(
       zip_with(
-        slice(Similarity.toDouble(vec), 1, bits),
+        slice(Similarity.toDouble(vec), offset + 1, bits),
         array((0 until bits).map(i => lit(1L << i)): _*),
         (v, p) => when(v >= 0, p).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
   }
 
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    tau: Double, bits: Int = 8): DataFrame = {
+                    tau: Double, bits: Int = 8,
+                    maxCellSize: Long = 1000000L): DataFrame = {
     val spark = df.sparkSession
-    val cells = df.select(col(idCol).as("id"),
+    val cells0 = df.select(col(idCol).as("id"),
       Similarity.toDouble(col(vecCol)).as("v"),
-      semanticCell(col(vecCol), bits).as("cell"))
+      semanticCell(col(vecCol), bits).as("cell"),
+      semanticCell(col(vecCol), bits, offset = bits).as("subcell"))
+    // Hot-cell valve: sign bits of REAL embeddings are correlated, so a
+    // few cells can hold a disproportionate corpus share and the
+    // within-cell self-join goes quadratic in them. Cells above
+    // `maxCellSize` subdivide by the NEXT `bits` sign dimensions —
+    // graceful recall degradation (pairs straddling a subcell boundary
+    // of a hot cell are missed, everything else is kept), unlike the
+    // LSH path's drop-the-bucket valve, which forfeits a hot bucket
+    // entirely. Cold cells keep subcell 0, i.e. exactly the one-level
+    // semantics. The cell-size table is one hash aggregate of
+    // (cell, count) — 2^bits rows, broadcastable by construction.
+    val hot = cells0.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxCellSize)
+      .select(col("cell"), lit(true).as("__hot"))
+    val cells = cells0
+      .join(broadcast(hot), Seq("cell"), "left")
+      .withColumn("subcell",
+        when(col("__hot"), col("subcell")).otherwise(lit(0L)))
+      .drop("__hot")
     val a = cells.alias("a")
     val b = cells.alias("b")
     val pairs = a.join(b,
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+        col("a.cell") === col("b.cell") &&
+          col("a.subcell") === col("b.subcell") &&
+          col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.cell").as("cell"),
         Similarity.cosineFor(spark)(col("a.v"), col("b.v")).as("cos"))

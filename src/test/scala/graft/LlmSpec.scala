@@ -1045,6 +1045,33 @@ class LlmSpec extends SparkSpec {
     assert(byComp.forall { case (comp, ms) => ms.map(_._1).min == comp })
   }
 
+  test("semantic dedup hot-cell valve subdivides instead of stalling or dropping") {
+    // 40 vectors all in ONE 4-bit cell (first 4 dims positive), split
+    // into two sign-groups at dims 5-8; within each group vectors are
+    // near-identical (cosine ~1)
+    val mk = (g: Int, j: Int) => Array(1f, 1f, 1f, 1f) ++
+      Array.fill(4)(if (g == 0) 1f + j * 0.001f else -1f - j * 0.001f)
+    val rows = (0 until 40).map(i => (i.toLong, mk(i % 2, i / 2).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    // cap forces the subdivision; groups land in different subcells, so
+    // cross-group pairs vanish but each group still fully dedups
+    val valved = Dedup.semanticDedup(df, "vec_id", "embedding",
+        tau = 0.9, bits = 4, maxCellSize = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(valved.size === 40, "both groups must still be deduped")
+    val comps = valved.values.toSet
+    assert(comps === Set(0L, 1L),
+      "each sign-group collapses to its own min-id representative")
+    assert((0 until 40).forall(i => valved(i.toLong) == (i % 2).toLong))
+    // under the cap: identical result with and without the valve param
+    val unvalved = Dedup.semanticDedup(df, "vec_id", "embedding",
+        tau = 0.9, bits = 4, maxCellSize = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // without subdivision the two groups are one cell but cosine across
+    // groups is far below tau, so components are identical here
+    assert(unvalved === valved)
+  }
+
   test("incremental semantic dedup: stored-index probe == local recompute, appends accumulate, bits pinned") {
     val dir = java.nio.file.Files.createTempDirectory("semidx").toString
     val corpus = embs.filter(col("vec_id") % 10 =!= 0)
