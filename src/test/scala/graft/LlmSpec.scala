@@ -973,6 +973,25 @@ class LlmSpec extends SparkSpec {
     assert(graft.llm.BpeTrain.merges(empty, "text", 4).count() === 0L)
     assert(graft.llm.SubstringDedup
       .dedupSubstrings(empty, "doc_id", "text", 3).count() === 0L)
+    assert(graft.llm.Bm25.invertedIndex(empty, "doc_id", "text")
+      .count() === 0L)
+    val w = graft.llm.QualityClassifier.hashWeights(spark, 16)
+    assert(graft.llm.QualityClassifier
+      .score(empty, "doc_id", "text", w, 16).count() === 0L)
+    val emptyVec = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semanticDedup(emptyVec, "vec_id", "embedding", 0.5)
+      .count() === 0L)
+  }
+
+  test("quality classifier plan: weights ride a broadcast join, agg is doc-keyed") {
+    import graft.llm.QualityClassifier
+    val w = QualityClassifier.hashWeights(spark, 4096)
+    val plan = QualityClassifier.score(docs, "doc_id", "text", w, 4096)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight table must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "a shuffled weight join means the broadcast hint was lost")
   }
 
   test("RRF fusion sums reciprocal ranks, absence contributes zero") {
