@@ -824,6 +824,29 @@ object SparkEntry {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // LLM: the embedding twin of q_similarity_ingest — exactly-once
+    // semantic-dedup gate over the stored sign-cell index, 3
+    // micro-batches with a mid-stream compaction (rows-only: gate
+    // verdicts; StreamingSpec pins the semantics)
+    "q_embedding_ingest" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val state = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_embingest_q").toString
+      deleteRecursively(state)
+      for (b <- 0L to 2L) {
+        graft.streaming.EmbeddingIngest.applyBatch(s, state,
+          emb.filter(col("vec_id") % 3 === b), b, "vec_id", "embedding")
+        if (b == 1L)
+          graft.streaming.EmbeddingIngest.compactIndexes(s, state)
+      }
+      graft.streaming.EmbeddingIngest.accepted(s, state)
+        .select(col("vec_id"), lit("accepted").as("status"))
+        .unionByName(graft.streaming.EmbeddingIngest.quarantined(s, state)
+          .select(col("vec_id"), col("reason").as("status")))
+        .orderBy(col("vec_id"))
+    }),
+
     // LLM: model-based quality filter (fastText/DCLM-shaped linear
     // classifier inference over hashed token features; deterministic
     // stand-in weights so the oracle replays the whole score)

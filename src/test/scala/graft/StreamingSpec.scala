@@ -695,4 +695,103 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(quar2 === Set(10L -> "near_dup", 11L -> "substring_dup"))
   }
+
+  test("embedding ingest gate: cross-batch, intra-batch, compaction, replay-proof") {
+    import graft.streaming.EmbeddingIngest
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_embingest").toString
+    val p = EmbeddingIngest.Params(tau = 0.9, bits = 4)
+    // unit directions are mutually orthogonal (cosine 0 — far below tau);
+    // a duplicate is the same direction (cosine 1). All-nonnegative
+    // vectors share one sign cell, which exercises the within-cell gate;
+    // vNeg flips the first sign and lands in a different cell entirely.
+    def unit(d: Int): Seq[Float] =
+      Seq.tabulate(8)(i => if (i == d) 1f else 0f)
+    val vNeg: Seq[Float] = Seq(-1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+
+    // batch 0 bootstraps: id 3 is an intra-batch dup of id 1
+    EmbeddingIngest.applyBatch(spark, state,
+      Seq((1L, unit(0)), (2L, unit(1)), (3L, unit(0)))
+        .toDF("vec_id", "embedding"), 0L, "vec_id", "embedding", p)
+    // batch 1: corpus dup of id 1, one fresh direction, one fresh in a
+    // DIFFERENT sign cell (negative first dim — cosine −1 vs id 1)
+    EmbeddingIngest.applyBatch(spark, state,
+      Seq((10L, unit(0)), (11L, unit(2)), (12L, vNeg))
+        .toDF("vec_id", "embedding"), 1L, "vec_id", "embedding", p)
+    // fold batches 0..1 into the compacted base mid-stream: batch 2
+    // must probe the folded index and keep identical semantics
+    EmbeddingIngest.compactIndexes(spark, state)
+    // batch 2: dup of BATCH-1-accepted id 11 (cross-batch growth via the
+    // compacted base), one fresh, and an intra-batch dup of the fresh
+    val batch2 = Seq((20L, unit(2)), (21L, unit(3)), (22L, unit(3)))
+      .toDF("vec_id", "embedding")
+    EmbeddingIngest.applyBatch(spark, state, batch2, 2L,
+      "vec_id", "embedding", p)
+
+    def disposition() = {
+      val acc = EmbeddingIngest.accepted(spark, state)
+        .select(col("vec_id"), lit("accepted").as("status"))
+      val quar = EmbeddingIngest.quarantined(spark, state)
+        .select(col("vec_id"), col("reason").as("status"))
+      acc.unionByName(quar).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    val expected = Set(
+      1L -> "accepted", 2L -> "accepted", 3L -> "near_dup",
+      10L -> "near_dup", 11L -> "accepted", 12L -> "accepted",
+      20L -> "near_dup", 21L -> "accepted", 22L -> "near_dup")
+    assert(disposition() === expected)
+
+    // stamped replay: no-op. Older id: loud failure, not a silent drop.
+    EmbeddingIngest.applyBatch(spark, state,
+      Seq((99L, unit(4))).toDF("vec_id", "embedding"), 2L,
+      "vec_id", "embedding", p)
+    assert(disposition() === expected)
+    intercept[IllegalArgumentException] {
+      EmbeddingIngest.applyBatch(spark, state,
+        Seq((99L, unit(4))).toDF("vec_id", "embedding"), 1L,
+        "vec_id", "embedding", p)
+    }
+
+    // crash-window replay: batch 2's marker is gone but its outputs and
+    // index rows are down — the re-run prunes its own entries (no
+    // self-matching) and converges on the identical state, with no
+    // duplicate index rows for the replayed batch
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(
+      new org.apache.hadoop.fs.Path(state, "_committed/batch-2"), false)
+    EmbeddingIngest.applyBatch(spark, state, batch2, 2L,
+      "vec_id", "embedding", p)
+    assert(disposition() === expected)
+    assert(EmbeddingIngest.lastBatchId(spark, state) === 2L)
+    val idxRows = spark.read.parquet(s"$state/semantic/cells")
+      .filter(col("batch") === 2L).select("id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(idxRows.sorted === Seq(21L), "replay must overwrite, not append")
+
+    // the streaming form composes the same gate
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_embingest_src").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_embingest_chk").toString
+    val state2 = java.nio.file.Files
+      .createTempDirectory("graft_embingest_st2").toString
+    Seq((1L, unit(0)), (2L, unit(1))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(src)
+    val q = EmbeddingIngest.ingest(spark, src, state2, chk,
+      "vec_id", "embedding", p).start()
+    q.processAllAvailable()
+    Seq((10L, unit(0)), (11L, unit(2))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    assert(EmbeddingIngest.accepted(spark, state2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 11L))
+    assert(EmbeddingIngest.quarantined(spark, state2)
+      .select("vec_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set(10L -> "near_dup"))
+  }
 }
