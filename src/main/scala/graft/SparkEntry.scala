@@ -2172,6 +2172,83 @@ object SparkEntry {
         |FROM r JOIN c ON c.id = r.id
         |GROUP BY r.id, c.cell ORDER BY r.id""".stripMargin,
 
+    // The full 3-batch exactly-once gate replayed in one statement: per
+    // batch, an index probe against the accumulated accepted set, then a
+    // within-batch self-dedup via recursive-CTE connected components —
+    // sign cells and cosine thresholds are engine-deterministic, so the
+    // sequential gate verdicts replay bit-for-bit
+    "q_embedding_ingest" ->
+      """WITH RECURSIVE
+        |c AS (SELECT vec_id AS id, embedding AS v,
+        |    CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        |  + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |  + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+        |  + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+        |  + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+        |  + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+        |  + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+        |  + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END AS cell,
+        |    vec_id % 3 AS b
+        |  FROM embeddings),
+        |p0 AS (SELECT a.id AS id_a, b.id AS id_b FROM c a JOIN c b
+        |  ON a.b = 0 AND b.b = 0 AND a.cell = b.cell AND a.id < b.id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.9),
+        |e0 AS (SELECT id_a AS src, id_b AS dst FROM p0
+        |  UNION SELECT id_b, id_a FROM p0),
+        |r0 AS (SELECT src AS id, dst AS reach FROM e0
+        |  UNION SELECT r0.id, e0.dst FROM r0 JOIN e0 ON r0.reach = e0.src),
+        |comp0 AS (SELECT id, least(id, min(reach)) AS comp FROM r0
+        |  GROUP BY id),
+        |acc0 AS (SELECT id FROM c WHERE b = 0
+        |  AND id NOT IN (SELECT id FROM comp0 WHERE id <> comp)),
+        |bad1 AS (SELECT DISTINCT n.id FROM c n JOIN c o ON n.b = 1
+        |  AND o.id IN (SELECT id FROM acc0) AND n.cell = o.cell
+        |  AND list_cosine_similarity(n.v, o.v) >= 0.9),
+        |s1 AS (SELECT id FROM c WHERE b = 1
+        |  AND id NOT IN (SELECT id FROM bad1)),
+        |p1 AS (SELECT a.id AS id_a, b.id AS id_b FROM c a JOIN c b
+        |  ON a.id IN (SELECT id FROM s1) AND b.id IN (SELECT id FROM s1)
+        |  AND a.cell = b.cell AND a.id < b.id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.9),
+        |e1 AS (SELECT id_a AS src, id_b AS dst FROM p1
+        |  UNION SELECT id_b, id_a FROM p1),
+        |r1 AS (SELECT src AS id, dst AS reach FROM e1
+        |  UNION SELECT r1.id, e1.dst FROM r1 JOIN e1 ON r1.reach = e1.src),
+        |comp1 AS (SELECT id, least(id, min(reach)) AS comp FROM r1
+        |  GROUP BY id),
+        |acc1 AS (SELECT id FROM s1
+        |  WHERE id NOT IN (SELECT id FROM comp1 WHERE id <> comp)),
+        |accAll AS (SELECT id FROM acc0 UNION ALL SELECT id FROM acc1),
+        |bad2 AS (SELECT DISTINCT n.id FROM c n JOIN c o ON n.b = 2
+        |  AND o.id IN (SELECT id FROM accAll) AND n.cell = o.cell
+        |  AND list_cosine_similarity(n.v, o.v) >= 0.9),
+        |s2 AS (SELECT id FROM c WHERE b = 2
+        |  AND id NOT IN (SELECT id FROM bad2)),
+        |p2 AS (SELECT a.id AS id_a, b.id AS id_b FROM c a JOIN c b
+        |  ON a.id IN (SELECT id FROM s2) AND b.id IN (SELECT id FROM s2)
+        |  AND a.cell = b.cell AND a.id < b.id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.9),
+        |e2 AS (SELECT id_a AS src, id_b AS dst FROM p2
+        |  UNION SELECT id_b, id_a FROM p2),
+        |r2 AS (SELECT src AS id, dst AS reach FROM e2
+        |  UNION SELECT r2.id, e2.dst FROM r2 JOIN e2 ON r2.reach = e2.src),
+        |comp2 AS (SELECT id, least(id, min(reach)) AS comp FROM r2
+        |  GROUP BY id),
+        |acc2 AS (SELECT id FROM s2
+        |  WHERE id NOT IN (SELECT id FROM comp2 WHERE id <> comp))
+        |SELECT id AS vec_id, 'accepted' AS status FROM acc0
+        |UNION ALL SELECT id, 'accepted' FROM acc1
+        |UNION ALL SELECT id, 'accepted' FROM acc2
+        |UNION ALL SELECT id, 'near_dup' FROM c
+        |  WHERE (b = 0 AND id NOT IN (SELECT id FROM acc0))
+        |     OR (b = 1 AND id NOT IN (SELECT id FROM s1))
+        |     OR (b = 1 AND id IN (SELECT id FROM s1)
+        |         AND id NOT IN (SELECT id FROM acc1))
+        |     OR (b = 2 AND id NOT IN (SELECT id FROM s2))
+        |     OR (b = 2 AND id IN (SELECT id FROM s2)
+        |         AND id NOT IN (SELECT id FROM acc2))
+        |ORDER BY vec_id""".stripMargin,
+
     "q_semantic_incremental" ->
       """WITH c AS (SELECT vec_id AS id, embedding AS v,
         |    CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
