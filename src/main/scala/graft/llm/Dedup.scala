@@ -653,16 +653,23 @@ object Dedup {
     writeSemanticParams(corpus.sparkSession, path, bits)
   }
 
-  /** Append an accepted batch to a [[writeSemanticIndex]] layout. */
+  /** Append an accepted batch to a [[writeSemanticIndex]] layout.
+    * Refuses a batch-keyed store: flat files and `batch=` partition dirs
+    * under one root break parquet discovery, and an append would land
+    * invisible to the gate's partition-pruned replay reads. */
   def appendSemanticIndex(batch: DataFrame, idCol: String, vecCol: String,
                           path: String, bits: Int = 8): Unit = {
     requireSemanticParams(batch.sparkSession, path, bits)
+    require(!semanticHasBatchDirs(batch.sparkSession, path),
+      s"semantic index at $path uses the batch-keyed layout " +
+        "(cells/batch=N) — use putSemanticIndexBatch, not the flat append")
     semanticRows(batch, idCol, vecCol, bits)
       .write.mode("append").parquet(s"$path/cells")
   }
 
   /** Batch-keyed variant (`cells/batch=<id>` subdirs, overwrite-idempotent
-    * — the exactly-once gate layout; see [[putCorpusIndexBatch]]). */
+    * — the exactly-once gate layout; see [[putCorpusIndexBatch]]).
+    * Refuses a flat [[writeSemanticIndex]] store for the mirror reason. */
   def putSemanticIndexBatch(batch: DataFrame, idCol: String, vecCol: String,
                             path: String, batchId: Long,
                             bits: Int = 8): Unit = {
@@ -672,8 +679,23 @@ object Dedup {
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_semparams")))
       writeSemanticParams(spark, path, bits)
     else requireSemanticParams(spark, path, bits)
+    val cellsRoot = new org.apache.hadoop.fs.Path(s"$path/cells")
+    require(!fs.exists(cellsRoot) || !fs.listStatus(cellsRoot).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")),
+      s"semantic index at $path uses the flat layout (writeSemanticIndex/" +
+        "appendSemanticIndex) — a batch-keyed put would mix files and " +
+        "batch= dirs under one root; seed a fresh batch-keyed store instead")
     semanticRows(batch, idCol, vecCol, bits)
       .write.mode("overwrite").parquet(s"$path/cells/batch=$batchId")
+  }
+
+  private def semanticHasBatchDirs(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) && fs.listStatus(root)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
   }
 
   /** Fold committed batches of a [[putSemanticIndexBatch]] layout into the

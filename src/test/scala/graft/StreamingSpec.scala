@@ -770,6 +770,47 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq
     assert(idxRows.sorted === Seq(21L), "replay must overwrite, not append")
 
+    // BOOTSTRAP crash-window replay: batch 0 wrote its outputs but
+    // crashed before the index write and the stamp — the replay must
+    // re-enter the bootstrap branch (stamp-based detection), not wedge
+    // on a missing index read
+    val stateB = java.nio.file.Files
+      .createTempDirectory("graft_embingest_bs").toString
+    val batch0 = Seq((1L, unit(0)), (2L, unit(1)), (3L, unit(0)))
+      .toDF("vec_id", "embedding")
+    EmbeddingIngest.applyBatch(spark, stateB, batch0, 0L,
+      "vec_id", "embedding", p)
+    val fsB = new org.apache.hadoop.fs.Path(stateB)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsB.delete(
+      new org.apache.hadoop.fs.Path(stateB, "_committed/batch-0"), false)
+    fsB.delete(new org.apache.hadoop.fs.Path(stateB, "semantic"), true)
+    EmbeddingIngest.applyBatch(spark, stateB, batch0, 0L,
+      "vec_id", "embedding", p)
+    assert(EmbeddingIngest.accepted(spark, stateB)
+      .select("vec_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    EmbeddingIngest.applyBatch(spark, stateB,
+      Seq((10L, unit(0)), (11L, unit(2))).toDF("vec_id", "embedding"), 1L,
+      "vec_id", "embedding", p)
+    assert(EmbeddingIngest.accepted(spark, stateB)
+      .select("vec_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 11L))
+
+    // mixed-layout refusals: flat append into a batch-keyed store and a
+    // batch-keyed put into a flat store both fail loudly
+    intercept[IllegalArgumentException] {
+      graft.llm.Dedup.appendSemanticIndex(batch0, "vec_id", "embedding",
+        s"$stateB/semantic", bits = 4)
+    }
+    val flatDir = java.nio.file.Files
+      .createTempDirectory("graft_semflat").toString
+    graft.llm.Dedup.writeSemanticIndex(batch0, "vec_id", "embedding", flatDir,
+      bits = 4)
+    intercept[IllegalArgumentException] {
+      graft.llm.Dedup.putSemanticIndexBatch(batch0, "vec_id", "embedding", flatDir,
+        0L, bits = 4)
+    }
+
     // the streaming form composes the same gate
     val src = java.nio.file.Files
       .createTempDirectory("graft_embingest_src").toString
