@@ -803,6 +803,25 @@ object SparkEntry {
           "vec_id", "embedding", 0.35, bits = 8)
         .orderBy(col("id"))),
 
+    // LLM: multi-signal dedup — the lexical (prefix-filtered Jaccard)
+    // and semantic (sign-cell cosine) duplicate signals fused into ONE
+    // duplicate graph before clustering, keyed by the shared doc/vec id
+    // space: a chain that is text-dup on one hop and embedding-dup on
+    // the next collapses to one representative. Hash-checked: both pair
+    // CTEs + the closure replay in DuckDB
+    "q_multisignal_dedup" -> ((s, dir) => {
+      val docs = spread(table(s, dir, "documents"), "doc_id")
+      val embs = spread(table(s, dir, "embeddings"), "vec_id")
+      val textPairs = Dedup.jaccardPairsWithinGroupPrefix(docs,
+          "doc_id", "text", "source", 0.9)
+        .select(col("id_a"), col("id_b"))
+      val semPairs = Dedup.semanticPairs(embs, "vec_id", "embedding",
+          0.35, bits = 8)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(textPairs.unionByName(semPairs))
+        .orderBy(col("id"))
+    }),
+
     // LLM: incremental semantic dedup — new embeddings probe a STORED
     // sign-cell index at O(batch) (the embedding twin of the MinHash /
     // substring incremental paths); hash-checked: cells + cosine gate
@@ -2171,6 +2190,35 @@ object SparkEntry {
         |  least(r.id, min(r.reach)) AS comp
         |FROM r JOIN c ON c.id = r.id
         |GROUP BY r.id, c.cell ORDER BY r.id""".stripMargin,
+
+    "q_multisignal_dedup" ->
+      """WITH RECURSIVE s AS (SELECT doc_id, source,
+        |    list_sort(list_distinct(string_split(text, ' '))) AS ws
+        |  FROM documents),
+        |pt AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.ws, b.ws)) * 1.0 /
+        |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9),
+        |c AS (SELECT vec_id AS id, embedding AS v,
+        |    CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+        |  + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+        |  + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+        |  + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END
+        |  + CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END
+        |  + CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END
+        |  + CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END
+        |  + CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END AS cell
+        |  FROM embeddings),
+        |ps AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM c a JOIN c b ON a.cell = b.cell AND a.id < b.id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35),
+        |p AS (SELECT id_a, id_b FROM pt UNION SELECT id_a, id_b FROM ps),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p),
+        |r AS (SELECT src AS id, dst AS reach FROM e
+        |  UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
+        |SELECT id, least(id, min(reach)) AS comp FROM r GROUP BY id
+        |ORDER BY id""".stripMargin,
 
     // The full 3-batch exactly-once gate replayed in one statement: per
     // batch, an index probe against the accumulated accepted set, then a

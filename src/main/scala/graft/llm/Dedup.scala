@@ -599,7 +599,30 @@ object Dedup {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     tau: Double, bits: Int = 8,
                     maxCellSize: Long = 1000000L): DataFrame = {
-    val spark = df.sparkSession
+    val cells = semanticCellRows(df, idCol, vecCol, bits, maxCellSize)
+    val comps = connectedComponents(
+      semanticPairsFromCells(cells, tau).select(col("id_a"), col("id_b")))
+    comps
+      .join(cells.select(col("id"), col("cell")), Seq("id"))
+      .select(col("id"), col("cell"), col("comp"))
+  }
+
+  /** The pair-generation stage of [[semanticDedup]] alone: (id_a, id_b,
+    * cell, cos) for every within-cell pair with cosine >= tau — the
+    * embedding SIGNAL for a multi-signal duplicate graph (union these
+    * with Jaccard/MinHash pairs and run [[connectedComponents]]; a chain
+    * that is text-dup on one hop and embedding-dup on the next still
+    * collapses to one representative). Same hot-cell valve as
+    * [[semanticDedup]]. */
+  def semanticPairs(df: DataFrame, idCol: String, vecCol: String,
+                    tau: Double, bits: Int = 8,
+                    maxCellSize: Long = 1000000L): DataFrame =
+    semanticPairsFromCells(
+      semanticCellRows(df, idCol, vecCol, bits, maxCellSize), tau)
+
+  private def semanticCellRows(df: DataFrame, idCol: String,
+                               vecCol: String, bits: Int,
+                               maxCellSize: Long): DataFrame = {
     val cells0 = df.select(col(idCol).as("id"),
       Similarity.toDouble(col(vecCol)).as("v"),
       semanticCell(col(vecCol), bits).as("cell"),
@@ -618,14 +641,19 @@ object Dedup {
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxCellSize)
       .select(col("cell"), lit(true).as("__hot"))
-    val cells = cells0
+    cells0
       .join(broadcast(hot), Seq("cell"), "left")
       .withColumn("subcell",
         when(col("__hot"), col("subcell")).otherwise(lit(0L)))
       .drop("__hot")
+  }
+
+  private def semanticPairsFromCells(cells: DataFrame,
+                                     tau: Double): DataFrame = {
+    val spark = cells.sparkSession
     val a = cells.alias("a")
     val b = cells.alias("b")
-    val pairs = a.join(b,
+    a.join(b,
         col("a.cell") === col("b.cell") &&
           col("a.subcell") === col("b.subcell") &&
           col("a.id") < col("b.id"))
@@ -633,11 +661,6 @@ object Dedup {
         col("a.cell").as("cell"),
         Similarity.cosineFor(spark)(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= tau)
-    val comps = connectedComponents(
-      pairs.select(col("id_a"), col("id_b")))
-    comps
-      .join(cells.select(col("id"), col("cell")), Seq("id"))
-      .select(col("id"), col("cell"), col("comp"))
   }
 
   /** Persist a semantic (sign-cell) embedding index: one parquet table

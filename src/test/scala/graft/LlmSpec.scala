@@ -1091,6 +1091,31 @@ class LlmSpec extends SparkSpec {
     assert(unvalved === valved)
   }
 
+  test("multi-signal dedup: a text-dup hop and a semantic-dup hop merge into one cluster") {
+    // ids 1~2 are exact text duplicates; ids 2~3 share an embedding
+    // direction (cosine 1) but have unrelated text; id 4 is noise
+    val docsT = Seq((1L, "a", "the quick brown fox jumps"),
+      (2L, "a", "the quick brown fox jumps"),
+      (3L, "a", "completely different words here entirely"),
+      (4L, "a", "unrelated noise text row")).toDF("doc_id", "source", "text")
+    val v = Seq(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val w = Seq(-1f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)
+    val embsT = Seq((2L, v), (3L, v), (4L, w))
+      .toDF("vec_id", "embedding")
+    val textPairs = Dedup.jaccardPairsWithinGroupPrefix(docsT,
+      "doc_id", "text", "source", 0.9).select("id_a", "id_b")
+    val semPairs = Dedup.semanticPairs(embsT, "vec_id", "embedding",
+      0.9, bits = 4).select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(
+        textPairs.unionByName(semPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the chain 1-2 (text) + 2-3 (semantic) is ONE cluster rooted at 1
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // semanticPairs alone equals the pair stage of semanticDedup
+    assert(semPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet === Set((2L, 3L)))
+  }
+
   test("incremental semantic dedup: stored-index probe == local recompute, appends accumulate, bits pinned") {
     val dir = java.nio.file.Files.createTempDirectory("semidx").toString
     val corpus = embs.filter(col("vec_id") % 10 =!= 0)
