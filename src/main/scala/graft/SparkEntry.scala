@@ -845,8 +845,9 @@ object SparkEntry {
 
     // LLM: the embedding twin of q_similarity_ingest — exactly-once
     // semantic-dedup gate over the stored sign-cell index, 3
-    // micro-batches with a mid-stream compaction (rows-only: gate
-    // verdicts; StreamingSpec pins the semantics)
+    // micro-batches with a mid-stream compaction. HASH-CHECKED: the
+    // sequential gate replays in one DuckDB statement (oracle below);
+    // StreamingSpec pins the crash/replay semantics
     "q_embedding_ingest" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
@@ -1046,7 +1047,10 @@ object SparkEntry {
       val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
       // deterministic state path, cleared up-front: repeated gate runs
       // (Bench runs each query twice per round) reuse ONE location
-      // instead of leaking a fresh temp corpus copy per invocation
+      // instead of leaking a fresh temp corpus copy per invocation.
+      // SINGLE-JVM assumption (holds for the driver's sequential gate
+      // runs): two graft JVMs racing this query on one box would clear
+      // each other's state mid-run — use unique dirs for concurrent use
       val state = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"), "graft_simingest_q").toString
       deleteRecursively(state)
@@ -2923,7 +2927,7 @@ object SparkEntry {
         |  FROM vals),
         |h1 AS (
         |  SELECT v, len, mixed,
-        |    list_reduce(list_prepend(CAST(42 AS BIGINT), mixed), (acc, m) ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), mixed), (acc, m) ->
         |      CAST((((CAST(xor(acc, m) AS HUGEINT) * 8192) % 4294967296
         |        + xor(acc, m) // 524288) * 5 + 3864292196) % 4294967296
         |        AS BIGINT)) AS h1pre,
@@ -2954,9 +2958,9 @@ object SparkEntry {
         |buckets AS (
         |  SELECT h.v, d.i,
         |    ((h.h1v + d.i * h.h2v) % 4294967296) AS c,
-        |    (CASE WHEN c >= 2147483648 THEN 4294967295 - c ELSE c END)
-        |      % 2000 AS bkt
-        |  FROM h2 h, (SELECT unnest(generate_series(1, 7)) AS i) d),
+        |    (CASE WHEN c >= 2147483648 THEN (4294967296 - c) % 2000
+        |          ELSE c % 2000 END) AS bkt
+        |  FROM h2 h, (SELECT unnest(generate_series(0, 6)) AS i) d),
         |rowsums AS (
         |  SELECT p.v AS probe, pb.i, coalesce(sum(e.n), 0) AS s
         |  FROM probes p

@@ -257,10 +257,12 @@ object CsvSplit {
         require(codec.nonEmpty || !Csv.isCompressedName(src.getName),
           s"no hadoop codec available for compressed file $f — " +
             "decompress it externally or add the codec to the cluster")
-        val outName = codec.map(_ =>
-          org.apache.hadoop.io.compress.CompressionCodecFactory
-            .removeSuffix(src.getName,
-              factory.getCodec(src).getDefaultExtension))
+        // staged name = FULL source name + ".raw" for decompressed files:
+        // stripping the codec suffix instead would stage data.csv.gz AND
+        // a plain data.csv twin to the SAME destination, silently
+        // clobbering one of them; the .raw suffix also keeps the staged
+        // file from re-matching the codec factory downstream
+        val outName = codec.map(_ => src.getName + ".raw")
           .getOrElse(src.getName)
         val dst = new Path(stagingDir, outName)
         val dstFs = dst.getFileSystem(conf)

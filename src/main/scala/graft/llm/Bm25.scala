@@ -106,10 +106,16 @@ object Bm25 {
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos0", "term")))
       .select(col("term"), col("doc_id"), (col("pos0") + 1).as("pos"))
     hits.groupBy(col("term"))
-      .agg(count_distinct(col("doc_id")).as("df"),
-        count(lit(1)).as("tf_total"),
+      .agg(count(lit(1)).as("tf_total"),
         array_sort(collect_list(struct(col("doc_id"), col("pos"))))
           .as("hits"))
+      // df is derived FROM the collected postings, not aggregated with
+      // them: mixing count_distinct with collect_list makes Catalyst's
+      // single-distinct rewrite plan a second exchange keyed on
+      // (term, doc_id) with the full postings payload riding through
+      // both — this keeps the promised single term-keyed shuffle
+      .withColumn("df", size(array_distinct(
+        transform(col("hits"), h => h("doc_id")))).cast("long"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
       .select(col("term"), col("df"), col("tf_total"),
         array_join(transform(col("hits"),

@@ -101,7 +101,15 @@ object EmbeddingIngest {
     leafStores(stateDir).foreach(s =>
       graft.io.Parquet.repairBatchStore(spark, s))
     val cellsDir = s"$stateDir/semantic"
-    val bootstrapped = last >= 0L
+    // a PRE-SEEDED index (putSemanticIndexBatch with id -1 over an
+    // existing corpus — the seedCorpusIndex pattern) must route batch 0
+    // through the GATE branch, or vectors duplicating the seed corpus
+    // would be silently accepted by a self-dedup-only bootstrap
+    val fs = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seeded = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$cellsDir/cells/batch=-1"))
+    val bootstrapped = last >= 0L || seeded
     val batch = batch0.persist()
     val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
     def pin(df: DataFrame): DataFrame = {

@@ -112,7 +112,18 @@ object IngestDedup {
     // batch may have left its own batch=0 index dirs — the bootstrap
     // replay overwrites them; a crashed SEEDED first batch replays
     // through the gate branch with its own entries pruned out.)
-    val seeded = fs.exists(new Path(docsDir, "batch=-1"))
+    // BOTH halves of the seed must exist: seedCorpusIndex writes docs
+    // then buckets, so a crash between the two leaves a half-seed whose
+    // gate branch would wedge the stream on PATH_NOT_FOUND at every
+    // retry — refuse loudly with the rebuild instruction instead.
+    val seededDocs = fs.exists(new Path(docsDir, "batch=-1"))
+    val seededBuckets = fs.exists(
+      new Path(s"$indexPath/buckets", "batch=-1"))
+    require(seededDocs == seededBuckets,
+      s"half-written seed at $indexPath (docs/batch=-1: $seededDocs, " +
+        s"buckets/batch=-1: $seededBuckets) — seedCorpusIndex crashed " +
+        "between its two writes; delete the index dir and re-seed")
+    val seeded = seededDocs
     val bootstrapped = last >= 0L || seeded
     val batch = batch0.persist()
     try {

@@ -394,10 +394,32 @@ class PipelineSpec extends SparkSpec {
     val key = col("id").cast("long")
     assert(split.orderBy(key).collect().toSeq ===
       stock.orderBy(key).collect().toSeq)
-    // staged file lost the codec extension (it is plaintext now); hadoop
-    // local-FS .crc siblings are hidden files every reader ignores
+    // staged name = full source name + ".raw": stripping the codec
+    // suffix instead would collide with a plain same-stem twin, and the
+    // .raw suffix keeps the plaintext from re-matching the codec factory
     assert(new java.io.File(staging).listFiles.map(_.getName)
-      .filterNot(_.startsWith(".")).toSet === Set("data.csv"))
+      .filterNot(_.startsWith(".")).toSet === Set("data.csv.gz.raw"))
+    // the collision case the naming exists for: a plain twin of the
+    // compressed file stages alongside it, neither clobbers the other
+    val twinDir = java.nio.file.Files
+      .createTempDirectory("graft_csvgz_twin").toString
+    val hdr = "id,c1\n" + (0 until 3).map(i => s"$i,x$i").mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(twinDir, "data.csv"), hdr)
+    val gzo = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(twinDir, "data.csv.gz")))
+    try gzo.write(("id,c1\n" + (10 until 13).map(i => s"$i,y$i")
+      .mkString("\n")).getBytes("UTF-8"))
+    finally gzo.close()
+    val twinStage = java.nio.file.Files
+      .createTempDirectory("graft_csvgz_tst").toString
+    CsvSplit.decompressToSplittable(spark, twinDir, twinStage)
+    assert(new java.io.File(twinStage).listFiles.map(_.getName)
+      .filterNot(_.startsWith(".")).toSet ===
+      Set("data.csv", "data.csv.gz.raw"))
+    assert(CsvSplit.read(spark, twinStage, inferSchema = false,
+      blockSize = 128).count() === 6, "both twins' rows must survive")
   }
 
   test("splittable CSV refuses multi-file inputs with disagreeing headers") {

@@ -430,6 +430,23 @@ class StreamingSpec extends SparkSpec {
         "doc_id", "text")
     }
     assert(e.getMessage.contains("seedCorpusIndex"))
+
+    // a HALF-WRITTEN seed (seedCorpusIndex crashed between its docs and
+    // buckets writes) is refused with the rebuild instruction — routing
+    // it to the gate branch would wedge every retry on PATH_NOT_FOUND
+    val halfIdx = java.nio.file.Files
+      .createTempDirectory("graft_gate_half").toString
+    Dedup.seedCorpusIndex(corpus, "doc_id", "text", halfIdx)
+    val hfs = new org.apache.hadoop.fs.Path(halfIdx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(
+      new org.apache.hadoop.fs.Path(s"$halfIdx/buckets/batch=-1"), true)
+    val eh = intercept[IllegalArgumentException] {
+      graft.streaming.IngestDedup.applyBatch(spark, batch3, 0L, halfIdx,
+        java.nio.file.Files.createTempDirectory("graft_gate_ho").toString,
+        "doc_id", "text")
+    }
+    assert(eh.getMessage.contains("half-written seed"))
   }
 
   test("quality-gated ingest routes failing batches to quarantine and keeps a metrics ledger") {
@@ -810,6 +827,24 @@ class StreamingSpec extends SparkSpec {
       graft.llm.Dedup.putSemanticIndexBatch(batch0, "vec_id", "embedding", flatDir,
         0L, bits = 4)
     }
+
+    // PRE-SEEDED store: a batch=-1 semantic index (the seedCorpusIndex
+    // pattern) must route the FIRST batch through the gate branch — a
+    // self-dedup-only bootstrap would silently accept seed duplicates
+    val stateS = java.nio.file.Files
+      .createTempDirectory("graft_embingest_seed").toString
+    graft.llm.Dedup.putSemanticIndexBatch(
+      Seq((900L, unit(0)), (901L, unit(1))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$stateS/semantic", -1L, bits = 4)
+    EmbeddingIngest.applyBatch(spark, stateS,
+      Seq((1L, unit(0)), (2L, unit(5))).toDF("vec_id", "embedding"), 0L,
+      "vec_id", "embedding", p)
+    assert(EmbeddingIngest.accepted(spark, stateS)
+      .select("vec_id").collect().map(_.getLong(0)).toSet === Set(2L))
+    assert(EmbeddingIngest.quarantined(spark, stateS)
+      .select("vec_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set(1L -> "near_dup"), "seed duplicates must quarantine")
 
     // the streaming form composes the same gate
     val src = java.nio.file.Files
