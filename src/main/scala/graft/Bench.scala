@@ -28,8 +28,66 @@ import org.apache.spark.sql.SparkSession
   * Third-run names land in `"retried"` in target/bench.json for auditing.
   * The cold (first-run) times are kept under `"cold_queries"` for anyone
   * studying cache/JIT effects.
+  *
+  * Round 8 adds the EXPECTATION defense: the disagreement trigger above
+  * is blind to a load window that inflates both back-to-back runs
+  * EQUALLY (the r7 driver artifact: 18 queries retried, a contiguous
+  * alphabetical block at 3–9× quiet time, one query 33× — and min-of-N
+  * sailed through because every run agreed). `tools/bench_expected.tsv`
+  * is a committed quiet-box per-query baseline (regenerate with
+  * tools/update_expected.py from a quiet run's target/bench.json); any
+  * query whose best time reads >= 3× its expectation ALSO earns the
+  * deferred retry, and queries still >= 3× after that get up to
+  * [[EscalationRounds]] more attempts separated by a pause — waiting out
+  * load windows longer than one pass over the registry. Queries still
+  * inflated at the end are named in `"suspect"` (bench.json) and counted
+  * in `"suspect_n"` (stdout tail): a nonzero count tells the reader the
+  * box was contended and names exactly which times not to trust.
   */
 object Bench {
+
+  /** Extra retry rounds for still-over-expectation queries, and the pause
+    * before each: long enough that a transient co-tenant burst (driver
+    * housekeeping, GC storms) has likely passed, short enough that a
+    * fully-contended box costs at most ~1 min of extra wall. */
+  val EscalationRounds = 2
+  val EscalationPauseMs = 30000L
+
+  /** A best-of-runs reading that still contradicts the committed quiet-box
+    * expectation by >= 3×: the residual-contamination flag. Sub-500ms
+    * readings are exempt (scheduler noise), as are queries with no
+    * committed expectation (new this round — no baseline yet). */
+  def isSuspect(best: Double, expected: Option[Double]): Boolean =
+    best >= 0.5 && expected.exists(e => e > 0 && best / e >= 3.0)
+
+  /** Deferred-retry policy over one query's two first-pass runs: retry on
+    * 2× disagreement (the original trigger — a spike during ONE run) or
+    * on a 3× expectation breach (both runs inside one load window). */
+  def needsDeferredRetry(cold: Double, warm: Double,
+                         expected: Option[Double]): Boolean = {
+    if (cold < 0 || warm < 0) return false // failed query: no time to fix
+    val best = math.min(cold, warm)
+    val disagree = best >= 0.5 && math.max(cold, warm) / best >= 2.0
+    disagree || isSuspect(best, expected)
+  }
+
+  /** Committed per-query quiet-box baseline: `name<TAB>seconds` lines,
+    * '#' comments. Missing/unreadable file → empty map (every trigger
+    * below degrades to the pre-r8 disagreement-only behavior). */
+  def loadExpected(path: java.nio.file.Path): Map[String, Double] =
+    if (!java.nio.file.Files.isReadable(path)) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(path.toFile, "UTF-8")
+      try src.getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+        .flatMap { l =>
+          l.split("\t") match {
+            case Array(name, secs) => secs.toDoubleOption.map(name -> _)
+            case _ => None
+          }
+        }.toMap
+      finally src.close()
+    }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -82,22 +140,47 @@ object Bench {
     }
     // Deferred min-of-three for load-window outliers: a machine-load spike
     // long enough to span a query's back-to-back runs inflates BOTH, and
-    // min-of-two can't see past it. Signature: the two runs still disagree
-    // >= 2x (contention is noisy) with the better one >= 0.5 s (sub-500ms
-    // ratios are scheduler noise). Those queries re-run now — after the
-    // full registry, typically minutes later and outside the window.
-    val results = firstPass.map { case (name, fn, cold, warm) =>
+    // min-of-two can't see past it. Two triggers (needsDeferredRetry):
+    // run disagreement >= 2x, or best >= 3x the committed quiet-box
+    // expectation. Those queries re-run now — after the full registry,
+    // typically minutes later and outside the window.
+    val expected = loadExpected(
+      java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_EXPECTED", "tools/bench_expected.tsv")))
+    var results = firstPass.map { case (name, fn, cold, warm) =>
       val best =
         if (cold < 0 || warm < 0) -1.0 // fail in either run = failed query
         else math.min(cold, warm)
-      val isOutlier = best >= 0.5 && math.max(cold, warm) / best >= 2.0
+      val isOutlier = best >= 0 &&
+        needsDeferredRetry(cold, warm, expected.get(name))
       val best3 =
         if (isOutlier) {
           val third = runOnce(fn)
           if (third >= 0) math.min(best, third) else best
         } else best
-      (name, cold, best3, isOutlier)
+      (name, fn, cold, best3, isOutlier)
     }
+    // Escalation: anything STILL >= 3x its expectation after the deferred
+    // pass sat inside a load window longer than one registry pass. Pause,
+    // then re-measure just the suspects — up to EscalationRounds times —
+    // keeping the min. A genuinely-regressed query stays suspect through
+    // every round and is named in "suspect" below; a contended one
+    // recovers the moment the window closes.
+    var round = 0
+    while (round < EscalationRounds &&
+      results.exists { case (n, _, _, b, _) => isSuspect(b, expected.get(n)) }) {
+      Thread.sleep(EscalationPauseMs)
+      results = results.map { case r @ (name, fn, cold, best, _) =>
+        if (isSuspect(best, expected.get(name))) {
+          val again = runOnce(fn)
+          val better = if (again >= 0) math.min(best, again) else best
+          (name, fn, cold, better, true)
+        } else r
+      }
+      round += 1
+    }
+    val suspects = results.collect {
+      case (n, _, _, b, _) if isSuspect(b, expected.get(n)) => n }
     // JSON string escaping shared with Verify (graft.Util.jsonEscape) so
     // the two driver-facing emitters cannot drift apart.
     def jstr(s: String): String = Util.jsonEscape(s)
@@ -105,9 +188,9 @@ object Bench {
       kvs.map { case (k, v) => jstr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
     val ms = (v: Double) =>
       if (v < 0) "-1" else "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val total = results.map(_._3).filter(_ >= 0).sum
-    val nFailed = results.count(_._3 < 0)
-    val retried = results.collect { case (n, _, _, true) => n }
+    val total = results.map(_._4).filter(_ >= 0).sum
+    val nFailed = results.count(_._4 < 0)
+    val retried = results.collect { case (n, _, _, _, true) => n }
     // stdout line: millisecond precision, warm-min times only — and the
     // HEADLINE FIELDS LAST. The driver keeps only the final ~2000 chars of
     // the log (every BENCH_r0N so far shows the line truncated at the
@@ -116,12 +199,12 @@ object Bench {
     // preserves them; key order is irrelevant to any real JSON parser when
     // the line does fit. Full detail lives in target/bench.json.
     val line =
-      s"""{"metric":"total","queries":${jsonMap(results.map { case (n, _, best, _) => n -> best }, ms)},"value":${ms(total)},"unit":"sec","sf":${jstr(sfDir)},"materialization":"noop","n_queries":${results.size},"errors":$nFailed}"""
+      s"""{"metric":"total","queries":${jsonMap(results.map { case (n, _, _, best, _) => n -> best }, ms)},"value":${ms(total)},"unit":"sec","sf":${jstr(sfDir)},"materialization":"noop","n_queries":${results.size},"suspect_n":${suspects.size},"errors":$nFailed}"""
     println(line)
     // File-based output keeps the full detail (cold first-run times too):
     // atomic-ish (write temp then rename) so a reader never sees a torn line.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map { case (n, _, best, _) => n -> best }, _.toString)},"cold_queries":${jsonMap(results.map { case (n, cold, _, _) => n -> cold }, _.toString)},"retried":${retried.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"materialization":"noop","n_queries":${results.size},"errors":$nFailed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map { case (n, _, _, best, _) => n -> best }, _.toString)},"cold_queries":${jsonMap(results.map { case (n, _, cold, _, _) => n -> cold }, _.toString)},"retried":${retried.map(jstr).mkString("[", ",", "]")},"suspect":${suspects.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"materialization":"noop","n_queries":${results.size},"suspect_n":${suspects.size},"errors":$nFailed}"""
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     val tmp = out.resolveSibling("bench.json.tmp")

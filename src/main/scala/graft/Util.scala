@@ -97,11 +97,23 @@ object Util {
     * 2^53) and rebuilt with `timestamp_micros`. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
+      // The NTZ→TimestampType cast below reinterprets wall-clock micros
+      // under the SESSION timezone; only UTC preserves the stored instant
+      // bit-for-bit. Every graft main sets UTC — fail loudly for any
+      // caller that doesn't rather than silently shifting timestamps.
+      val tz = spark.conf.get("spark.sql.session.timeZone")
+      require(tz == "UTC",
+        s"graft.Util.table(events) requires spark.sql.session.timeZone=UTC " +
+          s"(got $tz): the TIMESTAMP_NTZ cast is timezone-sensitive")
       val plain =
         try Some(spark.read.parquet(s"$sfDir/$name.parquet"))
         catch { case e: org.apache.spark.sql.AnalysisException
-            if e.getMessage.contains("PARQUET_TYPE_ILLEGAL") ||
-               e.getMessage.contains("Illegal Parquet type") => None }
+            // match the stable error CONDITION (Spark 4's error-class
+            // framework), not message prose, which varies across versions;
+            // fall back to text only if the condition is absent
+            if Option(e.getCondition).exists(_.startsWith("PARQUET_TYPE_ILLEGAL")) ||
+               (e.getCondition == null &&
+                 e.getMessage.contains("Illegal Parquet type")) => None }
       plain match {
         case Some(df) => df.schema("ts").dataType match {
           case org.apache.spark.sql.types.TimestampNTZType =>

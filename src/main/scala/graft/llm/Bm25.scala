@@ -102,6 +102,17 @@ object Bm25 {
   def invertedIndex(df: DataFrame, idCol: String, textCol: String,
                     minDf: Long = 1L,
                     maxDf: Long = Long.MaxValue): DataFrame = {
+    // the cast("long") below turns any non-numeric id into NULL, which
+    // would silently collapse all its postings under doc_id NULL —
+    // require an integral id up front instead
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"invertedIndex: id column '$idCol' must be integral (got $other); " +
+          "postings render doc ids as longs and a lossy cast would " +
+          "silently merge rows under NULL")
+    }
     val hits = df.select(col(idCol).cast("long").as("doc_id"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos0", "term")))
       .select(col("term"), col("doc_id"), (col("pos0") + 1).as("pos"))

@@ -336,7 +336,19 @@ object Dedup {
       path: String, shingleN: Int, numHashes: Int, bands: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_params")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return // pre-stamp index: keep the old contract
+    if (!fs.exists(p)) {
+      // same contract as requireSemanticParams: new stores always stamp,
+      // so a missing stamp over existing data is a deleted stamp or a
+      // legacy layout — warn instead of silently skipping validation
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/buckets")))
+        System.err.println(
+          s"[graft] WARNING: corpus index at $path has buckets data but no " +
+            s"_params stamp — cannot validate (shingleN,numHashes,bands)=" +
+            s"($shingleN,$numHashes,$bands) against the stored signature " +
+            "scheme; a mismatched probe finds near-zero candidates " +
+            "silently. Re-stamp or rebuild the index.")
+      return
+    }
     val in = fs.open(p)
     val stored = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
@@ -776,7 +788,20 @@ object Dedup {
       path: String, bits: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_semparams")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return // pre-stamp index: keep the old contract
+    if (!fs.exists(p)) {
+      // New stores always stamp, so a missing stamp over EXISTING cells
+      // data means the stamp was deleted (or a legacy layout) — the exact
+      // silent-mismatch failure the stamp exists to prevent. Warn loudly
+      // rather than skipping validation in silence; only a truly empty
+      // store (nothing written yet) passes quietly.
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells")))
+        System.err.println(
+          s"[graft] WARNING: semantic index at $path has cells data but no " +
+            s"_semparams stamp — cannot validate bits=$bits against the " +
+            "stored geometry; a cross-bits probe finds near-zero " +
+            "candidates silently. Re-stamp or rebuild the index.")
+      return
+    }
     val in = fs.open(p)
     val stored = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()

@@ -288,5 +288,98 @@ object SimilarityJoin {
     verified.unionByName(shortPart)
   }
 
+  // ---------- cost-based kernel selection ----------
+
+  /** Candidate-pair count the BLOCKED kernel would verify, computed
+    * exactly from per-side length histograms (len -> row count): every
+    * (left row, right row) pair within the |Δlen| <= d band survives the
+    * length equi-join and pays one bounded-DP verify. This is the term
+    * that goes quadratic when lengths concentrate (the skewed-corpus
+    * regime): with all n rows sharing one length it is n², while a
+    * uniform length spread keeps it near n × (2d+1) × rows-per-length.
+    * Pure arithmetic over histograms — unit-testable without Spark. */
+  def estimateBlockedPairs(histL: Map[Int, Long], histR: Map[Int, Long],
+                           maxDist: Int): BigInt =
+    histL.foldLeft(BigInt(0)) { case (acc, (la, cl)) =>
+      val inBand = ((la - maxDist) to (la + maxDist))
+        .map(lb => BigInt(histR.getOrElse(lb, 0L))).sum
+      acc + BigInt(cl) * inBand
+    }
+
+  /** Generated-substring volume of the CHUNKED kernel's candidate phase:
+    * each right row of length lb meets, for every distinct left length L
+    * in its band (L >= d+1), d+1 chunk indexes × at most d+1 shift-pruned
+    * positions. Near-linear in the input, insensitive to length skew —
+    * the chunk filter's whole point. */
+  def estimateChunkedSubstrings(histL: Map[Int, Long], histR: Map[Int, Long],
+                                maxDist: Int): BigInt = {
+    val d = maxDist
+    val leftLens = histL.keySet.filter(_ >= d + 1)
+    histR.foldLeft(BigInt(0)) { case (acc, (lb, cr)) =>
+      val lensInBand = ((lb - d) to (lb + d)).count(leftLens.contains)
+      acc + BigInt(cr) * lensInBand * (d + 1) * (d + 1)
+    }
+  }
+
+  /** Kernel decision from the two estimates. A blocked candidate pays one
+    * banded DP — O((2d+1) · len) cells with early exit, dozens-to-hundreds
+    * of char ops on realistic text — while a chunked substring pays one
+    * hash of ~len/(d+1) chars plus its share of the candidate/re-attach
+    * shuffles. A DP verify is therefore worth several substring hashes;
+    * [[DpVsHashCostRatio]] is that exchange rate, calibrated on the two
+    * measured corpus shapes (PERF.md): the r6-shaped spread corpus
+    * (pairs ≈ subs/20, blocked measured 3.6× faster) and the r7-shaped
+    * denser corpus (pairs ≈ subs/2.5, chunked measured 1.6× faster) —
+    * the observed wall-clock crossover sits at pairs ≈ subs/5. */
+  val DpVsHashCostRatio: Double = 5.0
+  def chooseChunked(histL: Map[Int, Long], histR: Map[Int, Long],
+                    maxDist: Int): Boolean = {
+    val pairs = estimateBlockedPairs(histL, histR, maxDist)
+    val subs = estimateChunkedSubstrings(histL, histR, maxDist)
+    // chunked wins when the DP bill (pairs × ratio, in hash-equivalents)
+    // exceeds the substring-generation bill
+    BigDecimal(pairs) * DpVsHashCostRatio > BigDecimal(subs)
+  }
+
+  /** Exact length histogram of a key column — one tiny aggregate (distinct
+    * lengths are bounded by max string length, metadata-scale). At corpus
+    * scale pass `sampleFraction < 1` to histogram a seeded sample instead;
+    * counts are scaled back up so the estimates stay comparable. */
+  def lengthHistogram(df: DataFrame, key: String,
+                      sampleFraction: Double = 1.0): Map[Int, Long] = {
+    val base =
+      if (sampleFraction >= 1.0) df else df.sample(sampleFraction, seed = 42L)
+    val scale = if (sampleFraction >= 1.0) 1.0 else 1.0 / sampleFraction
+    base.select(length(qc(key)).as("len")).filter(col("len").isNotNull)
+      .groupBy(col("len")).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getInt(0) -> math.max(1L, math.round(r.getLong(1) * scale)))
+      .toMap
+  }
+
+  /** Auto-selecting inner similarity join: histograms both key columns
+    * (one cheap aggregate per side), estimates each kernel's dominant
+    * cost term, and runs the cheaper kernel. Both kernels are proven
+    * lossless against the same naive-theta oracle, so the choice affects
+    * cost only, never results — this closes the "engine exposes two
+    * kernels but makes the caller choose" gap: a length histogram is
+    * exactly the statistic that predicts the blocked kernel's quadratic
+    * regime, and at 100 TB the sampled histogram costs one scan of a
+    * fraction of one column. */
+  def autoInnerJoin(left: DataFrame, right: DataFrame,
+                    leftKey: String, rightKey: String, maxDist: Int,
+                    distCol: String = "string_distance",
+                    dedupKeys: Boolean = false,
+                    sampleFraction: Double = 1.0): DataFrame = {
+    val histL = lengthHistogram(left, leftKey, sampleFraction)
+    val histR = lengthHistogram(right, rightKey, sampleFraction)
+    if (chooseChunked(histL, histR, maxDist))
+      chunkedInnerJoin(left, right, leftKey, rightKey, maxDist, distCol,
+        dedupKeys)
+    else
+      blockedInnerJoin(left, right, leftKey, rightKey, maxDist, distCol,
+        dedupKeys)
+  }
+
   private def qc(name: String): Column = col(q(name))
 }

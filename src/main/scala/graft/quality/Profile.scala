@@ -53,6 +53,19 @@ object Profile {
         s"[graft] profile: ${cols.size} exact-distinct columns plans " +
           s"${cols.size} scan branches — consider " +
           "exactDistinct = false at scale")
+    // empty column list → empty profile (stable schema), matching the
+    // approx branch; the per-column-branch form below would otherwise
+    // throw from reduce on an empty collection
+    if (cols.isEmpty) {
+      val spark = df.sparkSession
+      val emptySchema = StructType(Seq(
+        StructField("column", StringType), StructField("n_rows", LongType),
+        StructField("n_null", LongType), StructField("n_distinct", LongType),
+        StructField("min_num", DoubleType), StructField("max_num", DoubleType),
+        StructField("min_str", StringType), StructField("max_str", StringType)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    }
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     // fail with the offending names, not a bare NoSuchElementException
     // from the type map lookup below

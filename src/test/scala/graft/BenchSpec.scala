@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract tests for Bench's load-window defense — the pure retry policy
+  * and the committed expectation baseline. No Spark session needed. */
+class BenchSpec extends AnyFunSuite {
+
+  test("disagreement trigger: >= 2x spread above 0.5s retries") {
+    assert(Bench.needsDeferredRetry(cold = 2.0, warm = 0.9, expected = None))
+    assert(!Bench.needsDeferredRetry(cold = 1.5, warm = 0.9, expected = None))
+    // sub-500ms readings are scheduler noise, never retried
+    assert(!Bench.needsDeferredRetry(cold = 0.4, warm = 0.1, expected = None))
+    // failed runs are failures, not times to repair
+    assert(!Bench.needsDeferredRetry(cold = -1.0, warm = 9.0, expected = None))
+  }
+
+  test("expectation trigger: both runs equally inflated >= 3x retries") {
+    // the r7 driver artifact: cold and warm AGREE (no disagreement
+    // signal) but both sit far above the quiet baseline
+    assert(Bench.needsDeferredRetry(5.0, 5.1, expected = Some(1.0)))
+    assert(!Bench.needsDeferredRetry(2.0, 2.1, expected = Some(1.0)))
+    // no committed baseline (new query) -> only the disagreement trigger
+    assert(!Bench.needsDeferredRetry(5.0, 5.1, expected = None))
+    // genuinely fast query under 0.5s never triggers
+    assert(!Bench.needsDeferredRetry(0.45, 0.45, expected = Some(0.1)))
+  }
+
+  test("suspect flag marks residual >= 3x readings only") {
+    assert(Bench.isSuspect(3.1, Some(1.0)))
+    assert(!Bench.isSuspect(2.9, Some(1.0)))
+    assert(!Bench.isSuspect(3.1, None))
+    assert(!Bench.isSuspect(0.45, Some(0.01)))
+    // a zero/negative expectation line must not divide-by-zero its way
+    // into a spurious retry storm
+    assert(!Bench.isSuspect(3.1, Some(0.0)))
+  }
+
+  test("expectation file round-trips through the TSV format") {
+    val tmp = java.nio.file.Files.createTempFile("bench_expected", ".tsv")
+    java.nio.file.Files.write(tmp,
+      ("# comment line\n" +
+        "q_alpha\t1.234\n" +
+        "\n" +
+        "q_beta\t0.5\n" +
+        "malformed line without tab\n" +
+        "q_gamma\tnot_a_number\n").getBytes("UTF-8"))
+    val m = Bench.loadExpected(tmp)
+    assert(m === Map("q_alpha" -> 1.234, "q_beta" -> 0.5))
+    java.nio.file.Files.delete(tmp)
+    // missing file -> empty map (pre-r8 behavior, never a crash)
+    assert(Bench.loadExpected(
+      java.nio.file.Paths.get("/nonexistent/nope.tsv")) === Map.empty)
+  }
+
+  test("committed baseline covers the registry") {
+    val path = java.nio.file.Paths.get("tools", "bench_expected.tsv")
+    assume(java.nio.file.Files.exists(path), "baseline not yet generated")
+    val m = Bench.loadExpected(path)
+    // every baseline line names a real registry query (a rename would
+    // silently orphan its expectation and disable the 3x trigger for the
+    // renamed query)
+    val registry = SparkEntry.queries.keySet
+    val orphans = m.keySet.diff(registry)
+    assert(orphans.isEmpty, s"baseline lines for unknown queries: $orphans")
+    // and the baseline isn't degenerate
+    assert(m.size > 50, s"baseline has only ${m.size} entries")
+  }
+}

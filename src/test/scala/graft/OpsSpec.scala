@@ -62,6 +62,55 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("kernel cost model: estimates are exact on hand-computed histograms") {
+    // two lengths 2 apart, d=2: every (la, lb) combination is in band
+    val hl = Map(10 -> 3L, 12 -> 2L)
+    val hr = Map(10 -> 4L, 12 -> 1L)
+    // pairs = 3*(4+1) + 2*(4+1) = 25
+    assert(SimilarityJoin.estimateBlockedPairs(hl, hr, 2) === BigInt(25))
+    // substrings: every right row sees both left lengths in band (>= d+1),
+    // (d+1)^2 = 9 combos each → (4+1)*2*9 = 90
+    assert(SimilarityJoin.estimateChunkedSubstrings(hl, hr, 2) === BigInt(90))
+    // all-same-length degenerate case: pairs is exactly n^2
+    val same = Map(100 -> 1000L)
+    assert(SimilarityJoin.estimateBlockedPairs(same, same, 4) ===
+      BigInt(1000) * 1000)
+  }
+
+  test("kernel chooser: uniform length spread -> blocked, concentration -> chunked") {
+    // spread corpus: 5000 rows over 2500 distinct lengths (the r6 shape) —
+    // band candidates stay near-linear, blocked's verify bill is small
+    val spreadHist = (100 until 2600).map(_ -> 2L).toMap
+    assert(!SimilarityJoin.chooseChunked(spreadHist, spreadHist, 4))
+    // concentrated corpus: the same 5000 rows on ONE length (the band
+    // bucket's worst case) — candidates are n^2, chunked must win
+    val sameHist = Map(300 -> 5000L)
+    assert(SimilarityJoin.chooseChunked(sameHist, sameHist, 4))
+  }
+
+  test("autoInnerJoin == naive in both chooser regimes") {
+    val rnd = new scala.util.Random(23)
+    def randStr(len: Int) =
+      (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    for (skewed <- Seq(true, false)) {
+      // skewed: every string length 12 (chunked regime); spread: lengths
+      // 8..40 (blocked regime) — the result must be the naive theta join
+      // either way, proving the choice affects cost only, never output
+      val strs =
+        if (skewed) Seq.fill(60)(randStr(12)).distinct
+        else (0 until 60).map(i => randStr(8 + (i % 33))).distinct
+      val left = strs.toDF("a")
+      val right = strs.map(s => s.reverse).toDF("b")
+      val naive = left.join(right, levenshtein(col("a"), col("b")) <= 3)
+        .select("a", "b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val auto = SimilarityJoin.autoInnerJoin(left, right, "a", "b", 3)
+        .select("a", "b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(auto === naive, s"skewed=$skewed")
+    }
+  }
+
   test("blocked LEFT join keeps unmatched lefts") {
     val l = Seq("abc", "qqqqqqqqqq").toDF("a")
     val r = Seq("abd").toDF("b")
