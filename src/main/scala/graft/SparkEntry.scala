@@ -1095,8 +1095,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // LLM: incremental dedup — which new-batch docs duplicate the corpus
-    // (per-ingest shape; rows-only, kernel is the LSH path tested in
-    // LlmSpec)
+    // (per-ingest shape). HASH-CHECKED since r8: the oracle reuses the
+    // q_dedup_minhash bit-replay with a new-vs-corpus tail
+    // (tools/gen_incremental_oracle.py)
     "q_dedup_incremental" -> ((s, dir) => {
       val docs = spread(table(s, dir, "documents"), "doc_id")
       val newBatch = docs.filter(col("doc_id") % 10 === 0)
@@ -1110,9 +1111,12 @@ object SparkEntry {
     // arrive as 3 micro-batches through the exactly-once gate: MinHash
     // near-dup + substring-saturation probes against BOTH stored indexes,
     // quarantine on hit, accepted docs indexed for later batches. Output:
-    // final per-doc disposition. Rows-only (verdicts are LSH/engine-
-    // specific); StreamingSpec pins cross-batch semantics, replay no-op,
-    // and crash-window convergence.
+    // final per-doc disposition. HASH-CHECKED since r8: the whole
+    // sequential gate — bootstrap self-dedup, both per-batch probes with
+    // near_dup priority, per-batch intra-dedup components — replays in
+    // ONE DuckDB statement over the bit-replayed MinHash machinery
+    // (tools/gen_ingest_oracle.py); StreamingSpec pins replay no-op and
+    // crash-window convergence, which the replay can't see.
     "q_similarity_ingest" -> ((s, dir) => {
       val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
       // deterministic state path, cleared up-front: repeated gate runs
@@ -1477,9 +1481,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // LLM: BPE merge-rule training — 24 deterministic merges learned from
-    // the word-frequency table (count desc, pair-lexicographic ties);
-    // iterative, so rows-only + LlmSpec cross-checks distributed ==
-    // driver fast path == local reference
+    // the word-frequency table (count desc, pair-lexicographic ties).
+    // HASH-CHECKED since r8: the greedy rounds replay as a staged CTE
+    // chain in DuckDB (tools/gen_bpe_oracle.py — binary VARCHAR order ==
+    // utf8Compare tie-break); LlmSpec additionally cross-checks
+    // distributed == driver fast path == local reference
     "q_bpe_merges" -> ((s, dir) =>
       BpeTrain.merges(table(s, dir, "documents"), "text", nMerges = 24)
         .orderBy(col("rank"))),
@@ -1528,7 +1534,9 @@ object SparkEntry {
     // LLM: BPE encode — apply the learned merges to the corpus; pieces
     // computed once per DISTINCT word (chained greedy folds on the
     // vocabulary table), broadcast-joined back to the token stream.
-    // Rows-only (train+encode is iterative); LlmSpec == local encode
+    // HASH-CHECKED since r8 (the 16-round training prefix + per-word
+    // piece counts replay in DuckDB: tools/gen_bpe_oracle.py); LlmSpec
+    // additionally == local encode
     "q_bpe_encode" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val rules = BpeTrain.merges(docs, "text", nMerges = 16)
@@ -2227,6 +2235,19 @@ object SparkEntry {
     // verification protocol: tools/gen_minhash_oracle.py.
     "q_dedup_minhash" -> resourceSql("q_dedup_minhash"),
     "q_dedup_simhash" -> resourceSql("q_dedup_simhash"),
+    // same signature replay, new-vs-corpus tail (no hot-bucket cap —
+    // the probe is a cross-side join, not a self-explode):
+    // tools/gen_incremental_oracle.py
+    "q_dedup_incremental" -> resourceSql("q_dedup_incremental"),
+    // the whole 3-batch exactly-once gate in one statement
+    // (tools/gen_ingest_oracle.py): bootstrap self-dedup + per-batch
+    // near-dup/saturation probes + intra-batch components
+    "q_similarity_ingest" -> resourceSql("q_similarity_ingest"),
+    // BPE greedy training/encode replayed as a staged CTE chain —
+    // 24 (merges) / 16 (encode rules) rounds of pair-count + binary-order
+    // winner + list_reduce rewrite: tools/gen_bpe_oracle.py
+    "q_bpe_merges" -> resourceSql("q_bpe_merges"),
+    "q_bpe_encode" -> resourceSql("q_bpe_encode"),
 
     "q_dedup_incremental_exact" ->
       """WITH s AS (SELECT doc_id,

@@ -191,6 +191,17 @@ object Dedup {
     * higher-order lambdas, which run interpreted and re-hash per
     * permutation. Map-side partial aggregation collapses each doc before
     * the shuffle. */
+  /** Public handle on the shared MinHash prep for callers that need to
+    * compute a batch's signatures ONCE and feed them to several
+    * consumers (probe + intra-batch pairs + index write — the streaming
+    * gate's shape). Returns `(docs, buckets)`: `docs` is `(id, sh)` and
+    * comes back ALREADY persisted (MEMORY_AND_DISK) — the caller owns
+    * the unpersist; `buckets` is `(id, band, key)` and is lazy. */
+  def signatureFrames(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8): (DataFrame, DataFrame) =
+    shingleBuckets(df, idCol, textCol, shingleN, numHashes, bands)
+
   private def shingleBuckets(df: DataFrame, idCol: String, textCol: String,
                              shingleN: Int, numHashes: Int, bands: Int)
       : (DataFrame, DataFrame) = {
@@ -245,6 +256,18 @@ object Dedup {
                       maxBucketSize: Int = 2000): DataFrame = {
     val (docs, buckets) =
       shingleBuckets(df, idCol, textCol, shingleN, numHashes, bands)
+    graft.Util.finishAndRelease(
+      minhashLshPairsFromSigs(docs, buckets, threshold, maxBucketSize), docs)
+  }
+
+  /** Self-join pair kernel over PRECOMPUTED signature frames (the
+    * [[signatureFrames]] shapes). LAZY — no checkpoint, no unpersist: the
+    * caller owns both frames' lifecycle. Use when the signatures feed
+    * several consumers (the streaming gate computes them once per batch
+    * for probe + intra-dedup + index write). */
+  def minhashLshPairsFromSigs(docs: DataFrame, buckets: DataFrame,
+                              threshold: Double = 0.8,
+                              maxBucketSize: Int = 2000): DataFrame = {
     // Candidate pairs by grouping each bucket's member list (one shuffle)
     // instead of a bucket self-join (two shuffles of the full bucket table):
     // singleton buckets — the overwhelming majority under sane band params —
@@ -270,8 +293,7 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    graft.Util.finishAndRelease(
-      verifyPairs(candidates, docs, docs, "id_a", "id_b", threshold), docs)
+    verifyPairs(candidates, docs, docs, "id_a", "id_b", threshold)
   }
 
   /** Incremental near-dup check: which NEW documents duplicate the existing
@@ -372,17 +394,29 @@ object Dedup {
   def putCorpusIndexBatch(batch: DataFrame, idCol: String, textCol: String,
                           path: String, batchId: Long, shingleN: Int = 3,
                           numHashes: Int = 32, bands: Int = 8): Unit = {
-    val spark = batch.sparkSession
+    val (docs, buckets) =
+      shingleBuckets(batch, idCol, textCol, shingleN, numHashes, bands)
+    putCorpusIndexBatchSigs(docs, buckets, path, batchId,
+      shingleN, numHashes, bands)
+    docs.unpersist()
+  }
+
+  /** [[putCorpusIndexBatch]] over PRECOMPUTED signature frames — the
+    * signature parameters still stamp/validate the index identity (they
+    * describe how the caller built the frames), but the signatures are
+    * not recomputed. Caller owns the frames' lifecycle. */
+  def putCorpusIndexBatchSigs(docs: DataFrame, buckets: DataFrame,
+                              path: String, batchId: Long,
+                              shingleN: Int = 3, numHashes: Int = 32,
+                              bands: Int = 8): Unit = {
+    val spark = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_params")))
       writeIndexParams(spark, path, shingleN, numHashes, bands)
     else requireIndexParams(spark, path, shingleN, numHashes, bands)
-    val (docs, buckets) =
-      shingleBuckets(batch, idCol, textCol, shingleN, numHashes, bands)
     docs.write.mode("overwrite").parquet(s"$path/docs/batch=$batchId")
     buckets.write.mode("overwrite").parquet(s"$path/buckets/batch=$batchId")
-    docs.unpersist()
   }
 
   /** Seed a per-batch corpus index with an EXISTING corpus: the seed lands
@@ -462,15 +496,27 @@ object Dedup {
       : DataFrame = {
     val (newDocsP, newBuckets) =
       shingleBuckets(newDocs, idCol, textCol, shingleN, numHashes, bands)
+    graft.Util.finishAndRelease(
+      minhashLshProbeSigs(newDocsP, newBuckets, corpusDocs, corpusBuckets,
+        threshold),
+      newDocsP)
+  }
+
+  /** New-vs-corpus probe over PRECOMPUTED new-side signature frames (the
+    * [[signatureFrames]] shapes). LAZY, caller-owned lifecycle — the
+    * streaming gate's building block: computing the batch signatures once
+    * and probing lazily lets the near-dup and saturation gates
+    * materialize together in one Spark job. */
+  def minhashLshProbeSigs(newDocs: DataFrame, newBuckets: DataFrame,
+                          corpusDocs: DataFrame, corpusBuckets: DataFrame,
+                          threshold: Double = 0.8): DataFrame = {
     val candidates = newBuckets.alias("a")
       .join(corpusBuckets.alias("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
       .distinct()
-    graft.Util.finishAndRelease(
-      verifyPairs(candidates, newDocsP, corpusDocs, "new_id", "corpus_id",
-        threshold),
-      newDocsP)
+    verifyPairs(candidates, newDocs, corpusDocs, "new_id", "corpus_id",
+      threshold)
   }
 
   /** The dedup end product: drop every clustered document except its

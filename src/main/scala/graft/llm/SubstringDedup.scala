@@ -146,8 +146,12 @@ object SubstringDedup {
           .as("n_tokens_removed"))
   }
 
-  private def hashedWindows(df: DataFrame, idCol: String, textCol: String,
-                            k: Int): DataFrame =
+  /** Hashed window stream `(doc_id, pos, whash)` — public so a caller
+    * (the streaming gate) can compute one batch's windows ONCE, persist
+    * them, and feed the saturation probe and the index write from the
+    * same frame instead of re-tokenizing the batch per consumer. */
+  def hashedWindows(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame =
     tokenWindows(df, idCol, textCol, k)
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("whash"))
 
@@ -173,7 +177,14 @@ object SubstringDedup {
     * the flat write/append one, not both. */
   def putWindowIndexBatch(df: DataFrame, idCol: String, textCol: String,
                           k: Int, path: String, batchId: Long): Unit =
-    hashedWindows(df, idCol, textCol, k).select(col("whash")).distinct()
+    putWindowIndexBatchFromWins(hashedWindows(df, idCol, textCol, k),
+      path, batchId)
+
+  /** [[putWindowIndexBatch]] over a PRECOMPUTED [[hashedWindows]] frame —
+    * caller owns the frame's lifecycle; the windows are not recomputed. */
+  def putWindowIndexBatchFromWins(wins: DataFrame, path: String,
+                                  batchId: Long): Unit =
+    wins.select(col("whash")).distinct()
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
   /** Fold committed batches (ids 0..upToBatch) of a [[putWindowIndexBatch]]
@@ -202,6 +213,18 @@ object SubstringDedup {
     require(k >= 1, s"window size k must be >= 1, got $k")
     val wins = hashedWindows(batch, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.Util.finishAndRelease(
+      duplicatedWindowStatsFromWins(
+        batch.select(col(idCol).as("doc_id")), wins, index),
+      wins)
+  }
+
+  /** Saturation stats over a PRECOMPUTED (and ideally persisted)
+    * [[hashedWindows]] frame. LAZY, caller-owned lifecycle — the
+    * streaming gate's building block. `batchIds` is one `doc_id` row per
+    * batch doc (so window-less docs still report 0). */
+  def duplicatedWindowStatsFromWins(batchIds: DataFrame, wins: DataFrame,
+                                    index: DataFrame): DataFrame = {
     val idx = index.select(col("whash"))
     val all = wins.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"))
@@ -209,14 +232,12 @@ object SubstringDedup {
     // which an inner join would double-count
     val hit = wins.join(idx, Seq("whash"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
-    graft.Util.finishAndRelease(
-      batch.select(col(idCol).as("doc_id")).distinct()
-        .join(all, Seq("doc_id"), "left")
-        .join(hit, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
-          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows")),
-      wins)
+    batchIds.select(col("doc_id")).distinct()
+      .join(all, Seq("doc_id"), "left")
+      .join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
   }
 
   /** Incremental ingest: dedup a NEW batch against the stored window

@@ -357,6 +357,31 @@ object SimilarityJoin {
       .toMap
   }
 
+  /** Pre-flight refusal for [[blockedInnerJoin]] at scale: estimate the
+    * banded candidate-pair count from (sampled) length histograms and
+    * fail LOUDLY — naming the fallback kernels — when it exceeds
+    * `budget`. The blocked kernel's worst case is a same-length corpus,
+    * where the length equi-join degenerates to the full n² cross product
+    * concentrated on ONE hot join key (a single straggler shuffle
+    * partition at cluster scale); the chunk filter stays near-linear
+    * there, which is exactly what [[autoInnerJoin]] picks. Call this
+    * before a hand-chosen blockedInnerJoin on any corpus whose length
+    * distribution you don't control. */
+  def requireBlockedTractable(left: DataFrame, right: DataFrame,
+                              leftKey: String, rightKey: String,
+                              maxDist: Int, budget: Long = 1000000000L,
+                              sampleFraction: Double = 1.0): Unit = {
+    val pairs = estimateBlockedPairs(
+      lengthHistogram(left, leftKey, sampleFraction),
+      lengthHistogram(right, rightKey, sampleFraction), maxDist)
+    require(pairs <= BigInt(budget),
+      s"blockedInnerJoin would verify ~$pairs candidate pairs " +
+        s"(budget $budget): the length histogram concentrates rows on " +
+        "few lengths, the kernel's quadratic regime. Use " +
+        "chunkedInnerJoin (near-linear candidate generation) or " +
+        "autoInnerJoin (cost-based choice) instead.")
+  }
+
   /** Auto-selecting inner similarity join: histograms both key columns
     * (one cheap aggregate per side), estimates each kernel's dominant
     * cost term, and runs the cheaper kernel. Both kernels are proven

@@ -78,9 +78,17 @@ object EmbeddingIngest {
     if (last < 0L) return
     val upTo = math.min(upToBatch, last)
     if (upTo < 0L) return
-    leafStores(stateDir).foreach { p =>
-      graft.io.Parquet.compactBatchStore(spark, p, upTo)
-    }
+    // independent directories — fold concurrently, pay the slowest store
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(leafStores(stateDir).map(p =>
+          scala.concurrent.Future(
+            graft.io.Parquet.compactBatchStore(spark, p, upTo)))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdownNow()
     BatchLedger.prune(spark, stateDir, last)
   }
 
@@ -159,12 +167,22 @@ object EmbeddingIngest {
         }
       // commit order: outputs, index, stamp — each batch-keyed +
       // overwrite, so any crash prefix replays to the identical state
-      acc.write.mode("overwrite")
-        .parquet(s"$stateDir/accepted/batch=$batchId")
-      quar.write.mode("overwrite")
-        .parquet(s"$stateDir/quarantine/batch=$batchId")
-      Dedup.putSemanticIndexBatch(acc, idCol, vecCol, cellsDir, batchId,
-        p.bits)
+      // the three store writes are mutually independent batch-keyed
+      // overwrites — run them concurrently, stamp LAST (the only barrier;
+      // same replay argument as SimilarityIngest.applyBatch)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
+          scala.concurrent.Future(acc.write.mode("overwrite")
+            .parquet(s"$stateDir/accepted/batch=$batchId")),
+          scala.concurrent.Future(quar.write.mode("overwrite")
+            .parquet(s"$stateDir/quarantine/batch=$batchId")),
+          scala.concurrent.Future(Dedup.putSemanticIndexBatch(acc, idCol,
+            vecCol, cellsDir, batchId, p.bits)))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdownNow()
       BatchLedger.stamp(spark, stateDir, batchId)
     } finally {
       pinned.foreach(_.unpersist())

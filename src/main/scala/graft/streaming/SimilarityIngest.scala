@@ -53,6 +53,18 @@ object SimilarityIngest {
                     threshold: Double = 0.8, windowK: Int = 8,
                     maxDupWindowRatio: Double = 0.5)
 
+  /** Phase timer, active only under GRAFT_INGEST_PROF=1 — prints
+    * per-phase wall seconds so per-batch overhead stays measurable
+    * without an external profiler. */
+  private val prof = sys.env.get("GRAFT_INGEST_PROF").contains("1")
+  private def timed[T](label: String)(f: => T): T =
+    if (!prof) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[ingest-prof] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   // The commit ledger is append-only marker files (see [[BatchLedger]]):
   // `_committed/batch-<id>`, created empty as the LAST write of a batch.
   // One empty file per committed nonempty batch.
@@ -121,9 +133,19 @@ object SimilarityIngest {
     if (last < 0L) return // nothing committed, nothing to fold
     val upTo = math.min(upToBatch, last)
     if (upTo < 0L) return
-    leafStores(stateDir).foreach { p =>
-      graft.io.Parquet.compactBatchStore(spark, p, upTo)
-    }
+    // the five stores fold independently (distinct directories), so run
+    // them concurrently — a fold is mostly read+rewrite job latency, and
+    // the maintenance window pays the slowest store instead of the sum
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      timed("compact")(scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(leafStores(stateDir).map(p =>
+          scala.concurrent.Future(
+            graft.io.Parquet.compactBatchStore(spark, p, upTo)))),
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdownNow()
     // only the max marker is load-bearing (lastBatchId takes maxOption);
     // prune the rest so the ledger listing stays O(1) over years of runs
     BatchLedger.prune(spark, stateDir, last)
@@ -141,7 +163,7 @@ object SimilarityIngest {
                  p: Params = Params()): Unit = {
     // -1 would collide with the empty-ledger sentinel and no-op silently
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
-    val last = lastBatchId(spark, stateDir)
+    val last = timed("ledger")(lastBatchId(spark, stateDir))
     // batchId == last is the legitimate same-run replay (no-op below);
     // batchId < last means a FRESH CHECKPOINT was pointed at this state
     // dir — its restarted ids would silently no-op through the ledger,
@@ -156,8 +178,8 @@ object SimilarityIngest {
     // window (tmp segment present, originals half-deleted); finish or
     // roll back BEFORE probing, or the gates would read duplicated /
     // missing corpus entries. No-op (5 dir listings) in steady state.
-    leafStores(stateDir).foreach(p =>
-      graft.io.Parquet.repairBatchStore(spark, p))
+    timed("repair")(leafStores(stateDir).foreach(p =>
+      graft.io.Parquet.repairBatchStore(spark, p)))
     val minhashDir = s"$stateDir/minhash"
     val windowsDir = s"$stateDir/windows"
     // Bootstrap detection rides the STAMP, not index-directory existence:
@@ -182,7 +204,19 @@ object SimilarityIngest {
       df
     }
     try {
-      if (batch.isEmpty) return
+      if (timed("isEmpty")(batch.isEmpty)) return
+      // ONE feature pass over the batch: MinHash signatures and window
+      // hashes are computed once and pinned, then feed every consumer —
+      // the two index probes, the intra-batch self-dedup, and the index
+      // writes. (Pre-r8, each consumer re-shingled/re-tokenized the
+      // batch from scratch: three signature passes and two window passes
+      // per batch.) `sigDocs` comes back persisted by signatureFrames.
+      val (sigDocs, sigBuckets0) = Dedup.signatureFrames(batch, idCol,
+        textCol, p.shingleN, p.numHashes, p.bands)
+      pinned += sigDocs
+      val sigBuckets = pin(sigBuckets0)
+      val wins = pin(SubstringDedup.hashedWindows(batch, idCol, textCol,
+        p.windowK))
       val (acc, quar) =
         if (!bootstrapped) {
           // first batch IS the corpus: self-dedup (no index exists to do
@@ -190,9 +224,9 @@ object SimilarityIngest {
           // BEFORE deriving the quarantine side — its anti-join re-reads
           // the accepted set, which would otherwise re-run the whole
           // components pass
-          val pairs = Dedup.minhashLshPairs(batch, idCol, textCol,
-            p.shingleN, p.numHashes, p.bands, p.threshold)
-          val a = pin(Dedup.dedupedCorpus(batch, idCol, pairs))
+          val pairs = Dedup.minhashLshPairsFromSigs(sigDocs, sigBuckets,
+            p.threshold)
+          val a = timed("bootstrap-cc")(pin(Dedup.dedupedCorpus(batch, idCol, pairs)))
           val q = batch.join(a.select(col(idCol).as("__graft_keep")),
               batch(idCol) === col("__graft_keep"), "left_anti")
             .withColumn("reason", lit("near_dup"))
@@ -207,28 +241,33 @@ object SimilarityIngest {
             .filter(col("batch") =!= batchId)
           val windowIdx = spark.read.parquet(windowsDir)
             .filter(col("batch") =!= batchId)
-          // pin the verdict frames: `near` feeds the saturation gate's
-          // anti-join AND the union below, `bad` feeds both the
-          // quarantine join and the survivor anti-join, and `a0` feeds
-          // the intra-batch pair gen, the components pass, and the
-          // intra-quarantine anti-join. Unpersisted, each consumer
-          // re-executes the full index PROBE chain behind it — at corpus
-          // scale that triples the per-batch probe cost for nothing.
-          val near = pin(Dedup.minhashLshNewVsIndexFrames(batch, corpusDocs,
-              corpusBuckets, idCol, textCol, p.shingleN, p.numHashes,
-              p.bands, p.threshold)
+          // BOTH gate probes are lazy over the pinned feature frames and
+          // combine through one priority aggregation (near_dup outranks
+          // substring_dup for docs both gates flag — the pre-r8
+          // anti-join's verdict, without its near→sat sequencing), so
+          // pinning `bad` materializes the two probes TOGETHER in one
+          // Spark job instead of two sequential eager passes.
+          val near = Dedup.minhashLshProbeSigs(sigDocs, sigBuckets,
+              corpusDocs, corpusBuckets, p.threshold)
             .select(col("new_id").as("__graft_bad")).distinct()
-            .withColumn("reason", lit("near_dup")))
-          val sat = SubstringDedup.duplicatedWindowStatsVsIndexFrame(
-              batch, idCol, textCol, p.windowK, windowIdx)
+            .select(col("__graft_bad"), lit(0).as("__graft_prio"),
+              lit("near_dup").as("reason"))
+          val sat = SubstringDedup.duplicatedWindowStatsFromWins(
+              batch.select(col(idCol).as("doc_id")), wins, windowIdx)
             .filter(col("n_windows") > 0 &&
               col("n_dup_windows") >=
                 col("n_windows") * lit(p.maxDupWindowRatio))
-            .select(col("doc_id").as("__graft_bad"))
-            .join(near.select(col("__graft_bad")), Seq("__graft_bad"),
-              "left_anti")
-            .withColumn("reason", lit("substring_dup"))
-          val bad = pin(near.unionByName(sat))
+            .select(col("doc_id").as("__graft_bad"),
+              lit(1).as("__graft_prio"), lit("substring_dup").as("reason"))
+          // `bad` feeds the quarantine join and the survivor anti-join;
+          // `a0` feeds the intra-batch pair gen, the components pass, and
+          // the intra-quarantine anti-join. Unpersisted, each consumer
+          // re-executes the full probe chain behind it.
+          val bad = pin(near.unionByName(sat)
+            .groupBy(col("__graft_bad"))
+            .agg(min(struct(col("__graft_prio"), col("reason"))).as("__m"))
+            .select(col("__graft_bad"), col("__m.reason").as("reason")))
+          if (prof) timed("probe-mat")(bad.count())
           val qIndex = batch.join(bad, batch(idCol) === col("__graft_bad"))
             .drop("__graft_bad")
           val a0 = pin(batch.join(bad, batch(idCol) === col("__graft_bad"),
@@ -237,27 +276,54 @@ object SimilarityIngest {
           // corpus, and duplicates typically arrive together — without
           // this pass, two near-identical fresh docs in one micro-batch
           // would BOTH be accepted and indexed forever. Same self-dedup
-          // the bootstrap runs, scoped to the index-gate survivors.
-          val intraPairs = Dedup.minhashLshPairs(a0, idCol, textCol,
-            p.shingleN, p.numHashes, p.bands, p.threshold)
-          val a = pin(Dedup.dedupedCorpus(a0, idCol, intraPairs))
+          // the bootstrap runs, scoped to the index-gate survivors — and
+          // running on the survivors' slice of the PINNED signature
+          // frames, not a recomputation.
+          val a0Ids = a0.select(col(idCol).as("id"))
+          // only the BUCKET side needs restricting to the survivors (it
+          // defines the candidate pair space); the docs side is a lookup
+          // table the verify join probes by candidate id, so the full
+          // pinned frame serves as-is — no shingle-set shuffle
+          val intraPairs = Dedup.minhashLshPairsFromSigs(sigDocs,
+            sigBuckets.join(a0Ids, Seq("id"), "left_semi"), p.threshold)
+          val a = timed("intra-cc")(pin(Dedup.dedupedCorpus(a0, idCol, intraPairs)))
           val qIntra = a0.join(a.select(col(idCol).as("__graft_keep")),
               a0(idCol) === col("__graft_keep"), "left_anti")
             .withColumn("reason", lit("near_dup"))
           (a, qIndex.unionByName(qIntra))
         }
-      // commit order: outputs then indexes then stamp — every write is
-      // batch-keyed + overwrite, so any prefix of this sequence replays
-      // to the identical final state.
-      acc.write.mode("overwrite")
-        .parquet(s"$stateDir/accepted/batch=$batchId")
-      quar.write.mode("overwrite")
-        .parquet(s"$stateDir/quarantine/batch=$batchId")
-      Dedup.putCorpusIndexBatch(acc, idCol, textCol, minhashDir, batchId,
-        p.shingleN, p.numHashes, p.bands)
-      SubstringDedup.putWindowIndexBatch(acc, idCol, textCol, p.windowK,
-        windowsDir, batchId)
-      writeStamp(spark, stateDir, batchId)
+      // commit protocol: outputs + indexes first (any order), stamp LAST —
+      // every write is batch-keyed + overwrite, so any prefix of the
+      // write set replays to the identical final state. The four store
+      // writes are mutually independent (distinct directories over pinned
+      // inputs), so they run CONCURRENTLY and the batch pays the slowest
+      // write, not the sum; only the stamp is a barrier. The index
+      // writes slice the accepted rows out of the pinned feature frames
+      // instead of recomputing signatures/windows from text.
+      val accIds = acc.select(col(idCol).as("id"))
+      val accDocs = sigDocs.join(accIds, Seq("id"), "left_semi")
+      val accBuckets = sigBuckets.join(accIds, Seq("id"), "left_semi")
+      val accWins = wins.join(acc.select(col(idCol).as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val writes = Seq(
+          scala.concurrent.Future(acc.write.mode("overwrite")
+            .parquet(s"$stateDir/accepted/batch=$batchId")),
+          scala.concurrent.Future(quar.write.mode("overwrite")
+            .parquet(s"$stateDir/quarantine/batch=$batchId")),
+          scala.concurrent.Future(Dedup.putCorpusIndexBatchSigs(accDocs,
+            accBuckets, minhashDir, batchId, p.shingleN, p.numHashes,
+            p.bands)),
+          scala.concurrent.Future(SubstringDedup.putWindowIndexBatchFromWins(
+            accWins, windowsDir, batchId)))
+        timed("writes")(scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(writes),
+          scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdownNow()
+      timed("stamp")(writeStamp(spark, stateDir, batchId))
     } finally {
       pinned.foreach(_.unpersist())
       batch.unpersist()

@@ -1237,4 +1237,125 @@ class LlmSpec extends SparkSpec {
         ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(shuffled === idx)
   }
+
+  // ---------- planted near-duplicate recall pins ----------
+  //
+  // The subset/recall tests above run on RANDOM data, where high-similarity
+  // pairs are scarce and a recall floor must sit low (> 0.5) to avoid
+  // flakiness — low enough that a banding/probing regression could shave
+  // recall silently. These tests PLANT near-duplicates at a documented
+  // similarity and pin recall >= 0.9 at the documented parameters, so a
+  // broken band/table/probe parameter fails loudly. (Validated this
+  // session by deliberate breakage: MinHash with bands=2 reads recall
+  // 0.43 here, cosine-LSH with tables=1 reads 0.77 — both fail.)
+
+  /** 60 planted (base, near-dup) doc pairs with per-doc unique vocabulary
+    * (no cross-pair matches): 60 tokens, one replaced -> word-3-shingle
+    * Jaccard = 55/61 ~ 0.90 exactly, comfortably above the 0.8 verify
+    * threshold. */
+  private def plantedDocs: (org.apache.spark.sql.DataFrame, Set[(Long, Long)]) = {
+    val rows = (0 until 60).flatMap { i =>
+      val toks = (0 until 60).map(j => s"w${i}_$j")
+      val near = toks.updated(30, s"x$i")
+      Seq((2L * i, toks.mkString(" ")), (2L * i + 1, near.mkString(" ")))
+    }
+    val truth = (0 until 60).map(i => (2L * i, 2L * i + 1)).toSet
+    (rows.toDF("doc_id", "text"), truth)
+  }
+
+  test("planted MinHash recall >= 0.9 at numHashes=32, bands=8, jac~0.90") {
+    val (docs, truth) = plantedDocs
+    // S-curve at jac=0.90, r=4 rows/band, 8 bands: per-pair catch
+    // probability 1-(1-0.9^4)^8 ~ 0.9998 -> 60 pairs pass 0.9 with
+    // overwhelming margin unless the banding is broken
+    val got = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, threshold = 0.8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), s"false positives: ${got.diff(truth)}")
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(s"planted MinHash recall: $recall")
+    assert(recall >= 0.9, s"planted recall $recall < 0.9 — banding broken?")
+  }
+
+  /** Planted embedding set: unit-ish gaussian base vectors (d=16) plus a
+    * perturbed copy at cosine ~0.985 — deliberately NOT closer to 1.0,
+    * so the per-table catch probability (~0.64 at 8 planes) genuinely
+    * needs the 4-table union (~0.98/pair): dropping to tables=1 fails
+    * the floor (validated: reads ~0.6 recall), while cos→1 would let a
+    * single table pass. Decoys pairwise cosine ~ 0 in d=16. Seeded. */
+  private def plantedVecs: (org.apache.spark.sql.DataFrame, Set[(Long, Long)]) = {
+    val rnd = new scala.util.Random(1234)
+    def gauss(d: Int) = Array.fill(d)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]) = {
+      val n = gauss(v.length)
+      v.zip(n).map { case (x, e) => x + 0.17f * e }
+    }
+    val planted = (0 until 60).flatMap { i =>
+      val v = gauss(16)
+      Seq((2L * i, v.toSeq), (2L * i + 1, perturb(v).toSeq))
+    }
+    val decoys = (0 until 60).map(i => (1000L + i, gauss(16).toSeq))
+    val truth = (0 until 60).map(i => (2L * i, 2L * i + 1)).toSet
+    ((planted ++ decoys).toDF("vec_id", "embedding"), truth)
+  }
+
+  test("planted cosine-LSH recall >= 0.9 at 8 planes x 4 tables, cos~0.985") {
+    val (vecs, truth) = plantedVecs
+    // angle(cos 0.985) ~ 0.055*pi -> one 8-plane table agrees with
+    // p ~ (1-0.055)^8 ~ 0.64; any of 4 tables ~ 0.98 per pair
+    val got = Similarity.lshPairsAbove(vecs, "vec_id", "embedding",
+        threshold = 0.9, planesPerTable = 8, tables = 4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    info(s"planted cosine-LSH recall: $recall")
+    assert(recall >= 0.9, s"planted recall $recall < 0.9 — tables broken?")
+  }
+
+  test("planted IVF top-1 recall >= 0.9 at nlist=16, nprobe=4") {
+    val rnd = new scala.util.Random(99)
+    def gauss(d: Int) = Array.fill(d)(rnd.nextGaussian().toFloat)
+    val corpus = (0 until 400).map(i => (i.toLong, gauss(16).toSeq))
+    // 50 queries: tiny perturbations of corpus vectors 0..49 — each
+    // query's true nearest neighbor is its own base vector
+    val queries = (0 until 50).map { i =>
+      val base = corpus(i)._2.toArray
+      val n = gauss(16)
+      (10000L + i,
+        base.zip(n).map { case (x, e) => x + 0.02f * e }.toSeq)
+    }
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val qdf = queries.toDF("vec_id", "embedding")
+    val top1 = Similarity.ivfTopK(qdf, cdf, "vec_id", "vec_id",
+        "embedding", 1, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val hits = (0 until 50).count(i => top1.get(10000L + i).contains(i.toLong))
+    val recall = hits.toDouble / 50
+    info(s"planted IVF top-1 recall: $recall")
+    assert(recall >= 0.9, s"planted recall $recall < 0.9 — probing broken?")
+  }
+
+  test("planted PQ+rerank top-1 recall >= 0.9 at m=8, ksub=16, shortlist=10") {
+    val rnd = new scala.util.Random(77)
+    def gauss(d: Int) = Array.fill(d)(rnd.nextGaussian().toFloat)
+    val corpus = (0 until 400).map(i => (i.toLong, gauss(16).toSeq))
+    val queries = (0 until 50).map { i =>
+      val base = corpus(i)._2.toArray
+      val n = gauss(16)
+      (10000L + i,
+        base.zip(n).map { case (x, e) => x + 0.02f * e }.toSeq)
+    }
+    val cdf = corpus.toDF("vec_id", "embedding")
+    val qdf = queries.toDF("vec_id", "embedding")
+    // ADC shortlist of 10 must surface the planted base; exact rerank
+    // then puts it at rank 1
+    val top1 = Similarity.pqTopKReranked(qdf, cdf, "vec_id", "vec_id",
+        "embedding", 1, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val hits = (0 until 50).count(i => top1.get(10000L + i).contains(i.toLong))
+    val recall = hits.toDouble / 50
+    info(s"planted PQ+rerank top-1 recall: $recall")
+    assert(recall >= 0.9, s"planted recall $recall < 0.9 — codebooks broken?")
+  }
 }

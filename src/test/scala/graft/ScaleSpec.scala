@@ -396,4 +396,57 @@ class ScaleSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("partition subdirectories"))
   }
+
+  test("same-length 1M corpus: blocked kernel refuses, chunked stays linear") {
+    import graft.ops.SimilarityJoin
+    // THE adversarial length distribution for the banded kernel: every
+    // string shares one length, so the length equi-join is a single hot
+    // key carrying the full n^2 pair space — at cluster scale, one
+    // straggler shuffle partition doing a trillion DP verifies.
+    val n = 1000000L
+    val d = 1
+    val hist = Map(20 -> n)
+    // candidate arithmetic (unit-level, the chooser's own inputs):
+    // blocked = n^2; chunked = n rows x 1 in-band length x (d+1) chunk
+    // indexes x (d+1) shift-pruned positions = 4n substrings — a 250000x
+    // gap at this n, and it WIDENS linearly with n
+    assert(SimilarityJoin.estimateBlockedPairs(hist, hist, d) ===
+      BigInt(n) * BigInt(n))
+    assert(SimilarityJoin.estimateChunkedSubstrings(hist, hist, d) ===
+      BigInt(4L * n))
+    assert(SimilarityJoin.chooseChunked(hist, hist, d),
+      "the cost model must route a same-length corpus to the chunk filter")
+    // end-to-end on REAL 1M same-length rows: 20-hex-char strings (md5
+    // prefixes — uniformly random, so 10-char half-chunks collide only
+    // for planted pairs), plus 100 planted distance-1 partners that
+    // differ in the SECOND half (first-half chunk survives unedited)
+    val base = spark.range(0, n).select(col("id").as("rid"),
+      substring(md5(col("id").cast("string")), 1, 20).as("s"))
+    val planted = base.filter(col("rid") < 100)
+      .select((col("rid") + n).as("rid"),
+        concat(substring(col("s"), 1, 19), lit("!")).as("s"))
+    val corpus = base.unionByName(planted)
+    // the guard refuses the blocked kernel on this histogram
+    val e = intercept[IllegalArgumentException] {
+      SimilarityJoin.requireBlockedTractable(corpus, corpus.select(
+        col("rid").as("rid2"), col("s").as("s2")), "s", "s2", d)
+    }
+    assert(e.getMessage.contains("chunkedInnerJoin"))
+    // chunked kernel end-to-end: every planted pair found, nothing else
+    // (beyond self-matches), in near-linear work. dedupKeys dedups the
+    // 100 planted (value,value) repeats cheaply — values are unique here.
+    val out = SimilarityJoin.chunkedInnerJoin(
+        corpus.select(col("rid").as("rid_a"), col("s").as("sa")),
+        corpus.select(col("rid").as("rid_b"), col("s").as("sb")),
+        "sa", "sb", d)
+      .filter(col("rid_a") =!= col("rid_b"))
+      .select(col("rid_a"), col("rid_b"), col("string_distance"))
+    val got = out.collect()
+    assert(got.length === 200, s"expected 100 planted pairs x 2 " +
+      s"directions, got ${got.length}")
+    assert(got.forall(_.getInt(2) === 1))
+    val pairs = got.map(r => (math.min(r.getLong(0), r.getLong(1)),
+      math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(pairs === (0L until 100L).map(i => (i, i + n)).toSet)
+  }
 }

@@ -87,7 +87,12 @@ def xxh64_int_const(i32, seed):
 
 SEEDS = [xxh64_int_const(i + 1, 42) for i in range(32)]
 
-def gen_sql(num_hashes=32, bands=8, threshold=0.8, cap=2000):
+def common_ctes(num_hashes=32, bands=8):
+    """The signature replay shared by every MinHash oracle: documents ->
+    shingles -> XXH64 -> 32 signature mins -> Murmur3 band keys ->
+    exploded `buckets` (doc_id, band, key). Tails differ per query
+    (self-join pairs for q_dedup_minhash, new-vs-corpus for
+    q_dedup_incremental)."""
     rpb = num_hashes // bands
     ctes = []
 
@@ -222,6 +227,11 @@ def gen_sql(num_hashes=32, bands=8, threshold=0.8, cap=2000):
     ctes.append(f"""buckets AS (
   SELECT doc_id, unnest([{band_structs}], recursive := true)
   FROM bandkeys)""")
+    return ctes
+
+
+def gen_sql(num_hashes=32, bands=8, threshold=0.8, cap=2000):
+    ctes = common_ctes(num_hashes, bands)
     ctes.append(f"""grouped AS (
   SELECT band, key, list_sort(list(doc_id)) AS ids
   FROM buckets GROUP BY band, key
