@@ -102,8 +102,15 @@ object Util {
       // bit-for-bit. Every graft main sets UTC — fail loudly for any
       // caller that doesn't rather than silently shifting timestamps.
       val tz = spark.conf.get("spark.sql.session.timeZone")
-      require(tz == "UTC",
-        s"graft.Util.table(events) requires spark.sql.session.timeZone=UTC " +
+      // accept any zone whose RULES are UTC ("UTC", "Etc/UTC", "GMT",
+      // "Z", "+00:00" — a box whose system default is Etc/UTC is fine);
+      // reject zones that would actually shift the cast
+      val isUtc = try {
+        java.time.ZoneId.of(tz).getRules ==
+          java.time.ZoneOffset.UTC.getRules
+      } catch { case _: java.time.DateTimeException => false }
+      require(isUtc,
+        s"graft.Util.table(events) requires a UTC session timezone " +
           s"(got $tz): the TIMESTAMP_NTZ cast is timezone-sensitive")
       val plain =
         try Some(spark.read.parquet(s"$sfDir/$name.parquet"))

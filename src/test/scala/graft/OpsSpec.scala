@@ -762,4 +762,22 @@ class OpsSpec extends SparkSpec {
       TableDiff.diff(oldDf, newDf.withColumnRenamed("v", "w"), Seq("k"))
     }
   }
+
+  test("events loader accepts UTC-equivalent zones, refuses shifting ones") {
+    // the NTZ→LTZ cast preserves instants only under UTC rules; zone
+    // SPELLINGS differ by platform ("UTC" when set explicitly, "Etc/UTC"
+    // as a system default) and must all pass — a shifting zone must not
+    val sf = "/root/testdata/sf0.001"
+    for (tz <- Seq("UTC", "Etc/UTC", "GMT")) {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.session.timeZone", tz)
+      assert(Util.table(s2, sf, "events").limit(1).count() === 1L, tz)
+    }
+    val bad = spark.newSession()
+    bad.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val e = intercept[IllegalArgumentException] {
+      Util.table(bad, sf, "events")
+    }
+    assert(e.getMessage.contains("UTC"))
+  }
 }
