@@ -4,7 +4,7 @@ WITH words AS MATERIALIZED (
   WHERE strlen(word) > 0 GROUP BY word),
 syms0 AS MATERIALIZED (
   SELECT word, freq,
-    list_transform(generate_series(1, strlen(word)), i -> word[i]) AS syms
+    list_transform(generate_series(1, length(word)), i -> word[i]) AS syms
   FROM words),
 pc0 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
@@ -22,7 +22,7 @@ syms1 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms0, win0 w),
+  FROM syms0 LEFT JOIN win0 w ON TRUE),
 pc1 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -39,7 +39,7 @@ syms2 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms1, win1 w),
+  FROM syms1 LEFT JOIN win1 w ON TRUE),
 pc2 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -56,7 +56,7 @@ syms3 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms2, win2 w),
+  FROM syms2 LEFT JOIN win2 w ON TRUE),
 pc3 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -73,7 +73,7 @@ syms4 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms3, win3 w),
+  FROM syms3 LEFT JOIN win3 w ON TRUE),
 pc4 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -90,7 +90,7 @@ syms5 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms4, win4 w),
+  FROM syms4 LEFT JOIN win4 w ON TRUE),
 pc5 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -107,7 +107,7 @@ syms6 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms5, win5 w),
+  FROM syms5 LEFT JOIN win5 w ON TRUE),
 pc6 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -124,7 +124,7 @@ syms7 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms6, win6 w),
+  FROM syms6 LEFT JOIN win6 w ON TRUE),
 pc7 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -141,7 +141,7 @@ syms8 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms7, win7 w),
+  FROM syms7 LEFT JOIN win7 w ON TRUE),
 pc8 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -158,7 +158,7 @@ syms9 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms8, win8 w),
+  FROM syms8 LEFT JOIN win8 w ON TRUE),
 pc9 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -175,7 +175,7 @@ syms10 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms9, win9 w),
+  FROM syms9 LEFT JOIN win9 w ON TRUE),
 pc10 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -192,7 +192,7 @@ syms11 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms10, win10 w),
+  FROM syms10 LEFT JOIN win10 w ON TRUE),
 pc11 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -209,7 +209,7 @@ syms12 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms11, win11 w),
+  FROM syms11 LEFT JOIN win11 w ON TRUE),
 pc12 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -226,7 +226,7 @@ syms13 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms12, win12 w),
+  FROM syms12 LEFT JOIN win12 w ON TRUE),
 pc13 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -243,7 +243,7 @@ syms14 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms13, win13 w),
+  FROM syms13 LEFT JOIN win13 w ON TRUE),
 pc14 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -260,7 +260,7 @@ syms15 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms14, win14 w),
+  FROM syms14 LEFT JOIN win14 w ON TRUE),
 pc15 AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
     SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
@@ -277,7 +277,7 @@ syms16 AS MATERIALIZED (
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms15, win15 w),
+  FROM syms15 LEFT JOIN win15 w ON TRUE),
 pieces AS MATERIALIZED (
   SELECT word, CAST(len(syms) AS BIGINT) AS n_pieces FROM syms16),
 tokf AS (

@@ -49,14 +49,11 @@ object ShuffleProfile {
     spark.sparkContext.addSparkListener(listener)
     def mb(b: Long): String = f"${b / 1048576.0}%8.1f MB"
     import scala.jdk.CollectionConverters._
-    names.foreach { name =>
-      stages.clear()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      val secs = (System.nanoTime() - t0) / 1e9
-      // listener bus is async (and its drain API is private): poll until
-      // the stage count stabilizes for a full second
+    // the listener bus is ASYNC: the warm-up job's stage events may still
+    // be queued, and clearing before they drain would attribute them to
+    // the first profiled query — a polluted first row in a table whose
+    // whole point is deterministic regression diffing. Stabilize first.
+    def drainUntilStable(): Unit = {
       var last = -1
       var stable = 0
       while (stable < 5) {
@@ -64,7 +61,19 @@ object ShuffleProfile {
         val now = stages.size
         if (now == last) stable += 1 else { stable = 0; last = now }
       }
-      val st = stages.asScala.toSeq.sortBy(_.id)
+    }
+    drainUntilStable()
+    names.foreach { name =>
+      stages.clear()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      drainUntilStable()
+      // a stage RE-ATTEMPT delivers a second completion event for the
+      // same stageId; keep the last attempt so totals aren't doubled
+      val st = stages.asScala.toSeq.groupBy(_.id).toSeq
+        .map(_._2.last).sortBy(_.id)
       println(s"\n== $name (${f"$secs%.2f"} s, ${st.size} stages) ==")
       st.filter(s => s.wb > 0 || s.rb > 0).foreach { s =>
         println(f"  stage ${s.id}%4d  write ${mb(s.wb)} (${s.wr}%10d rows)" +

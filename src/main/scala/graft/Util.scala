@@ -83,6 +83,26 @@ object Util {
     out
   }
 
+  /** Run independent Spark actions CONCURRENTLY and wait for all of them
+    * — the exactly-once gates' commit/compaction shape: N mutually
+    * independent batch-keyed writes where the caller pays the slowest
+    * job instead of the sum, with the ledger stamp (sequenced after this
+    * returns) as the only barrier. Throws the first task failure after
+    * interrupting the rest; tasks must be idempotent (the gates' writes
+    * are batch-keyed overwrites). */
+  def runConcurrently(tasks: Seq[() => Unit]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, tasks.size))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          tasks.map(t => scala.concurrent.Future(t()))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdownNow()
+  }
+
   /** Load one of the driver's parquet testdata tables.
     *
     * The `events.ts` column has shipped under two physical types across

@@ -396,9 +396,11 @@ object Dedup {
                           numHashes: Int = 32, bands: Int = 8): Unit = {
     val (docs, buckets) =
       shingleBuckets(batch, idCol, textCol, shingleN, numHashes, bands)
-    putCorpusIndexBatchSigs(docs, buckets, path, batchId,
+    // unpersist in finally: a params-mismatch throw inside the Sigs call
+    // must not leak the persisted shingle frame into the caller's retry
+    try putCorpusIndexBatchSigs(docs, buckets, path, batchId,
       shingleN, numHashes, bands)
-    docs.unpersist()
+    finally docs.unpersist()
   }
 
   /** [[putCorpusIndexBatch]] over PRECOMPUTED signature frames — the

@@ -79,16 +79,8 @@ object EmbeddingIngest {
     val upTo = math.min(upToBatch, last)
     if (upTo < 0L) return
     // independent directories — fold concurrently, pay the slowest store
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    try {
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(leafStores(stateDir).map(p =>
-          scala.concurrent.Future(
-            graft.io.Parquet.compactBatchStore(spark, p, upTo)))),
-        scala.concurrent.duration.Duration.Inf)
-    } finally pool.shutdownNow()
+    graft.Util.runConcurrently(leafStores(stateDir).map(
+      p => () => graft.io.Parquet.compactBatchStore(spark, p, upTo)))
     BatchLedger.prune(spark, stateDir, last)
   }
 
@@ -170,19 +162,13 @@ object EmbeddingIngest {
       // the three store writes are mutually independent batch-keyed
       // overwrites — run them concurrently, stamp LAST (the only barrier;
       // same replay argument as SimilarityIngest.applyBatch)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-      try {
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        scala.concurrent.Await.result(scala.concurrent.Future.sequence(Seq(
-          scala.concurrent.Future(acc.write.mode("overwrite")
-            .parquet(s"$stateDir/accepted/batch=$batchId")),
-          scala.concurrent.Future(quar.write.mode("overwrite")
-            .parquet(s"$stateDir/quarantine/batch=$batchId")),
-          scala.concurrent.Future(Dedup.putSemanticIndexBatch(acc, idCol,
-            vecCol, cellsDir, batchId, p.bits)))),
-          scala.concurrent.duration.Duration.Inf)
-      } finally pool.shutdownNow()
+      graft.Util.runConcurrently(Seq(
+        () => acc.write.mode("overwrite")
+          .parquet(s"$stateDir/accepted/batch=$batchId"),
+        () => quar.write.mode("overwrite")
+          .parquet(s"$stateDir/quarantine/batch=$batchId"),
+        () => Dedup.putSemanticIndexBatch(acc, idCol, vecCol, cellsDir,
+          batchId, p.bits)))
       BatchLedger.stamp(spark, stateDir, batchId)
     } finally {
       pinned.foreach(_.unpersist())

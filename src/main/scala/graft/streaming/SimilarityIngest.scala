@@ -136,16 +136,8 @@ object SimilarityIngest {
     // the five stores fold independently (distinct directories), so run
     // them concurrently — a fold is mostly read+rewrite job latency, and
     // the maintenance window pays the slowest store instead of the sum
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
-    try {
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      timed("compact")(scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(leafStores(stateDir).map(p =>
-          scala.concurrent.Future(
-            graft.io.Parquet.compactBatchStore(spark, p, upTo)))),
-        scala.concurrent.duration.Duration.Inf))
-    } finally pool.shutdownNow()
+    timed("compact")(graft.Util.runConcurrently(leafStores(stateDir).map(
+      p => () => graft.io.Parquet.compactBatchStore(spark, p, upTo))))
     // only the max marker is load-bearing (lastBatchId takes maxOption);
     // prune the rest so the ledger listing stays O(1) over years of runs
     BatchLedger.prune(spark, stateDir, last)
@@ -305,24 +297,15 @@ object SimilarityIngest {
       val accBuckets = sigBuckets.join(accIds, Seq("id"), "left_semi")
       val accWins = wins.join(acc.select(col(idCol).as("doc_id")),
         Seq("doc_id"), "left_semi")
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-      try {
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        val writes = Seq(
-          scala.concurrent.Future(acc.write.mode("overwrite")
-            .parquet(s"$stateDir/accepted/batch=$batchId")),
-          scala.concurrent.Future(quar.write.mode("overwrite")
-            .parquet(s"$stateDir/quarantine/batch=$batchId")),
-          scala.concurrent.Future(Dedup.putCorpusIndexBatchSigs(accDocs,
-            accBuckets, minhashDir, batchId, p.shingleN, p.numHashes,
-            p.bands)),
-          scala.concurrent.Future(SubstringDedup.putWindowIndexBatchFromWins(
-            accWins, windowsDir, batchId)))
-        timed("writes")(scala.concurrent.Await.result(
-          scala.concurrent.Future.sequence(writes),
-          scala.concurrent.duration.Duration.Inf))
-      } finally pool.shutdownNow()
+      timed("writes")(graft.Util.runConcurrently(Seq(
+        () => acc.write.mode("overwrite")
+          .parquet(s"$stateDir/accepted/batch=$batchId"),
+        () => quar.write.mode("overwrite")
+          .parquet(s"$stateDir/quarantine/batch=$batchId"),
+        () => Dedup.putCorpusIndexBatchSigs(accDocs, accBuckets,
+          minhashDir, batchId, p.shingleN, p.numHashes, p.bands),
+        () => SubstringDedup.putWindowIndexBatchFromWins(accWins,
+          windowsDir, batchId))))
       timed("stamp")(writeStamp(spark, stateDir, batchId))
     } finally {
       pinned.foreach(_.unpersist())

@@ -25,13 +25,20 @@ def base_ctes():
   WHERE strlen(word) > 0 GROUP BY word)""",
         """syms0 AS MATERIALIZED (
   SELECT word, freq,
-    list_transform(generate_series(1, strlen(word)), i -> word[i]) AS syms
+    list_transform(generate_series(1, length(word)), i -> word[i]) AS syms
   FROM words)""",
     ]
 
 
 def round_ctes(k):
-    """pc{k} (pair counts), win{k} (winner), syms{k+1} (rewrite)."""
+    """pc{k} (pair counts), win{k} (winner), syms{k+1} (rewrite).
+
+    The rewrite LEFT JOINs the (at most 1-row) winner: on a corpus that
+    exhausts its pairs before the requested round count, win{k} is empty
+    and the NULL-compare makes the fold a pass-through — the vocabulary
+    survives and the merges output simply stops early, exactly like
+    BpeTrain's done flag (a cross join would silently EMPTY every later
+    round)."""
     return [
         f"""pc{k} AS (
   SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS c FROM (
@@ -49,7 +56,7 @@ def round_ctes(k):
         WHEN len(acc) > 0 AND acc[-1] = w.l AND x[1] = w.r
         THEN list_append(acc[:len(acc) - 1], w.l || w.r)
         ELSE list_concat(acc, x) END) AS syms
-  FROM syms{k}, win{k} w)""",
+  FROM syms{k} LEFT JOIN win{k} w ON TRUE)""",
     ]
 
 
