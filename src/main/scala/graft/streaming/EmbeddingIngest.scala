@@ -157,11 +157,10 @@ object EmbeddingIngest {
             .withColumn("reason", lit("near_dup"))
           (keep, qIndex.unionByName(qIntra))
         }
-      // commit order: outputs, index, stamp — each batch-keyed +
-      // overwrite, so any crash prefix replays to the identical state
-      // the three store writes are mutually independent batch-keyed
-      // overwrites — run them concurrently, stamp LAST (the only barrier;
-      // same replay argument as SimilarityIngest.applyBatch)
+      // commit protocol: the three store writes are mutually independent
+      // batch-keyed overwrites — run them concurrently, stamp LAST (the
+      // only barrier; any crash prefix replays to the identical state,
+      // same argument as SimilarityIngest.applyBatch)
       graft.Util.runConcurrently(Seq(
         () => acc.write.mode("overwrite")
           .parquet(s"$stateDir/accepted/batch=$batchId"),
