@@ -155,19 +155,67 @@ object SubstringDedup {
     tokenWindows(df, idCol, textCol, k)
       .select(col("doc_id"), col("pos"), xxhash64(col("gram")).as("whash"))
 
+  /** The window size k is the index's IDENTITY: probing a k=8 index with
+    * k=12 grams finds zero hits silently — the saturation gate would
+    * pass everything while poisoning the index with mixed-k hashes.
+    * Same stamp/validate protocol as the MinHash index's `_params`
+    * (underscore-prefixed, so parquet discovery ignores it): writers
+    * stamp on first use, every writer and path-level prober validates;
+    * a store with data but no stamp (deleted stamp / legacy layout)
+    * warns instead of silently skipping validation. */
+  private def writeWindowParams(spark: org.apache.spark.sql.SparkSession,
+                                path: String, k: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(k.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def stampOrRequireWindowParams(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stampPath = new org.apache.hadoop.fs.Path(s"$path/_params")
+    if (!fs.exists(stampPath)) {
+      if (fs.exists(dir) && fs.listStatus(dir).nonEmpty)
+        System.err.println(
+          s"[graft] WARNING: window index at $path has data but no " +
+            s"_params stamp — cannot validate windowK=$k against the " +
+            "stored gram size; a mismatched probe finds zero duplicated " +
+            "windows silently. Re-stamp or rebuild the index.")
+      else writeWindowParams(spark, path, k)
+      return
+    }
+    val in = fs.open(stampPath)
+    val stored = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    require(stored == k.toString,
+      s"window index at $path was built with windowK=$stored but caller " +
+        s"passed windowK=$k — probing across mismatched gram sizes finds " +
+        "zero duplicated windows silently")
+  }
+
   /** Persist the corpus's DISTINCT window hashes as the substring index —
     * one 8-byte column, the artifact incremental ingest probes against.
     * Append new batches' hashes with [[appendWindowIndex]]; duplicate
     * hashes across appends are harmless (probes are semi-joins). */
   def writeWindowIndex(df: DataFrame, idCol: String, textCol: String,
-                       k: Int, path: String): Unit =
+                       k: Int, path: String): Unit = {
     hashedWindows(df, idCol, textCol, k).select(col("whash")).distinct()
       .write.mode("overwrite").parquet(path)
+    // after the overwrite (which clears the directory), not before
+    writeWindowParams(df.sparkSession, path, k)
+  }
 
   def appendWindowIndex(df: DataFrame, idCol: String, textCol: String,
-                        k: Int, path: String): Unit =
+                        k: Int, path: String): Unit = {
+    stampOrRequireWindowParams(df.sparkSession, path, k)
     hashedWindows(df, idCol, textCol, k).select(col("whash")).distinct()
       .write.mode("append").parquet(path)
+  }
 
   /** Idempotent per-batch window-index write for at-least-once callers:
     * the batch's distinct window hashes land in a `batch=<id>` subdir
@@ -178,14 +226,18 @@ object SubstringDedup {
   def putWindowIndexBatch(df: DataFrame, idCol: String, textCol: String,
                           k: Int, path: String, batchId: Long): Unit =
     putWindowIndexBatchFromWins(hashedWindows(df, idCol, textCol, k),
-      path, batchId)
+      path, batchId, k)
 
   /** [[putWindowIndexBatch]] over a PRECOMPUTED [[hashedWindows]] frame —
-    * caller owns the frame's lifecycle; the windows are not recomputed. */
+    * caller owns the frame's lifecycle; the windows are not recomputed.
+    * `k` describes how the caller built the frame and stamps/validates
+    * the index identity (`_params`). */
   def putWindowIndexBatchFromWins(wins: DataFrame, path: String,
-                                  batchId: Long): Unit =
+                                  batchId: Long, k: Int): Unit = {
+    stampOrRequireWindowParams(wins.sparkSession, path, k)
     wins.select(col("whash")).distinct()
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+  }
 
   /** Fold committed batches (ids 0..upToBatch) of a [[putWindowIndexBatch]]
     * layout into one compacted `batch=-1` base segment — probes are
@@ -202,9 +254,11 @@ object SubstringDedup {
     * appears (docs shorter than k tokens report 0 windows). O(batch)
     * probe: one semi-join on the 8-byte hash column. */
   def duplicatedWindowStatsVsIndex(batch: DataFrame, idCol: String,
-      textCol: String, k: Int, indexPath: String): DataFrame =
+      textCol: String, k: Int, indexPath: String): DataFrame = {
+    stampOrRequireWindowParams(batch.sparkSession, indexPath, k)
     duplicatedWindowStatsVsIndexFrame(batch, idCol, textCol, k,
       batch.sparkSession.read.parquet(indexPath))
+  }
 
   /** Relation-input variant — the caller supplies the index frame (e.g.
     * a partition-pruned read of a [[putWindowIndexBatch]] layout). */

@@ -46,4 +46,38 @@ private[streaming] object BatchLedger {
         p.getName.drop(6).toLong < keepMax)
       .foreach(p => fs.delete(p, false))
   }
+
+  /** COMMITTED-batch-isolated read of one of a gate's batch-keyed stores:
+    * a crashed batch's half-written `batch=N` rows (on disk until its
+    * replay overwrites them) are pruned via the ledger, so readers never
+    * observe an uncommitted verdict; the compacted base is `batch=-1`,
+    * always <= any committed frontier. Throws IllegalStateException
+    * before the first nonempty batch commits — shared by both
+    * multi-store gates so the contract cannot drift between them. */
+  def committedRead(spark: SparkSession, stateDir: String,
+                    path: String): org.apache.spark.sql.DataFrame = {
+    val frontier = last(spark, stateDir)
+    if (frontier < 0L) throw new IllegalStateException(
+      s"no committed batches at $stateDir yet — accepted()/quarantined() " +
+        "have no schema to return before the first nonempty batch commits")
+    spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("batch") <= frontier)
+  }
+
+  /** Fold all committed batches up to `upToBatch` (clamped to the ledger
+    * frontier) into each store's `batch=-1` base segment — concurrently,
+    * the stores are independent directories — then prune ledger markers
+    * below the retained maximum. The shared body of the gates'
+    * compactIndexes; see [[SimilarityIngest.compactIndexes]] for the
+    * replay-semantics argument. */
+  def compactStores(spark: SparkSession, stateDir: String,
+                    stores: Seq[String], upToBatch: Long): Unit = {
+    val frontier = last(spark, stateDir)
+    if (frontier < 0L) return // nothing committed, nothing to fold
+    val upTo = math.min(upToBatch, frontier)
+    if (upTo < 0L) return
+    graft.Util.runConcurrently(stores.map(
+      p => () => graft.io.Parquet.compactBatchStore(spark, p, upTo)))
+    prune(spark, stateDir, frontier)
+  }
 }

@@ -57,13 +57,8 @@ object EmbeddingIngest {
     committedRead(spark, stateDir, s"$stateDir/quarantine")
 
   private def committedRead(spark: SparkSession, stateDir: String,
-                            path: String): DataFrame = {
-    val last = lastBatchId(spark, stateDir)
-    if (last < 0L) throw new IllegalStateException(
-      s"no committed batches at $stateDir yet — accepted()/quarantined() " +
-        "have no schema to return before the first nonempty batch commits")
-    spark.read.parquet(path).filter(col("batch") <= last)
-  }
+                            path: String): DataFrame =
+    BatchLedger.committedRead(spark, stateDir, path)
 
   private def leafStores(stateDir: String): Seq[String] = Seq(
     s"$stateDir/accepted", s"$stateDir/quarantine",
@@ -74,14 +69,8 @@ object EmbeddingIngest {
     * [[SimilarityIngest.compactIndexes]] — same contract). */
   def compactIndexes(spark: SparkSession, stateDir: String,
                      upToBatch: Long = Long.MaxValue): Unit = {
-    val last = lastBatchId(spark, stateDir)
-    if (last < 0L) return
-    val upTo = math.min(upToBatch, last)
-    if (upTo < 0L) return
-    // independent directories — fold concurrently, pay the slowest store
-    graft.Util.runConcurrently(leafStores(stateDir).map(
-      p => () => graft.io.Parquet.compactBatchStore(spark, p, upTo)))
-    BatchLedger.prune(spark, stateDir, last)
+    BatchLedger.compactStores(spark, stateDir, leafStores(stateDir),
+      upToBatch)
   }
 
   /** Gate one micro-batch of (id, vector) rows. Same id-monotonicity

@@ -29,7 +29,7 @@ object EventsStream {
     * 1-hour watermark, tumbling window. Run with Trigger.AvailableNow for
     * a bounded backfill, or continuously on a live directory. */
   def streamingTumblingCounts(spark: SparkSession, dir: String,
-                              duration: String = "1 hour"): DataFrame = {
+                              duration: String = "1 day"): DataFrame = {
     val schema = spark.read.parquet(dir).schema
     spark.readStream
       .schema(schema)

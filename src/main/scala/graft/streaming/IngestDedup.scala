@@ -49,11 +49,21 @@ object IngestDedup {
 
   /** The accepted corpus so far, committed-batch isolated: rows of a
     * half-committed (crashed, not yet replayed) batch are pruned via the
-    * ledger; seeded/compacted rows report `batch = -1`. */
+    * ledger; seeded/compacted rows report `batch = -1`. Throws
+    * IllegalStateException before anything exists to read (the
+    * SimilarityIngest/EmbeddingIngest contract) instead of surfacing a
+    * raw PATH_NOT_FOUND from inside Spark; note a SEEDED store is
+    * readable before the first commit (`batch = -1 <= -1`). */
   def corpus(spark: SparkSession, indexPath: String,
-             outDir: String): DataFrame =
+             outDir: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) throw new IllegalStateException(
+      s"no accepted corpus at $outDir yet — corpus() has nothing to " +
+        "return before the first nonempty batch commits (or a seed lands)")
     spark.read.parquet(outDir)
       .filter(col("batch") <= lastBatchId(spark, indexPath))
+  }
 
   /** Fold committed batches into the `batch=-1` base segment of the
     * output corpus and both index tables, and prune ledger markers below
@@ -126,6 +136,14 @@ object IngestDedup {
     val seeded = seededDocs
     val bootstrapped = last >= 0L || seeded
     val batch = batch0.persist()
+    // ONE signature pass per batch (the SimilarityIngest fusion): the
+    // pinned frames feed the index probe, the intra-batch self-dedup,
+    // and the index write — pre-fusion each consumer re-shingled the
+    // batch and re-ran the corpus probe (~3x the signature work)
+    val (sigDocs, sigBuckets0) = Dedup.signatureFrames(batch, idCol,
+      textCol, shingleN, numHashes, bands)
+    val sigBuckets = sigBuckets0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (batch.isEmpty) return
       val accepted =
@@ -146,8 +164,8 @@ object IngestDedup {
                 "that holds data it did not write; point outDir at a " +
                 "fresh directory")
           }
-          val pairs = Dedup.minhashLshPairs(batch, idCol, textCol,
-            shingleN, numHashes, bands, threshold)
+          val pairs = Dedup.minhashLshPairsFromSigs(sigDocs, sigBuckets,
+            threshold)
           Dedup.dedupedCorpus(batch, idCol, pairs)
         } else {
           // replay guard: prune this batch's own half-committed entries
@@ -155,16 +173,22 @@ object IngestDedup {
             .filter(col("batch") =!= batchId)
           val buckets = spark.read.parquet(s"$indexPath/buckets")
             .filter(col("batch") =!= batchId)
-          val dups = Dedup.minhashLshNewVsIndexFrames(batch, docs, buckets,
-              idCol, textCol, shingleN, numHashes, bands, threshold)
+          val dups = Dedup.minhashLshProbeSigs(sigDocs, sigBuckets,
+              docs, buckets, threshold)
             .select(col("new_id").as("__graft_dup")).distinct()
           val a0 = batch.join(dups, batch(idCol) === col("__graft_dup"),
-            "left_anti")
+              "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           // intra-batch near-dups: the index only sees the pre-batch
-          // corpus and duplicates typically arrive together
-          val intraPairs = Dedup.minhashLshPairs(a0, idCol, textCol,
-            shingleN, numHashes, bands, threshold)
-          Dedup.dedupedCorpus(a0, idCol, intraPairs)
+          // corpus and duplicates typically arrive together. Only the
+          // bucket side restricts to survivors (it defines the pair
+          // space); the docs side is a candidate-probed lookup table
+          val a0Ids = a0.select(col(idCol).as("id"))
+          val intraPairs = Dedup.minhashLshPairsFromSigs(sigDocs,
+            sigBuckets.join(a0Ids, Seq("id"), "left_semi"), threshold)
+          try Dedup.dedupedCorpus(a0, idCol, intraPairs)
+            .localCheckpoint() // a0 unpersists below; sever the lineage
+          finally a0.unpersist()
         }
       val accP = accepted
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -172,12 +196,21 @@ object IngestDedup {
       // batch-keyed + overwrite, so any prefix replays to the identical
       // final state and nothing double-appends
       try {
-        accP.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        Dedup.putCorpusIndexBatch(accP, idCol, textCol, indexPath, batchId,
-          shingleN, numHashes, bands)
+        val accIds = accP.select(col(idCol).as("id"))
+        graft.Util.runConcurrently(Seq(
+          () => accP.write.mode("overwrite")
+            .parquet(s"$outDir/batch=$batchId"),
+          () => Dedup.putCorpusIndexBatchSigs(
+            sigDocs.join(accIds, Seq("id"), "left_semi"),
+            sigBuckets.join(accIds, Seq("id"), "left_semi"),
+            indexPath, batchId, shingleN, numHashes, bands)))
         BatchLedger.stamp(spark, indexPath, batchId)
       } finally accP.unpersist()
-    } finally batch.unpersist()
+    } finally {
+      sigDocs.unpersist()
+      sigBuckets.unpersist()
+      batch.unpersist()
+    }
   }
 
   /** Build the gated ingest stream; caller `.start()`s it (and typically

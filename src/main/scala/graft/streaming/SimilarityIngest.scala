@@ -22,7 +22,14 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *      window-saturated);
   *   3. survivors self-dedup WITHIN the batch (duplicates typically
   *      arrive together; the index gates only see the pre-batch corpus),
-  *      keeping each near-dup cluster's minimum id;
+  *      keeping each near-dup cluster's minimum id. The intra-batch pass
+  *      is MinHash-only: a stitched doc arriving in the SAME micro-batch
+  *      as its source halves is not caught until those halves' windows
+  *      are indexed — i.e. the saturation gate has a one-batch blind
+  *      spot for sources and stitchings that arrive together (there is
+  *      no principled intra-batch ordering to say which of two
+  *      same-batch docs is "already corpus"); it catches the stitching
+  *      from the next batch on;
   *   4. accepted docs append to `accepted/`, and their signatures append
   *      to BOTH indexes, so every later batch dedups against them at
   *      O(batch) probe cost — no corpus recompute, ever.
@@ -95,14 +102,8 @@ object SimilarityIngest {
     committedRead(spark, stateDir, s"$stateDir/quarantine")
 
   private def committedRead(spark: SparkSession, stateDir: String,
-                            path: String): DataFrame = {
-    val last = lastBatchId(spark, stateDir)
-    if (last < 0L) throw new IllegalStateException(
-      s"no committed batches at $stateDir yet — accepted()/quarantined() " +
-        "have no schema to return before the first nonempty batch commits")
-    // base segment is batch=-1, always <= last here
-    spark.read.parquet(path).filter(col("batch") <= last)
-  }
+                            path: String): DataFrame =
+    BatchLedger.committedRead(spark, stateDir, path)
 
   /** The five per-batch stores behind one state dir. */
   private def leafStores(stateDir: String): Seq[String] = Seq(
@@ -129,18 +130,10 @@ object SimilarityIngest {
     * the next applyBatch or compactIndexes call. */
   def compactIndexes(spark: SparkSession, stateDir: String,
                      upToBatch: Long = Long.MaxValue): Unit = {
-    val last = lastBatchId(spark, stateDir)
-    if (last < 0L) return // nothing committed, nothing to fold
-    val upTo = math.min(upToBatch, last)
-    if (upTo < 0L) return
-    // the five stores fold independently (distinct directories), so run
-    // them concurrently — a fold is mostly read+rewrite job latency, and
-    // the maintenance window pays the slowest store instead of the sum
-    timed("compact")(graft.Util.runConcurrently(leafStores(stateDir).map(
-      p => () => graft.io.Parquet.compactBatchStore(spark, p, upTo))))
-    // only the max marker is load-bearing (lastBatchId takes maxOption);
-    // prune the rest so the ledger listing stays O(1) over years of runs
-    BatchLedger.prune(spark, stateDir, last)
+    // the five stores fold independently — BatchLedger.compactStores
+    // runs them concurrently and prunes markers below the frontier
+    timed("compact")(BatchLedger.compactStores(spark, stateDir,
+      leafStores(stateDir), upToBatch))
   }
 
   /** Gate one micro-batch. Replaying the COMMITTED last batchId is an
@@ -184,7 +177,24 @@ object SimilarityIngest {
     // again — same self-dedup, same verdicts, overwriting its own
     // half-committed batch=0 subdirs — instead of wedging the stream on
     // a PATH_NOT_FOUND read or skipping intra-batch dedup.
-    val bootstrapped = last >= 0L
+    //
+    // EXCEPTION: a PRE-SEEDED batch=-1 base (Dedup.seedCorpusIndex +
+    // putWindowIndexBatch at id -1 over an existing corpus) must route
+    // batch 0 through the GATE branch — a self-dedup-only bootstrap
+    // would silently accept duplicates of the seed corpus (the
+    // EmbeddingIngest/IngestDedup guard, previously missing here). The
+    // gate probes BOTH indexes, so a half-seeded state fails loudly
+    // rather than reading a missing store or silently skipping one gate.
+    val fsState = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mhSeeded = fsState.exists(new Path(s"$minhashDir/docs/batch=-1"))
+    val winSeeded = fsState.exists(new Path(s"$windowsDir/batch=-1"))
+    require(mhSeeded == winSeeded,
+      s"partially seeded state at $stateDir: seed BOTH the MinHash index " +
+        s"(Dedup.seedCorpusIndex at $minhashDir) and the window index " +
+        s"(SubstringDedup.putWindowIndexBatch id -1 at $windowsDir), or " +
+        "neither — the gate probes both")
+    val bootstrapped = last >= 0L || mhSeeded
     val batch = batch0.persist()
     // every frame persisted by the gate below lands here and is released
     // in ONE finally — a transient FS failure mid-commit must not leak
@@ -231,6 +241,11 @@ object SimilarityIngest {
             .filter(col("batch") =!= batchId)
           val corpusBuckets = spark.read.parquet(s"$minhashDir/buckets")
             .filter(col("batch") =!= batchId)
+          // a restart with a different windowK would probe k'-grams
+          // against a k-gram index and find ZERO hits silently — the
+          // stamp written with the index fails it loudly instead
+          SubstringDedup.stampOrRequireWindowParams(spark, windowsDir,
+            p.windowK)
           val windowIdx = spark.read.parquet(windowsDir)
             .filter(col("batch") =!= batchId)
           // BOTH gate probes are lazy over the pinned feature frames and
@@ -305,7 +320,7 @@ object SimilarityIngest {
         () => Dedup.putCorpusIndexBatchSigs(accDocs, accBuckets,
           minhashDir, batchId, p.shingleN, p.numHashes, p.bands),
         () => SubstringDedup.putWindowIndexBatchFromWins(accWins,
-          windowsDir, batchId))))
+          windowsDir, batchId, p.windowK))))
       timed("stamp")(writeStamp(spark, stateDir, batchId))
     } finally {
       pinned.foreach(_.unpersist())

@@ -870,4 +870,77 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet ===
       Set(10L -> "near_dup"))
   }
+
+  test("similarity ingest: pre-seeded indexes gate batch 0, partial seed refused") {
+    import graft.streaming.SimilarityIngest
+    import graft.llm.{Dedup, SubstringDedup}
+    val p = SimilarityIngest.Params(windowK = 4, maxDupWindowRatio = 0.5)
+    val A = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val B = "mike november oscar papa quebec romeo sierra tango uniform victor"
+    val fresh = "one two three four five six seven eight nine ten"
+    val corpus = Seq((100L, A), (101L, B)).toDF("doc_id", "text")
+    // seed BOTH stores at batch=-1 (the documented pre-load pattern)
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_seedgate").toString
+    Dedup.seedCorpusIndex(corpus, "doc_id", "text", s"$state/minhash",
+      p.shingleN, p.numHashes, p.bands)
+    SubstringDedup.putWindowIndexBatch(corpus, "doc_id", "text",
+      p.windowK, s"$state/windows", -1L)
+    // batch 0 must route through the GATE branch: the dup of seed doc A
+    // quarantines (a self-dedup-only bootstrap would accept it forever)
+    SimilarityIngest.applyBatch(spark, state,
+      Seq((1L, A), (2L, fresh)).toDF("doc_id", "text"), 0L,
+      "doc_id", "text", p)
+    assert(SimilarityIngest.accepted(spark, state)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L))
+    assert(SimilarityIngest.quarantined(spark, state)
+      .select("doc_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set(1L -> "near_dup"))
+    // a HALF-seeded state (one index, not the other) is refused loudly
+    // instead of silently skipping a gate or crashing on a missing read
+    val half = java.nio.file.Files
+      .createTempDirectory("graft_halfseed").toString
+    Dedup.seedCorpusIndex(corpus, "doc_id", "text", s"$half/minhash",
+      p.shingleN, p.numHashes, p.bands)
+    val e = intercept[IllegalArgumentException] {
+      SimilarityIngest.applyBatch(spark, half,
+        Seq((1L, fresh)).toDF("doc_id", "text"), 0L, "doc_id", "text", p)
+    }
+    assert(e.getMessage.contains("partially seeded"))
+  }
+
+  test("similarity ingest: a windowK restart mismatch fails loudly") {
+    import graft.streaming.SimilarityIngest
+    val A = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_kdrift").toString
+    SimilarityIngest.applyBatch(spark, state,
+      Seq((1L, A)).toDF("doc_id", "text"), 0L, "doc_id", "text",
+      SimilarityIngest.Params(windowK = 4))
+    // restarting the stream with a different windowK would probe 8-grams
+    // against the 4-gram index and find zero hits silently — the window
+    // index's _params stamp must refuse it
+    val e = intercept[IllegalArgumentException] {
+      SimilarityIngest.applyBatch(spark, state,
+        Seq((2L, A)).toDF("doc_id", "text"), 1L, "doc_id", "text",
+        SimilarityIngest.Params(windowK = 8))
+    }
+    assert(e.getMessage.contains("windowK"))
+    // the original parameters still work
+    SimilarityIngest.applyBatch(spark, state,
+      Seq((2L, A)).toDF("doc_id", "text"), 1L, "doc_id", "text",
+      SimilarityIngest.Params(windowK = 4))
+    assert(SimilarityIngest.lastBatchId(spark, state) === 1L)
+  }
+
+  test("ingest dedup corpus() before first commit throws the documented error") {
+    import graft.streaming.IngestDedup
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_precommit").toString
+    val e = intercept[IllegalStateException] {
+      IngestDedup.corpus(spark, s"$dir/index", s"$dir/out")
+    }
+    assert(e.getMessage.contains("no accepted corpus"))
+  }
 }
