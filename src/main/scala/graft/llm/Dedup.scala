@@ -658,8 +658,27 @@ object Dedup {
 
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     tau: Double, bits: Int = 8,
-                    maxCellSize: Long = 1000000L): DataFrame = {
-    val cells = semanticCellRows(df, idCol, vecCol, bits, maxCellSize)
+                    maxCellSize: Long = 1000000L): DataFrame =
+    semanticDedupFromRows(semanticFrames(df, idCol, vecCol, bits), tau,
+      bits, maxCellSize)
+
+  /** One (id, cell, v) pass over a batch — the embedding analogue of
+    * [[signatureFrames]]: compute the cells once, pin, and feed the
+    * probe ([[semanticNewVsIndexFromRows]]), the intra-batch dedup
+    * ([[semanticDedupFromRows]]), and the index write
+    * ([[putSemanticIndexBatchFromRows]]) from the same frame. Lazy;
+    * caller owns persistence. */
+  def semanticFrames(df: DataFrame, idCol: String, vecCol: String,
+                     bits: Int = 8): DataFrame =
+    semanticRows(df, idCol, vecCol, bits)
+
+  /** [[semanticDedup]] over a PRECOMPUTED [[semanticFrames]] frame. The
+    * subcell (hot-cell subdivision) derives from the stored double
+    * vector `v` — sign bits are unchanged by the float→double cast, so
+    * the result is bit-identical to the from-text path. */
+  def semanticDedupFromRows(rows: DataFrame, tau: Double, bits: Int = 8,
+                            maxCellSize: Long = 1000000L): DataFrame = {
+    val cells = subdivideHotCells(rows, bits, maxCellSize)
     val comps = connectedComponents(
       semanticPairsFromCells(cells, tau).select(col("id_a"), col("id_b")))
     comps
@@ -682,11 +701,14 @@ object Dedup {
 
   private def semanticCellRows(df: DataFrame, idCol: String,
                                vecCol: String, bits: Int,
-                               maxCellSize: Long): DataFrame = {
-    val cells0 = df.select(col(idCol).as("id"),
-      Similarity.toDouble(col(vecCol)).as("v"),
-      semanticCell(col(vecCol), bits).as("cell"),
-      semanticCell(col(vecCol), bits, offset = bits).as("subcell"))
+                               maxCellSize: Long): DataFrame =
+    subdivideHotCells(semanticRows(df, idCol, vecCol, bits), bits,
+      maxCellSize)
+
+  private def subdivideHotCells(rows: DataFrame, bits: Int,
+                                maxCellSize: Long): DataFrame = {
+    val cells0 = rows.select(col("id"), col("v"), col("cell"),
+      semanticCell(col("v"), bits, offset = bits).as("subcell"))
     // Hot-cell valve: sign bits of REAL embeddings are correlated, so a
     // few cells can hold a disproportionate corpus share and the
     // within-cell self-join goes quadratic in them. Cells above
@@ -773,6 +795,27 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/cells/batch=$batchId")
   }
 
+  /** [[putSemanticIndexBatch]] over a PRECOMPUTED [[semanticFrames]]
+    * frame — same stamp/layout validation, no cell recompute. */
+  def putSemanticIndexBatchFromRows(rows: DataFrame, path: String,
+                                    batchId: Long, bits: Int = 8): Unit = {
+    val spark = rows.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_semparams")))
+      writeSemanticParams(spark, path, bits)
+    else requireSemanticParams(spark, path, bits)
+    val cellsRoot = new org.apache.hadoop.fs.Path(s"$path/cells")
+    require(!fs.exists(cellsRoot) || !fs.listStatus(cellsRoot).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")),
+      s"semantic index at $path uses the flat layout (writeSemanticIndex/" +
+        "appendSemanticIndex) — a batch-keyed put would mix files and " +
+        "batch= dirs under one root; seed a fresh batch-keyed store instead")
+    rows.select(col("id"), col("cell"), col("v"))
+      .write.mode("overwrite").parquet(s"$path/cells/batch=$batchId")
+  }
+
   private def semanticHasBatchDirs(
       spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
     val root = new org.apache.hadoop.fs.Path(s"$path/cells")
@@ -806,10 +849,18 @@ object Dedup {
     * params validation is the caller's burden. */
   def semanticNewVsIndexFrame(newDocs: DataFrame, corpusCells: DataFrame,
                               idCol: String, vecCol: String, tau: Double,
-                              bits: Int = 8): DataFrame = {
-    val spark = newDocs.sparkSession
-    val fresh = semanticRows(newDocs, idCol, vecCol, bits).alias("a")
-    fresh.join(corpusCells.alias("b"), col("a.cell") === col("b.cell"))
+                              bits: Int = 8): DataFrame =
+    semanticNewVsIndexFromRows(
+      semanticFrames(newDocs, idCol, vecCol, bits), corpusCells, tau)
+
+  /** [[semanticNewVsIndexFrame]] over a PRECOMPUTED [[semanticFrames]]
+    * new side. LAZY, caller-owned lifecycle. */
+  def semanticNewVsIndexFromRows(freshRows: DataFrame,
+                                 corpusCells: DataFrame,
+                                 tau: Double): DataFrame = {
+    val spark = freshRows.sparkSession
+    freshRows.alias("a")
+      .join(corpusCells.alias("b"), col("a.cell") === col("b.cell"))
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"),
         Similarity.cosineFor(spark)(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= tau)

@@ -108,11 +108,15 @@ object EmbeddingIngest {
     }
     try {
       if (batch.isEmpty) return
+      // ONE (id, cell, v) pass over the batch (the SimilarityIngest
+      // fusion): the pinned frame feeds the index probe, the intra-batch
+      // self-dedup, and the index write — previously each consumer
+      // re-derived cells and double vectors from the raw batch
+      val rows = pin(Dedup.semanticFrames(batch, idCol, vecCol, p.bits))
       val (acc, quar) =
         if (!bootstrapped) {
           // first batch IS the corpus: self-dedup only
-          val comps = Dedup.semanticDedup(batch, idCol, vecCol,
-            p.tau, p.bits)
+          val comps = Dedup.semanticDedupFromRows(rows, p.tau, p.bits)
           val keep = pin(batch.join(
             comps.filter(col("id") =!= col("comp"))
               .select(col("id").as("__graft_drop")),
@@ -126,8 +130,8 @@ object EmbeddingIngest {
           // index rows so the probe sees exactly the pre-batch corpus
           val corpusCells = spark.read.parquet(s"$cellsDir/cells")
             .filter(col("batch") =!= batchId)
-          val near = pin(Dedup.semanticNewVsIndexFrame(batch, corpusCells,
-              idCol, vecCol, p.tau, p.bits)
+          val near = pin(Dedup.semanticNewVsIndexFromRows(rows,
+              corpusCells, p.tau)
             .select(col("new_id").as("__graft_bad")).distinct())
           val qIndex = batch.join(near,
               batch(idCol) === col("__graft_bad"))
@@ -135,8 +139,11 @@ object EmbeddingIngest {
             .withColumn("reason", lit("near_dup"))
           val a0 = pin(batch.join(near,
             batch(idCol) === col("__graft_bad"), "left_anti"))
-          // intra-batch self-dedup, scoped to the index-gate survivors
-          val comps = Dedup.semanticDedup(a0, idCol, vecCol, p.tau, p.bits)
+          // intra-batch self-dedup, scoped to the index-gate survivors'
+          // slice of the pinned cell frame
+          val comps = Dedup.semanticDedupFromRows(
+            rows.join(a0.select(col(idCol).as("id")), Seq("id"),
+              "left_semi"), p.tau, p.bits)
           val keep = pin(a0.join(
             comps.filter(col("id") =!= col("comp"))
               .select(col("id").as("__graft_drop")),
@@ -155,8 +162,9 @@ object EmbeddingIngest {
           .parquet(s"$stateDir/accepted/batch=$batchId"),
         () => quar.write.mode("overwrite")
           .parquet(s"$stateDir/quarantine/batch=$batchId"),
-        () => Dedup.putSemanticIndexBatch(acc, idCol, vecCol, cellsDir,
-          batchId, p.bits)))
+        () => Dedup.putSemanticIndexBatchFromRows(
+          rows.join(acc.select(col(idCol).as("id")), Seq("id"),
+            "left_semi"), cellsDir, batchId, p.bits)))
       BatchLedger.stamp(spark, stateDir, batchId)
     } finally {
       pinned.foreach(_.unpersist())
