@@ -73,8 +73,23 @@ object Similarity {
   /** Deterministic random hyperplanes: `tables` independent sets of
     * `planesPerTable` unit-free gaussian planes, seeded — identical across
     * executors and runs. */
+  /** Well-formed vector predicate: exact length AND no null elements.
+    * `size(null)` is null so the length check drops null vectors, but a
+    * vector with a null ELEMENT passes it — and one such element makes
+    * every plane dot / ADC / cosine null, which re-creates the
+    * bucket-0 pileup and k-null-neighbors poisoning the length filter
+    * exists to prevent. One extra array scan per row buys both out. */
+  private def wellFormed(v: Column, dim: Int): Column =
+    size(v) === dim && !exists(v, _.isNull)
+
   def hyperplanes(dim: Int, planesPerTable: Int, tables: Int,
                   seed: Long = 42L): Seq[Seq[Array[Double]]] = {
+    // bucket keys pack one bit per plane into an int via 1 << i, which
+    // silently WRAPS past 32 — plane 32 would alias plane 0 and inflate
+    // collisions with no error, so refuse up front
+    require(planesPerTable >= 1 && planesPerTable <= 32,
+      s"planesPerTable must be in [1, 32] (bucket keys pack one bit per " +
+        s"plane into an Int), got $planesPerTable")
     val rnd = new scala.util.Random(seed)
     Seq.fill(tables)(Seq.fill(planesPerTable)(
       Array.fill(dim)(rnd.nextGaussian())))
@@ -120,7 +135,7 @@ object Similarity {
     // pairs that verify to null and vanish, correct but quadratic.
     // (trainSample filters the same class for the same reason.)
     val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
-      .filter(size(col("v")) === dim)
+      .filter(wellFormed(col("v"), dim))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = v.select(col("id"), col("v"),
         explode(lshKeys(col("v"), planes)).as("k"))
@@ -181,8 +196,8 @@ object Similarity {
     // null vectors carry no geometry (size(null) is null, so one
     // predicate covers both)
     val dim = headDim(corpus, vecCol)
-    val corpusF = corpusVec.filter(size(col("cv")) === dim)
-    val qF = q0.filter(size(col("qv")) === dim)
+    val corpusF = corpusVec.filter(wellFormed(col("cv"), dim))
+    val qF = q0.filter(wellFormed(col("qv"), dim))
     // Coarse quantizer trains driver-side on a deterministic hash-ordered
     // sample, like pqTopK's codebooks (IVF only needs a reasonable space
     // partition, not converged clusters); the cell ASSIGNMENT of the full
@@ -254,7 +269,7 @@ object Similarity {
     val corpusVec = corpus.select(col(corpusIdCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("cv"))
     val dim = headDim(corpus, vecCol)
-    val corpusF = corpusVec.filter(size(col("cv")) === dim)
+    val corpusF = corpusVec.filter(wellFormed(col("cv"), dim))
     val sample = trainSample(corpusF, "cv", "neighbor_id", trainN)
     require(sample.nonEmpty,
       s"cannot build an IVF index over an empty corpus at $path")
@@ -291,10 +306,18 @@ object Similarity {
     val dim = centers.head.length
     val qF = queries.select(col(queryIdCol).as("query_id"),
         toDouble(col(vecCol)).as("qv"))
-      .filter(size(col("qv")) === dim)
+      .filter(wellFormed(col("qv"), dim))
     val inline = centers.length.toLong * dim <= maxInlineLiterals
+    // CHECKPOINT the probed queries: they feed the cell-id collect AND
+    // the candidate join — recomputed, the query-side probe runs twice,
+    // and a LIVE query source could even change between the two
+    // executions, leaving the static isin missing a probed cell (its
+    // candidates silently dropped). localCheckpoint (not persist) so
+    // the returned frame carries no cached-plan residue and the index
+    // scan's PartitionFilters stay visible in the result plan.
     val probed = qF.withColumn("cell",
-      explode(probeCells(col("qv"), centers, inline, nprobe)))
+        explode(probeCells(col("qv"), centers, inline, nprobe)))
+      .localCheckpoint()
     // the distinct probe cells are bounded by nlist — fold them into a
     // STATIC isin filter so the parquet source prunes whole cell
     // partitions instead of scanning the full index and joining it away
@@ -356,8 +379,8 @@ object Similarity {
     // and the ascending rank would otherwise put those rows FIRST
     // (NULLS FIRST default) — k null neighbors for every query. Same
     // poisoning on the query side via null lookup tables.
-    val corpusF = corpusD.filter(size(col("cv")) === dim)
-    val qF = q0.filter(size(col("qv")) === dim)
+    val corpusF = corpusD.filter(wellFormed(col("cv"), dim))
+    val qF = q0.filter(wellFormed(col("qv"), dim))
     // Codebooks train driver-side on a deterministic hash-ordered sample
     // (the faiss posture: PQ codebooks never see the full corpus). ONE
     // TakeOrdered collect of trainN vectors feeds all m subspace fits —
@@ -439,8 +462,13 @@ object Similarity {
     * collect rather than NPE-ing inside it. */
   private def trainSample(vec: DataFrame, vecCol: String, idCol: String,
                           n: Int): Array[Array[Double]] =
-    vec.filter(col(vecCol).isNotNull)
-      .orderBy(md5(col(idCol).cast("string")))
+    vec.filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
+      // id tiebreak (nulls last): md5 alone has no order among duplicate
+      // or null ids, so which tied row crosses the limit boundary would
+      // be partition-dependent — breaking the documented same-seed ->
+      // same-centroids determinism on corpora with id collisions
+      .orderBy(md5(col(idCol).cast("string")).asc_nulls_last,
+        col(idCol).cast("string").asc_nulls_last)
       .limit(n)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -489,15 +517,21 @@ object Similarity {
     * error shrinks to shortlist-recall error while the exact math touches
     * `shortlist` rows per query instead of the corpus. With
     * `shortlist >= |corpus|` this equals `bruteForceTopK` exactly (the
-    * LlmSpec invariant). Output: (query_id, rank, neighbor_id, cos). */
+    * LlmSpec invariant). Output: (query_id, rank, neighbor_id, cos).    * Equality with bruteForceTopK at full shortlist holds for
+   * WELL-FORMED corpora: brute force ranks null/ragged vectors
+   * last with null cosine, while the PQ path filters them out
+   * entirely — on malformed inputs the two differ by exactly
+   * those rows.
+   */
   def pqTopKReranked(queries: DataFrame, corpus: DataFrame,
                      queryIdCol: String, corpusIdCol: String, vecCol: String,
                      k: Int, shortlist: Int, m: Int = 8, ksub: Int = 16,
                      seed: Long = 42L, trainN: Int = 2048,
-                     excludeSelf: Boolean = true): DataFrame = {
+                     excludeSelf: Boolean = true,
+                     maxInlineLiterals: Int = MaxInlineLiterals): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
     val short = pqTopK(queries, corpus, queryIdCol, corpusIdCol, vecCol,
-      shortlist, m, ksub, seed, trainN, excludeSelf)
+      shortlist, m, ksub, seed, trainN, excludeSelf, maxInlineLiterals)
     val qv = queries.select(col(queryIdCol).as("query_id"),
       toDouble(col(vecCol)).as("qv"))
     val cv = corpus.select(col(corpusIdCol).as("neighbor_id"),
