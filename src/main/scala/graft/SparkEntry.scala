@@ -975,7 +975,9 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     // LLM: IVF (KMeans-cell) approximate top-k, the second ANN scale path
-    // (rows-only; ScalaTest measures recall vs brute force)
+    // — HASH-CHECKED since r9: the seeded quantizer (md5 trainSample,
+    // java LCG shuffle, 5 Lloyd rounds) replays in DuckDB
+    // (tools/gen_ann_oracle.py); ScalaTest additionally pins recall
     "q_embed_ann_ivf" -> ((s, dir) => {
       val emb = spread(table(s, dir, "embeddings"), "vec_id")
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
@@ -987,9 +989,10 @@ object SparkEntry {
 
     // LLM: the same IVF search against a PERSISTED index — build once
     // (centroids + cell-partitioned corpus), probe many times reading
-    // only the nprobe nearest cell partitions. Rows-only like its ANN
-    // siblings; LlmSpec pins result-equality with the in-memory path and
-    // the PartitionFilters pruning
+    // only the nprobe nearest cell partitions. Hash-checked since r9
+    // via the in-memory sibling's replayed oracle (the persisted probe
+    // is result-identical to the in-memory path, which LlmSpec pins
+    // along with the PartitionFilters pruning)
     "q_embed_ann_ivf_index" -> ((s, dir) => {
       val emb = spread(table(s, dir, "embeddings"), "vec_id")
       // index built once per (JVM, sfDir) in the session-scoped fixture —
@@ -1028,8 +1031,9 @@ object SparkEntry {
           Mixture.tokenCount(col("text")), alpha = 0.5)
         .orderBy(col("source"))),
 
-    // LLM: product-quantization ANN (rows-only; planted-duplicate recall
-    // tested in LlmSpec) — 32-bit codes + per-query ADC lookup tables;
+    // LLM: product-quantization ANN (hash-checked since r9 via the same
+    // quantizer replay; planted-duplicate recall tested in LlmSpec) —
+    // 32-bit codes + per-query ADC lookup tables;
     // the third ANN regime next to LSH (bucket pruning) and IVF (cell
     // pruning): compression makes the exhaustive scan itself cheap
     "q_embed_ann_pq" -> ((s, dir) => {
@@ -1109,8 +1113,10 @@ object SparkEntry {
 
     // Streaming similarity ingest gate, batch-replay form — documents
     // arrive as 3 micro-batches through the exactly-once gate: MinHash
-    // near-dup + substring-saturation probes against BOTH stored indexes,
-    // quarantine on hit, accepted docs indexed for later batches. Output:
+    // near-dup + substring-saturation probes against BOTH stored indexes
+    // (saturation coverage includes same-batch smaller-id owners since
+    // r9 — the intra-batch stitched-doc pass), quarantine on hit,
+    // accepted docs indexed for later batches. Output:
     // final per-doc disposition. HASH-CHECKED since r8: the whole
     // sequential gate — bootstrap self-dedup, both per-batch probes with
     // near_dup priority, per-batch intra-dedup components — replays in
@@ -2248,6 +2254,16 @@ object SparkEntry {
     // winner + list_reduce rewrite: tools/gen_bpe_oracle.py
     "q_bpe_merges" -> resourceSql("q_bpe_merges"),
     "q_bpe_encode" -> resourceSql("q_bpe_encode"),
+    // seeded ANN quantizer replay (tools/gen_ann_oracle.py): the
+    // md5-ordered trainSample, java.util.Random LCG + Scala downward
+    // Fisher-Yates (recursive CTE, HUGEINT arithmetic), and 5 unrolled
+    // Lloyd rounds with Scala's exact accumulation order — then honest
+    // DuckDB cell assignment / probe ranking / cosine / ADC / top-k.
+    // ivf and ivf_index share one statement: LlmSpec pins the persisted
+    // index probe result-identical to the in-memory path
+    "q_embed_ann_ivf" -> resourceSql("q_embed_ann_ivf"),
+    "q_embed_ann_ivf_index" -> resourceSql("q_embed_ann_ivf"),
+    "q_embed_ann_pq" -> resourceSql("q_embed_ann_pq"),
 
     "q_dedup_incremental_exact" ->
       """WITH s AS (SELECT doc_id,

@@ -17,6 +17,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => LevenshteinBandRule)
+    ext.injectOptimizerRule(_ => LevJoinKernelRule)
     ext.injectOptimizerRule(_ => WindowTopKRule)
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
@@ -85,6 +86,9 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(LevenshteinBandRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ LevenshteinBandRule
+    if (!spark.experimental.extraOptimizations.contains(LevJoinKernelRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ LevJoinKernelRule
     if (!spark.experimental.extraOptimizations.contains(WindowTopKRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ WindowTopKRule

@@ -70,9 +70,6 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
-  /** Deterministic random hyperplanes: `tables` independent sets of
-    * `planesPerTable` unit-free gaussian planes, seeded — identical across
-    * executors and runs. */
   /** Well-formed vector predicate: exact length AND no null elements.
     * `size(null)` is null so the length check drops null vectors, but a
     * vector with a null ELEMENT passes it — and one such element makes
@@ -82,6 +79,9 @@ object Similarity {
   private def wellFormed(v: Column, dim: Int): Column =
     size(v) === dim && !exists(v, _.isNull)
 
+  /** Deterministic random hyperplanes: `tables` independent sets of
+    * `planesPerTable` unit-free gaussian planes, seeded — identical across
+    * executors and runs. */
   def hyperplanes(dim: Int, planesPerTable: Int, tables: Int,
                   seed: Long = 42L): Seq[Seq[Array[Double]]] = {
     // bucket keys pack one bit per plane into an int via 1 << i, which
@@ -517,12 +517,12 @@ object Similarity {
     * error shrinks to shortlist-recall error while the exact math touches
     * `shortlist` rows per query instead of the corpus. With
     * `shortlist >= |corpus|` this equals `bruteForceTopK` exactly (the
-    * LlmSpec invariant). Output: (query_id, rank, neighbor_id, cos).    * Equality with bruteForceTopK at full shortlist holds for
-   * WELL-FORMED corpora: brute force ranks null/ragged vectors
-   * last with null cosine, while the PQ path filters them out
-   * entirely — on malformed inputs the two differ by exactly
-   * those rows.
-   */
+    * LlmSpec invariant). Output: (query_id, rank, neighbor_id, cos).
+    *
+    * Equality with bruteForceTopK at full shortlist holds for WELL-FORMED
+    * corpora: brute force ranks null/ragged vectors last with null cosine,
+    * while the PQ path filters them out entirely — on malformed inputs the
+    * two differ by exactly those rows. */
   def pqTopKReranked(queries: DataFrame, corpus: DataFrame,
                      queryIdCol: String, corpusIdCol: String, vecCol: String,
                      k: Int, shortlist: Int, m: Int = 8, ksub: Int = 16,

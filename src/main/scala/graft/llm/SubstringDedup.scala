@@ -294,6 +294,48 @@ object SubstringDedup {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
   }
 
+  /** [[duplicatedWindowStatsFromWins]] with the INTRA-BATCH extension:
+    * a window occurrence of doc `d` counts as duplicated if its hash is
+    * in `index` OR a smaller-id doc IN THE SAME `wins` FRAME owns it
+    * (min-id = "already corpus" — the same convention the MinHash
+    * intra-batch components keep). This closes the saturation gate's
+    * one-batch blind spot: a stitched doc arriving in the SAME batch as
+    * its source halves is covered by their windows immediately, not one
+    * batch later — and the two coverage sources SUM, so a doc 30%
+    * corpus-covered and 30% covered by an earlier batch doc crosses a
+    * 0.5 ratio even though neither source alone would.
+    *
+    * `index = None` is the bootstrap form (no corpus yet): coverage is
+    * purely intra-batch. Scale shape: the owner table is one
+    * batch-sized aggregate on `whash` (the same key the index semi-join
+    * probes, so the two candidate sets co-partition), the dup set is a
+    * batch-sized distinct on (doc_id, pos) — the corpus-sized index
+    * side stays a semi-join probe, never aggregated or distinct-ed. */
+  def duplicatedWindowStatsWithIntraFromWins(batchIds: DataFrame,
+      wins: DataFrame, index: Option[DataFrame]): DataFrame = {
+    val owners = wins.groupBy(col("whash"))
+      .agg(min(col("doc_id")).as("__min_owner"))
+    val intraOcc = wins.join(owners, Seq("whash"))
+      .filter(col("__min_owner") < col("doc_id"))
+      .select(col("doc_id"), col("pos"))
+    // left_semi, not inner: appended indexes may hold duplicate hashes
+    val idxOcc = index.map(idx =>
+      wins.join(idx.select(col("whash")), Seq("whash"), "left_semi")
+        .select(col("doc_id"), col("pos")))
+    // an occurrence can be in BOTH sets — distinct before counting
+    val dupOcc = idxOcc.fold(intraOcc)(intraOcc.unionByName(_)).distinct()
+    val all = wins.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    val hit = dupOcc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    batchIds.select(col("doc_id")).distinct()
+      .join(all, Seq("doc_id"), "left")
+      .join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+  }
+
   /** Incremental ingest: dedup a NEW batch against the stored window
     * index without touching the corpus. Windows already in the corpus
     * are cut from every batch occurrence (the canonical copy lives in

@@ -12,9 +12,10 @@ import graft.Util.qcol
   * under binary collation — both render identically across engines, so
   * the whole profile is oracle-checkable.
   *
-  * Two physical strategies, same results:
+  * Two physical strategies, same result shape — the 2-arg form
+  * AUTO-ROUTES between them on column count:
   *
-  *  - '''exactDistinct = true''' (default): one aggregate branch PER
+  *  - '''exactDistinct = true''' (auto default ≤ 64 columns): one aggregate branch PER
   *    COLUMN, unioned. Each branch's scan prunes to exactly that column
   *    (columnar total bytes = the single multi-column scan), and a
   *    single-distinct aggregate plans WITHOUT Catalyst's multi-distinct
@@ -22,16 +23,16 @@ import graft.Util.qcol
   *    expansion of the whole table through the partial aggregate, which
   *    benchmarked ~7× slower at 5 columns × 600k rows. Branches run as
   *    parallel stages of one job.
-  *  - '''exactDistinct = false''': HyperLogLog++ estimates
-  *    (`approx_count_distinct`) in ONE single-pass aggregate — no
-  *    second phase at all, KB-sized state per column; the right call at
-  *    corpus scale or very wide tables.
+  *  - '''exactDistinct = false''' (auto default > 64 columns):
+  *    HyperLogLog++ estimates (`approx_count_distinct`) in ONE
+  *    single-pass aggregate — no second phase at all, KB-sized state
+  *    per column; the right call at corpus scale or very wide tables.
   *
   * Each exact column still adds a scan branch (planning and task-launch
   * cost, not data cost): above [[ExactDistinctWarnCols]] columns the
-  * call warns, above `maxExactDistinctCols` (default 64, overridable)
-  * it refuses, steering to `exactDistinct = false` — flat in the column
-  * count.
+  * EXPLICIT exact call warns, above `maxExactDistinctCols` (default 64,
+  * overridable) it refuses, steering to `exactDistinct = false` — the
+  * 2-arg auto form never hits either, it switches to HLL instead.
   */
 object Profile {
 
@@ -39,9 +40,30 @@ object Profile {
     * column is one more scan branch + distinct exchange in the plan. */
   val ExactDistinctWarnCols = 20
 
+  /** Default exact→HLL auto-route threshold (see 2-arg [[profile]]). */
+  val MaxExactDistinctCols = 64
+
+  /** AUTO-ROUTING default: exact per-column distincts up to
+    * `maxExactDistinctCols` columns, HLL++ estimates above it — a
+    * 65-column profile plans ONE single-pass aggregate, not 65 scan
+    * branches, without the caller having to know the threshold. Force
+    * the strategy with the `exactDistinct` overload (the explicit
+    * `exactDistinct = true` path still refuses past its own
+    * `maxExactDistinctCols` unless that is raised too — the loud option
+    * for callers who truly want 100+ exact branches). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    if (cols.size > MaxExactDistinctCols) {
+      System.err.println(
+        s"[graft] profile: ${cols.size} columns > $MaxExactDistinctCols — " +
+          "auto-routing to HLL++ estimates (one pass); pass " +
+          "exactDistinct = true with maxExactDistinctCols raised for " +
+          "exact distincts")
+      profile(df, cols, exactDistinct = false)
+    } else profile(df, cols, exactDistinct = true)
+
   def profile(df: DataFrame, cols: Seq[String],
-              exactDistinct: Boolean = true,
-              maxExactDistinctCols: Int = 64): DataFrame = {
+              exactDistinct: Boolean,
+              maxExactDistinctCols: Int = MaxExactDistinctCols): DataFrame = {
     if (exactDistinct && cols.size > maxExactDistinctCols)
       throw new IllegalArgumentException(
         s"profile: ${cols.size} exact-distinct columns would plan " +

@@ -13,23 +13,25 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *      corpus index ([[graft.llm.Dedup.putCorpusIndexBatch]]); docs
   *      within `threshold` Jaccard of any corpus doc quarantine with
   *      reason `near_dup`;
-  *   2. '''substring-saturation gate''': survivors probe the stored
-  *      window-hash index ([[graft.llm.SubstringDedup.putWindowIndexBatch]]);
-  *      docs whose k-token windows are already ≥ `maxDupWindowRatio`
-  *      present in the corpus quarantine with reason `substring_dup` —
-  *      the stitched-boilerplate class MinHash misses (a concatenation of
-  *      two corpus halves is near-dup of NEITHER whole doc but ~100%
-  *      window-saturated);
-  *   3. survivors self-dedup WITHIN the batch (duplicates typically
-  *      arrive together; the index gates only see the pre-batch corpus),
-  *      keeping each near-dup cluster's minimum id. The intra-batch pass
-  *      is MinHash-only: a stitched doc arriving in the SAME micro-batch
-  *      as its source halves is not caught until those halves' windows
-  *      are indexed — i.e. the saturation gate has a one-batch blind
-  *      spot for sources and stitchings that arrive together (there is
-  *      no principled intra-batch ordering to say which of two
-  *      same-batch docs is "already corpus"); it catches the stitching
-  *      from the next batch on;
+  *   2. '''substring-saturation gate''': docs whose k-token windows are
+  *      already ≥ `maxDupWindowRatio` duplicated quarantine with reason
+  *      `substring_dup` — the stitched-boilerplate class MinHash misses
+  *      (a concatenation of two corpus halves is near-dup of NEITHER
+  *      whole doc but ~100% window-saturated). A window counts as
+  *      duplicated if it is in the stored window-hash index
+  *      ([[graft.llm.SubstringDedup.putWindowIndexBatch]]) OR owned by a
+  *      smaller-id doc in the SAME batch (min-id = "already corpus", the
+  *      convention the MinHash intra pass keeps) — so a stitching
+  *      arriving in the same micro-batch as its source halves is caught
+  *      immediately, and split coverage (part corpus, part batch
+  *      sibling) sums toward the ratio;
+  *   3. survivors self-dedup WITHIN the batch via MinHash components
+  *      (duplicates typically arrive together; the index gates only see
+  *      the pre-batch corpus), keeping each near-dup cluster's minimum
+  *      id. Reason priority within a batch: corpus `near_dup` >
+  *      `substring_dup` (combined coverage) > intra `near_dup` — an
+  *      intra-batch EXACT dup is window-saturated by its smaller-id twin
+  *      and therefore reads `substring_dup`, not `near_dup`;
   *   4. accepted docs append to `accepted/`, and their signatures append
   *      to BOTH indexes, so every later batch dedups against them at
   *      O(batch) probe cost — no corpus recompute, ever.
@@ -185,16 +187,29 @@ object SimilarityIngest {
     // EmbeddingIngest/IngestDedup guard, previously missing here). The
     // gate probes BOTH indexes, so a half-seeded state fails loudly
     // rather than reading a missing store or silently skipping one gate.
-    val fsState = new Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mhSeeded = fsState.exists(new Path(s"$minhashDir/docs/batch=-1"))
-    val winSeeded = fsState.exists(new Path(s"$windowsDir/batch=-1"))
-    require(mhSeeded == winSeeded,
-      s"partially seeded state at $stateDir: seed BOTH the MinHash index " +
-        s"(Dedup.seedCorpusIndex at $minhashDir) and the window index " +
-        s"(SubstringDedup.putWindowIndexBatch id -1 at $windowsDir), or " +
-        "neither — the gate probes both")
-    val bootstrapped = last >= 0L || mhSeeded
+    // The seed detection (and its half-seed guard) is only meaningful
+    // BEFORE the first commit: once the ledger has a stamp, bootstrapped
+    // is true regardless, and batch=-1 bases can also come from
+    // compactIndexes — which folds the five stores CONCURRENTLY, so a
+    // crash mid-compaction legitimately leaves some stores folded and
+    // others not (repairBatchStore above fixes the two-phase window;
+    // an un-started fold is just unfolded per-batch dirs, read fine).
+    // Running the require unconditionally would wedge that crash replay
+    // forever with wrong (re-seed) advice. Compaction clamps to the
+    // ledger frontier and therefore never creates a base before the
+    // first commit, so the scoped check still catches genuine half-seeds.
+    val bootstrapped = last >= 0L || {
+      val fsState = new Path(stateDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mhSeeded = fsState.exists(new Path(s"$minhashDir/docs/batch=-1"))
+      val winSeeded = fsState.exists(new Path(s"$windowsDir/batch=-1"))
+      require(mhSeeded == winSeeded,
+        s"partially seeded state at $stateDir: seed BOTH the MinHash index " +
+          s"(Dedup.seedCorpusIndex at $minhashDir) and the window index " +
+          s"(SubstringDedup.putWindowIndexBatch id -1 at $windowsDir), or " +
+          "neither — the gate probes both")
+      mhSeeded
+    }
     val batch = batch0.persist()
     // every frame persisted by the gate below lands here and is released
     // in ONE finally — a transient FS failure mid-commit must not leak
@@ -221,18 +236,39 @@ object SimilarityIngest {
         p.windowK))
       val (acc, quar) =
         if (!bootstrapped) {
-          // first batch IS the corpus: self-dedup (no index exists to do
-          // it), everything surviving bootstraps both indexes. Persist
-          // BEFORE deriving the quarantine side — its anti-join re-reads
-          // the accepted set, which would otherwise re-run the whole
-          // components pass
-          val pairs = Dedup.minhashLshPairsFromSigs(sigDocs, sigBuckets,
-            p.threshold)
-          val a = timed("bootstrap-cc")(pin(Dedup.dedupedCorpus(batch, idCol, pairs)))
-          val q = batch.join(a.select(col(idCol).as("__graft_keep")),
-              batch(idCol) === col("__graft_keep"), "left_anti")
+          // intra-batch saturation first (no index yet, so coverage is
+          // purely min-id): the stitched-boilerplate class whose source
+          // halves share this first batch. Runs over the FULL batch —
+          // same priority the gate branch gives substring_dup over the
+          // intra MinHash pass.
+          val satB = pin(SubstringDedup
+            .duplicatedWindowStatsWithIntraFromWins(
+              batch.select(col(idCol).as("doc_id")), wins, None)
+            .filter(col("n_windows") > 0 &&
+              col("n_dup_windows") >=
+                col("n_windows") * lit(p.maxDupWindowRatio))
+            .select(col("doc_id").as("__graft_bad")))
+          val qSat = batch.join(satB, batch(idCol) === col("__graft_bad"))
+            .drop("__graft_bad")
+            .withColumn("reason", lit("substring_dup"))
+          val b0 = pin(batch.join(satB,
+            batch(idCol) === col("__graft_bad"), "left_anti"))
+          // first batch IS the corpus: saturation survivors self-dedup
+          // via MinHash components (no index exists to do it),
+          // everything surviving bootstraps both indexes. The pair gen
+          // is restricted to survivors — a saturated doc must not pull
+          // a survivor out of the corpus by winning a min-id component.
+          // Persist BEFORE deriving the quarantine side — its anti-join
+          // re-reads the accepted set, which would otherwise re-run the
+          // whole components pass
+          val pairs = Dedup.minhashLshPairsFromSigs(sigDocs,
+            sigBuckets.join(b0.select(col(idCol).as("id")), Seq("id"),
+              "left_semi"), p.threshold)
+          val a = timed("bootstrap-cc")(pin(Dedup.dedupedCorpus(b0, idCol, pairs)))
+          val qCc = b0.join(a.select(col(idCol).as("__graft_keep")),
+              b0(idCol) === col("__graft_keep"), "left_anti")
             .withColumn("reason", lit("near_dup"))
-          (a, q)
+          (a, qSat.unionByName(qCc))
         } else {
           // replay guard: a crash BETWEEN the index writes and the stamp
           // left this batch's own entries in the indexes; prune them out
@@ -259,8 +295,8 @@ object SimilarityIngest {
             .select(col("new_id").as("__graft_bad")).distinct()
             .select(col("__graft_bad"), lit(0).as("__graft_prio"),
               lit("near_dup").as("reason"))
-          val sat = SubstringDedup.duplicatedWindowStatsFromWins(
-              batch.select(col(idCol).as("doc_id")), wins, windowIdx)
+          val sat = SubstringDedup.duplicatedWindowStatsWithIntraFromWins(
+              batch.select(col(idCol).as("doc_id")), wins, Some(windowIdx))
             .filter(col("n_windows") > 0 &&
               col("n_dup_windows") >=
                 col("n_windows") * lit(p.maxDupWindowRatio))

@@ -285,4 +285,52 @@ class CatalystSpec extends SparkSpec {
       s"= form should use the bounded DP:\n$eqPlan")
     assert(eq === Set(("kitten", "sitting")))
   }
+
+  test("LevJoinKernelRule routes a large same-length SQL theta join " +
+      "through the chunked kernel") {
+    import graft.catalyst.LevJoinKernelRule
+    // same-length corpus: the blocked kernel's quadratic regime (every
+    // pair shares one length), exactly where the chooser must pick the
+    // chunk filter. Fixed-width zero-padded ids, lev <= 2 = ids
+    // differing in at most 2 digit positions.
+    val n = 600
+    val docs = spark.range(n.toLong).select(col("id"),
+      concat(lit("doc_"), lpad(col("id").cast("string"), 6, "0")).as("k"))
+    docs.createOrReplaceTempView("graft_lev_l")
+    docs.select(col("id").as("id2"), col("k").as("k2"))
+      .createOrReplaceTempView("graft_lev_r")
+    val sql = "SELECT l.id, r.id2 FROM graft_lev_l l JOIN graft_lev_r r " +
+      "ON levenshtein(l.k, r.k2) <= 2"
+    spark.conf.set(LevJoinKernelRule.MinSideBytesKey, "1")
+    try {
+      val routed = spark.sql(sql)
+      val plan = routed.queryExecution.optimizedPlan.toString
+      // chunked-kernel shape: hash-surrogate candidate joins, and no
+      // levenshtein anywhere in a JOIN condition (only in the verify
+      // filter, bounded)
+      assert(plan.contains("xxhash64"),
+        s"expected the chunked kernel's hash joins in:\n$plan")
+      assert(!plan.contains("Join Inner, (levenshtein"),
+        s"lev theta join survived the rewrite:\n$plan")
+      val got = routed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // ground truth: the same SQL with the rule disabled (the naive
+      // banded nested-loop plan Spark runs today)
+      spark.conf.set(LevJoinKernelRule.EnabledKey, "false")
+      val naive = spark.sql(sql)
+      assert(!naive.queryExecution.optimizedPlan.toString
+        .contains("xxhash64"))
+      val want = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"rewritten results diverge: ${got.size} vs " +
+        s"${want.size} pairs")
+      assert(want.size > n, "fixture should produce real near-matches")
+    } finally {
+      spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
+      spark.conf.unset(LevJoinKernelRule.EnabledKey)
+    }
+    // small sides (the reference's 64-row class) stay nested-loop: the
+    // default 8 MiB floor leaves q_similarity_join-shaped plans alone
+    val small = spark.sql(sql).queryExecution.optimizedPlan.toString
+    assert(!small.contains("xxhash64"),
+      s"small-side join must keep the broadcast NL plan:\n$small")
+  }
 }

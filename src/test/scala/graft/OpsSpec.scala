@@ -725,19 +725,29 @@ class OpsSpec extends SparkSpec {
       val rel = math.abs(ap(c).toDouble - exact) / exact
       assert(rel <= 0.05, s"$c: HLL++ ${ap(c)} vs exact $exact ($rel)")
     }
-    // the guard: >maxExactDistinctCols exact-distinct columns refuse with
-    // a steer to exactDistinct=false; the approx path takes any width
+    // wide-table routing: the default AUTO-routes 65 columns to the HLL
+    // single pass (<= 2 plan leaves, vs 65 union scan branches exact);
+    // the EXPLICIT exact call still refuses with a steer, and the
+    // override (exactDistinct = true + raised cap) still forces exact
     val wide = spark.range(10L)
       .select((0 until 65).map(i => (col("id") + i).as(s"c$i")): _*)
     val wideCols = (0 until 65).map(i => s"c$i")
+    val auto = Profile.profile(wide, wideCols)
+    assert(auto.queryExecution.optimizedPlan.collectLeaves().size <= 2,
+      "65-column default profile must plan one pass, not 65 branches")
+    assert(auto.count() === 65L)
     val e = intercept[IllegalArgumentException] {
-      Profile.profile(wide, wideCols)
+      Profile.profile(wide, wideCols, exactDistinct = true)
     }
     assert(e.getMessage.contains("exactDistinct = false"))
     assert(Profile.profile(wide, wideCols, exactDistinct = false)
       .count() === 65L)
-    assert(Profile.profile(wide, wideCols,
+    assert(Profile.profile(wide, wideCols, exactDistinct = true,
       maxExactDistinctCols = 65).count() === 65L)
+    // and the narrow default stays exact: distincts are true counts
+    assert(Profile.profile(df, cols).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap ===
+      Map("id" -> 50000L, "s" -> 10000L, "grp" -> 500L))
   }
 
   test("TableDiff: added/removed/changed with null-safe compares") {

@@ -58,6 +58,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("HLL union is shard-invariant, commutative, and absorbs subsets EXACTLY") {
+    // The 5% bounds above pin accuracy; these pin the merge ALGEBRA with
+    // exact equality — the property that makes sketches work at scale is
+    // that register-max union is associative/commutative/idempotent, so
+    // ANY shard split or merge order reproduces the same estimate bit
+    // for bit. (The full q_sketch_agg bit-replay oracle was evaluated
+    // and documented infeasible — see COVERAGE.md — so the algebra is
+    // pinned here instead.)
+    val dir = "/root/testdata/sf0.001"
+    val ev = Util.table(spark, dir, "events")
+    val whole = ev
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect()(0).getLong(0)
+    // shard invariance: union of per-shard sketches == whole-corpus
+    // sketch, exactly, for any disjoint split
+    for (nShards <- Seq(2, 7, 32)) {
+      val est = ev
+        .withColumn("__s", pmod(col("user_id"), lit(nShards)))
+        .groupBy(col("__s"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+        .collect()(0).getLong(0)
+      assert(est === whole, s"union over $nShards shards must be exact")
+    }
+    // commutativity + subset absorption on explicit sketch pairs
+    val skAll = ev.agg(hll_sketch_agg(col("user_id")).as("ska"))
+    val skSub = ev.filter(col("user_id") % 3 === 0)
+      .agg(hll_sketch_agg(col("user_id")).as("skb"))
+    val pair = skAll.crossJoin(skSub)
+    val Array(ab, ba) = pair.select(
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("ab"),
+        hll_sketch_estimate(hll_union(col("skb"), col("ska"))).as("ba"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(ab === ba, "hll_union must be commutative")
+    assert(ab === whole,
+      "union with a subset sketch must absorb (register max)")
+    // idempotence: a sketch unioned with itself is itself
+    assert(skAll.crossJoin(skAll.select(col("ska").as("ska2"))).select(
+        hll_sketch_estimate(hll_union(col("ska"), col("ska2"))).as("e"))
+      .collect()(0).getLong(0) === whole)
+  }
+
   test("count-min sketch estimates bound the exact counts from above") {
     val dir = "/root/testdata/sf0.001"
     val exact = Util.table(spark, dir, "events")
@@ -601,7 +643,9 @@ class StreamingSpec extends SparkSpec {
     val stitched = (A.split(" ").take(6) ++ B.split(" ").take(6))
       .mkString(" ")
 
-    // batch 0 bootstraps: doc 3 is an intra-batch dup of doc 1
+    // batch 0 bootstraps: doc 3 is an intra-batch EXACT dup of doc 1 —
+    // since r9 the intra saturation pass (min-id window coverage) runs
+    // first, so it reads substring_dup, not the CC pass's near_dup
     SimilarityIngest.applyBatch(spark, state,
       Seq((1L, A), (2L, B), (3L, A)).toDF("doc_id", "text"), 0L,
       "doc_id", "text", p)
@@ -611,8 +655,8 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text", p)
     // batch 2: near-dup of BATCH-1-accepted doc 12 (cross-batch index
     // growth), one fresh, and an INTRA-batch dup of the fresh doc (both
-    // are new to the corpus, so only the in-batch self-dedup can catch
-    // it; min id 21 is kept)
+    // are new to the corpus, so only the in-batch passes can catch it;
+    // min id 21 is kept, 22 is window-covered by 21 → substring_dup)
     val batch2 = Seq((20L, C), (21L, D), (22L, D)).toDF("doc_id", "text")
     SimilarityIngest.applyBatch(spark, state, batch2, 2L,
       "doc_id", "text", p)
@@ -626,9 +670,9 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getString(1))).toSet
     }
     val expected = Set(
-      1L -> "accepted", 2L -> "accepted", 3L -> "near_dup",
+      1L -> "accepted", 2L -> "accepted", 3L -> "substring_dup",
       10L -> "near_dup", 11L -> "substring_dup", 12L -> "accepted",
-      20L -> "near_dup", 21L -> "accepted", 22L -> "near_dup")
+      20L -> "near_dup", 21L -> "accepted", 22L -> "substring_dup")
     assert(disposition() === expected)
 
     // replay of the committed LAST batch: no-op (exactly-once ledger)
@@ -908,6 +952,108 @@ class StreamingSpec extends SparkSpec {
         Seq((1L, fresh)).toDF("doc_id", "text"), 0L, "doc_id", "text", p)
     }
     assert(e.getMessage.contains("partially seeded"))
+  }
+
+  test("similarity ingest: uneven batch=-1 bases after a commit do not wedge") {
+    import graft.streaming.SimilarityIngest
+    val p = SimilarityIngest.Params(windowK = 4, maxDupWindowRatio = 0.5)
+    val A = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val fresh = "one two three four five six seven eight nine ten"
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_compcrash").toString
+    SimilarityIngest.applyBatch(spark, state,
+      Seq((1L, A)).toDF("doc_id", "text"), 0L, "doc_id", "text", p)
+    // compactStores folds the five stores CONCURRENTLY — a crash can leave
+    // ONE store fully folded into batch=-1 while another never started.
+    // Simulate the worst asymmetry: minhash/docs folded, windows untouched
+    // (no tmp dir, so repairBatchStore has nothing to finish). The next
+    // batch must run normally — not fail the half-seed guard, which only
+    // applies BEFORE the first commit.
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$state/minhash/docs/batch=0"),
+      new org.apache.hadoop.fs.Path(s"$state/minhash/docs/batch=-1"))
+    SimilarityIngest.applyBatch(spark, state,
+      Seq((2L, A), (3L, fresh)).toDF("doc_id", "text"), 1L,
+      "doc_id", "text", p)
+    // the folded index still gates: the dup of doc 1 quarantines
+    assert(SimilarityIngest.quarantined(spark, state)
+      .select("doc_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set(2L -> "near_dup"))
+    assert(SimilarityIngest.accepted(spark, state)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+  }
+
+  test("similarity ingest: stitching and its sources in ONE batch — stitching quarantines") {
+    import graft.streaming.SimilarityIngest
+    val p = SimilarityIngest.Params(windowK = 4, maxDupWindowRatio = 0.5)
+    val A = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    val B = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+    val C = "one two three four five six seven eight nine ten eleven twelve"
+    // stitched = first half of A + first half of B: MinHash-near-dup of
+    // neither source, but 6 of its 9 4-token windows are owned by the
+    // smaller-id sources — the pre-r9 one-batch blind spot
+    val stitched = (A.split(" ").take(6) ++ B.split(" ").take(6))
+      .mkString(" ")
+
+    // BOOTSTRAP batch: sources + stitching arrive together
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_intrasat_b0").toString
+    SimilarityIngest.applyBatch(spark, state,
+      Seq((1L, A), (2L, B), (5L, stitched)).toDF("doc_id", "text"), 0L,
+      "doc_id", "text", p)
+    assert(SimilarityIngest.accepted(spark, state)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(SimilarityIngest.quarantined(spark, state)
+      .select("doc_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set(5L -> "substring_dup"))
+    // the min-id convention is order-principled: a stitching with a
+    // SMALLER id than its sources is "already corpus" — the sources
+    // (each half fully covered by it) quarantine instead
+    val state2 = java.nio.file.Files
+      .createTempDirectory("graft_intrasat_rev").toString
+    SimilarityIngest.applyBatch(spark, state2,
+      Seq((1L, stitched), (2L, A.split(" ").take(6).mkString(" ")),
+        (3L, B.split(" ").take(6).mkString(" ")))
+        .toDF("doc_id", "text"), 0L, "doc_id", "text", p)
+    assert(SimilarityIngest.accepted(spark, state2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L))
+
+    // STEADY batch: corpus established, then sources + stitching share a
+    // later batch — and SPLIT coverage sums: a doc half-covered by the
+    // corpus and half by a smaller-id batch sibling crosses the ratio
+    // even though neither source alone would
+    val state3 = java.nio.file.Files
+      .createTempDirectory("graft_intrasat_steady").toString
+    SimilarityIngest.applyBatch(spark, state3,
+      Seq((1L, C)).toDF("doc_id", "text"), 0L, "doc_id", "text", p)
+    SimilarityIngest.applyBatch(spark, state3,
+      Seq((10L, A), (11L, B), (12L, stitched)).toDF("doc_id", "text"), 1L,
+      "doc_id", "text", p)
+    assert(SimilarityIngest.accepted(spark, state3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 10L, 11L))
+    assert(SimilarityIngest.quarantined(spark, state3)
+      .select("doc_id", "reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set(12L -> "substring_dup"))
+    // split coverage: half of A (already corpus) + half of fresh doc D
+    // arriving with D in one batch — corpus covers 3 windows, D covers
+    // 3, each alone is 3/9 < 0.5, together 6/9 >= 0.5
+    val D = "red orange yellow green blue indigo violet cyan magenta teal maroon navy"
+    val stitchAD = (A.split(" ").take(6) ++ D.split(" ").take(6))
+      .mkString(" ")
+    SimilarityIngest.applyBatch(spark, state3,
+      Seq((20L, D), (21L, stitchAD)).toDF("doc_id", "text"), 2L,
+      "doc_id", "text", p)
+    assert(SimilarityIngest.quarantined(spark, state3)
+      .filter(col("doc_id") === 21L).select("reason")
+      .collect().map(_.getString(0)).toSet === Set("substring_dup"))
+    assert(SimilarityIngest.accepted(spark, state3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 10L, 11L, 20L))
   }
 
   test("similarity ingest: a windowK restart mismatch fails loudly") {

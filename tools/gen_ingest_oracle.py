@@ -4,14 +4,18 @@ Replays the ENTIRE 3-batch exactly-once gate sequentially in one
 statement, the q_embedding_ingest treatment applied to the text gate:
 
   batch b = doc_id % 3.
-  batch 0 (bootstrap): MinHash self-pairs within the batch (the
-    q_dedup_minhash bit-replay machinery, capped buckets, jac >= 0.8),
-    min-label connected components, component non-representatives
-    quarantine as near_dup.
+  batch 0 (bootstrap): FIRST the intra-batch saturation pass — a window
+    occurrence counts as duplicated if a smaller-id doc in the same
+    batch owns the same gram (min-id = "already corpus"); docs >= 50%
+    covered quarantine as substring_dup. Survivors then MinHash
+    self-dedup (the q_dedup_minhash bit-replay machinery, capped
+    buckets, jac >= 0.8), min-label connected components, component
+    non-representatives quarantine as near_dup.
   batches 1, 2: near-dup gate = bucket join vs accepted-so-far with
     exact-Jaccard verify (no bucket cap — cross join, not self-explode);
-    saturation gate = 8-token windows already >= 50% present in the
-    accepted corpus's window set (near_dup outranks substring_dup);
+    saturation gate = 8-token windows already present in the accepted
+    corpus's window set OR owned by a smaller-id doc of the SAME batch
+    (combined coverage >= 50%; near_dup outranks substring_dup);
     survivors then self-dedup within the batch (same CC as bootstrap).
 
 The Spark side compares 8-token windows by xxhash64; the oracle compares
@@ -81,13 +85,20 @@ def steady_batch(b, prev_acc):
     >= {THRESH})""",
         f"""grams_{tag} AS (
   SELECT DISTINCT w.gram FROM wins w JOIN {prev_acc} p USING (doc_id))""",
+        f"""own_{tag} AS (
+  SELECT w.gram, min(w.doc_id) AS min_owner
+  FROM wins w JOIN batches ba ON ba.doc_id = w.doc_id AND ba.b = {b}
+  GROUP BY w.gram)""",
         f"""sat_{tag} AS (
   SELECT w.doc_id FROM wins w
   JOIN batches ba ON ba.doc_id = w.doc_id AND ba.b = {b}
+  JOIN own_{tag} o ON o.gram = w.gram
   LEFT JOIN grams_{tag} g ON g.gram = w.gram
   GROUP BY w.doc_id
   HAVING count(*) > 0 AND
-    CAST(count(g.gram) AS DOUBLE) >= count(*) * {RATIO})""",
+    CAST(count(CASE WHEN g.gram IS NOT NULL
+                     OR o.min_owner < w.doc_id THEN 1 END) AS DOUBLE)
+      >= count(*) * {RATIO})""",
         f"""bad_{tag} AS (
   SELECT doc_id, 'near_dup' AS status FROM near_{tag}
   UNION ALL
@@ -112,7 +123,7 @@ def gen_sql():
     for t in ("b0", "b1", "b2"):
         forced |= {f"{p}_{t}" for p in
                    ("m", "g", "p", "e", "loser", "acc", "bad", "a0",
-                    "near", "grams", "sat")}
+                    "near", "grams", "own", "sat")}
 
     def _mat(c):
         return (c.replace(" AS (", " AS MATERIALIZED (", 1)
@@ -125,8 +136,22 @@ def gen_sql():
   FROM docs, LATERAL (SELECT unnest(generate_series(1, len(tk) - {K - 1}))
     AS i) t
   WHERE len(tk) >= {K})""")
-    # batch 0: bootstrap self-dedup over the whole batch
-    ctes.append("m_b0 AS (SELECT doc_id FROM batches WHERE b = 0)")
+    # batch 0: intra-batch saturation first (min-id window coverage, no
+    # corpus yet), then bootstrap self-dedup over the survivors
+    ctes.append("""own_b0 AS (
+  SELECT w.gram, min(w.doc_id) AS min_owner
+  FROM wins w JOIN batches ba ON ba.doc_id = w.doc_id AND ba.b = 0
+  GROUP BY w.gram)""")
+    ctes.append(f"""sat_b0 AS (
+  SELECT w.doc_id FROM wins w
+  JOIN batches ba ON ba.doc_id = w.doc_id AND ba.b = 0
+  JOIN own_b0 o ON o.gram = w.gram
+  GROUP BY w.doc_id
+  HAVING count(*) > 0 AND
+    CAST(count(CASE WHEN o.min_owner < w.doc_id THEN 1 END) AS DOUBLE)
+      >= count(*) * {RATIO})""")
+    ctes.append("""m_b0 AS (SELECT doc_id FROM batches WHERE b = 0
+  AND doc_id NOT IN (SELECT doc_id FROM sat_b0))""")
     ctes.extend(self_dedup("b0", "m_b0"))
     # batch 1 probes acc_b0; batch 2 probes acc_b0 ∪ acc_b1
     ctes.extend(steady_batch(1, "acc_b0"))
@@ -138,6 +163,7 @@ def gen_sql():
   SELECT doc_id, 'accepted' AS status FROM acc_b0
   UNION ALL SELECT doc_id, 'accepted' FROM acc_b1
   UNION ALL SELECT doc_id, 'accepted' FROM acc_b2
+  UNION ALL SELECT doc_id, 'substring_dup' FROM sat_b0
   UNION ALL SELECT doc_id, 'near_dup' FROM loser_b0
   UNION ALL SELECT doc_id, status FROM bad_b1
   UNION ALL SELECT doc_id, 'near_dup' FROM loser_b1
