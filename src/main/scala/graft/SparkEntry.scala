@@ -1045,7 +1045,9 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LLM: LSH-bucketed ANN pairs (rows-only; recall tested vs brute force).
+    // LLM: LSH-bucketed ANN pairs (hash-checked since r9 — seed-42
+    // hyperplanes replayed from the JVM, buckets + exact-order cosine
+    // verify in DuckDB; recall additionally tested vs brute force).
     // The synthetic embeddings are fully random (max pairwise cosine ~0.5),
     // so the threshold sits where real pairs exist.
     "q_embed_ann_lsh" -> ((s, dir) =>
@@ -1507,9 +1509,13 @@ object SparkEntry {
 
     // Data catalog at corpus scale: the same profile with HLL++ distinct
     // estimates (exactDistinct = false) — a true single no-Expand pass,
-    // flat in the column count. Rows-only (estimates are engine-specific);
-    // OpsSpec bounds every estimate within 5% of exact, and this entry
-    // prices the exact/approx pair side by side in the bench.
+    // flat in the column count. HASH-CHECKED since r9: the oracle
+    // bit-replays Spark's HyperLogLog++ (XXH64 per input type incl.
+    // IEEE-754 double bits in SQL arithmetic, p=9 registers, linear
+    // counting / bias interpolation / raw regimes — all three exercised
+    // by these five columns; tools/gen_hll_oracle.py, verified against
+    // decompiled bytecode). OpsSpec additionally bounds every estimate
+    // within 5% of exact.
     "q_profile_table_approx" -> ((s, dir) =>
       graft.quality.Profile.profile(table(s, dir, "lineitem"),
           Seq("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
@@ -2264,6 +2270,17 @@ object SparkEntry {
     "q_embed_ann_ivf" -> resourceSql("q_embed_ann_ivf"),
     "q_embed_ann_ivf_index" -> resourceSql("q_embed_ann_ivf"),
     "q_embed_ann_pq" -> resourceSql("q_embed_ann_pq"),
+    // LSH buckets + exact-order cosine verify; the 4x8x64 seed-42
+    // gaussian plane constants come from the JVM itself
+    // (tools/gen_lsh_oracle.py — StrictMath.log is fdlibm, off-by-an-ulp
+    // from libm on ~3% of draws, so Python cannot reproduce them)
+    "q_embed_ann_lsh" -> resourceSql("q_embed_ann_lsh"),
+    // Spark's HyperLogLog++ bit-replayed: per-type XXH64 (longs, IEEE
+    // double bits computed in exact SQL arithmetic, timestamps as
+    // micros, byte-stream strings), p=9 register max, zInverse in
+    // register order, linear-counting / bias-interpolation / raw
+    // branches per the decompiled bytecode (tools/gen_hll_oracle.py)
+    "q_profile_table_approx" -> resourceSql("q_profile_table_approx"),
 
     "q_dedup_incremental_exact" ->
       """WITH s AS (SELECT doc_id,

@@ -61,19 +61,21 @@ object LevJoinKernelRule extends Rule[LogicalPlan] {
     val minBytes = spark.conf.get(MinSideBytesKey,
       DefaultMinSideBytes.toString).toLong
     plan.transformUp {
-      case j @ Join(l, r, Inner, Some(cond), _)
-          if bothLarge(l, r, minBytes) =>
+      case j @ Join(l, r, Inner, Some(cond), _) =>
+        // match the predicate shape FIRST (pure pattern match) so plan
+        // stats are only computed for actual lev theta joins
         extract(cond).flatMap { case (a, b, d) =>
-          sideKeys(l, r, a, b).map { case (lKey, rKey) =>
-            try rewrite(spark, j, l, r, lKey, rKey, d)
-            catch {
-              case e: Exception =>
-                logWarning(
-                  s"graft lev-join kernel rewrite failed, keeping the " +
-                    s"nested-loop plan: ${e.getMessage}")
-                j
+          sideKeys(l, r, a, b).filter(_ => bothLarge(l, r, minBytes))
+            .map { case (lKey, rKey) =>
+              try rewrite(spark, j, l, r, lKey, rKey, d)
+              catch {
+                case e: Exception =>
+                  logWarning(
+                    s"graft lev-join kernel rewrite failed, keeping the " +
+                      s"nested-loop plan: ${e.getMessage}")
+                  j
+              }
             }
-          }
         }.getOrElse(j)
     }
   }

@@ -449,4 +449,65 @@ class ScaleSpec extends SparkSpec {
       math.max(r.getLong(0), r.getLong(1)))).toSet
     assert(pairs === (0L until 100L).map(i => (i, i + n)).toSet)
   }
+
+  test("distributed BPE: a 220k-word vocabulary runs the distributed loop, " +
+      "per-round shuffle is pair-table-sized, results == local reference") {
+    import graft.llm.BpeTrain
+    // 220k distinct 4-letter words over a 26-char alphabet (one word per
+    // doc) — above the 200k fastPathMaxWords, so merges() MUST take the
+    // distributed per-round pair-aggregate loop
+    val n = 220000L
+    val word = (0 until 4).map(k =>
+        expr(s"char(97 + CAST(id / ${math.pow(26, k).toLong} AS INT) % 26)"))
+      .reduce(concat(_, _))
+    val corpus = spark.range(n).select(word.as("text"))
+    // shuffle bytes per round, via stage metrics (deterministic, unlike
+    // wall clock): run at 1 and at 4 merge rounds — the increment is the
+    // per-round cost, which must be PAIR-TABLE-sized (the ~26² symbol-
+    // pair aggregate), not corpus- or vocabulary-sized
+    val written = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) written.add(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def measured(nMerges: Int): (Seq[(Int, String, String, Long)], Long) = {
+      spark.sparkContext.addSparkListener(listener)
+      written.reset()
+      try {
+        val rules = BpeTrain.merges(corpus, "text", nMerges)
+          .collect().map(r =>
+            (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+          .toSeq
+        // stage-completion events are delivered asynchronously
+        Thread.sleep(1500)
+        (rules, written.sum())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val t0 = System.nanoTime()
+    val (rules4, bytes4) = measured(4)
+    val wallSecs = (System.nanoTime() - t0) / 1e9
+    val (rules1, bytes1) = measured(1)
+    assert(rules4.size === 4 && rules1.size === 1)
+    assert(rules4.head === rules1.head)
+    // per-round increment: 3 extra rounds of (pair aggregate + winner
+    // pick). The pair table is <= (26 + merges)² symbol pairs — KBs.
+    // 2 MB for 3 rounds is two orders of magnitude of headroom while
+    // still failing loudly if a round ever shuffles the word table.
+    val perRound = (bytes4 - bytes1) / 3.0
+    assert(perRound < 2.0 * 1024 * 1024,
+      f"per-round shuffle $perRound%.0f bytes — a merge round must " +
+        "shuffle the pair-frequency table, not the vocabulary")
+    // wall sanity: 4 distributed rounds on local[4] (generous for the
+    // box's documented 2-4x noise; a quadratic regression would blow it)
+    assert(wallSecs < 180.0, f"4-round distributed BPE took $wallSecs%.1f s")
+    // and the distributed path must equal the local reference loop
+    // exactly (same counts, same UTF-8 tiebreaks) on the same table
+    val wordTable = corpus
+      .groupBy(col("text")).agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rules4 === BpeTrain.mergesLocal(wordTable, 4))
+  }
 }
