@@ -159,13 +159,18 @@ probe AS (
     FROM qscore)
   WHERE rn <= 4),
 scored AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-    list_cosine_similarity(cq.embedding, cn.embedding) AS cos
-  FROM probe p
-  JOIN assigned a USING (cell)
-  JOIN embeddings cq ON cq.vec_id = p.query_id
-  JOIN embeddings cn ON cn.vec_id = a.vec_id
-  WHERE a.vec_id <> p.query_id)
+  SELECT query_id, neighbor_id,
+    CASE WHEN nn = 0 THEN 0.0 ELSE ab / nn END AS cos
+  FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+      list_sum(list_transform(generate_series(1, 64), __i -> cq.v[__i] * cn.v[__i])) AS ab,
+      sqrt(list_sum(list_transform(generate_series(1, 64), __i -> cq.v[__i] * cq.v[__i]))) * sqrt(list_sum(list_transform(generate_series(1, 64), __i -> cn.v[__i] * cn.v[__i])))
+        AS nn
+    FROM probe p
+    JOIN assigned a USING (cell)
+    JOIN emb cq ON cq.vec_id = p.query_id
+    JOIN emb cn ON cn.vec_id = a.vec_id
+    WHERE a.vec_id <> p.query_id) t)
 SELECT query_id,
   CAST(row_number() OVER (PARTITION BY query_id
     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,

@@ -40,8 +40,15 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   *   - `spark.graft.levJoinKernel.enabled` (default true).
   *
   * The rewrite runs Spark jobs during optimization (the histogram
-  * aggregate — the same jobs autoInnerJoin runs) exactly once per
-  * matching join; the rewritten plan contains no lev join condition, so
+  * aggregates — the same jobs autoInnerJoin runs — plus the chunked
+  * kernel's distinct-length collect). Those jobs run once per DISTINCT
+  * (child plans, keys, distance): the optimized kernel plan is cached
+  * under the children's canonicalized form, so re-optimizations of the
+  * same join — `.explain()` then `.count()`, or Datasets derived from
+  * one joined frame — splice the cached subtree without re-running
+  * anything. (A canonically-equal cached subtree is self-contained and
+  * computes the same data; only the id-restoring Project is rebuilt per
+  * call site.) The rewritten plan contains no lev join condition, so
   * the fixed-point batch cannot re-fire. Any failure inside the rewrite
   * logs and returns the original join — the rule never fails a query. */
 object LevJoinKernelRule extends Rule[LogicalPlan] {
@@ -128,28 +135,47 @@ object LevJoinKernelRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Optimized kernel plans keyed by (canonicalized children, keys, d) —
+    * bounded, access-ordered. Guards the histogram/collect jobs against
+    * re-optimization of the same join (explain + action, derived
+    * Datasets). */
+  private val planCache =
+    new java.util.LinkedHashMap[(LogicalPlan, LogicalPlan, String, String,
+        Int), LogicalPlan](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(LogicalPlan, LogicalPlan, String, String,
+            Int), LogicalPlan]): Boolean = size() > 16
+    }
+
   private def rewrite(spark: SparkSession, j: Join,
                       l: LogicalPlan, r: LogicalPlan,
                       lKey: String, rKey: String, d: Int): LogicalPlan = {
     import graft.ops.SimilarityJoin
-    val leftDF = GraftSql.ofRows(spark, l)
-    val rightDF = GraftSql.ofRows(spark, r)
-    def frac(p: LogicalPlan): Double =
-      if (p.stats.sizeInBytes > HistSampleBytes) 0.01 else 1.0
-    val histL = SimilarityJoin.lengthHistogram(leftDF, lKey, frac(l))
-    val histR = SimilarityJoin.lengthHistogram(rightDF, rKey, frac(r))
-    val distCol = "__graft_sql_lev_dist"
-    val kernelDF =
-      if (SimilarityJoin.chooseChunked(histL, histR, d))
-        SimilarityJoin.chunkedInnerJoin(leftDF, rightDF, lKey, rKey, d,
-          distCol)
-      else
-        SimilarityJoin.blockedInnerJoin(leftDF, rightDF, lKey, rKey, d,
-          distCol)
-    // splice the kernel's OPTIMIZED plan: an analyzed-only subtree would
-    // skip optimizer batches that already ran on the outer plan (e.g.
-    // Deduplicate→Aggregate), leaving operators the planner can't place
-    val kernelPlan = kernelDF.queryExecution.optimizedPlan
+    val cacheKey = (l.canonicalized, r.canonicalized, lKey, rKey, d)
+    val kernelPlan = planCache.synchronized {
+      Option(planCache.get(cacheKey))
+    }.getOrElse {
+      val leftDF = GraftSql.ofRows(spark, l)
+      val rightDF = GraftSql.ofRows(spark, r)
+      def frac(p: LogicalPlan): Double =
+        if (p.stats.sizeInBytes > HistSampleBytes) 0.01 else 1.0
+      val histL = SimilarityJoin.lengthHistogram(leftDF, lKey, frac(l))
+      val histR = SimilarityJoin.lengthHistogram(rightDF, rKey, frac(r))
+      val distCol = "__graft_sql_lev_dist"
+      val kernelDF =
+        if (SimilarityJoin.chooseChunked(histL, histR, d))
+          SimilarityJoin.chunkedInnerJoin(leftDF, rightDF, lKey, rKey, d,
+            distCol)
+        else
+          SimilarityJoin.blockedInnerJoin(leftDF, rightDF, lKey, rKey, d,
+            distCol)
+      // splice the kernel's OPTIMIZED plan: an analyzed-only subtree would
+      // skip optimizer batches that already ran on the outer plan (e.g.
+      // Deduplicate→Aggregate), leaving operators the planner can't place
+      val built = kernelDF.queryExecution.optimizedPlan
+      planCache.synchronized { planCache.put(cacheKey, built) }
+      built
+    }
     // kernel output contract: [left columns..., right columns..., dist];
     // restore the join's attribute ids positionally and drop the dist
     require(kernelPlan.output.size == j.output.size + 1,

@@ -481,8 +481,17 @@ class ScaleSpec extends SparkSpec {
           .collect().map(r =>
             (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
           .toSeq
-        // stage-completion events are delivered asynchronously
-        Thread.sleep(1500)
+        // stage-completion events are delivered asynchronously: poll the
+        // counter until it stops moving (a fixed sleep can under-read on
+        // a loaded event bus — this box's documented noise regime)
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        var last = -1L
+        var stable = 0
+        while (stable < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          val now = written.sum()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
         (rules, written.sum())
       } finally spark.sparkContext.removeSparkListener(listener)
     }

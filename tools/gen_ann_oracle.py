@@ -124,6 +124,11 @@ def sqdist_sql(a, b, n):
             f"__i -> ({a}[__i] - {b}[__i]) * ({a}[__i] - {b}[__i])))")
 
 
+def dot_sql(a, b):
+    return (f"list_sum(list_transform(generate_series(1, {DIM}), "
+            f"__i -> {a}[__i] * {b}[__i]))")
+
+
 def common_ctes():
     """sample + the LCG shuffle recursion for all 9 seeds (sid -1 = IVF
     seed 42; sid 0..7 = PQ codebook seeds 42+j). Emits `sample` (pos, v,
@@ -276,14 +281,24 @@ def gen_ivf_sql():
       row_number() OVER (PARTITION BY query_id ORDER BY d, cell) AS rn
     FROM qscore)
   WHERE rn <= {NPROBE})""",
-        """scored AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-    list_cosine_similarity(cq.embedding, cn.embedding) AS cos
-  FROM probe p
-  JOIN assigned a USING (cell)
-  JOIN embeddings cq ON cq.vec_id = p.query_id
-  JOIN embeddings cn ON cn.vec_id = a.vec_id
-  WHERE a.vec_id <> p.query_id)""",
+        # exact verify in Spark's own op order and precision: cosine =
+        # dot/(sqrt(aa)*sqrt(bb)) over the DOUBLE vectors with ascending
+        # left-fold sums, 0.0 on zero norms (DuckDB's
+        # list_cosine_similarity computes in FLOAT on raw embeddings and
+        # yields NaN on zero norms — both would diverge from Spark)
+        f"""scored AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN nn = 0 THEN 0.0 ELSE ab / nn END AS cos
+  FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+      {dot_sql('cq.v', 'cn.v')} AS ab,
+      sqrt({dot_sql('cq.v', 'cq.v')}) * sqrt({dot_sql('cn.v', 'cn.v')})
+        AS nn
+    FROM probe p
+    JOIN assigned a USING (cell)
+    JOIN emb cq ON cq.vec_id = p.query_id
+    JOIN emb cn ON cn.vec_id = a.vec_id
+    WHERE a.vec_id <> p.query_id) t)""",
     ]
     final = f"""SELECT query_id,
   CAST(row_number() OVER (PARTITION BY query_id
