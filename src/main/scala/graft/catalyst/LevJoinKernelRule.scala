@@ -3,15 +3,15 @@ package graft.catalyst
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.graft.GraftSql
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
-/** Optimizer rewrite: a LARGE×LARGE inner join whose whole condition is
-  * `levenshtein(a, b) <= d` (raw, or already rewritten to the banded form
-  * by [[LevenshteinBandRule]]) is re-planned through the similarity-join
-  * kernel chooser — the same cost-based routing
+/** Optimizer rewrite: a LARGE×LARGE inner OR LEFT OUTER join whose whole
+  * condition is `levenshtein(a, b) <= d` (raw, or already rewritten to
+  * the banded form by [[LevenshteinBandRule]]) is re-planned through the
+  * similarity-join kernel chooser — the same cost-based routing
   * `graft.ops.SimilarityJoin.autoInnerJoin` gives library callers, now
   * applied to raw `spark.sql` text. Without this, Spark plans the theta
   * join as a nested-loop join: fine at the reference's 64-row broadcast
@@ -29,7 +29,12 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   * drops — are identical by construction.
   *
   * Firing conditions (anything else leaves the plan untouched):
-  *   - inner join, condition is EXACTLY the lev-threshold predicate
+  *   - inner or left outer join (the latter is the reference's
+  *     `stringdist_left_join` shape — kernel matches plus null-padded
+  *     unmatched left rows, via SimilarityJoin.autoLeftJoin; left joins
+  *     additionally need disjoint column names across the sides, or the
+  *     kernel refuses and the rule falls back), condition is EXACTLY
+  *     the lev-threshold predicate
   *     (extra conjuncts: not rewritten — composing them soundly with the
   *     kernels' internal joins is future work);
   *   - both operands are string attributes, one per side, each name
@@ -68,13 +73,13 @@ object LevJoinKernelRule extends Rule[LogicalPlan] {
     val minBytes = spark.conf.get(MinSideBytesKey,
       DefaultMinSideBytes.toString).toLong
     plan.transformUp {
-      case j @ Join(l, r, Inner, Some(cond), _) =>
+      case j @ Join(l, r, jt @ (Inner | LeftOuter), Some(cond), _) =>
         // match the predicate shape FIRST (pure pattern match) so plan
         // stats are only computed for actual lev theta joins
         extract(cond).flatMap { case (a, b, d) =>
           sideKeys(l, r, a, b).filter(_ => bothLarge(l, r, minBytes))
             .map { case (lKey, rKey) =>
-              try rewrite(spark, j, l, r, lKey, rKey, d)
+              try rewrite(spark, j, l, r, lKey, rKey, d, jt == LeftOuter)
               catch {
                 case e: Exception =>
                   logWarning(
@@ -141,17 +146,19 @@ object LevJoinKernelRule extends Rule[LogicalPlan] {
     * Datasets). */
   private val planCache =
     new java.util.LinkedHashMap[(LogicalPlan, LogicalPlan, String, String,
-        Int), LogicalPlan](16, 0.75f, true) {
+        Int, Boolean), LogicalPlan](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(LogicalPlan, LogicalPlan, String, String,
-            Int), LogicalPlan]): Boolean = size() > 16
+            Int, Boolean), LogicalPlan]): Boolean = size() > 16
     }
 
   private def rewrite(spark: SparkSession, j: Join,
                       l: LogicalPlan, r: LogicalPlan,
-                      lKey: String, rKey: String, d: Int): LogicalPlan = {
+                      lKey: String, rKey: String, d: Int,
+                      leftOuter: Boolean): LogicalPlan = {
     import graft.ops.SimilarityJoin
-    val cacheKey = (l.canonicalized, r.canonicalized, lKey, rKey, d)
+    val cacheKey = (l.canonicalized, r.canonicalized, lKey, rKey, d,
+      leftOuter)
     val kernelPlan = planCache.synchronized {
       Option(planCache.get(cacheKey))
     }.getOrElse {
@@ -162,13 +169,20 @@ object LevJoinKernelRule extends Rule[LogicalPlan] {
       val histL = SimilarityJoin.lengthHistogram(leftDF, lKey, frac(l))
       val histR = SimilarityJoin.lengthHistogram(rightDF, rKey, frac(r))
       val distCol = "__graft_sql_lev_dist"
-      val kernelDF =
+      val inner =
         if (SimilarityJoin.chooseChunked(histL, histR, d))
           SimilarityJoin.chunkedInnerJoin(leftDF, rightDF, lKey, rKey, d,
             distCol)
         else
           SimilarityJoin.blockedInnerJoin(leftDF, rightDF, lKey, rKey, d,
             distCol)
+      // left outer: kernel matches + null-padded unmatched left rows
+      // (SimilarityJoin.leftify semantics via autoLeftJoin's contract —
+      // disjoint-name require throws into the fallback catch above)
+      val kernelDF =
+        if (leftOuter) SimilarityJoin.leftifyInner(inner, leftDF, rightDF,
+          lKey, distCol)
+        else inner
       // splice the kernel's OPTIMIZED plan: an analyzed-only subtree would
       // skip optimizer batches that already ran on the outer plan (e.g.
       // Deduplicate→Aggregate), leaving operators the planner can't place
@@ -185,7 +199,8 @@ object LevJoinKernelRule extends Rule[LogicalPlan] {
       Alias(neu, orig.name)(exprId = orig.exprId,
         qualifier = orig.qualifier)
     }
-    logInfo(s"graft lev-join kernel rewrite: $lKey ~ $rKey d=$d -> " +
+    logInfo(s"graft lev-join kernel rewrite: $lKey ~ $rKey d=$d " +
+      s"${if (leftOuter) "(left outer) " else ""}-> " +
       s"${if (kernelPlan.toString.contains("__gci")) "chunked" else "blocked"}")
     Project(aliases, kernelPlan)
   }

@@ -136,10 +136,20 @@ object SimilarityJoin {
         s"blockedLeftJoin needs disjoint column names; rename ${shared.mkString(", ")} first")
     }
     val inner = blockedInnerJoin(left, right, leftKey, rightKey, maxDist, distCol)
-    // the matched-key side is renamed to a unique name: it shares lineage
-    // with `left`, and Spark's ambiguous-self-join repair re-parses
-    // same-name references — which breaks dotted column names like
-    // QuestionText.2023
+    leftify(inner, left, right, leftKey, distCol)
+  }
+
+  /** Left-join tail shared by [[blockedLeftJoin]] and [[autoLeftJoin]]:
+    * inner matches plus never-matched left rows padded with null right
+    * columns / null distance. The matched-key side is renamed to a
+    * unique name: it shares lineage with `left`, and Spark's
+    * ambiguous-self-join repair re-parses same-name references — which
+    * breaks dotted column names like QuestionText.2023. Null left keys
+    * match nothing in every kernel, so they surface here as padded rows
+    * — exactly SQL left-join semantics for a null-valued theta
+    * condition. */
+  private def leftify(inner: DataFrame, left: DataFrame, right: DataFrame,
+                      leftKey: String, distCol: String): DataFrame = {
     val matchedKeys = inner.select(qc(leftKey).as("__graft_mk")).distinct()
     val unmatched = left.join(matchedKeys,
         qc(leftKey) <=> col("__graft_mk"), "left_anti")
@@ -149,6 +159,37 @@ object SimilarityJoin {
       }
       .withColumn(distCol, lit(null).cast("int"))
     inner.unionByName(padded, allowMissingColumns = true)
+  }
+
+  /** [[leftify]] over a PRECOMPUTED inner kernel result — the Catalyst
+    * rule's building block (it has already run the chooser on the same
+    * frames). Enforces the same disjoint-names contract as the public
+    * left-join surfaces. */
+  private[graft] def leftifyInner(inner: DataFrame, left: DataFrame,
+      right: DataFrame, leftKey: String, distCol: String): DataFrame = {
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"left-join padding needs disjoint column names; rename ${shared.mkString(", ")} first")
+    leftify(inner, left, right, leftKey, distCol)
+  }
+
+  /** Left-join semantics on top of the AUTO-SELECTED inner kernel (the
+    * reference's `stringdist_left_join` shape at corpus scale): the
+    * histogram-driven chooser picks blocked vs chunked for the inner
+    * match set, then never-matched left rows pad with nulls. Same
+    * disjoint-column-names contract as [[blockedLeftJoin]]. */
+  def autoLeftJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String, maxDist: Int,
+                   distCol: String = "string_distance",
+                   sampleFraction: Double = 1.0): DataFrame = {
+    locally {
+      val shared = left.columns.toSet.intersect(right.columns.toSet)
+      require(shared.isEmpty,
+        s"autoLeftJoin needs disjoint column names; rename ${shared.mkString(", ")} first")
+    }
+    val inner = autoInnerJoin(left, right, leftKey, rightKey, maxDist,
+      distCol, dedupKeys = false, sampleFraction)
+    leftify(inner, left, right, leftKey, distCol)
   }
 
   /** Chunk-filter (PassJoin-family) inner join, the sharper scale kernel:

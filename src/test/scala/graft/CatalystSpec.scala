@@ -333,4 +333,43 @@ class CatalystSpec extends SparkSpec {
     assert(!small.contains("xxhash64"),
       s"small-side join must keep the broadcast NL plan:\n$small")
   }
+
+  test("LevJoinKernelRule also routes LEFT lev joins (the stringdist_left_join " +
+      "shape) with null-padded unmatched rows") {
+    import graft.catalyst.LevJoinKernelRule
+    val n = 400
+    val docs = spark.range(n.toLong).select(col("id"),
+      concat(lit("doc_"), lpad(col("id").cast("string"), 6, "0")).as("k"))
+    // five left rows with no admissible partner (wrong length class):
+    // they must survive the rewrite as null-padded rows
+    val lonely = spark.range(5L).select((col("id") + 10000L).as("id"),
+      concat(lit("unmatchable_string_"), col("id").cast("string")).as("k"))
+    docs.unionByName(lonely).createOrReplaceTempView("graft_levl_l")
+    docs.select(col("id").as("id2"), col("k").as("k2"))
+      .createOrReplaceTempView("graft_levl_r")
+    val sql = "SELECT l.id, r.id2 FROM graft_levl_l l LEFT JOIN " +
+      "graft_levl_r r ON levenshtein(l.k, r.k2) <= 2"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    spark.conf.set(LevJoinKernelRule.MinSideBytesKey, "1")
+    try {
+      val routed = spark.sql(sql)
+      val plan = routed.queryExecution.optimizedPlan.toString
+      assert(plan.contains("xxhash64"),
+        s"expected the kernel in the LEFT join plan:\n$plan")
+      assert(!plan.contains("Join LeftOuter, (levenshtein"),
+        s"lev LEFT theta join survived the rewrite:\n$plan")
+      val got = rows(routed)
+      spark.conf.set(LevJoinKernelRule.EnabledKey, "false")
+      val want = rows(spark.sql(sql))
+      assert(got === want)
+      // the lonely rows are present exactly once, null-padded
+      assert((0 until 5).forall(i => got.contains((10000L + i, -1L))))
+      assert(want.size > n)
+    } finally {
+      spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
+      spark.conf.unset(LevJoinKernelRule.EnabledKey)
+    }
+  }
 }
