@@ -323,6 +323,26 @@ class CatalystSpec extends SparkSpec {
       assert(got === want, s"rewritten results diverge: ${got.size} vs " +
         s"${want.size} pairs")
       assert(want.size > n, "fixture should produce real near-matches")
+      // plan cache: re-optimizing the same join (fresh Dataset,
+      // canonically equal children) must splice the cached kernel and
+      // run ZERO Spark jobs — no histogram or distinct-length collects
+      spark.conf.set(LevJoinKernelRule.EnabledKey, "true")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val jl = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(jl)
+      try {
+        val again = spark.sql(sql)
+        assert(again.queryExecution.optimizedPlan.toString
+          .contains("xxhash64"))
+        Thread.sleep(1000)
+        assert(jobs.get() === 0,
+          s"plan-cache miss: ${jobs.get()} jobs ran during re-optimization")
+      } finally spark.sparkContext.removeSparkListener(jl)
     } finally {
       spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
       spark.conf.unset(LevJoinKernelRule.EnabledKey)
