@@ -354,6 +354,39 @@ class CatalystSpec extends SparkSpec {
       s"small-side join must keep the broadcast NL plan:\n$small")
   }
 
+  test("LevJoinKernelRule picks the BLOCKED kernel on a spread-length corpus") {
+    import graft.catalyst.LevJoinKernelRule
+    // UNIQUE length per row: the length equi-join's candidate volume is
+    // ~1 partner per band slot, so the chooser must pick blocked (the
+    // chunked substring volume, ~(d+1)² per in-band length, dominates)
+    // — the rule's other arm
+    val n = 500
+    val docs = spark.range(n.toLong).select(col("id"),
+      concat(lit("w"), expr("repeat('x', CAST(id AS INT))"),
+        col("id").cast("string")).as("k"))
+    docs.createOrReplaceTempView("graft_levb_l")
+    docs.select(col("id").as("id2"), col("k").as("k2"))
+      .createOrReplaceTempView("graft_levb_r")
+    val sql = "SELECT l.id, r.id2 FROM graft_levb_l l JOIN graft_levb_r r " +
+      "ON levenshtein(l.k, r.k2) <= 2"
+    spark.conf.set(LevJoinKernelRule.MinSideBytesKey, "1")
+    try {
+      val routed = spark.sql(sql)
+      val plan = routed.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__graft_len_band") && !plan.contains("__gci"),
+        s"expected the blocked kernel shape:\n$plan")
+      val got = routed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set(LevJoinKernelRule.EnabledKey, "false")
+      val want = spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want)
+      assert(want.size >= n, "every row matches itself at least")
+    } finally {
+      spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
+      spark.conf.unset(LevJoinKernelRule.EnabledKey)
+    }
+  }
+
   test("LevJoinKernelRule also routes LEFT lev joins (the stringdist_left_join " +
       "shape) with null-padded unmatched rows") {
     import graft.catalyst.LevJoinKernelRule
