@@ -1054,6 +1054,15 @@ class StreamingSpec extends SparkSpec {
     assert(SimilarityIngest.accepted(spark, state3)
       .select("doc_id").collect().map(_.getLong(0)).toSet ===
       Set(1L, 10L, 11L, 20L))
+    // INTERNAL repetition is not intra-batch coverage: a fresh doc whose
+    // windows repeat within ITSELF owns them all (min-id owner = self),
+    // so it must be accepted, alone or alongside strangers
+    val selfRep = "ping pong ping pong ping pong ping pong ping pong"
+    SimilarityIngest.applyBatch(spark, state3,
+      Seq((30L, selfRep)).toDF("doc_id", "text"), 3L, "doc_id", "text", p)
+    assert(SimilarityIngest.accepted(spark, state3)
+      .filter(col("doc_id") === 30L).count() === 1L,
+      "self-repetitive doc must not self-quarantine")
   }
 
   test("similarity ingest: a windowK restart mismatch fails loudly") {
