@@ -50,10 +50,13 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *
   * Scale shape: per-batch cost is O(batch) on the stream side — the
   * corpus only ever appears as two hash-partitioned parquet probes (band
-  * buckets; 8-byte window hashes). The gates inherit the batch operators'
-  * scale design: banded candidates, hot-bucket valve, AQE-splittable
-  * join-backs. 100 TB of corpus behind the indexes costs a batch exactly
-  * what 1 GB does, modulo the probe scans' partition pruning. */
+  * buckets; 8-byte window hashes), and the intra-batch coverage adds
+  * only batch-sized work (one min-owner aggregate on the window-hash
+  * key the index probe already shuffles on, one batch-sized distinct).
+  * The gates inherit the batch operators' scale design: banded
+  * candidates, hot-bucket valve, AQE-splittable join-backs. 100 TB of
+  * corpus behind the indexes costs a batch exactly what 1 GB does,
+  * modulo the probe scans' partition pruning. */
 object SimilarityIngest {
 
   /** Gate parameters. `windowK`/`maxDupWindowRatio` drive the saturation
