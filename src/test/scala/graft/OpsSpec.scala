@@ -120,6 +120,29 @@ class OpsSpec extends SparkSpec {
     assert(unmatched.length === 1 && unmatched(0).isNullAt(1))
   }
 
+  test("autoLeftJoin == leftJoin on random strings, incl. null keys") {
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val strs = (0 until 50).map(i => randStr(6 + (i % 7))).distinct
+    val l = (strs.map(Option(_)) :+ None).toDF("a")
+    val r = strs.map(s => Option(s.reverse)).toDF("b")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect()
+        .map(x => (Option(x.getString(0)), Option(x.getString(1)))).toSet
+    val want = rows(SimilarityJoin.leftJoin(l, r, "a", "b", 2))
+    val auto = rows(SimilarityJoin.autoLeftJoin(l, r, "a", "b", 2))
+    assert(auto === want)
+    // the null left key survives as an unmatched padded row
+    assert(auto.contains((None, None)))
+    // disjoint-names contract is enforced loudly
+    val e = intercept[IllegalArgumentException] {
+      SimilarityJoin.autoLeftJoin(l, l.withColumnRenamed("a", "a2")
+        .withColumn("a", col("a2")), "a", "a2", 1)
+    }
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("BestMatch topOne is deterministic under ties") {
     val df = Seq((1, "b", 5), (1, "a", 5), (2, "c", 1)).toDF("k", "v", "d")
     val out = BestMatch.topOnePerKey(df, Seq(col("k")),
