@@ -189,7 +189,7 @@ class StreamingSpec extends SparkSpec {
     val chk = java.nio.file.Files.createTempDirectory("graft_ing_chk").toString
     val firstHalf = events.filter(col("event_id") % 2 === 0)
     val secondHalf = events.filter(col("event_id") % 2 === 1)
-    firstHalf.write.mode("append").parquet(src)
+    firstHalf.coalesce(1).write.mode("append").parquet(src)
     def runOnce(): Unit = {
       val q = EventsStream.parquetIngest(spark, src, out, chk)
         .trigger(Trigger.AvailableNow()).start()
@@ -198,7 +198,7 @@ class StreamingSpec extends SparkSpec {
     runOnce()
     assert(spark.read.parquet(out).count() === firstHalf.count())
     // "restart": new batch lands, same checkpoint — only the delta flows
-    secondHalf.write.mode("append").parquet(src)
+    secondHalf.coalesce(1).write.mode("append").parquet(src)
     runOnce()
     val sunk = spark.read.parquet(out)
     assert(sunk.count() === events.count(), "no loss, no reprocessing")
@@ -227,7 +227,7 @@ class StreamingSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_fun_out").toString
     val chk = java.nio.file.Files.createTempDirectory("graft_fun_chk").toString
     val cut = 5000L // seq ranges keep delivery in order across the batches
-    all.filter(col("seq") < cut).write.mode("append").parquet(src)
+    all.filter(col("seq") < cut).coalesce(1).write.mode("append").parquet(src)
     def runOnce(): Unit = {
       val schema = spark.read.parquet(src).schema
       val stream = spark.readStream.schema(schema).parquet(src)
@@ -243,7 +243,7 @@ class StreamingSpec extends SparkSpec {
       q.awaitTermination(120000)
     }
     runOnce()
-    all.filter(col("seq") >= cut).write.mode("append").parquet(src)
+    all.filter(col("seq") >= cut).coalesce(1).write.mode("append").parquet(src)
     runOnce()
     val streamed = spark.read.parquet(out)
       .groupBy("user_id").agg(max(col("max_stage")).as("s"))
@@ -258,7 +258,7 @@ class StreamingSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_ttl_out").toString
     val chk = java.nio.file.Files.createTempDirectory("graft_ttl_chk").toString
     Seq(UserEvent(1L, 1L, "click", 10.0), UserEvent(1L, 2L, "click", 20.0))
-      .toDF().write.mode("append").parquet(src)
+      .toDF().coalesce(1).write.mode("append").parquet(src)
     def runOnce(): Unit = {
       val schema = spark.read.parquet(src).schema
       val stream = spark.readStream.schema(schema).parquet(src)
@@ -283,13 +283,13 @@ class StreamingSpec extends SparkSpec {
     // and dropping user 1's state
     Thread.sleep(1500)
     Seq(UserEvent(2L, 3L, "click", 1.0))
-      .toDF().write.mode("append").parquet(src)
+      .toDF().coalesce(1).write.mode("append").parquet(src)
     runOnce()
     // user 1 reappears AFTER expiry: totals restart fresh — bounded-state
     // windowed-lifetime semantics, not a resumed lifetime count
     Thread.sleep(1500)
     Seq(UserEvent(1L, 4L, "click", 5.0))
-      .toDF().write.mode("append").parquet(src)
+      .toDF().coalesce(1).write.mode("append").parquet(src)
     runOnce()
     assert(rows().contains((1L, 1L, 5.0)),
       s"expired user must restart at (1, 5.0); saw ${rows().mkString(", ")}")
@@ -307,9 +307,9 @@ class StreamingSpec extends SparkSpec {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(120000)
     }
-    events.filter(col("event_id") < 5000).write.mode("append").parquet(src)
+    events.filter(col("event_id") < 5000).coalesce(1).write.mode("append").parquet(src)
     runOnce()
-    events.filter(col("event_id") >= 5000).write.mode("append").parquet(src)
+    events.filter(col("event_id") >= 5000).coalesce(1).write.mode("append").parquet(src)
     runOnce() // restart from the same checkpoint: only the delta merges
     def summary() = SummaryMaintenance.readSummary(spark, sumDir).get
       .collect().map(r => r.getString(0) ->
@@ -390,7 +390,7 @@ class StreamingSpec extends SparkSpec {
     Dedup.seedCorpusIndex(corpus, "doc_id", "text", idx)
     // batch 1 arrives before the stream starts: one corpus dup, one fresh
     Seq((10L, corpusText), (11L, freshText1)).toDF("doc_id", "text")
-      .write.mode("append").parquet(src)
+      .coalesce(1).write.mode("append").parquet(src)
     val q = graft.streaming.IngestDedup.dedupIngest(spark, src, idx, out,
       chk, "doc_id", "text", threshold = 0.8).start()
     q.processAllAvailable()
@@ -398,7 +398,7 @@ class StreamingSpec extends SparkSpec {
     // one corpus dup, one fresh
     Seq((20L, freshText1), (21L, corpusText), (22L, freshText2))
       .toDF("doc_id", "text")
-      .write.mode("append").parquet(src)
+      .coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     val acceptedIds = spark.read.parquet(out)
@@ -412,7 +412,7 @@ class StreamingSpec extends SparkSpec {
     // replayed (no duplicate output/index rows), and a post-restart batch
     // still dedups against everything accepted before the restart
     Seq((30L, freshText2), (31L, corpusText)).toDF("doc_id", "text")
-      .write.mode("append").parquet(src)
+      .coalesce(1).write.mode("append").parquet(src)
     val q2 = graft.streaming.IngestDedup.dedupIngest(spark, src, idx, out,
       chk, "doc_id", "text", threshold = 0.8).start()
     q2.processAllAvailable()
@@ -503,14 +503,14 @@ class StreamingSpec extends SparkSpec {
       Expectation("score_band", MeanOf("score"), 0.0, 100.0))
     // batch 1: clean
     Seq((1L, 10.0), (2L, 20.0)).toDF("id", "score")
-      .write.mode("append").parquet(src)
+      .coalesce(1).write.mode("append").parquet(src)
     val q = graft.streaming.QualityStream.gatedIngest(
       spark, src, out, quar, met, chk, exps).start()
     q.processAllAvailable()
     // batch 2: a null id -> completeness fails -> whole batch quarantined
     Seq((Some(3L), 30.0), (None, 40.0))
       .toDF("id", "score")
-      .write.mode("append").parquet(src)
+      .coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     assert(spark.read.parquet(out).select("id")
@@ -740,12 +740,12 @@ class StreamingSpec extends SparkSpec {
     val state2 = java.nio.file.Files
       .createTempDirectory("graft_simingest_st2").toString
     Seq((1L, A), (2L, B)).toDF("doc_id", "text")
-      .write.mode("append").parquet(src)
+      .coalesce(1).write.mode("append").parquet(src)
     val q = SimilarityIngest.ingest(spark, src, state2, chk,
       "doc_id", "text", p).start()
     q.processAllAvailable()
     Seq((10L, A), (11L, stitched), (12L, C)).toDF("doc_id", "text")
-      .write.mode("append").parquet(src)
+      .coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     val acc2 = SimilarityIngest.accepted(spark, state2)
@@ -898,12 +898,12 @@ class StreamingSpec extends SparkSpec {
     val state2 = java.nio.file.Files
       .createTempDirectory("graft_embingest_st2").toString
     Seq((1L, unit(0)), (2L, unit(1))).toDF("vec_id", "embedding")
-      .write.mode("append").parquet(src)
+      .coalesce(1).write.mode("append").parquet(src)
     val q = EmbeddingIngest.ingest(spark, src, state2, chk,
       "vec_id", "embedding", p).start()
     q.processAllAvailable()
     Seq((10L, unit(0)), (11L, unit(2))).toDF("vec_id", "embedding")
-      .write.mode("append").parquet(src)
+      .coalesce(1).write.mode("append").parquet(src)
     q.processAllAvailable()
     q.stop()
     assert(EmbeddingIngest.accepted(spark, state2)
