@@ -11,8 +11,95 @@ import org.apache.spark.sql.SparkSession
   * can be lost or truncated (an overwritten single-file stamp has exactly
   * that window, and a corrupted stamp would wedge or mis-route every
   * subsequent replay). */
-private[streaming] object BatchLedger {
+private[graft] object BatchLedger {
   private val Dir = "_committed"
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Compaction lock marker: `stateDir/_compact.lock`, created
+    * fail-fast (no overwrite) before a fold and deleted after it. The
+    * documented "must not run concurrently with an active stream"
+    * contract was previously unenforced — a mis-scheduled compaction
+    * raced the gate's probes silently; now [[withCompactionLock]] and
+    * [[requireNoActiveCompaction]] make the race fail loudly instead.
+    *
+    * Liveness without leases: the holder heartbeats the lock's mtime
+    * every [[LockHeartbeatMs]]; a lock not touched for [[LockStaleMs]]
+    * belongs to a crashed holder and is broken with a warning (safe —
+    * repairBatchStore repairs a crashed fold's two-phase window), so a
+    * kill -9 mid-fold cannot wedge the stream forever. Best-effort by
+    * design: it assumes roughly synchronized clocks on a shared
+    * filesystem, the same assumption every mtime-lease scheme makes. */
+  val LockName = "_compact.lock"
+  val LockHeartbeatMs: Long = 30L * 1000
+  val LockStaleMs: Long = 10L * 60 * 1000
+
+  private def lockPath(stateDir: String) = new Path(stateDir, LockName)
+
+  private def activeMsg(lock: Path): String =
+    s"a compaction appears to be in progress (lock $lock heartbeat is " +
+      "fresh): compactIndexes must not run concurrently with an active " +
+      "stream's applyBatch or another compaction. If the compacting " +
+      "process is known dead, delete the lock file or wait " +
+      s"${LockStaleMs / 60000} minutes for it to go stale."
+
+  /** Throw if a FRESH lock exists; break (delete) a stale one. */
+  private def breakStaleOrThrow(fs: org.apache.hadoop.fs.FileSystem,
+                                lock: Path): Unit = {
+    val st =
+      try Some(fs.getFileStatus(lock))
+      catch { case _: java.io.FileNotFoundException => None }
+    st.foreach { s =>
+      if (System.currentTimeMillis() - s.getModificationTime < LockStaleMs)
+        throw new IllegalStateException(activeMsg(lock))
+      log.warn(s"breaking stale compaction lock $lock (holder presumed " +
+        "crashed; repairBatchStore repairs any half-finished fold)")
+      fs.delete(lock, false)
+    }
+  }
+
+  /** Gate entry check (applyBatch): fail loudly while a live compaction
+    * holds the lock; silently break a stale lock from a crashed one. */
+  def requireNoActiveCompaction(spark: SparkSession,
+                                stateDir: String): Unit = {
+    val lock = lockPath(stateDir)
+    breakStaleOrThrow(
+      lock.getFileSystem(spark.sparkContext.hadoopConfiguration), lock)
+  }
+
+  /** Run `f` holding the compaction lock, heartbeating its mtime from a
+    * daemon thread so [[requireNoActiveCompaction]] can tell a live fold
+    * from a crashed one. Used by [[compactStores]] and by
+    * [[IngestDedup.compact]] (whose stores don't share one state dir). */
+  def withCompactionLock[T](spark: SparkSession,
+                            stateDir: String)(f: => T): T = {
+    val lock = lockPath(stateDir)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    breakStaleOrThrow(fs, lock)
+    try fs.create(lock, false).close()
+    catch {
+      case _: java.io.IOException =>
+        throw new IllegalStateException(activeMsg(lock))
+    }
+    @volatile var done = false
+    val hb = new Thread(() => {
+      while (!done) {
+        try Thread.sleep(LockHeartbeatMs)
+        catch { case _: InterruptedException => () }
+        if (!done)
+          try fs.setTimes(lock, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () } // best-effort
+      }
+    }, "graft-compact-heartbeat")
+    hb.setDaemon(true)
+    hb.start()
+    try f
+    finally {
+      done = true
+      hb.interrupt()
+      try fs.delete(lock, false)
+      catch { case _: java.io.IOException => () }
+    }
+  }
 
   /** Highest committed batch id, -1 before the first commit. */
   def last(spark: SparkSession, stateDir: String): Long = {
@@ -76,8 +163,10 @@ private[streaming] object BatchLedger {
     if (frontier < 0L) return // nothing committed, nothing to fold
     val upTo = math.min(upToBatch, frontier)
     if (upTo < 0L) return
-    graft.Util.runConcurrently(stores.map(
-      p => () => graft.io.Parquet.compactBatchStore(spark, p, upTo)))
-    prune(spark, stateDir, frontier)
+    withCompactionLock(spark, stateDir) {
+      graft.Util.runConcurrently(stores.map(
+        p => () => graft.io.Parquet.compactBatchStore(spark, p, upTo)))
+      prune(spark, stateDir, frontier)
+    }
   }
 }

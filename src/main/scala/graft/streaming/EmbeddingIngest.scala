@@ -87,6 +87,8 @@ object EmbeddingIngest {
         s"$stateDir: state was built by a different checkpoint lineage. " +
         "Use a fresh stateDir or restore the original checkpoint.")
     if (batchId == last) return // replay of the committed batch: no-op
+    // live concurrent compaction → loud failure; stale lock → broken here
+    BatchLedger.requireNoActiveCompaction(spark, stateDir)
     leafStores(stateDir).foreach(s =>
       graft.io.Parquet.repairBatchStore(spark, s))
     val cellsDir = s"$stateDir/semantic"

@@ -76,9 +76,13 @@ object IngestDedup {
     val last = lastBatchId(spark, indexPath)
     if (last < 0L) return
     val upTo = math.min(upToBatch, last)
-    Dedup.compactCorpusIndex(spark, indexPath, upTo)
-    graft.io.Parquet.compactBatchStore(spark, outDir, upTo)
-    BatchLedger.prune(spark, indexPath, last)
+    // lock lives at the index path (where the ledger is); held across
+    // both stores' folds so a concurrent applyBatch fails loudly
+    BatchLedger.withCompactionLock(spark, indexPath) {
+      Dedup.compactCorpusIndex(spark, indexPath, upTo)
+      graft.io.Parquet.compactBatchStore(spark, outDir, upTo)
+      BatchLedger.prune(spark, indexPath, last)
+    }
   }
 
   /** Gate one micro-batch; public for batch backfills and tests. Same
@@ -98,6 +102,8 @@ object IngestDedup {
         s"$indexPath: state was built by a different checkpoint lineage. " +
         "Use a fresh indexPath/outDir or restore the original checkpoint.")
     if (batchId == last) return // replay of the committed batch: no-op
+    // live concurrent compaction → loud failure; stale lock → broken here
+    BatchLedger.requireNoActiveCompaction(spark, indexPath)
     // finish/roll back any interrupted compaction before probing
     Seq(s"$indexPath/docs", s"$indexPath/buckets", outDir)
       .foreach(p => graft.io.Parquet.repairBatchStore(spark, p))

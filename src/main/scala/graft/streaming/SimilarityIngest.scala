@@ -131,8 +131,12 @@ object SimilarityIngest {
     * ledger stays append-only: only markers strictly below the retained
     * maximum are removed, so `lastBatchId` (and therefore no-op replay
     * detection) is unchanged. Must not run concurrently with an active
-    * stream's applyBatch; a crash mid-fold is repaired automatically by
-    * the next applyBatch or compactIndexes call. */
+    * stream's applyBatch — ENFORCED via the heartbeated
+    * `_compact.lock` marker ([[BatchLedger.withCompactionLock]]): a
+    * concurrent applyBatch or second compaction fails loudly instead of
+    * racing the gate's probes. A crash mid-fold is still repaired
+    * automatically by the next applyBatch or compactIndexes call (the
+    * dead holder's lock goes stale and is broken). */
   def compactIndexes(spark: SparkSession, stateDir: String,
                      upToBatch: Long = Long.MaxValue): Unit = {
     // the five stores fold independently — BatchLedger.compactStores
@@ -164,6 +168,10 @@ object SimilarityIngest {
         s"$stateDir: state was built by a different checkpoint lineage. " +
         "Use a fresh stateDir or restore the original checkpoint.")
     if (batchId == last) return // replay of the committed batch: no-op
+    // a LIVE concurrent compaction (fresh heartbeat on the lock marker)
+    // would race the probes below with half-folded stores — fail loudly;
+    // a STALE lock (crashed compactor) is broken here and repaired next
+    timed("lock")(BatchLedger.requireNoActiveCompaction(spark, stateDir))
     // a compactIndexes crash mid-fold leaves a store in its two-phase
     // window (tmp segment present, originals half-deleted); finish or
     // roll back BEFORE probing, or the gates would read duplicated /
