@@ -36,6 +36,8 @@ import graft.Util.qcol
   */
 object Profile {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact-distinct column count above which profile() warns: each
     * column is one more scan branch + distinct exchange in the plan. */
   val ExactDistinctWarnCols = 20
@@ -43,21 +45,32 @@ object Profile {
   /** Default exact→HLL auto-route threshold (see 2-arg [[profile]]). */
   val MaxExactDistinctCols = 64
 
+  /** `n_distinct` column-metadata key, `true` when the value is an HLL++
+    * ESTIMATE (the approx branch, including the 2-arg auto-route above
+    * [[MaxExactDistinctCols]] columns). Absent/false = exact count.
+    * Downstream consumers should check it before treating profile
+    * distincts as exact:
+    * `df.schema("n_distinct").metadata.contains(ApproxDistinctMetaKey)`. */
+  val ApproxDistinctMetaKey = "graft.approx_distinct"
+
   /** AUTO-ROUTING default: exact per-column distincts up to
     * `maxExactDistinctCols` columns, HLL++ estimates above it — a
     * 65-column profile plans ONE single-pass aggregate, not 65 scan
-    * branches, without the caller having to know the threshold. Force
+    * branches, without the caller having to know the threshold. The
+    * switch is logged (WARN) and the output's `n_distinct` column is
+    * tagged with [[ApproxDistinctMetaKey]], so neither a human nor a
+    * downstream consumer can mistake estimates for exact counts. Force
     * the strategy with the `exactDistinct` overload (the explicit
     * `exactDistinct = true` path still refuses past its own
     * `maxExactDistinctCols` unless that is raised too — the loud option
     * for callers who truly want 100+ exact branches). */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame =
     if (cols.size > MaxExactDistinctCols) {
-      System.err.println(
-        s"[graft] profile: ${cols.size} columns > $MaxExactDistinctCols — " +
-          "auto-routing to HLL++ estimates (one pass); pass " +
-          "exactDistinct = true with maxExactDistinctCols raised for " +
-          "exact distincts")
+      log.warn(
+        s"profile: ${cols.size} columns > $MaxExactDistinctCols — " +
+          "auto-routing to HLL++ estimates (one pass, n_distinct tagged " +
+          s"$ApproxDistinctMetaKey); pass exactDistinct = true with " +
+          "maxExactDistinctCols raised for exact distincts")
       profile(df, cols, exactDistinct = false)
     } else profile(df, cols, exactDistinct = true)
 
@@ -71,8 +84,8 @@ object Profile {
           "exactDistinct = false (HLL++ estimates, flat cost) or raise " +
           s"maxExactDistinctCols (= $maxExactDistinctCols) explicitly")
     if (exactDistinct && cols.size > ExactDistinctWarnCols)
-      System.err.println(
-        s"[graft] profile: ${cols.size} exact-distinct columns plans " +
+      log.warn(
+        s"profile: ${cols.size} exact-distinct columns plans " +
           s"${cols.size} scan branches — consider " +
           "exactDistinct = false at scale")
     // empty column list → empty profile (stable schema), matching the
@@ -145,6 +158,9 @@ object Profile {
           qcol(s"__${c}__max_str").as("max_str"))
       }
       row.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+        .withMetadata("n_distinct",
+          new MetadataBuilder().putBoolean(ApproxDistinctMetaKey, true)
+            .build())
     }
   }
 
