@@ -1,17 +1,18 @@
 package graft.catalyst
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftSql
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project, Range => LogicalRange}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
-/** Optimizer rewrite: a LARGE×LARGE inner OR LEFT OUTER join whose whole
-  * condition is `levenshtein(a, b) <= d` (raw, or already rewritten to
-  * the banded form by [[LevenshteinBandRule]]) is re-planned through the
-  * similarity-join kernel chooser — the same cost-based routing
+/** Optimizer rewrite: a LARGE×LARGE inner OR LEFT OUTER join whose
+  * condition contains a `levenshtein(a, b) <= d` conjunct (raw, or already
+  * rewritten to the banded form by [[LevenshteinBandRule]]) is re-planned
+  * through the similarity-join kernel chooser — the same cost-based routing
   * `graft.ops.SimilarityJoin.autoInnerJoin` gives library callers, now
   * applied to raw `spark.sql` text. Without this, Spark plans the theta
   * join as a nested-loop join: fine at the reference's 64-row broadcast
@@ -19,43 +20,73 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   * corpus-sized pair, where the banded-predicate rewrite alone still
   * evaluates |L|·|R| length checks.
   *
-  * Mechanics: the join children are wrapped back into Datasets, the
-  * length histograms drive [[graft.ops.SimilarityJoin.chooseChunked]]
-  * (sampled above [[HistSampleBytes]]), the winning kernel builds the
-  * replacement pipeline, and its OPTIMIZED plan is spliced in behind a
-  * Project that restores the original output attribute ids. Both kernels
+  * Mechanics: the join children are wrapped back into Datasets (every
+  * column positionally renamed to a reserved name, so duplicate or
+  * side-overlapping column names — `l.name` vs `r.name` — can never
+  * break the kernels' by-name resolution), the length histograms drive
+  * [[graft.ops.SimilarityJoin.chooseChunked]] (sampled above
+  * [[HistSampleBytesKey]]), the winning kernel builds the replacement
+  * pipeline, and its OPTIMIZED plan is spliced in behind a Project that
+  * restores the original output attribute ids positionally. Both kernels
   * are proven lossless vs the naive theta join (the `q_similarity_*_full`
   * hash checks), so results — including row multiplicity and null-key
   * drops — are identical by construction.
   *
+  * COMPOSITE conditions (`lev(a,b) <= d AND <residual conjuncts>`) are
+  * supported: the lev conjunct routes through the kernel and the residual
+  * is applied as a `Filter` over the kernel's match set — sound because
+  * the kernel emits exactly the naive join's qualifying pairs, so
+  * filtering them by the remaining conjuncts reproduces the composite
+  * inner join. For LEFT OUTER the residual-filtered matches are
+  * re-leftified on FULL-ROW identity (null-safe equality over every left
+  * column): value-keyed padding would be wrong once the residual can
+  * distinguish two left rows that share a key value. A redundant
+  * length-band conjunct over the same operands (the other half of
+  * [[LevenshteinBandRule]]'s output) is recognized and dropped rather
+  * than kept as residual.
+  *
   * Firing conditions (anything else leaves the plan untouched):
   *   - inner or left outer join (the latter is the reference's
   *     `stringdist_left_join` shape — kernel matches plus null-padded
-  *     unmatched left rows, via SimilarityJoin.autoLeftJoin; left joins
-  *     additionally need disjoint column names across the sides, or the
-  *     kernel refuses and the rule falls back), condition is EXACTLY
-  *     the lev-threshold predicate
-  *     (extra conjuncts: not rewritten — composing them soundly with the
-  *     kernels' internal joins is future work);
-  *   - both operands are string attributes, one per side, each name
-  *     unambiguous on its side (the kernels resolve columns by name);
-  *   - BOTH children's stats exceed `spark.graft.levJoinKernel.minSideBytes`
-  *     (default 8 MiB) — below that the broadcast nested-loop plan with
-  *     the banded predicate is already the right plan;
+  *     unmatched left rows);
+  *   - some conjunct of the condition is the lev-threshold predicate;
+  *     every OTHER conjunct (the residual) must be deterministic,
+  *     subquery-free, and reference only the join children;
+  *   - both lev operands are string attributes, one per side, each name
+  *     unambiguous on its side (the kernels resolve the KEY by name; all
+  *     other columns ride through positionally);
+  *   - neither side is streaming, BOTH children's stats exceed
+  *     `spark.graft.levJoinKernel.minSideBytes` (default 8 MiB), and
+  *     neither side's size is the stats-less `spark.sql.defaultSizeInBytes`
+  *     sentinel (Long.MaxValue by default) — a stats-less source would
+  *     otherwise "exceed" any floor and pay the histogram jobs on tiny
+  *     data, and a streaming side would re-attempt (and fail) the rewrite
+  *     every micro-batch;
   *   - `spark.graft.levJoinKernel.enabled` (default true).
   *
   * The rewrite runs Spark jobs during optimization (the histogram
   * aggregates — the same jobs autoInnerJoin runs — plus the chunked
   * kernel's distinct-length collect). Those jobs run once per DISTINCT
-  * (child plans, keys, distance): the optimized kernel plan is cached
-  * under the children's canonicalized form, so re-optimizations of the
-  * same join — `.explain()` then `.count()`, or Datasets derived from
+  * (child plans, keys, distance, join type): the optimized kernel plan is
+  * cached under the children's canonicalized form, so re-optimizations of
+  * the same join — `.explain()` then `.count()`, or Datasets derived from
   * one joined frame — splice the cached subtree without re-running
-  * anything. (A canonically-equal cached subtree is self-contained and
-  * computes the same data; only the id-restoring Project is rebuilt per
-  * call site.) The rewritten plan contains no lev join condition, so
-  * the fixed-point batch cannot re-fire. Any failure inside the rewrite
-  * logs and returns the original join — the rule never fails a query. */
+  * anything. Two cache-safety rules:
+  *   - caching is SKIPPED when any leaf is a catalog-backed relation
+  *     (canonicalization normalizes away file/stats detail, so a catalog
+  *     table re-read after an INSERT in the same JVM would be
+  *     canonically equal to its pre-INSERT plan and splice a stale
+  *     kernel — the chunked kernel bakes the collected distinct-length
+  *     set into literal combo tables). Path-based reads are safe: a
+  *     fresh FileIndex breaks canonical equality;
+  *   - every cache HIT splices a RE-INSTANCED copy (all internal expr
+  *     ids freshly generated via [[reinstance]]), so two canonically
+  *     equal join sites in ONE query (self-join arms, a union of two
+  *     identical lev joins) never share attribute ids across plan
+  *     branches — post-analysis rules assume globally unique ids.
+  * The rewritten plan contains no lev join condition, so the fixed-point
+  * batch cannot re-fire. Any failure inside the rewrite logs and returns
+  * the original join — the rule never fails a query. */
 object LevJoinKernelRule extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.levJoinKernel.enabled"
@@ -63,43 +94,99 @@ object LevJoinKernelRule extends Rule[LogicalPlan] {
   val DefaultMinSideBytes: Long = 8L * 1024 * 1024
 
   /** Above this estimated side size the histograms are computed on a 1%
-    * seeded sample (SimilarityJoin.lengthHistogram scales counts back). */
-  val HistSampleBytes: Long = 1L * 1024 * 1024 * 1024
+    * seeded sample (SimilarityJoin.lengthHistogram scales counts back).
+    * Caveat, documented rather than hidden: on a corpus whose lengths are
+    * near-UNIQUE per row (the blocked kernel's home turf), a 1% sample
+    * scaled back up concentrates mass on the sampled lengths and biases
+    * the chooser toward the chunked kernel. That is the SAFE direction —
+    * chunked is near-linear everywhere while blocked is quadratic on
+    * concentrated lengths, so a misroute costs a small constant factor
+    * (PERF.md measured ≤ 3.6×), never the quadratic blowup. */
+  val HistSampleBytesKey = "spark.graft.levJoinKernel.histSampleBytes"
+  val DefaultHistSampleBytes: Long = 1L * 1024 * 1024 * 1024
+
+  /** Kernel working column; inputs cannot carry it (they are positionally
+    * renamed to `gsql_*` before the kernel ever sees them). */
+  private val DistCol = "__graft_sql_lev_dist"
+
+  /** Re-entrancy guard: [[buildKernel]] optimizes the kernel plan it just
+    * built, and that nested optimization runs THIS rule again. The
+    * kernel's own verify filter (`lev(a, b, d) >= 0`) gets pushed into
+    * its internal join's condition by PushPredicateThroughJoin, which the
+    * conjunct-based [[extractWithResidual]] would happily match — firing
+    * the rule on its own output, recursively, with nested histogram jobs
+    * at every level. Never rewrite while a rewrite is in flight. */
+  private val inRewrite = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  /** Working-column prefixes of graft's similarity kernels (the blocked
+    * kernel's `__graft_len_band`, the chunked kernel's `__g*` hash
+    * columns, this rule's own `gsql_*` renames). A join whose child
+    * carries one IS a kernel's internal join — same pushed-filter trap as
+    * [[inRewrite]], but reachable at TOP level when a library caller
+    * (SimilarityJoin.blockedInnerJoin et al.) builds the kernel and the
+    * rule then optimizes the user's query around it: re-kerneling an
+    * already-kerneled join would re-run histogram jobs and kernel a
+    * band-exploded side. Leave kernel plans alone. */
+  private def noKernelCols(l: LogicalPlan, r: LogicalPlan): Boolean =
+    (l.output.iterator ++ r.output.iterator).forall(a =>
+      !a.name.startsWith("__g") && !a.name.startsWith("gsql_"))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val spark = SparkSession.getActiveSession.orNull
-    if (spark == null ||
+    if (spark == null || inRewrite.get() ||
         !spark.conf.get(EnabledKey, "true").toBoolean) return plan
     val minBytes = spark.conf.get(MinSideBytesKey,
       DefaultMinSideBytes.toString).toLong
     plan.transformUp {
-      case j @ Join(l, r, jt @ (Inner | LeftOuter), Some(cond), _) =>
+      case j @ Join(l, r, jt @ (Inner | LeftOuter), Some(cond), _)
+          if noKernelCols(l, r) =>
         // match the predicate shape FIRST (pure pattern match) so plan
         // stats are only computed for actual lev theta joins
-        extract(cond).flatMap { case (a, b, d) =>
-          sideKeys(l, r, a, b).filter(_ => bothLarge(l, r, minBytes))
+        extractWithResidual(cond).flatMap { case (a, b, d, residual) =>
+          sideKeys(l, r, a, b)
+            .filter(_ => residualOk(j, residual))
+            .filter(_ => bothLarge(spark, l, r, minBytes))
             .map { case (lKey, rKey) =>
-              try rewrite(spark, j, l, r, lKey, rKey, d, jt == LeftOuter)
+              inRewrite.set(true)
+              try rewrite(spark, j, l, r, lKey, rKey, d, jt == LeftOuter,
+                residual)
               catch {
                 case e: Exception =>
                   logWarning(
                     s"graft lev-join kernel rewrite failed, keeping the " +
                       s"nested-loop plan: ${e.getMessage}")
                   j
-              }
+              } finally inRewrite.set(false)
             }
         }.getOrElse(j)
     }
   }
 
-  private def bothLarge(l: LogicalPlan, r: LogicalPlan,
-                        minBytes: Long): Boolean =
-    l.stats.sizeInBytes >= minBytes && r.stats.sizeInBytes >= minBytes
+  private def bothLarge(spark: SparkSession, l: LogicalPlan, r: LogicalPlan,
+                        minBytes: Long): Boolean = {
+    if (l.isStreaming || r.isStreaming) return false
+    val sentinel = BigInt(spark.conf
+      .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong)
+    def ok(p: LogicalPlan): Boolean = {
+      val s = p.stats.sizeInBytes
+      s >= minBytes && s != sentinel
+    }
+    ok(l) && ok(r)
+  }
 
-  /** The lev-threshold predicate, raw or banded. Returns (a, b, d) for
-    * `lev(a, b) <= d` semantics. */
-  private def extract(cond: Expression)
-      : Option[(Expression, Expression, Int)] = cond match {
+  // ---------- condition decomposition ----------
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(x, y) => splitConjuncts(x) ++ splitConjuncts(y)
+    case x => Seq(x)
+  }
+
+  /** One conjunct's lev-threshold shape, raw or bounded-DP. Returns
+    * (a, b, d) for `lev(a, b) <= d` semantics. */
+  private def levConjunct(c: Expression)
+      : Option[(Expression, Expression, Int)] = c match {
     case LessThanOrEqual(lev @ Levenshtein(a, b, None),
         Literal(d: Int, IntegerType)) if d >= 0 && lev.deterministic =>
       Some((a, b, d))
@@ -112,17 +199,47 @@ object LevJoinKernelRule extends Rule[LogicalPlan] {
     case GreaterThan(Literal(d: Int, IntegerType),
         lev @ Levenshtein(a, b, None)) if d > 0 && lev.deterministic =>
       Some((a, b, d - 1))
-    // LevenshteinBandRule's output: lenDiff <= d AND bounded-lev >= 0
-    case And(
-        LessThanOrEqual(Abs(Subtract(Length(a1), Length(b1), _), _),
-          Literal(d1: Int, IntegerType)),
-        GreaterThanOrEqual(
-          lev @ Levenshtein(a2, b2, Some(Literal(d2: Int, IntegerType))),
-          Literal(0, IntegerType)))
-        if d1 == d2 && a1.semanticEquals(a2) && b1.semanticEquals(b2) &&
-          lev.deterministic =>
-      Some((a2, b2, d2))
+    // LevenshteinBandRule's bounded-DP half: lev(a, b, d) >= 0 <=> lev <= d
+    case GreaterThanOrEqual(
+        lev @ Levenshtein(a, b, Some(Literal(d: Int, IntegerType))),
+        Literal(0, IntegerType)) if d >= 0 && lev.deterministic =>
+      Some((a, b, d))
     case _ => None
+  }
+
+  /** A redundant `abs(len(a) - len(b)) <= d` conjunct over the SAME
+    * operands — the prefilter half of LevenshteinBandRule's output, always
+    * true for kernel matches, so it is dropped instead of kept residual. */
+  private def isLenBand(c: Expression, a: Expression, b: Expression,
+                        d: Int): Boolean = c match {
+    case LessThanOrEqual(Abs(Subtract(Length(x), Length(y), _), _),
+        Literal(dd: Int, IntegerType)) =>
+      dd == d && ((x.semanticEquals(a) && y.semanticEquals(b)) ||
+        (x.semanticEquals(b) && y.semanticEquals(a)))
+    case _ => false
+  }
+
+  /** Decompose the join condition: the first lev-threshold conjunct (plus
+    * its redundant length band, dropped) and everything else as residual. */
+  private def extractWithResidual(cond: Expression)
+      : Option[(Expression, Expression, Int, Seq[Expression])] = {
+    val cs = splitConjuncts(cond)
+    cs.iterator.map(c => (c, levConjunct(c))).collectFirst {
+      case (c, Some((a, b, d))) =>
+        (a, b, d, cs.filterNot(x => (x eq c) || isLenBand(x, a, b, d)))
+    }
+  }
+
+  /** Residual conjuncts the Filter composition is sound for: deterministic
+    * (a nondeterministic predicate's evaluation count is semantics),
+    * subquery-free (post-optimization subquery splicing would skip the
+    * rewrite batches that already ran), and resolved against the join
+    * children only. */
+  private def residualOk(j: Join, residual: Seq[Expression]): Boolean = {
+    lazy val childAttrs = AttributeSet(j.children.flatMap(_.output))
+    residual.forall(e => e.deterministic &&
+      !e.exists(_.isInstanceOf[PlanExpression[_]]) &&
+      e.references.subsetOf(childAttrs))
   }
 
   /** Resolve the operands to one unambiguous string attribute per side;
@@ -140,10 +257,13 @@ object LevJoinKernelRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** Optimized kernel plans keyed by (canonicalized children, keys, d) —
-    * bounded, access-ordered. Guards the histogram/collect jobs against
-    * re-optimization of the same join (explain + action, derived
-    * Datasets). */
+  // ---------- plan cache ----------
+
+  /** Optimized kernel plans keyed by (canonicalized children, keys, d,
+    * leftified) — bounded, access-ordered. Guards the histogram/collect
+    * jobs against re-optimization of the same join (explain + action,
+    * derived Datasets). Only canonically STABLE sources are cached — see
+    * [[cacheSafe]]. */
   private val planCache =
     new java.util.LinkedHashMap[(LogicalPlan, LogicalPlan, String, String,
         Int, Boolean), LogicalPlan](16, 0.75f, true) {
@@ -152,56 +272,172 @@ object LevJoinKernelRule extends Rule[LogicalPlan] {
             Int, Boolean), LogicalPlan]): Boolean = size() > 16
     }
 
+  /** A child plan is safe to key a cache entry on only if canonical
+    * equality implies equal DATA: path-based file relations re-resolve to
+    * a fresh FileIndex on data change (breaking equality), and
+    * local/range relations carry their data in the plan. Catalog-backed
+    * relations (Hive/metastore tables, v2 catalogs) canonicalize away the
+    * detail that would distinguish a table from its post-INSERT self, so
+    * they rebuild every optimization instead of caching. */
+  private def cacheSafe(p: LogicalPlan): Boolean =
+    p.collectLeaves().forall {
+      case lr: LogicalRelation => lr.catalogTable.isEmpty
+      case _: LocalRelation => true
+      case _: LogicalRange => true
+      case _ => false
+    }
+
+  /** Fresh expr ids for EVERY attribute produced inside the subtree
+    * (consistently: each old id maps to one new id), so a cached kernel
+    * spliced at a second canonically-equal join site cannot duplicate
+    * attribute ids across plan branches. References into the subtree's
+    * own children are rewritten with them; the subtree is self-contained,
+    * so no outside reference can dangle. */
+  private[catalyst] def reinstance(plan: LogicalPlan): LogicalPlan = {
+    val ids = new java.util.HashMap[ExprId, ExprId]()
+    def fresh(id: ExprId): ExprId =
+      ids.computeIfAbsent(id, _ => NamedExpression.newExprId)
+    plan.transformUp { case node =>
+      node.transformExpressionsUp {
+        case ar: AttributeReference => ar.withExprId(fresh(ar.exprId))
+        case al: Alias =>
+          Alias(al.child, al.name)(fresh(al.exprId), al.qualifier,
+            al.explicitMetadata, al.nonInheritableMetadataKeys)
+      }
+    }
+  }
+
+  /** Cached (or freshly built) kernel plan for (l ⋈ r, keys, d):
+    * `leftified = false` → inner matches [left cols…, right cols…, dist];
+    * `leftified = true`  → matches plus null-padded unmatched left rows
+    * (value-keyed — only sound when the FULL join condition is the lev
+    * predicate). Cache hits splice a re-instanced copy. */
+  private def kernelPlan(spark: SparkSession, l: LogicalPlan, r: LogicalPlan,
+                         lKey: String, rKey: String, d: Int,
+                         leftified: Boolean): LogicalPlan = {
+    if (!cacheSafe(l) || !cacheSafe(r))
+      return buildKernel(spark, l, r, lKey, rKey, d, leftified)
+    val key = (l.canonicalized, r.canonicalized, lKey, rKey, d, leftified)
+    planCache.synchronized(Option(planCache.get(key))) match {
+      case Some(p) => reinstance(p)
+      case None =>
+        val built = buildKernel(spark, l, r, lKey, rKey, d, leftified)
+        planCache.synchronized(planCache.put(key, built))
+        built
+    }
+  }
+
+  // ---------- kernel construction ----------
+
+  /** Positionally rename every column to `<prefix><i>` (duplicate- and
+    * overlap-proof; toDF is positional so within-side duplicate names are
+    * fine) and return the key's new name. */
+  private def renamed(df: DataFrame, prefix: String, key: String)
+      : (DataFrame, String) = {
+    val ki = df.columns.indexWhere(_ == key)
+    (df.toDF(df.columns.indices.map(i => s"$prefix$i"): _*), s"$prefix$ki")
+  }
+
+  private def buildKernel(spark: SparkSession, l: LogicalPlan,
+                          r: LogicalPlan, lKey: String, rKey: String,
+                          d: Int, leftified: Boolean): LogicalPlan = {
+    import graft.ops.SimilarityJoin
+    val (lDF, lk) = renamed(GraftSql.ofRows(spark, l), "gsql_l", lKey)
+    val (rDF, rk) = renamed(GraftSql.ofRows(spark, r), "gsql_r", rKey)
+    val sampleBytes = spark.conf.get(HistSampleBytesKey,
+      DefaultHistSampleBytes.toString).toLong
+    def frac(p: LogicalPlan): Double =
+      if (p.stats.sizeInBytes > sampleBytes) 0.01 else 1.0
+    val histL = SimilarityJoin.lengthHistogram(lDF, lk, frac(l))
+    val histR = SimilarityJoin.lengthHistogram(rDF, rk, frac(r))
+    val inner =
+      if (SimilarityJoin.chooseChunked(histL, histR, d))
+        SimilarityJoin.chunkedInnerJoin(lDF, rDF, lk, rk, d, DistCol)
+      else
+        SimilarityJoin.blockedInnerJoin(lDF, rDF, lk, rk, d, DistCol)
+    val out =
+      if (leftified) SimilarityJoin.leftifyInner(inner, lDF, rDF, lk, DistCol)
+      else inner
+    // splice the kernel's OPTIMIZED plan: an analyzed-only subtree would
+    // skip optimizer batches that already ran on the outer plan (e.g.
+    // Deduplicate→Aggregate), leaving operators the planner can't place
+    out.queryExecution.optimizedPlan
+  }
+
+  // ---------- rewrite assembly ----------
+
   private def rewrite(spark: SparkSession, j: Join,
                       l: LogicalPlan, r: LogicalPlan,
                       lKey: String, rKey: String, d: Int,
-                      leftOuter: Boolean): LogicalPlan = {
-    import graft.ops.SimilarityJoin
-    val cacheKey = (l.canonicalized, r.canonicalized, lKey, rKey, d,
-      leftOuter)
-    val kernelPlan = planCache.synchronized {
-      Option(planCache.get(cacheKey))
-    }.getOrElse {
-      val leftDF = GraftSql.ofRows(spark, l)
-      val rightDF = GraftSql.ofRows(spark, r)
-      def frac(p: LogicalPlan): Double =
-        if (p.stats.sizeInBytes > HistSampleBytes) 0.01 else 1.0
-      val histL = SimilarityJoin.lengthHistogram(leftDF, lKey, frac(l))
-      val histR = SimilarityJoin.lengthHistogram(rightDF, rKey, frac(r))
-      val distCol = "__graft_sql_lev_dist"
-      val inner =
-        if (SimilarityJoin.chooseChunked(histL, histR, d))
-          SimilarityJoin.chunkedInnerJoin(leftDF, rightDF, lKey, rKey, d,
-            distCol)
-        else
-          SimilarityJoin.blockedInnerJoin(leftDF, rightDF, lKey, rKey, d,
-            distCol)
-      // left outer: kernel matches + null-padded unmatched left rows
-      // (SimilarityJoin.leftify semantics via autoLeftJoin's contract —
-      // disjoint-name require throws into the fallback catch above)
-      val kernelDF =
-        if (leftOuter) SimilarityJoin.leftifyInner(inner, leftDF, rightDF,
-          lKey, distCol)
-        else inner
-      // splice the kernel's OPTIMIZED plan: an analyzed-only subtree would
-      // skip optimizer batches that already ran on the outer plan (e.g.
-      // Deduplicate→Aggregate), leaving operators the planner can't place
-      val built = kernelDF.queryExecution.optimizedPlan
-      planCache.synchronized { planCache.put(cacheKey, built) }
-      built
+                      leftOuter: Boolean,
+                      residual: Seq[Expression]): LogicalPlan = {
+    // kernel/result output contract: [left columns..., right columns...]
+    // (+ trailing dist for kernel outputs); restore the join's attribute
+    // ids positionally and drop the dist
+    def restore(plan: LogicalPlan): Project = {
+      require(plan.output.size == j.output.size ||
+        plan.output.size == j.output.size + 1,
+        s"kernel output ${plan.output.size} != join output " +
+          s"${j.output.size} (+ dist)")
+      Project(j.output.zip(plan.output).map { case (orig, neu) =>
+        Alias(neu, orig.name)(exprId = orig.exprId,
+          qualifier = orig.qualifier)
+      }, plan)
     }
-    // kernel output contract: [left columns..., right columns..., dist];
-    // restore the join's attribute ids positionally and drop the dist
-    require(kernelPlan.output.size == j.output.size + 1,
-      s"kernel output ${kernelPlan.output.size} != join output " +
-        s"${j.output.size} + dist")
-    val aliases = j.output.zip(kernelPlan.output).map { case (orig, neu) =>
-      Alias(neu, orig.name)(exprId = orig.exprId,
-        qualifier = orig.qualifier)
-    }
+    val result: LogicalPlan =
+      if (!leftOuter) {
+        val restored = restore(
+          kernelPlan(spark, l, r, lKey, rKey, d, leftified = false))
+        // residual conjuncts filter the kernel's exact match set — the
+        // composite inner join by construction
+        if (residual.isEmpty) restored
+        else Filter(residual.reduce(And), restored)
+      } else if (residual.isEmpty) {
+        restore(kernelPlan(spark, l, r, lKey, rKey, d, leftified = true))
+      } else {
+        val inner = restore(
+          kernelPlan(spark, l, r, lKey, rKey, d, leftified = false))
+        restore(leftOuterResidual(spark, j, l, inner, residual))
+      }
     logInfo(s"graft lev-join kernel rewrite: $lKey ~ $rKey d=$d " +
-      s"${if (leftOuter) "(left outer) " else ""}-> " +
-      s"${if (kernelPlan.toString.contains("__gci")) "chunked" else "blocked"}")
-    Project(aliases, kernelPlan)
+      s"${if (leftOuter) "(left outer) " else ""}" +
+      s"${if (residual.nonEmpty) s"+${residual.size} residual " else ""}-> " +
+      s"${if (result.toString.contains("__gci")) "chunked" else "blocked"}")
+    result
+  }
+
+  /** LEFT OUTER with residual conjuncts: matches = residual-filtered
+    * kernel pairs; unmatched = left rows with NO surviving pair, found by
+    * FULL-ROW null-safe anti join (value-keyed padding would break here —
+    * the residual can distinguish two left rows sharing a key value;
+    * full-row identity is sound because identical rows have identical
+    * deterministic join behavior, and it preserves duplicate-row
+    * multiplicity exactly like SQL). Each reuse of a subtree is
+    * re-instanced so no attribute id appears in two plan branches. */
+  private def leftOuterResidual(spark: SparkSession, j: Join,
+                                l: LogicalPlan, restoredInner: LogicalPlan,
+                                residual: Seq[Expression]): LogicalPlan = {
+    import org.apache.spark.sql.functions.lit
+    val nL = l.output.size
+    val matchesDF = GraftSql.ofRows(spark,
+      Filter(residual.reduce(And), restoredInner))
+    // second use of the match set: fresh ids, selected positionally
+    val mlPlan = reinstance(matchesDF.queryExecution.analyzed)
+    val matchedLeft = GraftSql.ofRows(spark, mlPlan)
+      .select(mlPlan.output.take(nL).zipWithIndex.map { case (a, i) =>
+        GraftSql.column(a).as(s"gsql_ml_$i") }: _*)
+      .distinct()
+    // third use of the LEFT child (it already occurs inside the kernel):
+    // fresh ids again, so the union's two branches stay id-disjoint
+    val lFresh = reinstance(l)
+    val leftDF = GraftSql.ofRows(spark, lFresh)
+    val antiCond = lFresh.output.zipWithIndex.map { case (a, i) =>
+      GraftSql.column(a) <=> matchedLeft(s"gsql_ml_$i") }.reduce(_ && _)
+    val unmatched = leftDF.join(matchedLeft, antiCond, "left_anti")
+    val padded = unmatched.select(
+      lFresh.output.map(a => GraftSql.column(a)) ++
+        j.output.drop(nL).zipWithIndex.map { case (a, i) =>
+          lit(null).cast(a.dataType).as(s"gsql_pad_$i") }: _*)
+    matchesDF.union(padded).queryExecution.optimizedPlan
   }
 }

@@ -176,20 +176,45 @@ object SimilarityJoin {
   /** Left-join semantics on top of the AUTO-SELECTED inner kernel (the
     * reference's `stringdist_left_join` shape at corpus scale): the
     * histogram-driven chooser picks blocked vs chunked for the inner
-    * match set, then never-matched left rows pad with nulls. Same
-    * disjoint-column-names contract as [[blockedLeftJoin]]. */
+    * match set, then never-matched left rows pad with nulls.
+    *
+    * Unlike [[blockedLeftJoin]], column names may OVERLAP across the
+    * sides (the reference's own J1 shape can carry overlapping names
+    * after a rename drift): overlapping right columns are aliased to
+    * reserved names internally, the kernel + padding run on the disjoint
+    * frames, and the original names are restored positionally — so the
+    * output keeps both same-named columns (left's first, right's after),
+    * exactly like a SQL join of two tables sharing a name. Each side's
+    * own names must still be unique, and `distCol` must not collide with
+    * either side (it could not be restored positionally otherwise). */
   def autoLeftJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String, maxDist: Int,
                    distCol: String = "string_distance",
                    sampleFraction: Double = 1.0): DataFrame = {
-    locally {
-      val shared = left.columns.toSet.intersect(right.columns.toSet)
-      require(shared.isEmpty,
-        s"autoLeftJoin needs disjoint column names; rename ${shared.mkString(", ")} first")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    if (shared.isEmpty) {
+      val inner = autoInnerJoin(left, right, leftKey, rightKey, maxDist,
+        distCol, dedupKeys = false, sampleFraction)
+      return leftify(inner, left, right, leftKey, distCol)
     }
-    val inner = autoInnerJoin(left, right, leftKey, rightKey, maxDist,
-      distCol, dedupKeys = false, sampleFraction)
-    leftify(inner, left, right, leftKey, distCol)
+    require(left.columns.distinct.length == left.columns.length &&
+      right.columns.distinct.length == right.columns.length,
+      "autoLeftJoin with overlapping names needs each side's own names " +
+        "unique (within-side duplicates cannot be re-aliased by name)")
+    require(!left.columns.contains(distCol) && !right.columns.contains(distCol),
+      s"autoLeftJoin: distCol '$distCol' collides with an input column")
+    // alias the overlapping RIGHT columns to reserved names, run the
+    // disjoint-name pipeline, restore the original names positionally
+    val renamed = right.columns.map(c => if (shared(c)) s"gsql_rn_$c" else c)
+    require(!left.columns.exists(_.startsWith("gsql_rn_")) &&
+      !right.columns.exists(_.startsWith("gsql_rn_")),
+      "input may not carry reserved 'gsql_rn_' column names")
+    val r2 = right.toDF(renamed.toIndexedSeq: _*)
+    val rk2 = if (shared(rightKey)) s"gsql_rn_$rightKey" else rightKey
+    val inner = autoInnerJoin(left, r2, leftKey, rk2, maxDist, distCol,
+      dedupKeys = false, sampleFraction)
+    leftify(inner, left, r2, leftKey, distCol)
+      .toDF(left.columns.toIndexedSeq ++ right.columns :+ distCol: _*)
   }
 
   /** Chunk-filter (PassJoin-family) inner join, the sharper scale kernel:

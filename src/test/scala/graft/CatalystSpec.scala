@@ -342,7 +342,16 @@ class CatalystSpec extends SparkSpec {
         Thread.sleep(1000)
         assert(jobs.get() === 0,
           s"plan-cache miss: ${jobs.get()} jobs ran during re-optimization")
+        // the spliced copy is RE-INSTANCED (fresh expr ids) — it must
+        // still execute to the same result
+        assert(again.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          === want)
       } finally spark.sparkContext.removeSparkListener(jl)
+      // two canonically-equal join sites in ONE query: each cache splice
+      // re-instances, so no attribute id is shared across plan branches
+      // (post-analysis rules assume globally unique ids)
+      val twice = spark.sql(s"$sql UNION ALL $sql")
+      assert(twice.count() === 2L * want.size)
     } finally {
       spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
       spark.conf.unset(LevJoinKernelRule.EnabledKey)
@@ -422,6 +431,164 @@ class CatalystSpec extends SparkSpec {
       assert(want.size > n)
     } finally {
       spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
+      spark.conf.unset(LevJoinKernelRule.EnabledKey)
+    }
+  }
+
+  test("LevJoinKernelRule composes residual conjuncts as a post-kernel " +
+      "filter (inner)") {
+    import graft.catalyst.LevJoinKernelRule
+    val n = 500
+    val docs = spark.range(n.toLong).select(col("id"),
+      concat(lit("doc_"), lpad(col("id").cast("string"), 6, "0")).as("k"))
+    docs.createOrReplaceTempView("graft_levres_l")
+    docs.select(col("id").as("id2"), col("k").as("k2"))
+      .createOrReplaceTempView("graft_levres_r")
+    // the composite shape real users write: lev core + equi/range residual
+    val sql = "SELECT l.id, r.id2 FROM graft_levres_l l JOIN " +
+      "graft_levres_r r ON levenshtein(l.k, r.k2) <= 2 " +
+      "AND l.id % 7 = r.id2 % 7 AND r.id2 % 3 > 0"
+    spark.conf.set(LevJoinKernelRule.MinSideBytesKey, "1")
+    try {
+      val routed = spark.sql(sql)
+      val plan = routed.queryExecution.optimizedPlan.toString
+      assert(plan.contains("xxhash64") || plan.contains("__graft_len_band"),
+        s"expected a kernel shape in the composite-condition plan:\n$plan")
+      val got = routed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set(LevJoinKernelRule.EnabledKey, "false")
+      val naive = spark.sql(sql)
+      assert(!naive.queryExecution.optimizedPlan.toString.contains("xxhash64"))
+      val want = naive.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"composite rewrite diverges: ${got.size} vs " +
+        s"${want.size} pairs")
+      // the residual genuinely prunes: strictly fewer pairs than lev-only
+      spark.conf.set(LevJoinKernelRule.EnabledKey, "true")
+      val levOnly = spark.sql(sql.substring(0, sql.indexOf(" AND l.id")))
+      assert(want.nonEmpty && want.size < levOnly.count())
+    } finally {
+      spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
+      spark.conf.unset(LevJoinKernelRule.EnabledKey)
+    }
+  }
+
+  test("LevJoinKernelRule LEFT with residual conjuncts pads on row " +
+      "identity") {
+    import graft.catalyst.LevJoinKernelRule
+    val n = 400
+    val docs = spark.range(n.toLong).select(col("id"),
+      concat(lit("doc_"), lpad(col("id").cast("string"), 6, "0")).as("k"))
+    // five left rows with no admissible lev partner at all
+    val lonely = spark.range(5L).select((col("id") + 10000L).as("id"),
+      concat(lit("unmatchable_string_"), col("id").cast("string")).as("k"))
+    docs.unionByName(lonely).createOrReplaceTempView("graft_levlr_l")
+    docs.select(col("id").as("id2"), col("k").as("k2"))
+      .createOrReplaceTempView("graft_levlr_r")
+    // residual touches BOTH sides and is strict enough that some
+    // lev-MATCHED left rows lose every partner and must pad: row i
+    // lev-matches many neighbours, but l.id = r.id2 kills all of them
+    // except the self-pair, and r.id2 % 5 > 0 kills the self-pair for
+    // every fifth row
+    val sql = "SELECT l.id, r.id2 FROM graft_levlr_l l LEFT JOIN " +
+      "graft_levlr_r r ON levenshtein(l.k, r.k2) <= 2 " +
+      "AND l.id = r.id2 AND r.id2 % 5 > 0"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+    spark.conf.set(LevJoinKernelRule.MinSideBytesKey, "1")
+    try {
+      val routed = spark.sql(sql)
+      val plan = routed.queryExecution.optimizedPlan.toString
+      assert(plan.contains("xxhash64") || plan.contains("__graft_len_band"),
+        s"expected a kernel shape in the LEFT composite plan:\n$plan")
+      assert(!plan.contains("Join LeftOuter, (levenshtein"),
+        s"lev LEFT theta join survived the rewrite:\n$plan")
+      val got = rows(routed)
+      spark.conf.set(LevJoinKernelRule.EnabledKey, "false")
+      val want = rows(spark.sql(sql))
+      assert(got === want)
+      // lonely rows pad exactly once; residual-padded rows exist too
+      assert((0 until 5).forall(i => got.getOrElse((10000L + i, -1L), 0) == 1))
+      assert(got.keys.count(_._2 == -1L) > 5,
+        "some lev-matched rows must pad because the residual kills " +
+          "every partner")
+    } finally {
+      spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
+      spark.conf.unset(LevJoinKernelRule.EnabledKey)
+    }
+  }
+
+  test("LevJoinKernelRule LEFT join tolerates overlapping column names") {
+    import graft.catalyst.LevJoinKernelRule
+    val n = 400
+    val docs = spark.range(n.toLong).select(col("id"),
+      concat(lit("doc_"), lpad(col("id").cast("string"), 6, "0")).as("k"))
+    val lonely = spark.range(3L).select((col("id") + 10000L).as("id"),
+      concat(lit("unmatchable_string_"), col("id").cast("string")).as("k"))
+    docs.unionByName(lonely).createOrReplaceTempView("graft_levo_l")
+    // BOTH sides carry columns named id and k — the rename-drift shape
+    // that previously fell back to the nested-loop plan
+    docs.createOrReplaceTempView("graft_levo_r")
+    val sql = "SELECT * FROM graft_levo_l l LEFT JOIN graft_levo_r r " +
+      "ON levenshtein(l.k, r.k) <= 2"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    spark.conf.set(LevJoinKernelRule.MinSideBytesKey, "1")
+    try {
+      val routed = spark.sql(sql)
+      val plan = routed.queryExecution.optimizedPlan.toString
+      assert(plan.contains("xxhash64"),
+        s"overlapping-name LEFT join must still route to the kernel:\n$plan")
+      val got = rows(routed)
+      spark.conf.set(LevJoinKernelRule.EnabledKey, "false")
+      val want = rows(spark.sql(sql))
+      assert(got === want)
+      assert(got.size > n)
+    } finally {
+      spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
+      spark.conf.unset(LevJoinKernelRule.EnabledKey)
+    }
+  }
+
+  test("LevJoinKernelRule sampled-histogram arm is conf-reachable and " +
+      "agrees with the exact chooser") {
+    import graft.catalyst.LevJoinKernelRule
+    import graft.ops.SimilarityJoin
+    // same-length corpus (n != 600 so the plan cannot be canonically equal
+    // to the other test's cached kernel): the sampled histogram must stay
+    // representative — one hot length survives any sample — and pick
+    // chunked exactly like the exact histogram
+    val n = 700
+    val docs = spark.range(n.toLong).select(col("id"),
+      concat(lit("doc_"), lpad(col("id").cast("string"), 6, "0")).as("k"))
+    docs.createOrReplaceTempView("graft_levs_l")
+    docs.select(col("id").as("id2"), col("k").as("k2"))
+      .createOrReplaceTempView("graft_levs_r")
+    val exactL = SimilarityJoin.lengthHistogram(docs, "k")
+    val sampledL = SimilarityJoin.lengthHistogram(docs, "k", 0.01)
+    assert(sampledL.nonEmpty, "1% of 700 rows must sample something")
+    assert(SimilarityJoin.chooseChunked(sampledL, sampledL, 2) ===
+      SimilarityJoin.chooseChunked(exactL, exactL, 2),
+      "sampled and exact histograms must agree on a concentrated corpus")
+    val sql = "SELECT l.id, r.id2 FROM graft_levs_l l JOIN graft_levs_r r " +
+      "ON levenshtein(l.k, r.k2) <= 2"
+    spark.conf.set(LevJoinKernelRule.MinSideBytesKey, "1")
+    // ~1 KB threshold: both sides exceed it, so frac() takes the sampled arm
+    spark.conf.set(LevJoinKernelRule.HistSampleBytesKey, "1024")
+    try {
+      val routed = spark.sql(sql)
+      val plan = routed.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__gci"),
+        s"sampled histograms should still choose the chunked kernel:\n$plan")
+      val got = routed.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set(LevJoinKernelRule.EnabledKey, "false")
+      val want = spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want)
+      assert(want.size > n)
+    } finally {
+      spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
+      spark.conf.unset(LevJoinKernelRule.HistSampleBytesKey)
       spark.conf.unset(LevJoinKernelRule.EnabledKey)
     }
   }

@@ -135,12 +135,31 @@ class OpsSpec extends SparkSpec {
     assert(auto === want)
     // the null left key survives as an unmatched padded row
     assert(auto.contains((None, None)))
-    // disjoint-names contract is enforced loudly
+  }
+
+  test("autoLeftJoin aliases overlapping names internally and restores them") {
+    val rnd = new scala.util.Random(11)
+    def randStr(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val strs = (0 until 40).map(i => randStr(6 + (i % 7))).distinct
+    val l = (strs.map(Option(_)) :+ None).toDF("a")
+    // right side: key 'a2' plus a column named 'a' — overlapping the left
+    val r = strs.map(s => (s.reverse, s)).toDF("a2", "a")
+    val overlap = SimilarityJoin.autoLeftJoin(l, r, "a", "a2", 2)
+    // original names restored: left's 'a' first, right's 'a' after its key
+    assert(overlap.columns.toSeq === Seq("a", "a2", "a", "string_distance"))
+    // parity with the disjoint-name path on a manually renamed right,
+    // compared positionally (duplicate names resolve only by position)
+    val want = SimilarityJoin.autoLeftJoin(l, r.toDF("a2", "a_r"), "a", "a2", 2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    assert(rows(overlap) === rows(want))
+    assert(overlap.count() > strs.size / 2)
+    // a distCol collision cannot be restored positionally — refused loudly
     val e = intercept[IllegalArgumentException] {
-      SimilarityJoin.autoLeftJoin(l, l.withColumnRenamed("a", "a2")
-        .withColumn("a", col("a2")), "a", "a2", 1)
+      SimilarityJoin.autoLeftJoin(l, r, "a", "a2", 1, distCol = "a")
     }
-    assert(e.getMessage.contains("disjoint"))
+    assert(e.getMessage.contains("distCol"))
   }
 
   test("BestMatch topOne is deterministic under ties") {
@@ -759,6 +778,16 @@ class OpsSpec extends SparkSpec {
     assert(auto.queryExecution.optimizedPlan.collectLeaves().size <= 2,
       "65-column default profile must plan one pass, not 65 branches")
     assert(auto.count() === 65L)
+    // estimates are MARKED: downstream consumers can tell HLL estimates
+    // from exact counts via the column metadata flag
+    assert(auto.schema("n_distinct").metadata
+        .contains(Profile.ApproxDistinctMetaKey) &&
+      auto.schema("n_distinct").metadata
+        .getBoolean(Profile.ApproxDistinctMetaKey),
+      "auto-routed HLL distincts must carry the approx marker")
+    assert(!Profile.profile(df, cols).schema("n_distinct").metadata
+        .contains(Profile.ApproxDistinctMetaKey),
+      "exact distincts must NOT carry the approx marker")
     val e = intercept[IllegalArgumentException] {
       Profile.profile(wide, wideCols, exactDistinct = true)
     }
