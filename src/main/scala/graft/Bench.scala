@@ -60,6 +60,14 @@ object Bench {
   def isSuspect(best: Double, expected: Option[Double]): Boolean =
     best >= 0.5 && expected.exists(e => e > 0 && best / e >= 3.0)
 
+  /** The silent 1.5–3× band: not inflated enough to trigger a retry or
+    * the suspect flag, but far enough off the committed expectation that
+    * a reader should look (r9 shipped a query at 2.71× for a full round
+    * before anyone noticed). Purely observational — names land in
+    * bench.json's `"drifted"`, no retry behavior changes. */
+  def isDrifted(best: Double, expected: Option[Double]): Boolean =
+    best >= 0.5 && expected.exists(e => e > 0 && best / e >= 1.5)
+
   /** Deferred-retry policy over one query's two first-pass runs: retry on
     * 2× disagreement (the original trigger — a spike during ONE run) or
     * on a 3× expectation breach (both runs inside one load window). */
@@ -181,6 +189,8 @@ object Bench {
     }
     val suspects = results.collect {
       case (n, _, _, b, _) if isSuspect(b, expected.get(n)) => n }
+    val drifted = results.collect {
+      case (n, _, _, b, _) if isDrifted(b, expected.get(n)) => n }
     // JSON string escaping shared with Verify (graft.Util.jsonEscape) so
     // the two driver-facing emitters cannot drift apart.
     def jstr(s: String): String = Util.jsonEscape(s)
@@ -204,7 +214,7 @@ object Bench {
     // File-based output keeps the full detail (cold first-run times too):
     // atomic-ish (write temp then rename) so a reader never sees a torn line.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map { case (n, _, _, best, _) => n -> best }, _.toString)},"cold_queries":${jsonMap(results.map { case (n, _, cold, _, _) => n -> cold }, _.toString)},"retried":${retried.map(jstr).mkString("[", ",", "]")},"suspect":${suspects.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"materialization":"noop","n_queries":${results.size},"suspect_n":${suspects.size},"errors":$nFailed}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results.map { case (n, _, _, best, _) => n -> best }, _.toString)},"cold_queries":${jsonMap(results.map { case (n, _, cold, _, _) => n -> cold }, _.toString)},"retried":${retried.map(jstr).mkString("[", ",", "]")},"suspect":${suspects.map(jstr).mkString("[", ",", "]")},"drifted":${drifted.map(jstr).mkString("[", ",", "]")},"sf":${jstr(sfDir)},"materialization":"noop","n_queries":${results.size},"suspect_n":${suspects.size},"errors":$nFailed}"""
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     val tmp = out.resolveSibling("bench.json.tmp")

@@ -328,6 +328,18 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // skew-salted equi-join: 25 distinct nation keys over 15k customers is
+    // the concentrated-key regime (one hot key = one straggler shuffle
+    // partition at cluster scale); the salt spreads each key over 8
+    // subkeys. Salting is RESULT-invariant, so the oracle is the plain
+    // equi-join SQL — the gate proves the spread join changes nothing.
+    "q_skew_join" -> ((s, dir) =>
+      SkewJoin.saltedInnerJoin(
+          table(s, dir, "customer"), table(s, dir, "nation"),
+          "c_nationkey", "n_nationkey", salts = 8)
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+        .orderBy(col("c_custkey"))),
+
     // A1 — row count
     "q_count" -> ((s, dir) =>
       table(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))),
@@ -1797,6 +1809,11 @@ object SparkEntry {
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_count" -> "SELECT count(*) AS n_rows FROM lineitem",
 

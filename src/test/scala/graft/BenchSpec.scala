@@ -36,6 +36,18 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.isSuspect(3.1, Some(0.0)))
   }
 
+  test("drift flag surfaces the silent 1.5-3x band (observational only)") {
+    assert(Bench.isDrifted(1.6, Some(1.0)))
+    assert(Bench.isDrifted(2.7, Some(1.0))) // the r9 case that slid through
+    assert(Bench.isDrifted(3.5, Some(1.0))) // suspects are also drifted
+    assert(!Bench.isDrifted(1.4, Some(1.0)))
+    assert(!Bench.isDrifted(1.6, None))
+    assert(!Bench.isDrifted(0.45, Some(0.1))) // sub-500ms exemption
+    assert(!Bench.isDrifted(1.6, Some(0.0)))
+    // drift alone must never trigger the retry machinery
+    assert(!Bench.needsDeferredRetry(2.0, 2.1, expected = Some(1.0)))
+  }
+
   test("expectation file round-trips through the TSV format") {
     val tmp = java.nio.file.Files.createTempFile("bench_expected", ".tsv")
     java.nio.file.Files.write(tmp,

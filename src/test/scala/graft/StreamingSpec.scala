@@ -628,6 +628,50 @@ class StreamingSpec extends SparkSpec {
       .map(_.getPath.getName).toSet === Set("batch=-1", "batch=2"))
   }
 
+  test("compaction lock: live fold blocks applyBatch and a second " +
+      "compaction loudly; a stale lock is broken automatically") {
+    import graft.streaming.{BatchLedger, SimilarityIngest}
+    import org.apache.hadoop.fs.Path
+    val p = SimilarityIngest.Params(windowK = 4, maxDupWindowRatio = 0.5)
+    val A = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val B = "mike november oscar papa quebec romeo sierra tango uniform victor"
+    val state = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    SimilarityIngest.applyBatch(spark, state,
+      Seq((1L, A)).toDF("doc_id", "text"), 0L, "doc_id", "text", p)
+    val fs = new Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(state, BatchLedger.LockName)
+    // simulated IN-PROGRESS compaction: a fresh lock marker (a live
+    // compactor heartbeats its mtime, so fresh == live)
+    fs.create(lock, false).close()
+    val e = intercept[IllegalStateException] {
+      SimilarityIngest.applyBatch(spark, state,
+        Seq((2L, B)).toDF("doc_id", "text"), 1L, "doc_id", "text", p)
+    }
+    assert(e.getMessage.contains("compaction") &&
+      e.getMessage.contains(BatchLedger.LockName))
+    // a second compaction is refused just as loudly
+    val e2 = intercept[IllegalStateException] {
+      SimilarityIngest.compactIndexes(spark, state)
+    }
+    assert(e2.getMessage.contains("compaction"))
+    // no verdict escaped the refused batch
+    assert(SimilarityIngest.lastBatchId(spark, state) === 0L)
+    // STALE lock (holder crashed — no heartbeat for LockStaleMs): broken
+    // automatically, the batch proceeds, crash repair semantics unchanged
+    fs.setTimes(lock,
+      System.currentTimeMillis() - BatchLedger.LockStaleMs - 60000L, -1L)
+    SimilarityIngest.applyBatch(spark, state,
+      Seq((2L, B)).toDF("doc_id", "text"), 1L, "doc_id", "text", p)
+    assert(!fs.exists(lock))
+    assert(SimilarityIngest.lastBatchId(spark, state) === 1L)
+    // a healthy compaction takes and RELEASES the lock
+    SimilarityIngest.compactIndexes(spark, state)
+    assert(!fs.exists(lock))
+    assert(SimilarityIngest.accepted(spark, state)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
   test("similarity ingest gate: both indexes, cross-batch, replay-proof") {
     import graft.streaming.SimilarityIngest
     val state = java.nio.file.Files
