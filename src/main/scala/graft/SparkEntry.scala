@@ -806,10 +806,37 @@ object SparkEntry {
         expr("percentile(CAST(floor(value * 1e6) AS BIGINT), 0.5)")
           .as("p50_micro"))),
 
+    // Sketches #4 (r10): the determinism-pinned twin that retires the GK
+    // half of q_sketch_agg's rows-only adjudication. percentile_approx is
+    // order-dependent ONLY through partial-summary merge order, so ONE
+    // partition in sorted order makes the Greenwald-Khanna summary a pure
+    // function of the multiset — and the oracle bit-replays it (head
+    // buffer flush cycles + compressImmut + the query walk, exact to the
+    // returned sample's double bits; tools/gen_sketch_oracle.py).
+    // approx_count_distinct rides along via the existing HLL++ replay.
+    // This query is the correctness probe for the GK algebra — the SCALE
+    // shape (multi-partition merge) stays q_sketch_agg's, untouched.
+    "q_sketch_pinned" -> ((s, dir) =>
+      table(s, dir, "events")
+        .repartition(1).sortWithinPartitions(col("value"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          count(col("value")).as("n_vals"),
+          expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"))),
+
     // Sketches #3: mergeability — the property that makes sketches work at
     // scale: per-day HLL sketches union to the exact-window estimate
-    // without re-reading the raw data (rows-only; StreamingSpec pins the
-    // union estimate against exact distinct)
+    // without re-reading the raw data. HASH-CHECKED since r10: the whole
+    // union pipeline is order-independent (coupons are a SET below the
+    // 384-coupon promotion bound; above it the union result is flagged
+    // out-of-order, so the estimate is the COMPOSITE estimator — a pure
+    // function of the max-per-slot register array), and the oracle
+    // bit-replays DataSketches HLL end to end: murmur128(seed 9001)
+    // coupons, the CouponMapping cubic interpolation, and the composite
+    // estimator with its interpolation X-table and harmonic-number
+    // bitmap estimate (tools/gen_sketch_oracle.py, constants dumped from
+    // the real jar; StreamingSpec additionally pins the union estimate
+    // against exact distinct)
     "q_sketch_merge" -> ((s, dir) => {
       val daily = table(s, dir, "events")
         .groupBy(date_trunc("week", col("ts")).as("week"),
@@ -1611,6 +1638,12 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // r10: bit-replays of DataSketches HLL (coupon/composite estimators)
+    // and the pinned Greenwald-Khanna summary — see
+    // tools/gen_sketch_oracle.py for the decompiled-bytecode provenance
+    "q_sketch_merge" -> resourceSql("q_sketch_merge"),
+    "q_sketch_pinned" -> resourceSql("q_sketch_pinned"),
+
     "q_sketch_exact" ->
       """SELECT count(DISTINCT user_id) AS exact_users,
         |  quantile_cont(CAST(floor(value * 1e6) AS BIGINT), 0.5) AS p50_micro

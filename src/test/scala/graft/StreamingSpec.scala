@@ -42,6 +42,39 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(p50a - p50e) / math.max(math.abs(p50e), 1e-9) < 0.05)
   }
 
+  test("pinned GK percentile is bit-deterministic and rank-correct") {
+    // q_sketch_pinned retires the GK half of q_sketch_agg's rows-only
+    // adjudication: ONE sorted partition makes the Greenwald-Khanna
+    // summary a pure function of the multiset. Pin both halves of that
+    // claim: (a) the result is bit-identical regardless of how the
+    // INPUT was partitioned beforehand, (b) the returned value is an
+    // actual data value whose rank honors the eps=0.001 guarantee.
+    val dir = "/root/testdata/sf0.001"
+    val base = SparkEntry.queries("q_sketch_pinned")(spark, dir).collect()(0)
+    val ev = Util.table(spark, dir, "events")
+    val variants = Seq(ev.repartition(7), ev.repartition(3, col("user_id")),
+      ev.orderBy(col("event_id").desc))
+    variants.foreach { v =>
+      val r = v.repartition(1).sortWithinPartitions(col("value"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(col("value")).as("n_vals"),
+          expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"))
+        .collect()(0)
+      assert(java.lang.Double.doubleToRawLongBits(r.getAs[Double]("p50_approx"))
+        === java.lang.Double.doubleToRawLongBits(base.getAs[Double]("p50_approx")),
+        "pinned GK must not depend on upstream partitioning")
+      assert(r.getAs[Long]("approx_users") === base.getAs[Long]("approx_users"))
+    }
+    val n = base.getAs[Long]("n_vals")
+    val p50 = base.getAs[Double]("p50_approx")
+    val rankBelow = ev.filter(col("value") < p50).count()
+    val rankAtOrBelow = ev.filter(col("value") <= p50).count()
+    val target = 0.5 * n
+    val slack = 2 * math.max(1L, math.ceil(0.001 * n).toLong)
+    assert(rankBelow <= target + slack && rankAtOrBelow >= target - slack,
+      s"p50=$p50 rank window [$rankBelow, $rankAtOrBelow] vs target $target")
+  }
+
   test("merged daily HLL sketches track exact weekly distincts") {
     val dir = "/root/testdata/sf0.001"
     val exact = Util.table(spark, dir, "events")
