@@ -51,7 +51,15 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   *     unmatched left rows);
   *   - some conjunct of the condition is the lev-threshold predicate;
   *     every OTHER conjunct (the residual) must be deterministic,
-  *     subquery-free, and reference only the join children;
+  *     subquery-free, and reference only the join children; none may be
+  *     an equi-join conjunct between the sides (`l.id = r.id AND
+  *     lev(...) <= d` already plans as a near-linear hash/sort-merge
+  *     join with a post-join lev filter — nothing to rescue, and the
+  *     kernel would materialize ALL lev-close pairs ignoring the key);
+  *   - both child subtrees are fully deterministic (the rewrite
+  *     re-executes them; a nondeterministic column would take different
+  *     values per execution and break the LEFT padding's full-row
+  *     identity);
   *   - both lev operands are string attributes, one per side, each name
   *     unambiguous on its side (the kernels resolve the KEY by name; all
   *     other columns ride through positionally);
@@ -87,7 +95,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   * The rewritten plan contains no lev join condition, so the fixed-point
   * batch cannot re-fire. Any failure inside the rewrite logs and returns
   * the original join — the rule never fails a query. */
-object LevJoinKernelRule extends Rule[LogicalPlan] {
+object LevJoinKernelRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val EnabledKey = "spark.graft.levJoinKernel.enabled"
   val MinSideBytesKey = "spark.graft.levJoinKernel.minSideBytes"
@@ -147,6 +155,8 @@ object LevJoinKernelRule extends Rule[LogicalPlan] {
         extractWithResidual(cond).flatMap { case (a, b, d, residual) =>
           sideKeys(l, r, a, b)
             .filter(_ => residualOk(j, residual))
+            .filter(_ => noEquiConjunct(l, r, residual))
+            .filter(_ => deterministicPlans(l, r))
             .filter(_ => bothLarge(spark, l, r, minBytes))
             .map { case (lKey, rKey) =>
               inRewrite.set(true)
@@ -171,17 +181,51 @@ object LevJoinKernelRule extends Rule[LogicalPlan] {
       .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong)
     def ok(p: LogicalPlan): Boolean = {
       val s = p.stats.sizeInBytes
-      s >= minBytes && s != sentinel
+      // check the LEAVES for the stats-less sentinel too: an operator
+      // above a stats-less source (Project over LogicalRDD) scales the
+      // sentinel by a width ratio, producing a huge-but-not-equal value
+      // that would otherwise sail past the equality check and pay
+      // histogram jobs on a tiny in-memory frame
+      s >= minBytes && s != sentinel &&
+        p.collectLeaves().forall(_.stats.sizeInBytes != sentinel)
     }
     ok(l) && ok(r)
   }
 
-  // ---------- condition decomposition ----------
+  /** A rewrite re-executes the children (the kernel references the left
+    * side twice for LEFT OUTER padding, and the residual composition a
+    * third time): sound only when every expression in both subtrees is
+    * deterministic — a nondeterministic column (uuid(), rand()) would
+    * produce DIFFERENT values per execution, so the full-row identity
+    * anti join would pad rows that also matched. */
+  private def deterministicPlans(l: LogicalPlan, r: LogicalPlan): Boolean =
+    Seq(l, r).forall(p =>
+      !p.exists(_.expressions.exists(e => !e.deterministic)))
 
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case And(x, y) => splitConjuncts(x) ++ splitConjuncts(y)
-    case x => Seq(x)
+  /** If the residual contains an equi-join conjunct between the sides
+    * (`l.id = r.id AND lev(...) <= d`), Spark already plans a near-linear
+    * hash/sort-merge join on the equi key with the lev predicate as a
+    * post-join filter — there is no nested-loop catastrophe to prevent,
+    * and the kernel would be strictly worse (it materializes ALL
+    * lev-close pairs ignoring the equi key, plus planning-time jobs).
+    * Leave those joins to the planner. */
+  private def noEquiConjunct(l: LogicalPlan, r: LogicalPlan,
+                             residual: Seq[Expression]): Boolean = {
+    val lOut = AttributeSet(l.output)
+    val rOut = AttributeSet(r.output)
+    def splitsAcross(x: Expression, y: Expression): Boolean =
+      (x.references.subsetOf(lOut) && y.references.subsetOf(rOut) &&
+        x.references.nonEmpty && y.references.nonEmpty) ||
+        (x.references.subsetOf(rOut) && y.references.subsetOf(lOut) &&
+          x.references.nonEmpty && y.references.nonEmpty)
+    !residual.exists {
+      case EqualTo(x, y) => splitsAcross(x, y)
+      case EqualNullSafe(x, y) => splitsAcross(x, y)
+      case _ => false
+    }
   }
+
+  // ---------- condition decomposition ----------
 
   /** One conjunct's lev-threshold shape, raw or bounded-DP. Returns
     * (a, b, d) for `lev(a, b) <= d` semantics. */
@@ -223,7 +267,7 @@ object LevJoinKernelRule extends Rule[LogicalPlan] {
     * its redundant length band, dropped) and everything else as residual. */
   private def extractWithResidual(cond: Expression)
       : Option[(Expression, Expression, Int, Seq[Expression])] = {
-    val cs = splitConjuncts(cond)
+    val cs = splitConjunctivePredicates(cond)
     cs.iterator.map(c => (c, levConjunct(c))).collectFirst {
       case (c, Some((a, b, d))) =>
         (a, b, d, cs.filterNot(x => (x eq c) || isLenBand(x, a, b, d)))

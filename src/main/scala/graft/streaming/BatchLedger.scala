@@ -15,34 +15,41 @@ private[graft] object BatchLedger {
   private val Dir = "_committed"
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Compaction lock marker: `stateDir/_compact.lock`, created
-    * fail-fast (no overwrite) before a fold and deleted after it. The
-    * documented "must not run concurrently with an active stream"
-    * contract was previously unenforced — a mis-scheduled compaction
-    * raced the gate's probes silently; now [[withCompactionLock]] and
-    * [[requireNoActiveCompaction]] make the race fail loudly instead.
+  /** Mutual-exclusion markers between a stream's applyBatch and a
+    * compaction fold: `stateDir/_compact.lock` (held across a fold) and
+    * `stateDir/_gate.lock` (held across one micro-batch's gate work).
+    * Each side creates its OWN marker fail-fast (no overwrite), then
+    * checks the OTHER side's marker and backs out loudly if it is
+    * fresh — so BOTH interleavings fail fast: a compaction starting
+    * while a batch is mid-probe, and a batch starting while a fold is
+    * mid-swap. (Before r10 only the second direction was enforced.)
     *
-    * Liveness without leases: the holder heartbeats the lock's mtime
-    * every [[LockHeartbeatMs]]; a lock not touched for [[LockStaleMs]]
+    * Liveness without leases: the holder heartbeats its marker's mtime
+    * every [[LockHeartbeatMs]]; a marker not touched for [[LockStaleMs]]
     * belongs to a crashed holder and is broken with a warning (safe —
-    * repairBatchStore repairs a crashed fold's two-phase window), so a
-    * kill -9 mid-fold cannot wedge the stream forever. Best-effort by
-    * design: it assumes roughly synchronized clocks on a shared
-    * filesystem, the same assumption every mtime-lease scheme makes. */
-  val LockName = "_compact.lock"
+    * repairBatchStore repairs a crashed fold's two-phase window, and a
+    * crashed batch is replayed by its checkpoint), so a kill -9 cannot
+    * wedge the stream forever. Best-effort by design: it assumes
+    * roughly synchronized clocks on a shared filesystem (every
+    * mtime-lease scheme's assumption), and breaking a stale marker
+    * re-checks the mtime immediately before the delete so a competitor
+    * that just re-created the file is not clobbered (the residual
+    * stat-to-delete window is microseconds, vs the minutes-long fold
+    * race this guards). */
+  val CompactLockName = "_compact.lock"
+  val GateLockName = "_gate.lock"
   val LockHeartbeatMs: Long = 30L * 1000
   val LockStaleMs: Long = 10L * 60 * 1000
 
-  private def lockPath(stateDir: String) = new Path(stateDir, LockName)
-
   private def activeMsg(lock: Path): String =
-    s"a compaction appears to be in progress (lock $lock heartbeat is " +
-      "fresh): compactIndexes must not run concurrently with an active " +
-      "stream's applyBatch or another compaction. If the compacting " +
-      "process is known dead, delete the lock file or wait " +
-      s"${LockStaleMs / 60000} minutes for it to go stale."
+    s"marker $lock has a fresh heartbeat: compactIndexes must not run " +
+      "concurrently with an active stream's applyBatch (or a second " +
+      "compaction). If the holding process is known dead, delete the " +
+      s"marker or wait ${LockStaleMs / 60000} minutes for it to go stale."
 
-  /** Throw if a FRESH lock exists; break (delete) a stale one. */
+  /** Throw if a FRESH marker exists; break (delete) a stale one. The
+    * mtime is re-read immediately before the delete: if it moved, a
+    * competitor already broke-and-reacquired, so treat it as held. */
   private def breakStaleOrThrow(fs: org.apache.hadoop.fs.FileSystem,
                                 lock: Path): Unit = {
     val st =
@@ -51,34 +58,39 @@ private[graft] object BatchLedger {
     st.foreach { s =>
       if (System.currentTimeMillis() - s.getModificationTime < LockStaleMs)
         throw new IllegalStateException(activeMsg(lock))
-      log.warn(s"breaking stale compaction lock $lock (holder presumed " +
-        "crashed; repairBatchStore repairs any half-finished fold)")
-      fs.delete(lock, false)
+      val still =
+        try fs.getFileStatus(lock).getModificationTime == s.getModificationTime
+        catch { case _: java.io.FileNotFoundException => false }
+      if (still) {
+        log.warn(s"breaking stale lock marker $lock (holder presumed " +
+          "crashed; repairBatchStore repairs any half-finished fold)")
+        fs.delete(lock, false)
+      } else throw new IllegalStateException(activeMsg(lock))
     }
   }
 
-  /** Gate entry check (applyBatch): fail loudly while a live compaction
-    * holds the lock; silently break a stale lock from a crashed one. */
-  def requireNoActiveCompaction(spark: SparkSession,
-                                stateDir: String): Unit = {
-    val lock = lockPath(stateDir)
-    breakStaleOrThrow(
-      lock.getFileSystem(spark.sparkContext.hadoopConfiguration), lock)
-  }
-
-  /** Run `f` holding the compaction lock, heartbeating its mtime from a
-    * daemon thread so [[requireNoActiveCompaction]] can tell a live fold
-    * from a crashed one. Used by [[compactStores]] and by
-    * [[IngestDedup.compact]] (whose stores don't share one state dir). */
-  def withCompactionLock[T](spark: SparkSession,
-                            stateDir: String)(f: => T): T = {
-    val lock = lockPath(stateDir)
-    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    breakStaleOrThrow(fs, lock)
-    try fs.create(lock, false).close()
+  /** Acquire `ownName`, verify `otherName` is absent/stale, heartbeat
+    * own marker from a daemon thread while `f` runs, release. Backs out
+    * (releasing its own marker) if the other side holds a fresh one, so
+    * a simultaneous start fails LOUDLY on both sides rather than racing
+    * — the stream's retry then re-runs the batch cleanly. */
+  private def withLock[T](spark: SparkSession, stateDir: String,
+                          ownName: String, otherName: String)(f: => T): T = {
+    val own = new Path(stateDir, ownName)
+    val other = new Path(stateDir, otherName)
+    val fs = own.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    breakStaleOrThrow(fs, own)
+    try fs.create(own, false).close()
     catch {
       case _: java.io.IOException =>
-        throw new IllegalStateException(activeMsg(lock))
+        throw new IllegalStateException(activeMsg(own))
+    }
+    try breakStaleOrThrow(fs, other)
+    catch {
+      case e: IllegalStateException =>
+        try fs.delete(own, false)
+        catch { case _: java.io.IOException => () }
+        throw e
     }
     @volatile var done = false
     val hb = new Thread(() => {
@@ -86,20 +98,35 @@ private[graft] object BatchLedger {
         try Thread.sleep(LockHeartbeatMs)
         catch { case _: InterruptedException => () }
         if (!done)
-          try fs.setTimes(lock, System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () } // best-effort
+          try fs.setTimes(own, System.currentTimeMillis(), -1)
+          catch { // a dead heartbeat must not kill the fold itself
+            case scala.util.control.NonFatal(_) => ()
+          }
       }
-    }, "graft-compact-heartbeat")
+    }, s"graft-lock-heartbeat-$ownName")
     hb.setDaemon(true)
     hb.start()
     try f
     finally {
       done = true
       hb.interrupt()
-      try fs.delete(lock, false)
+      try fs.delete(own, false)
       catch { case _: java.io.IOException => () }
     }
   }
+
+  /** Run a compaction fold holding `_compact.lock`; fails loudly if a
+    * gate's micro-batch is in flight. Used by [[compactStores]] and by
+    * [[IngestDedup.compact]] (whose stores don't share one state dir). */
+  def withCompactionLock[T](spark: SparkSession,
+                            stateDir: String)(f: => T): T =
+    withLock(spark, stateDir, CompactLockName, GateLockName)(f)
+
+  /** Run one micro-batch's gate work holding `_gate.lock`; fails loudly
+    * if a compaction fold is in flight (the pre-r10 entry check only
+    * caught the batch-starts-second interleaving). */
+  def withGateLock[T](spark: SparkSession, stateDir: String)(f: => T): T =
+    withLock(spark, stateDir, GateLockName, CompactLockName)(f)
 
   /** Highest committed batch id, -1 before the first commit. */
   def last(spark: SparkSession, stateDir: String): Long = {

@@ -87,90 +87,93 @@ object EmbeddingIngest {
         s"$stateDir: state was built by a different checkpoint lineage. " +
         "Use a fresh stateDir or restore the original checkpoint.")
     if (batchId == last) return // replay of the committed batch: no-op
-    // live concurrent compaction → loud failure; stale lock → broken here
-    BatchLedger.requireNoActiveCompaction(spark, stateDir)
-    leafStores(stateDir).foreach(s =>
-      graft.io.Parquet.repairBatchStore(spark, s))
-    val cellsDir = s"$stateDir/semantic"
-    // a PRE-SEEDED index (putSemanticIndexBatch with id -1 over an
-    // existing corpus — the seedCorpusIndex pattern) must route batch 0
-    // through the GATE branch, or vectors duplicating the seed corpus
-    // would be silently accepted by a self-dedup-only bootstrap
-    val fs = new org.apache.hadoop.fs.Path(stateDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val seeded = fs.exists(
-      new org.apache.hadoop.fs.Path(s"$cellsDir/cells/batch=-1"))
-    val bootstrapped = last >= 0L || seeded
-    val batch = batch0.persist()
-    val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
-    def pin(df: DataFrame): DataFrame = {
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned += df
-      df
-    }
-    try {
-      if (batch.isEmpty) return
-      // ONE (id, cell, v) pass over the batch (the SimilarityIngest
-      // fusion): the pinned frame feeds the index probe, the intra-batch
-      // self-dedup, and the index write — previously each consumer
-      // re-derived cells and double vectors from the raw batch
-      val rows = pin(Dedup.semanticFrames(batch, idCol, vecCol, p.bits))
-      val (acc, quar) =
-        if (!bootstrapped) {
-          // first batch IS the corpus: self-dedup only
-          val comps = Dedup.semanticDedupFromRows(rows, p.tau, p.bits)
-          val keep = pin(batch.join(
-            comps.filter(col("id") =!= col("comp"))
-              .select(col("id").as("__graft_drop")),
-            batch(idCol) === col("__graft_drop"), "left_anti"))
-          val q = batch.join(keep.select(col(idCol).as("__graft_keep")),
-              batch(idCol) === col("__graft_keep"), "left_anti")
-            .withColumn("reason", lit("near_dup"))
-          (keep, q)
-        } else {
-          // crash replay guard: prune this batch's own half-written
-          // index rows so the probe sees exactly the pre-batch corpus
-          val corpusCells = spark.read.parquet(s"$cellsDir/cells")
-            .filter(col("batch") =!= batchId)
-          val near = pin(Dedup.semanticNewVsIndexFromRows(rows,
-              corpusCells, p.tau)
-            .select(col("new_id").as("__graft_bad")).distinct())
-          val qIndex = batch.join(near,
-              batch(idCol) === col("__graft_bad"))
-            .drop("__graft_bad")
-            .withColumn("reason", lit("near_dup"))
-          val a0 = pin(batch.join(near,
-            batch(idCol) === col("__graft_bad"), "left_anti"))
-          // intra-batch self-dedup, scoped to the index-gate survivors'
-          // slice of the pinned cell frame
-          val comps = Dedup.semanticDedupFromRows(
-            rows.join(a0.select(col(idCol).as("id")), Seq("id"),
-              "left_semi"), p.tau, p.bits)
-          val keep = pin(a0.join(
-            comps.filter(col("id") =!= col("comp"))
-              .select(col("id").as("__graft_drop")),
-            a0(idCol) === col("__graft_drop"), "left_anti"))
-          val qIntra = a0.join(keep.select(col(idCol).as("__graft_keep")),
-              a0(idCol) === col("__graft_keep"), "left_anti")
-            .withColumn("reason", lit("near_dup"))
-          (keep, qIndex.unionByName(qIntra))
-        }
-      // commit protocol: the three store writes are mutually independent
-      // batch-keyed overwrites — run them concurrently, stamp LAST (the
-      // only barrier; any crash prefix replays to the identical state,
-      // same argument as SimilarityIngest.applyBatch)
-      graft.Util.runConcurrently(Seq(
-        () => acc.write.mode("overwrite")
-          .parquet(s"$stateDir/accepted/batch=$batchId"),
-        () => quar.write.mode("overwrite")
-          .parquet(s"$stateDir/quarantine/batch=$batchId"),
-        () => Dedup.putSemanticIndexBatchFromRows(
-          rows.join(acc.select(col(idCol).as("id")), Seq("id"),
-            "left_semi"), cellsDir, batchId, p.bits)))
-      BatchLedger.stamp(spark, stateDir, batchId)
-    } finally {
-      pinned.foreach(_.unpersist())
-      batch.unpersist()
+    // the gate holds _gate.lock for the whole batch: a compaction
+    // starting mid-batch now fails loudly instead of racing the probes
+    // (and a batch starting mid-fold still fails on _compact.lock)
+    BatchLedger.withGateLock(spark, stateDir) {
+      leafStores(stateDir).foreach(s =>
+        graft.io.Parquet.repairBatchStore(spark, s))
+      val cellsDir = s"$stateDir/semantic"
+      // a PRE-SEEDED index (putSemanticIndexBatch with id -1 over an
+      // existing corpus — the seedCorpusIndex pattern) must route batch 0
+      // through the GATE branch, or vectors duplicating the seed corpus
+      // would be silently accepted by a self-dedup-only bootstrap
+      val fs = new org.apache.hadoop.fs.Path(stateDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val seeded = fs.exists(
+        new org.apache.hadoop.fs.Path(s"$cellsDir/cells/batch=-1"))
+      val bootstrapped = last >= 0L || seeded
+      val batch = batch0.persist()
+      val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
+      def pin(df: DataFrame): DataFrame = {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned += df
+        df
+      }
+      try {
+        if (batch.isEmpty) return
+        // ONE (id, cell, v) pass over the batch (the SimilarityIngest
+        // fusion): the pinned frame feeds the index probe, the intra-batch
+        // self-dedup, and the index write — previously each consumer
+        // re-derived cells and double vectors from the raw batch
+        val rows = pin(Dedup.semanticFrames(batch, idCol, vecCol, p.bits))
+        val (acc, quar) =
+          if (!bootstrapped) {
+            // first batch IS the corpus: self-dedup only
+            val comps = Dedup.semanticDedupFromRows(rows, p.tau, p.bits)
+            val keep = pin(batch.join(
+              comps.filter(col("id") =!= col("comp"))
+                .select(col("id").as("__graft_drop")),
+              batch(idCol) === col("__graft_drop"), "left_anti"))
+            val q = batch.join(keep.select(col(idCol).as("__graft_keep")),
+                batch(idCol) === col("__graft_keep"), "left_anti")
+              .withColumn("reason", lit("near_dup"))
+            (keep, q)
+          } else {
+            // crash replay guard: prune this batch's own half-written
+            // index rows so the probe sees exactly the pre-batch corpus
+            val corpusCells = spark.read.parquet(s"$cellsDir/cells")
+              .filter(col("batch") =!= batchId)
+            val near = pin(Dedup.semanticNewVsIndexFromRows(rows,
+                corpusCells, p.tau)
+              .select(col("new_id").as("__graft_bad")).distinct())
+            val qIndex = batch.join(near,
+                batch(idCol) === col("__graft_bad"))
+              .drop("__graft_bad")
+              .withColumn("reason", lit("near_dup"))
+            val a0 = pin(batch.join(near,
+              batch(idCol) === col("__graft_bad"), "left_anti"))
+            // intra-batch self-dedup, scoped to the index-gate survivors'
+            // slice of the pinned cell frame
+            val comps = Dedup.semanticDedupFromRows(
+              rows.join(a0.select(col(idCol).as("id")), Seq("id"),
+                "left_semi"), p.tau, p.bits)
+            val keep = pin(a0.join(
+              comps.filter(col("id") =!= col("comp"))
+                .select(col("id").as("__graft_drop")),
+              a0(idCol) === col("__graft_drop"), "left_anti"))
+            val qIntra = a0.join(keep.select(col(idCol).as("__graft_keep")),
+                a0(idCol) === col("__graft_keep"), "left_anti")
+              .withColumn("reason", lit("near_dup"))
+            (keep, qIndex.unionByName(qIntra))
+          }
+        // commit protocol: the three store writes are mutually independent
+        // batch-keyed overwrites — run them concurrently, stamp LAST (the
+        // only barrier; any crash prefix replays to the identical state,
+        // same argument as SimilarityIngest.applyBatch)
+        graft.Util.runConcurrently(Seq(
+          () => acc.write.mode("overwrite")
+            .parquet(s"$stateDir/accepted/batch=$batchId"),
+          () => quar.write.mode("overwrite")
+            .parquet(s"$stateDir/quarantine/batch=$batchId"),
+          () => Dedup.putSemanticIndexBatchFromRows(
+            rows.join(acc.select(col(idCol).as("id")), Seq("id"),
+              "left_semi"), cellsDir, batchId, p.bits)))
+        BatchLedger.stamp(spark, stateDir, batchId)
+      } finally {
+        pinned.foreach(_.unpersist())
+        batch.unpersist()
+      }
     }
   }
 

@@ -102,120 +102,123 @@ object IngestDedup {
         s"$indexPath: state was built by a different checkpoint lineage. " +
         "Use a fresh indexPath/outDir or restore the original checkpoint.")
     if (batchId == last) return // replay of the committed batch: no-op
-    // live concurrent compaction → loud failure; stale lock → broken here
-    BatchLedger.requireNoActiveCompaction(spark, indexPath)
-    // finish/roll back any interrupted compaction before probing
-    Seq(s"$indexPath/docs", s"$indexPath/buckets", outDir)
-      .foreach(p => graft.io.Parquet.repairBatchStore(spark, p))
-    val fs = new Path(indexPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val docsDir = new Path(s"$indexPath/docs")
-    // a legacy flat index (writeCorpusIndex layout) has data FILES at the
-    // docs root instead of batch= subdirs — its entries cannot be
-    // partition-pruned on replay, so refuse loudly with the migration
-    if (fs.exists(docsDir)) {
-      val foreign = fs.listStatus(docsDir)
-        .filterNot(e => e.getPath.getName.startsWith("_") ||
-          e.getPath.getName.startsWith("."))
-        .filterNot(e => e.isDirectory &&
-          e.getPath.getName.matches("batch=-?\\d+"))
-      require(foreign.isEmpty,
-        s"legacy flat corpus index at $indexPath — rebuild the seed with " +
-          "Dedup.seedCorpusIndex (batch=-1 base segment); a flat layout " +
-          "cannot be batch-pruned for exactly-once replay")
-    }
-    // bootstrap: nothing committed AND no seed base. (A crashed first
-    // batch may have left its own batch=0 index dirs — the bootstrap
-    // replay overwrites them; a crashed SEEDED first batch replays
-    // through the gate branch with its own entries pruned out.)
-    // BOTH halves of the seed must exist: seedCorpusIndex writes docs
-    // then buckets, so a crash between the two leaves a half-seed whose
-    // gate branch would wedge the stream on PATH_NOT_FOUND at every
-    // retry — refuse loudly with the rebuild instruction instead.
-    val seededDocs = fs.exists(new Path(docsDir, "batch=-1"))
-    val seededBuckets = fs.exists(
-      new Path(s"$indexPath/buckets", "batch=-1"))
-    require(seededDocs == seededBuckets,
-      s"half-written seed at $indexPath (docs/batch=-1: $seededDocs, " +
-        s"buckets/batch=-1: $seededBuckets) — seedCorpusIndex crashed " +
-        "between its two writes; delete the index dir and re-seed")
-    val seeded = seededDocs
-    val bootstrapped = last >= 0L || seeded
-    val batch = batch0.persist()
-    // ONE signature pass per batch (the SimilarityIngest fusion): the
-    // pinned frames feed the index probe, the intra-batch self-dedup,
-    // and the index write — pre-fusion each consumer re-shingled the
-    // batch and re-ran the corpus probe (~3x the signature work)
-    val (sigDocs, sigBuckets0) = Dedup.signatureFrames(batch, idCol,
-      textCol, shingleN, numHashes, bands)
-    val sigBuckets = sigBuckets0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (batch.isEmpty) return
-      val accepted =
-        if (!bootstrapped) {
-          // first batch IS the corpus: self-dedup and index everything.
-          // The batch-keyed output write only ever overwrites its own
-          // subdir, but a FOREIGN flat dataset at outDir would silently
-          // gain a batch=0 partition — refuse that
-          val outP = new Path(outDir)
-          if (fs.exists(outP)) {
-            val foreignOut = fs.listStatus(outP)
-              .filterNot(e => e.getPath.getName.startsWith("_") ||
-                e.getPath.getName.startsWith("."))
-              .filterNot(e => e.isDirectory &&
-                e.getPath.getName.matches("batch=-?\\d+"))
-            require(foreignOut.isEmpty,
-              s"dedupIngest bootstrap would write into non-empty $outDir " +
-                "that holds data it did not write; point outDir at a " +
-                "fresh directory")
-          }
-          val pairs = Dedup.minhashLshPairsFromSigs(sigDocs, sigBuckets,
-            threshold)
-          Dedup.dedupedCorpus(batch, idCol, pairs)
-        } else {
-          // replay guard: prune this batch's own half-committed entries
-          val docs = spark.read.parquet(s"$indexPath/docs")
-            .filter(col("batch") =!= batchId)
-          val buckets = spark.read.parquet(s"$indexPath/buckets")
-            .filter(col("batch") =!= batchId)
-          val dups = Dedup.minhashLshProbeSigs(sigDocs, sigBuckets,
-              docs, buckets, threshold)
-            .select(col("new_id").as("__graft_dup")).distinct()
-          val a0 = batch.join(dups, batch(idCol) === col("__graft_dup"),
-              "left_anti")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          // intra-batch near-dups: the index only sees the pre-batch
-          // corpus and duplicates typically arrive together. Only the
-          // bucket side restricts to survivors (it defines the pair
-          // space); the docs side is a candidate-probed lookup table
-          val a0Ids = a0.select(col(idCol).as("id"))
-          val intraPairs = Dedup.minhashLshPairsFromSigs(sigDocs,
-            sigBuckets.join(a0Ids, Seq("id"), "left_semi"), threshold)
-          try Dedup.dedupedCorpus(a0, idCol, intraPairs)
-            .localCheckpoint() // a0 unpersists below; sever the lineage
-          finally a0.unpersist()
-        }
-      val accP = accepted
+    // the gate holds _gate.lock for the whole batch: a compaction
+    // starting mid-batch now fails loudly instead of racing the probes
+    // (and a batch starting mid-fold still fails on _compact.lock)
+    BatchLedger.withGateLock(spark, indexPath) {
+      // finish/roll back any interrupted compaction before probing
+      Seq(s"$indexPath/docs", s"$indexPath/buckets", outDir)
+        .foreach(p => graft.io.Parquet.repairBatchStore(spark, p))
+      val fs = new Path(indexPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val docsDir = new Path(s"$indexPath/docs")
+      // a legacy flat index (writeCorpusIndex layout) has data FILES at the
+      // docs root instead of batch= subdirs — its entries cannot be
+      // partition-pruned on replay, so refuse loudly with the migration
+      if (fs.exists(docsDir)) {
+        val foreign = fs.listStatus(docsDir)
+          .filterNot(e => e.getPath.getName.startsWith("_") ||
+            e.getPath.getName.startsWith("."))
+          .filterNot(e => e.isDirectory &&
+            e.getPath.getName.matches("batch=-?\\d+"))
+        require(foreign.isEmpty,
+          s"legacy flat corpus index at $indexPath — rebuild the seed with " +
+            "Dedup.seedCorpusIndex (batch=-1 base segment); a flat layout " +
+            "cannot be batch-pruned for exactly-once replay")
+      }
+      // bootstrap: nothing committed AND no seed base. (A crashed first
+      // batch may have left its own batch=0 index dirs — the bootstrap
+      // replay overwrites them; a crashed SEEDED first batch replays
+      // through the gate branch with its own entries pruned out.)
+      // BOTH halves of the seed must exist: seedCorpusIndex writes docs
+      // then buckets, so a crash between the two leaves a half-seed whose
+      // gate branch would wedge the stream on PATH_NOT_FOUND at every
+      // retry — refuse loudly with the rebuild instruction instead.
+      val seededDocs = fs.exists(new Path(docsDir, "batch=-1"))
+      val seededBuckets = fs.exists(
+        new Path(s"$indexPath/buckets", "batch=-1"))
+      require(seededDocs == seededBuckets,
+        s"half-written seed at $indexPath (docs/batch=-1: $seededDocs, " +
+          s"buckets/batch=-1: $seededBuckets) — seedCorpusIndex crashed " +
+          "between its two writes; delete the index dir and re-seed")
+      val seeded = seededDocs
+      val bootstrapped = last >= 0L || seeded
+      val batch = batch0.persist()
+      // ONE signature pass per batch (the SimilarityIngest fusion): the
+      // pinned frames feed the index probe, the intra-batch self-dedup,
+      // and the index write — pre-fusion each consumer re-shingled the
+      // batch and re-ran the corpus probe (~3x the signature work)
+      val (sigDocs, sigBuckets0) = Dedup.signatureFrames(batch, idCol,
+        textCol, shingleN, numHashes, bands)
+      val sigBuckets = sigBuckets0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // commit order: output, then index, then stamp — every write is
-      // batch-keyed + overwrite, so any prefix replays to the identical
-      // final state and nothing double-appends
       try {
-        val accIds = accP.select(col(idCol).as("id"))
-        graft.Util.runConcurrently(Seq(
-          () => accP.write.mode("overwrite")
-            .parquet(s"$outDir/batch=$batchId"),
-          () => Dedup.putCorpusIndexBatchSigs(
-            sigDocs.join(accIds, Seq("id"), "left_semi"),
-            sigBuckets.join(accIds, Seq("id"), "left_semi"),
-            indexPath, batchId, shingleN, numHashes, bands)))
-        BatchLedger.stamp(spark, indexPath, batchId)
-      } finally accP.unpersist()
-    } finally {
-      sigDocs.unpersist()
-      sigBuckets.unpersist()
-      batch.unpersist()
+        if (batch.isEmpty) return
+        val accepted =
+          if (!bootstrapped) {
+            // first batch IS the corpus: self-dedup and index everything.
+            // The batch-keyed output write only ever overwrites its own
+            // subdir, but a FOREIGN flat dataset at outDir would silently
+            // gain a batch=0 partition — refuse that
+            val outP = new Path(outDir)
+            if (fs.exists(outP)) {
+              val foreignOut = fs.listStatus(outP)
+                .filterNot(e => e.getPath.getName.startsWith("_") ||
+                  e.getPath.getName.startsWith("."))
+                .filterNot(e => e.isDirectory &&
+                  e.getPath.getName.matches("batch=-?\\d+"))
+              require(foreignOut.isEmpty,
+                s"dedupIngest bootstrap would write into non-empty $outDir " +
+                  "that holds data it did not write; point outDir at a " +
+                  "fresh directory")
+            }
+            val pairs = Dedup.minhashLshPairsFromSigs(sigDocs, sigBuckets,
+              threshold)
+            Dedup.dedupedCorpus(batch, idCol, pairs)
+          } else {
+            // replay guard: prune this batch's own half-committed entries
+            val docs = spark.read.parquet(s"$indexPath/docs")
+              .filter(col("batch") =!= batchId)
+            val buckets = spark.read.parquet(s"$indexPath/buckets")
+              .filter(col("batch") =!= batchId)
+            val dups = Dedup.minhashLshProbeSigs(sigDocs, sigBuckets,
+                docs, buckets, threshold)
+              .select(col("new_id").as("__graft_dup")).distinct()
+            val a0 = batch.join(dups, batch(idCol) === col("__graft_dup"),
+                "left_anti")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // intra-batch near-dups: the index only sees the pre-batch
+            // corpus and duplicates typically arrive together. Only the
+            // bucket side restricts to survivors (it defines the pair
+            // space); the docs side is a candidate-probed lookup table
+            val a0Ids = a0.select(col(idCol).as("id"))
+            val intraPairs = Dedup.minhashLshPairsFromSigs(sigDocs,
+              sigBuckets.join(a0Ids, Seq("id"), "left_semi"), threshold)
+            try Dedup.dedupedCorpus(a0, idCol, intraPairs)
+              .localCheckpoint() // a0 unpersists below; sever the lineage
+            finally a0.unpersist()
+          }
+        val accP = accepted
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // commit order: output, then index, then stamp — every write is
+        // batch-keyed + overwrite, so any prefix replays to the identical
+        // final state and nothing double-appends
+        try {
+          val accIds = accP.select(col(idCol).as("id"))
+          graft.Util.runConcurrently(Seq(
+            () => accP.write.mode("overwrite")
+              .parquet(s"$outDir/batch=$batchId"),
+            () => Dedup.putCorpusIndexBatchSigs(
+              sigDocs.join(accIds, Seq("id"), "left_semi"),
+              sigBuckets.join(accIds, Seq("id"), "left_semi"),
+              indexPath, batchId, shingleN, numHashes, bands)))
+          BatchLedger.stamp(spark, indexPath, batchId)
+        } finally accP.unpersist()
+      } finally {
+        sigDocs.unpersist()
+        sigBuckets.unpersist()
+        batch.unpersist()
+      }
     }
   }
 

@@ -168,210 +168,213 @@ object SimilarityIngest {
         s"$stateDir: state was built by a different checkpoint lineage. " +
         "Use a fresh stateDir or restore the original checkpoint.")
     if (batchId == last) return // replay of the committed batch: no-op
-    // a LIVE concurrent compaction (fresh heartbeat on the lock marker)
-    // would race the probes below with half-folded stores — fail loudly;
-    // a STALE lock (crashed compactor) is broken here and repaired next
-    timed("lock")(BatchLedger.requireNoActiveCompaction(spark, stateDir))
-    // a compactIndexes crash mid-fold leaves a store in its two-phase
-    // window (tmp segment present, originals half-deleted); finish or
-    // roll back BEFORE probing, or the gates would read duplicated /
-    // missing corpus entries. No-op (5 dir listings) in steady state.
-    timed("repair")(leafStores(stateDir).foreach(p =>
-      graft.io.Parquet.repairBatchStore(spark, p)))
-    val minhashDir = s"$stateDir/minhash"
-    val windowsDir = s"$stateDir/windows"
-    // Bootstrap detection rides the STAMP, not index-directory existence:
-    // the stamp is the last write of a committed NONEMPTY batch (empty
-    // batches write nothing at all — trivially idempotent), so
-    //   stamp present  <=> some nonempty batch committed
-    //                  <=> all index paths exist and hold committed data.
-    // A bootstrap batch that crashed mid-write (docs down, buckets or
-    // windows missing) therefore replays through the bootstrap branch
-    // again — same self-dedup, same verdicts, overwriting its own
-    // half-committed batch=0 subdirs — instead of wedging the stream on
-    // a PATH_NOT_FOUND read or skipping intra-batch dedup.
-    //
-    // EXCEPTION: a PRE-SEEDED batch=-1 base (Dedup.seedCorpusIndex +
-    // putWindowIndexBatch at id -1 over an existing corpus) must route
-    // batch 0 through the GATE branch — a self-dedup-only bootstrap
-    // would silently accept duplicates of the seed corpus (the
-    // EmbeddingIngest/IngestDedup guard, previously missing here). The
-    // gate probes BOTH indexes, so a half-seeded state fails loudly
-    // rather than reading a missing store or silently skipping one gate.
-    // The seed detection (and its half-seed guard) is only meaningful
-    // BEFORE the first commit: once the ledger has a stamp, bootstrapped
-    // is true regardless, and batch=-1 bases can also come from
-    // compactIndexes — which folds the five stores CONCURRENTLY, so a
-    // crash mid-compaction legitimately leaves some stores folded and
-    // others not (repairBatchStore above fixes the two-phase window;
-    // an un-started fold is just unfolded per-batch dirs, read fine).
-    // Running the require unconditionally would wedge that crash replay
-    // forever with wrong (re-seed) advice. Compaction clamps to the
-    // ledger frontier and therefore never creates a base before the
-    // first commit, so the scoped check still catches genuine half-seeds.
-    val bootstrapped = last >= 0L || {
-      val fsState = new Path(stateDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val mhSeeded = fsState.exists(new Path(s"$minhashDir/docs/batch=-1"))
-      val winSeeded = fsState.exists(new Path(s"$windowsDir/batch=-1"))
-      require(mhSeeded == winSeeded,
-        s"partially seeded state at $stateDir: seed BOTH the MinHash index " +
-          s"(Dedup.seedCorpusIndex at $minhashDir) and the window index " +
-          s"(SubstringDedup.putWindowIndexBatch id -1 at $windowsDir), or " +
-          "neither — the gate probes both")
-      mhSeeded
-    }
-    val batch = batch0.persist()
-    // every frame persisted by the gate below lands here and is released
-    // in ONE finally — a transient FS failure mid-commit must not leak
-    // persists into the retry
-    val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
-    def pin(df: DataFrame): DataFrame = {
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      pinned += df
-      df
-    }
-    try {
-      if (timed("isEmpty")(batch.isEmpty)) return
-      // ONE feature pass over the batch: MinHash signatures and window
-      // hashes are computed once and pinned, then feed every consumer —
-      // the two index probes, the intra-batch self-dedup, and the index
-      // writes. (Pre-r8, each consumer re-shingled/re-tokenized the
-      // batch from scratch: three signature passes and two window passes
-      // per batch.) `sigDocs` comes back persisted by signatureFrames.
-      val (sigDocs, sigBuckets0) = Dedup.signatureFrames(batch, idCol,
-        textCol, p.shingleN, p.numHashes, p.bands)
-      pinned += sigDocs
-      val sigBuckets = pin(sigBuckets0)
-      val wins = pin(SubstringDedup.hashedWindows(batch, idCol, textCol,
-        p.windowK))
-      val (acc, quar) =
-        if (!bootstrapped) {
-          // intra-batch saturation first (no index yet, so coverage is
-          // purely min-id): the stitched-boilerplate class whose source
-          // halves share this first batch. Runs over the FULL batch —
-          // same priority the gate branch gives substring_dup over the
-          // intra MinHash pass.
-          val satB = pin(SubstringDedup
-            .duplicatedWindowStatsWithIntraFromWins(
-              batch.select(col(idCol).as("doc_id")), wins, None)
-            .filter(col("n_windows") > 0 &&
-              col("n_dup_windows") >=
-                col("n_windows") * lit(p.maxDupWindowRatio))
-            .select(col("doc_id").as("__graft_bad")))
-          val qSat = batch.join(satB, batch(idCol) === col("__graft_bad"))
-            .drop("__graft_bad")
-            .withColumn("reason", lit("substring_dup"))
-          val b0 = pin(batch.join(satB,
-            batch(idCol) === col("__graft_bad"), "left_anti"))
-          // first batch IS the corpus: saturation survivors self-dedup
-          // via MinHash components (no index exists to do it),
-          // everything surviving bootstraps both indexes. The pair gen
-          // is restricted to survivors — a saturated doc must not pull
-          // a survivor out of the corpus by winning a min-id component.
-          // Persist BEFORE deriving the quarantine side — its anti-join
-          // re-reads the accepted set, which would otherwise re-run the
-          // whole components pass
-          val pairs = Dedup.minhashLshPairsFromSigs(sigDocs,
-            sigBuckets.join(b0.select(col(idCol).as("id")), Seq("id"),
-              "left_semi"), p.threshold)
-          val a = timed("bootstrap-cc")(pin(Dedup.dedupedCorpus(b0, idCol, pairs)))
-          val qCc = b0.join(a.select(col(idCol).as("__graft_keep")),
-              b0(idCol) === col("__graft_keep"), "left_anti")
-            .withColumn("reason", lit("near_dup"))
-          (a, qSat.unionByName(qCc))
-        } else {
-          // replay guard: a crash BETWEEN the index writes and the stamp
-          // left this batch's own entries in the indexes; prune them out
-          // by partition so the replay sees exactly the pre-batch corpus
-          val corpusDocs = spark.read.parquet(s"$minhashDir/docs")
-            .filter(col("batch") =!= batchId)
-          val corpusBuckets = spark.read.parquet(s"$minhashDir/buckets")
-            .filter(col("batch") =!= batchId)
-          // a restart with a different windowK would probe k'-grams
-          // against a k-gram index and find ZERO hits silently — the
-          // stamp written with the index fails it loudly instead
-          SubstringDedup.stampOrRequireWindowParams(spark, windowsDir,
-            p.windowK)
-          val windowIdx = spark.read.parquet(windowsDir)
-            .filter(col("batch") =!= batchId)
-          // BOTH gate probes are lazy over the pinned feature frames and
-          // combine through one priority aggregation (near_dup outranks
-          // substring_dup for docs both gates flag — the pre-r8
-          // anti-join's verdict, without its near→sat sequencing), so
-          // pinning `bad` materializes the two probes TOGETHER in one
-          // Spark job instead of two sequential eager passes.
-          val near = Dedup.minhashLshProbeSigs(sigDocs, sigBuckets,
-              corpusDocs, corpusBuckets, p.threshold)
-            .select(col("new_id").as("__graft_bad")).distinct()
-            .select(col("__graft_bad"), lit(0).as("__graft_prio"),
-              lit("near_dup").as("reason"))
-          val sat = SubstringDedup.duplicatedWindowStatsWithIntraFromWins(
-              batch.select(col(idCol).as("doc_id")), wins, Some(windowIdx))
-            .filter(col("n_windows") > 0 &&
-              col("n_dup_windows") >=
-                col("n_windows") * lit(p.maxDupWindowRatio))
-            .select(col("doc_id").as("__graft_bad"),
-              lit(1).as("__graft_prio"), lit("substring_dup").as("reason"))
-          // `bad` feeds the quarantine join and the survivor anti-join;
-          // `a0` feeds the intra-batch pair gen, the components pass, and
-          // the intra-quarantine anti-join. Unpersisted, each consumer
-          // re-executes the full probe chain behind it.
-          val bad = pin(near.unionByName(sat)
-            .groupBy(col("__graft_bad"))
-            .agg(min(struct(col("__graft_prio"), col("reason"))).as("__m"))
-            .select(col("__graft_bad"), col("__m.reason").as("reason")))
-          if (prof) timed("probe-mat")(bad.count())
-          val qIndex = batch.join(bad, batch(idCol) === col("__graft_bad"))
-            .drop("__graft_bad")
-          val a0 = pin(batch.join(bad, batch(idCol) === col("__graft_bad"),
-            "left_anti"))
-          // INTRA-batch near-dups: the index gates only see the pre-batch
-          // corpus, and duplicates typically arrive together — without
-          // this pass, two near-identical fresh docs in one micro-batch
-          // would BOTH be accepted and indexed forever. Same self-dedup
-          // the bootstrap runs, scoped to the index-gate survivors — and
-          // running on the survivors' slice of the PINNED signature
-          // frames, not a recomputation.
-          val a0Ids = a0.select(col(idCol).as("id"))
-          // only the BUCKET side needs restricting to the survivors (it
-          // defines the candidate pair space); the docs side is a lookup
-          // table the verify join probes by candidate id, so the full
-          // pinned frame serves as-is — no shingle-set shuffle
-          val intraPairs = Dedup.minhashLshPairsFromSigs(sigDocs,
-            sigBuckets.join(a0Ids, Seq("id"), "left_semi"), p.threshold)
-          val a = timed("intra-cc")(pin(Dedup.dedupedCorpus(a0, idCol, intraPairs)))
-          val qIntra = a0.join(a.select(col(idCol).as("__graft_keep")),
-              a0(idCol) === col("__graft_keep"), "left_anti")
-            .withColumn("reason", lit("near_dup"))
-          (a, qIndex.unionByName(qIntra))
-        }
-      // commit protocol: outputs + indexes first (any order), stamp LAST —
-      // every write is batch-keyed + overwrite, so any prefix of the
-      // write set replays to the identical final state. The four store
-      // writes are mutually independent (distinct directories over pinned
-      // inputs), so they run CONCURRENTLY and the batch pays the slowest
-      // write, not the sum; only the stamp is a barrier. The index
-      // writes slice the accepted rows out of the pinned feature frames
-      // instead of recomputing signatures/windows from text.
-      val accIds = acc.select(col(idCol).as("id"))
-      val accDocs = sigDocs.join(accIds, Seq("id"), "left_semi")
-      val accBuckets = sigBuckets.join(accIds, Seq("id"), "left_semi")
-      val accWins = wins.join(acc.select(col(idCol).as("doc_id")),
-        Seq("doc_id"), "left_semi")
-      timed("writes")(graft.Util.runConcurrently(Seq(
-        () => acc.write.mode("overwrite")
-          .parquet(s"$stateDir/accepted/batch=$batchId"),
-        () => quar.write.mode("overwrite")
-          .parquet(s"$stateDir/quarantine/batch=$batchId"),
-        () => Dedup.putCorpusIndexBatchSigs(accDocs, accBuckets,
-          minhashDir, batchId, p.shingleN, p.numHashes, p.bands),
-        () => SubstringDedup.putWindowIndexBatchFromWins(accWins,
-          windowsDir, batchId, p.windowK))))
-      timed("stamp")(writeStamp(spark, stateDir, batchId))
-    } finally {
-      pinned.foreach(_.unpersist())
-      batch.unpersist()
+    // the gate holds _gate.lock for the whole batch (heartbeated):
+    // a compaction starting mid-batch fails loudly on it instead of
+    // racing the probes below with half-folded stores, and a batch
+    // starting mid-fold fails on the fold's fresh _compact.lock (a
+    // STALE marker from a crashed holder is broken and repaired next)
+    BatchLedger.withGateLock(spark, stateDir) {
+      // a compactIndexes crash mid-fold leaves a store in its two-phase
+      // window (tmp segment present, originals half-deleted); finish or
+      // roll back BEFORE probing, or the gates would read duplicated /
+      // missing corpus entries. No-op (5 dir listings) in steady state.
+      timed("repair")(leafStores(stateDir).foreach(p =>
+        graft.io.Parquet.repairBatchStore(spark, p)))
+      val minhashDir = s"$stateDir/minhash"
+      val windowsDir = s"$stateDir/windows"
+      // Bootstrap detection rides the STAMP, not index-directory existence:
+      // the stamp is the last write of a committed NONEMPTY batch (empty
+      // batches write nothing at all — trivially idempotent), so
+      //   stamp present  <=> some nonempty batch committed
+      //                  <=> all index paths exist and hold committed data.
+      // A bootstrap batch that crashed mid-write (docs down, buckets or
+      // windows missing) therefore replays through the bootstrap branch
+      // again — same self-dedup, same verdicts, overwriting its own
+      // half-committed batch=0 subdirs — instead of wedging the stream on
+      // a PATH_NOT_FOUND read or skipping intra-batch dedup.
+      //
+      // EXCEPTION: a PRE-SEEDED batch=-1 base (Dedup.seedCorpusIndex +
+      // putWindowIndexBatch at id -1 over an existing corpus) must route
+      // batch 0 through the GATE branch — a self-dedup-only bootstrap
+      // would silently accept duplicates of the seed corpus (the
+      // EmbeddingIngest/IngestDedup guard, previously missing here). The
+      // gate probes BOTH indexes, so a half-seeded state fails loudly
+      // rather than reading a missing store or silently skipping one gate.
+      // The seed detection (and its half-seed guard) is only meaningful
+      // BEFORE the first commit: once the ledger has a stamp, bootstrapped
+      // is true regardless, and batch=-1 bases can also come from
+      // compactIndexes — which folds the five stores CONCURRENTLY, so a
+      // crash mid-compaction legitimately leaves some stores folded and
+      // others not (repairBatchStore above fixes the two-phase window;
+      // an un-started fold is just unfolded per-batch dirs, read fine).
+      // Running the require unconditionally would wedge that crash replay
+      // forever with wrong (re-seed) advice. Compaction clamps to the
+      // ledger frontier and therefore never creates a base before the
+      // first commit, so the scoped check still catches genuine half-seeds.
+      val bootstrapped = last >= 0L || {
+        val fsState = new Path(stateDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val mhSeeded = fsState.exists(new Path(s"$minhashDir/docs/batch=-1"))
+        val winSeeded = fsState.exists(new Path(s"$windowsDir/batch=-1"))
+        require(mhSeeded == winSeeded,
+          s"partially seeded state at $stateDir: seed BOTH the MinHash index " +
+            s"(Dedup.seedCorpusIndex at $minhashDir) and the window index " +
+            s"(SubstringDedup.putWindowIndexBatch id -1 at $windowsDir), or " +
+            "neither — the gate probes both")
+        mhSeeded
+      }
+      val batch = batch0.persist()
+      // every frame persisted by the gate below lands here and is released
+      // in ONE finally — a transient FS failure mid-commit must not leak
+      // persists into the retry
+      val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
+      def pin(df: DataFrame): DataFrame = {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pinned += df
+        df
+      }
+      try {
+        if (timed("isEmpty")(batch.isEmpty)) return
+        // ONE feature pass over the batch: MinHash signatures and window
+        // hashes are computed once and pinned, then feed every consumer —
+        // the two index probes, the intra-batch self-dedup, and the index
+        // writes. (Pre-r8, each consumer re-shingled/re-tokenized the
+        // batch from scratch: three signature passes and two window passes
+        // per batch.) `sigDocs` comes back persisted by signatureFrames.
+        val (sigDocs, sigBuckets0) = Dedup.signatureFrames(batch, idCol,
+          textCol, p.shingleN, p.numHashes, p.bands)
+        pinned += sigDocs
+        val sigBuckets = pin(sigBuckets0)
+        val wins = pin(SubstringDedup.hashedWindows(batch, idCol, textCol,
+          p.windowK))
+        val (acc, quar) =
+          if (!bootstrapped) {
+            // intra-batch saturation first (no index yet, so coverage is
+            // purely min-id): the stitched-boilerplate class whose source
+            // halves share this first batch. Runs over the FULL batch —
+            // same priority the gate branch gives substring_dup over the
+            // intra MinHash pass.
+            val satB = pin(SubstringDedup
+              .duplicatedWindowStatsWithIntraFromWins(
+                batch.select(col(idCol).as("doc_id")), wins, None)
+              .filter(col("n_windows") > 0 &&
+                col("n_dup_windows") >=
+                  col("n_windows") * lit(p.maxDupWindowRatio))
+              .select(col("doc_id").as("__graft_bad")))
+            val qSat = batch.join(satB, batch(idCol) === col("__graft_bad"))
+              .drop("__graft_bad")
+              .withColumn("reason", lit("substring_dup"))
+            val b0 = pin(batch.join(satB,
+              batch(idCol) === col("__graft_bad"), "left_anti"))
+            // first batch IS the corpus: saturation survivors self-dedup
+            // via MinHash components (no index exists to do it),
+            // everything surviving bootstraps both indexes. The pair gen
+            // is restricted to survivors — a saturated doc must not pull
+            // a survivor out of the corpus by winning a min-id component.
+            // Persist BEFORE deriving the quarantine side — its anti-join
+            // re-reads the accepted set, which would otherwise re-run the
+            // whole components pass
+            val pairs = Dedup.minhashLshPairsFromSigs(sigDocs,
+              sigBuckets.join(b0.select(col(idCol).as("id")), Seq("id"),
+                "left_semi"), p.threshold)
+            val a = timed("bootstrap-cc")(pin(Dedup.dedupedCorpus(b0, idCol, pairs)))
+            val qCc = b0.join(a.select(col(idCol).as("__graft_keep")),
+                b0(idCol) === col("__graft_keep"), "left_anti")
+              .withColumn("reason", lit("near_dup"))
+            (a, qSat.unionByName(qCc))
+          } else {
+            // replay guard: a crash BETWEEN the index writes and the stamp
+            // left this batch's own entries in the indexes; prune them out
+            // by partition so the replay sees exactly the pre-batch corpus
+            val corpusDocs = spark.read.parquet(s"$minhashDir/docs")
+              .filter(col("batch") =!= batchId)
+            val corpusBuckets = spark.read.parquet(s"$minhashDir/buckets")
+              .filter(col("batch") =!= batchId)
+            // a restart with a different windowK would probe k'-grams
+            // against a k-gram index and find ZERO hits silently — the
+            // stamp written with the index fails it loudly instead
+            SubstringDedup.stampOrRequireWindowParams(spark, windowsDir,
+              p.windowK)
+            val windowIdx = spark.read.parquet(windowsDir)
+              .filter(col("batch") =!= batchId)
+            // BOTH gate probes are lazy over the pinned feature frames and
+            // combine through one priority aggregation (near_dup outranks
+            // substring_dup for docs both gates flag — the pre-r8
+            // anti-join's verdict, without its near→sat sequencing), so
+            // pinning `bad` materializes the two probes TOGETHER in one
+            // Spark job instead of two sequential eager passes.
+            val near = Dedup.minhashLshProbeSigs(sigDocs, sigBuckets,
+                corpusDocs, corpusBuckets, p.threshold)
+              .select(col("new_id").as("__graft_bad")).distinct()
+              .select(col("__graft_bad"), lit(0).as("__graft_prio"),
+                lit("near_dup").as("reason"))
+            val sat = SubstringDedup.duplicatedWindowStatsWithIntraFromWins(
+                batch.select(col(idCol).as("doc_id")), wins, Some(windowIdx))
+              .filter(col("n_windows") > 0 &&
+                col("n_dup_windows") >=
+                  col("n_windows") * lit(p.maxDupWindowRatio))
+              .select(col("doc_id").as("__graft_bad"),
+                lit(1).as("__graft_prio"), lit("substring_dup").as("reason"))
+            // `bad` feeds the quarantine join and the survivor anti-join;
+            // `a0` feeds the intra-batch pair gen, the components pass, and
+            // the intra-quarantine anti-join. Unpersisted, each consumer
+            // re-executes the full probe chain behind it.
+            val bad = pin(near.unionByName(sat)
+              .groupBy(col("__graft_bad"))
+              .agg(min(struct(col("__graft_prio"), col("reason"))).as("__m"))
+              .select(col("__graft_bad"), col("__m.reason").as("reason")))
+            if (prof) timed("probe-mat")(bad.count())
+            val qIndex = batch.join(bad, batch(idCol) === col("__graft_bad"))
+              .drop("__graft_bad")
+            val a0 = pin(batch.join(bad, batch(idCol) === col("__graft_bad"),
+              "left_anti"))
+            // INTRA-batch near-dups: the index gates only see the pre-batch
+            // corpus, and duplicates typically arrive together — without
+            // this pass, two near-identical fresh docs in one micro-batch
+            // would BOTH be accepted and indexed forever. Same self-dedup
+            // the bootstrap runs, scoped to the index-gate survivors — and
+            // running on the survivors' slice of the PINNED signature
+            // frames, not a recomputation.
+            val a0Ids = a0.select(col(idCol).as("id"))
+            // only the BUCKET side needs restricting to the survivors (it
+            // defines the candidate pair space); the docs side is a lookup
+            // table the verify join probes by candidate id, so the full
+            // pinned frame serves as-is — no shingle-set shuffle
+            val intraPairs = Dedup.minhashLshPairsFromSigs(sigDocs,
+              sigBuckets.join(a0Ids, Seq("id"), "left_semi"), p.threshold)
+            val a = timed("intra-cc")(pin(Dedup.dedupedCorpus(a0, idCol, intraPairs)))
+            val qIntra = a0.join(a.select(col(idCol).as("__graft_keep")),
+                a0(idCol) === col("__graft_keep"), "left_anti")
+              .withColumn("reason", lit("near_dup"))
+            (a, qIndex.unionByName(qIntra))
+          }
+        // commit protocol: outputs + indexes first (any order), stamp LAST —
+        // every write is batch-keyed + overwrite, so any prefix of the
+        // write set replays to the identical final state. The four store
+        // writes are mutually independent (distinct directories over pinned
+        // inputs), so they run CONCURRENTLY and the batch pays the slowest
+        // write, not the sum; only the stamp is a barrier. The index
+        // writes slice the accepted rows out of the pinned feature frames
+        // instead of recomputing signatures/windows from text.
+        val accIds = acc.select(col(idCol).as("id"))
+        val accDocs = sigDocs.join(accIds, Seq("id"), "left_semi")
+        val accBuckets = sigBuckets.join(accIds, Seq("id"), "left_semi")
+        val accWins = wins.join(acc.select(col(idCol).as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        timed("writes")(graft.Util.runConcurrently(Seq(
+          () => acc.write.mode("overwrite")
+            .parquet(s"$stateDir/accepted/batch=$batchId"),
+          () => quar.write.mode("overwrite")
+            .parquet(s"$stateDir/quarantine/batch=$batchId"),
+          () => Dedup.putCorpusIndexBatchSigs(accDocs, accBuckets,
+            minhashDir, batchId, p.shingleN, p.numHashes, p.bands),
+          () => SubstringDedup.putWindowIndexBatchFromWins(accWins,
+            windowsDir, batchId, p.windowK))))
+        timed("stamp")(writeStamp(spark, stateDir, batchId))
+      } finally {
+        pinned.foreach(_.unpersist())
+        batch.unpersist()
+      }
     }
   }
 

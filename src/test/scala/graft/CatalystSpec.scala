@@ -445,9 +445,11 @@ class CatalystSpec extends SparkSpec {
     docs.select(col("id").as("id2"), col("k").as("k2"))
       .createOrReplaceTempView("graft_levres_r")
     // the composite shape real users write: lev core + equi/range residual
+    // NB no equi conjunct: `l.x = r.y` composites are now left to the
+    // hash-join planner (see the dedicated guard test below)
     val sql = "SELECT l.id, r.id2 FROM graft_levres_l l JOIN " +
       "graft_levres_r r ON levenshtein(l.k, r.k2) <= 2 " +
-      "AND l.id % 7 = r.id2 % 7 AND r.id2 % 3 > 0"
+      "AND l.id % 7 <= r.id2 % 7 AND r.id2 % 3 > 0"
     spark.conf.set(LevJoinKernelRule.MinSideBytesKey, "1")
     try {
       val routed = spark.sql(sql)
@@ -485,12 +487,13 @@ class CatalystSpec extends SparkSpec {
       .createOrReplaceTempView("graft_levlr_r")
     // residual touches BOTH sides and is strict enough that some
     // lev-MATCHED left rows lose every partner and must pad: row i
-    // lev-matches many neighbours, but l.id = r.id2 kills all of them
-    // except the self-pair, and r.id2 % 5 > 0 kills the self-pair for
-    // every fifth row
+    // lev-matches many neighbours, but abs(l.id - r.id2) <= 0 kills all
+    // of them except the self-pair (an inequality on purpose — an
+    // EqualTo residual would correctly defer to the hash-join planner),
+    // and r.id2 % 5 > 0 kills the self-pair for every fifth row
     val sql = "SELECT l.id, r.id2 FROM graft_levlr_l l LEFT JOIN " +
       "graft_levlr_r r ON levenshtein(l.k, r.k2) <= 2 " +
-      "AND l.id = r.id2 AND r.id2 % 5 > 0"
+      "AND abs(l.id - r.id2) <= 0 AND r.id2 % 5 > 0"
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0),
         if (r.isNullAt(1)) -1L else r.getLong(1)))
@@ -547,6 +550,49 @@ class CatalystSpec extends SparkSpec {
     } finally {
       spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
       spark.conf.unset(LevJoinKernelRule.EnabledKey)
+    }
+  }
+
+  test("LevJoinKernelRule defers to the hash-join planner when the " +
+      "residual carries an equi conjunct, and refuses nondeterministic " +
+      "children") {
+    import graft.catalyst.LevJoinKernelRule
+    val n = 450
+    val docs = spark.range(n.toLong).select(col("id"),
+      concat(lit("doc_"), lpad(col("id").cast("string"), 6, "0")).as("k"))
+    docs.createOrReplaceTempView("graft_levguard_l")
+    docs.select(col("id").as("id2"), col("k").as("k2"))
+      .createOrReplaceTempView("graft_levguard_r")
+    spark.conf.set(LevJoinKernelRule.MinSideBytesKey, "1")
+    try {
+      // l.id = r.id2 makes this a hash-joinable equi join with a lev
+      // post-filter — near-linear already, nothing for the kernel to
+      // rescue (and the kernel would materialize ALL lev-close pairs
+      // ignoring the key). The rule must leave it alone.
+      val equi = spark.sql(
+        "SELECT l.id, r.id2 FROM graft_levguard_l l JOIN " +
+          "graft_levguard_r r ON levenshtein(l.k, r.k2) <= 2 " +
+          "AND l.id % 7 = r.id2 % 7")
+      val equiPlan = equi.queryExecution.optimizedPlan.toString
+      assert(!equiPlan.contains("xxhash64") &&
+        !equiPlan.contains("__graft_len_band"),
+        s"equi-conjunct composite must keep Spark's hash-join plan:\n" +
+          equiPlan)
+      assert(equi.count() > 0)
+      // a nondeterministic column in a child: the rewrite re-executes
+      // the children, so uuid()/rand() values would differ between the
+      // match set and the padding anti join — the rule must refuse
+      val nondet = spark.sql(
+        "SELECT l.id FROM (SELECT id, k, rand() AS rr " +
+          "FROM graft_levguard_l) l JOIN graft_levguard_r r " +
+          "ON levenshtein(l.k, r.k2) <= 2 AND l.rr >= 0.0")
+      val ndPlan = nondet.queryExecution.optimizedPlan.toString
+      assert(!ndPlan.contains("xxhash64") &&
+        !ndPlan.contains("__graft_len_band"),
+        s"nondeterministic child must not be re-executed by a rewrite:\n" +
+          ndPlan)
+    } finally {
+      spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
     }
   }
 

@@ -673,7 +673,7 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, A)).toDF("doc_id", "text"), 0L, "doc_id", "text", p)
     val fs = new Path(state)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lock = new Path(state, BatchLedger.LockName)
+    val lock = new Path(state, BatchLedger.CompactLockName)
     // simulated IN-PROGRESS compaction: a fresh lock marker (a live
     // compactor heartbeats its mtime, so fresh == live)
     fs.create(lock, false).close()
@@ -682,7 +682,9 @@ class StreamingSpec extends SparkSpec {
         Seq((2L, B)).toDF("doc_id", "text"), 1L, "doc_id", "text", p)
     }
     assert(e.getMessage.contains("compaction") &&
-      e.getMessage.contains(BatchLedger.LockName))
+      e.getMessage.contains(BatchLedger.CompactLockName))
+    // the batch backed out cleanly: its own _gate.lock was released
+    assert(!fs.exists(new Path(state, BatchLedger.GateLockName)))
     // a second compaction is refused just as loudly
     val e2 = intercept[IllegalStateException] {
       SimilarityIngest.compactIndexes(spark, state)
@@ -698,9 +700,23 @@ class StreamingSpec extends SparkSpec {
       Seq((2L, B)).toDF("doc_id", "text"), 1L, "doc_id", "text", p)
     assert(!fs.exists(lock))
     assert(SimilarityIngest.lastBatchId(spark, state) === 1L)
+    // the REVERSE direction (r10 review fix): a live micro-batch's
+    // _gate.lock blocks a compaction starting mid-batch — previously
+    // only the batch-starts-second interleaving failed loudly
+    val gate = new Path(state, BatchLedger.GateLockName)
+    fs.create(gate, false).close()
+    val e3 = intercept[IllegalStateException] {
+      SimilarityIngest.compactIndexes(spark, state)
+    }
+    assert(e3.getMessage.contains(BatchLedger.GateLockName))
+    // and the refused compaction released its own marker on the way out
+    assert(!fs.exists(lock))
+    // a stale gate marker (crashed batch) is broken and compaction runs
+    fs.setTimes(gate,
+      System.currentTimeMillis() - BatchLedger.LockStaleMs - 60000L, -1L)
     // a healthy compaction takes and RELEASES the lock
     SimilarityIngest.compactIndexes(spark, state)
-    assert(!fs.exists(lock))
+    assert(!fs.exists(lock) && !fs.exists(gate))
     assert(SimilarityIngest.accepted(spark, state)
       .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
