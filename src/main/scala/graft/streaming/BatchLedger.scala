@@ -39,7 +39,13 @@ private[graft] object BatchLedger {
   val CompactLockName = "_compact.lock"
   val GateLockName = "_gate.lock"
   val LockHeartbeatMs: Long = 30L * 1000
-  val LockStaleMs: Long = 10L * 60 * 1000
+
+  /** Six missed heartbeats. The staleness window is also the worst-case
+    * RESTART DELAY after a kill -9 (the dead holder's marker looks live
+    * until it ages out, and the restarted stream's first batch fails
+    * loudly until then), so it is kept tight: long legitimate holds are
+    * covered by the heartbeat, not the window. */
+  val LockStaleMs: Long = 3L * 60 * 1000
 
   private def activeMsg(lock: Path): String =
     s"marker $lock has a fresh heartbeat: compactIndexes must not run " +
