@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.graft.GraftSql
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LocalRelation, LogicalPlan, Project, Range => LogicalRange}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Join, LocalLimit, LocalRelation, LogicalPlan, Project, Sample, Tail, Range => LogicalRange}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.types.{IntegerType, StringType}
@@ -194,13 +194,18 @@ object LevJoinKernelRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** A rewrite re-executes the children (the kernel references the left
     * side twice for LEFT OUTER padding, and the residual composition a
-    * third time): sound only when every expression in both subtrees is
-    * deterministic — a nondeterministic column (uuid(), rand()) would
-    * produce DIFFERENT values per execution, so the full-row identity
-    * anti join would pad rows that also matched. */
+    * third time): sound only when each subtree produces the SAME row
+    * set every execution. Two ways that fails: a nondeterministic
+    * EXPRESSION (uuid(), rand() — different values per run break the
+    * full-row-identity anti join), and a nondeterministic OPERATOR —
+    * LIMIT without a defining sort and SAMPLE select a
+    * task-completion-order-dependent subset, so two executions can
+    * return different rows outright. */
   private def deterministicPlans(l: LogicalPlan, r: LogicalPlan): Boolean =
-    Seq(l, r).forall(p =>
-      !p.exists(_.expressions.exists(e => !e.deterministic)))
+    Seq(l, r).forall(p => !p.exists {
+      case _: GlobalLimit | _: LocalLimit | _: Sample | _: Tail => true
+      case node => node.expressions.exists(e => !e.deterministic)
+    })
 
   /** If the residual contains an equi-join conjunct between the sides
     * (`l.id = r.id AND lev(...) <= d`), Spark already plans a near-linear
@@ -211,13 +216,10 @@ object LevJoinKernelRule extends Rule[LogicalPlan] with PredicateHelper {
     * Leave those joins to the planner. */
   private def noEquiConjunct(l: LogicalPlan, r: LogicalPlan,
                              residual: Seq[Expression]): Boolean = {
-    val lOut = AttributeSet(l.output)
-    val rOut = AttributeSet(r.output)
     def splitsAcross(x: Expression, y: Expression): Boolean =
-      (x.references.subsetOf(lOut) && y.references.subsetOf(rOut) &&
-        x.references.nonEmpty && y.references.nonEmpty) ||
-        (x.references.subsetOf(rOut) && y.references.subsetOf(lOut) &&
-          x.references.nonEmpty && y.references.nonEmpty)
+      x.references.nonEmpty && y.references.nonEmpty &&
+        ((canEvaluate(x, l) && canEvaluate(y, r)) ||
+          (canEvaluate(x, r) && canEvaluate(y, l)))
     !residual.exists {
       case EqualTo(x, y) => splitsAcross(x, y)
       case EqualNullSafe(x, y) => splitsAcross(x, y)

@@ -440,8 +440,11 @@ object Dedup {
     * caller guarantees every folded batch is committed by its own ledger;
     * batches above `upToBatch` keep their subdirs for replay overwrite.
     * The `_params` stamp is untouched. Streaming-gate state dirs should
-    * use [[graft.streaming.SimilarityIngest.compactIndexes]], which
-    * derives the frontier from its commit ledger. */
+    * use [[graft.streaming.SimilarityIngest.compactIndexes]] /
+    * [[graft.streaming.IngestDedup.compact]], which derive the frontier
+    * from the commit ledger AND hold the compaction lock — this raw
+    * helper takes NO lock, so calling it directly against a path a live
+    * stream is gating races the gate's probes unprotected. */
   def compactCorpusIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, upToBatch: Long): Unit = {
     graft.io.Parquet.compactBatchStore(spark, s"$path/docs", upToBatch)

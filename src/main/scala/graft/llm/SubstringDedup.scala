@@ -243,7 +243,10 @@ object SubstringDedup {
     * layout into one compacted `batch=-1` base segment — probes are
     * semi-joins on `whash`, so the folded layout is probe-identical while
     * cutting a long ingest run's file count from one-per-batch back to
-    * ~data/128MB. Caller guarantees the folded batches are committed. */
+    * ~data/128MB. Caller guarantees the folded batches are committed.
+    * Takes NO lock: against a live stream's state dir use
+    * [[graft.streaming.SimilarityIngest.compactIndexes]], which wraps
+    * this store's fold in the compaction lock. */
   def compactWindowIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String, upToBatch: Long): Unit =
     graft.io.Parquet.compactBatchStore(spark, path, upToBatch)

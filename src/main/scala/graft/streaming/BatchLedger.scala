@@ -48,14 +48,18 @@ private[graft] object BatchLedger {
   val LockStaleMs: Long = 3L * 60 * 1000
 
   private def activeMsg(lock: Path): String =
-    s"marker $lock has a fresh heartbeat: compactIndexes must not run " +
-      "concurrently with an active stream's applyBatch (or a second " +
-      "compaction). If the holding process is known dead, delete the " +
-      s"marker or wait ${LockStaleMs / 60000} minutes for it to go stale."
+    s"marker $lock has a fresh heartbeat: another holder is active " +
+      "(a compaction fold, a stream's in-flight micro-batch, or a " +
+      "duplicate stream instance sharing this state dir) — these must " +
+      "not run concurrently. If the holding process is known dead, " +
+      s"delete the marker or wait ${LockStaleMs / 60000} minutes for " +
+      "it to go stale."
 
   /** Throw if a FRESH marker exists; break (delete) a stale one. The
     * mtime is re-read immediately before the delete: if it moved, a
-    * competitor already broke-and-reacquired, so treat it as held. */
+    * competitor already broke-and-reacquired (held — throw); if the
+    * marker VANISHED, a competitor broke it and has not reacquired —
+    * proceed, the caller's own create() settles the race fail-fast. */
   private def breakStaleOrThrow(fs: org.apache.hadoop.fs.FileSystem,
                                 lock: Path): Unit = {
     val st =
@@ -65,23 +69,38 @@ private[graft] object BatchLedger {
       if (System.currentTimeMillis() - s.getModificationTime < LockStaleMs)
         throw new IllegalStateException(activeMsg(lock))
       val still =
-        try fs.getFileStatus(lock).getModificationTime == s.getModificationTime
-        catch { case _: java.io.FileNotFoundException => false }
-      if (still) {
-        log.warn(s"breaking stale lock marker $lock (holder presumed " +
-          "crashed; repairBatchStore repairs any half-finished fold)")
-        fs.delete(lock, false)
-      } else throw new IllegalStateException(activeMsg(lock))
+        try Some(fs.getFileStatus(lock).getModificationTime ==
+          s.getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      still match {
+        case Some(true) =>
+          log.warn(s"breaking stale lock marker $lock (holder presumed " +
+            "crashed; repairBatchStore repairs any half-finished fold)")
+          fs.delete(lock, false)
+        case Some(false) => throw new IllegalStateException(activeMsg(lock))
+        case None => () // competitor broke it; our create() settles the race
+      }
     }
   }
 
   /** Acquire `ownName`, verify `otherName` is absent/stale, heartbeat
     * own marker from a daemon thread while `f` runs, release. Backs out
     * (releasing its own marker) if the other side holds a fresh one, so
-    * a simultaneous start fails LOUDLY on both sides rather than racing
-    * — the stream's retry then re-runs the batch cleanly. */
+    * a simultaneous start never RACES — the loser fails loudly and, for
+    * a gate, the streaming query surfaces the failure to its restart
+    * policy (Structured Streaming does not retry a failed batch in-run).
+    *
+    * To keep a simultaneous start from killing BOTH sides, the GATE side
+    * passes a grace window: a compaction that just saw the gate's fresh
+    * marker is guaranteed to back out within moments, so the gate polls
+    * for the compact marker to vanish before giving up. The compaction
+    * side never waits (graceMs 0): a mis-scheduled fold is the party
+    * that should lose, and a fold-holder that does NOT back out is a
+    * legitimately running fold the gate must yield to (grace expires →
+    * loud failure, correct). No deadlock: only one side ever waits. */
   private def withLock[T](spark: SparkSession, stateDir: String,
-                          ownName: String, otherName: String)(f: => T): T = {
+                          ownName: String, otherName: String,
+                          graceMs: Long)(f: => T): T = {
     val own = new Path(stateDir, ownName)
     val other = new Path(stateDir, otherName)
     val fs = own.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -91,22 +110,45 @@ private[graft] object BatchLedger {
       case _: java.io.IOException =>
         throw new IllegalStateException(activeMsg(own))
     }
-    try breakStaleOrThrow(fs, other)
-    catch {
-      case e: IllegalStateException =>
+    try {
+      val deadline = System.currentTimeMillis() + graceMs
+      var acquired = false
+      while (!acquired) {
+        try {
+          breakStaleOrThrow(fs, other)
+          acquired = true
+        } catch {
+          case e: IllegalStateException =>
+            if (System.currentTimeMillis() >= deadline) throw e
+            Thread.sleep(200)
+        }
+      }
+    } catch {
+      case e: Throwable =>
         try fs.delete(own, false)
         catch { case _: java.io.IOException => () }
         throw e
     }
     @volatile var done = false
     val hb = new Thread(() => {
+      var warned = false
       while (!done) {
         try Thread.sleep(LockHeartbeatMs)
         catch { case _: InterruptedException => () }
         if (!done)
           try fs.setTimes(own, System.currentTimeMillis(), -1)
-          catch { // a dead heartbeat must not kill the fold itself
-            case scala.util.control.NonFatal(_) => ()
+          catch { // a dead heartbeat must not kill the fold itself — but
+            // it MUST be observable: without beats a live hold goes
+            // "stale" after LockStaleMs and a competitor breaks it
+            case scala.util.control.NonFatal(ex) =>
+              if (!warned) {
+                warned = true
+                log.warn(s"lock heartbeat on $own is failing " +
+                  s"(${ex.getClass.getSimpleName}: ${ex.getMessage}); " +
+                  "this filesystem may not support setTimes — a hold " +
+                  s"longer than ${LockStaleMs / 60000} minutes can be " +
+                  "broken as stale by a competitor", ex)
+              }
           }
       }
     }, s"graft-lock-heartbeat-$ownName")
@@ -126,13 +168,16 @@ private[graft] object BatchLedger {
     * [[IngestDedup.compact]] (whose stores don't share one state dir). */
   def withCompactionLock[T](spark: SparkSession,
                             stateDir: String)(f: => T): T =
-    withLock(spark, stateDir, CompactLockName, GateLockName)(f)
+    withLock(spark, stateDir, CompactLockName, GateLockName, graceMs = 0L)(f)
 
   /** Run one micro-batch's gate work holding `_gate.lock`; fails loudly
     * if a compaction fold is in flight (the pre-r10 entry check only
-    * caught the batch-starts-second interleaving). */
+    * caught the batch-starts-second interleaving). The grace window lets
+    * the gate WIN a simultaneous start — a compaction that just backed
+    * out on seeing the gate's marker releases within moments. */
   def withGateLock[T](spark: SparkSession, stateDir: String)(f: => T): T =
-    withLock(spark, stateDir, GateLockName, CompactLockName)(f)
+    withLock(spark, stateDir, GateLockName, CompactLockName,
+      graceMs = 10L * 1000)(f)
 
   /** Highest committed batch id, -1 before the first commit. */
   def last(spark: SparkSession, stateDir: String): Long = {

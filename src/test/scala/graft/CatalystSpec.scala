@@ -591,6 +591,17 @@ class CatalystSpec extends SparkSpec {
         !ndPlan.contains("__graft_len_band"),
         s"nondeterministic child must not be re-executed by a rewrite:\n" +
           ndPlan)
+      // nondeterministic OPERATOR, not expression: LIMIT without a
+      // defining sort selects a task-order-dependent row subset — two
+      // executions of the child can return different rows outright
+      val lim = spark.sql(
+        "SELECT l.id FROM (SELECT * FROM graft_levguard_l LIMIT 400) l " +
+          "JOIN graft_levguard_r r ON levenshtein(l.k, r.k2) <= 2 " +
+          "AND r.id2 % 3 > 0")
+      val limPlan = lim.queryExecution.optimizedPlan.toString
+      assert(!limPlan.contains("xxhash64") &&
+        !limPlan.contains("__graft_len_band"),
+        s"LIMIT child must not be re-executed by a rewrite:\n" + limPlan)
     } finally {
       spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
     }

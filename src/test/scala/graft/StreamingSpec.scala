@@ -668,6 +668,7 @@ class StreamingSpec extends SparkSpec {
     val p = SimilarityIngest.Params(windowK = 4, maxDupWindowRatio = 0.5)
     val A = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
     val B = "mike november oscar papa quebec romeo sierra tango uniform victor"
+    val C = "one two three four five six seven eight nine ten eleven twelve"
     val state = java.nio.file.Files.createTempDirectory("graft_lock").toString
     SimilarityIngest.applyBatch(spark, state,
       Seq((1L, A)).toDF("doc_id", "text"), 0L, "doc_id", "text", p)
@@ -700,6 +701,20 @@ class StreamingSpec extends SparkSpec {
       Seq((2L, B)).toDF("doc_id", "text"), 1L, "doc_id", "text", p)
     assert(!fs.exists(lock))
     assert(SimilarityIngest.lastBatchId(spark, state) === 1L)
+    // simultaneous-start resolution: the gate POLLS through its grace
+    // window, so a compaction that backs out (marker vanishing moments
+    // after the gate first sees it) lets the batch proceed instead of
+    // killing both sides
+    fs.create(lock, false).close()
+    val deleter = new Thread(() => {
+      Thread.sleep(1500)
+      fs.delete(lock, false)
+    })
+    deleter.start()
+    SimilarityIngest.applyBatch(spark, state,
+      Seq((3L, C)).toDF("doc_id", "text"), 2L, "doc_id", "text", p)
+    deleter.join()
+    assert(SimilarityIngest.lastBatchId(spark, state) === 2L)
     // the REVERSE direction (r10 review fix): a live micro-batch's
     // _gate.lock blocks a compaction starting mid-batch — previously
     // only the batch-starts-second interleaving failed loudly
@@ -718,7 +733,8 @@ class StreamingSpec extends SparkSpec {
     SimilarityIngest.compactIndexes(spark, state)
     assert(!fs.exists(lock) && !fs.exists(gate))
     assert(SimilarityIngest.accepted(spark, state)
-      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L))
   }
 
   test("similarity ingest gate: both indexes, cross-batch, replay-proof") {
