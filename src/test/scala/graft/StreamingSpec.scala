@@ -737,6 +737,55 @@ class StreamingSpec extends SparkSpec {
       Set(1L, 2L, 3L))
   }
 
+  test("lock protocol under real simultaneous starts: never overlapping, " +
+      "gate always wins") {
+    // the protocol's two claims, pinned under actual thread races:
+    // (1) the two critical sections NEVER overlap (each side creates its
+    // own marker before checking the other's, so at least one side must
+    // observe the other), and (2) the GATE always completes — either the
+    // fold backed out on seeing the gate's marker, or it ran to
+    // completion first and the gate's grace poll outlives it.
+    import graft.streaming.BatchLedger
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_lockrace").toString
+    val inCritical = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var overlapped = false
+    def critical(): Unit = {
+      if (inCritical.incrementAndGet() > 1) overlapped = true
+      Thread.sleep(150)
+      inCritical.decrementAndGet()
+    }
+    var gateOk, compactOk, compactRefused = 0
+    (1 to 6).foreach { _ =>
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      @volatile var gateWon = false
+      @volatile var gateErr: Throwable = null
+      val tg = new Thread(() => {
+        barrier.await()
+        try { BatchLedger.withGateLock(spark, state)(critical()); gateWon = true }
+        catch { case e: Throwable => gateErr = e }
+      })
+      val tc = new Thread(() => {
+        barrier.await()
+        try { BatchLedger.withCompactionLock(spark, state)(critical()); compactOk += 1 }
+        catch { case _: IllegalStateException => compactRefused += 1 }
+      })
+      tg.start(); tc.start(); tg.join(30000); tc.join(30000)
+      if (gateErr != null) throw gateErr
+      if (gateWon) gateOk += 1
+    }
+    assert(!overlapped, "critical sections overlapped — the lock raced")
+    assert(gateOk === 6, "the gate must always complete")
+    assert(compactOk + compactRefused === 6)
+    // markers always released
+    val fs = new org.apache.hadoop.fs.Path(state)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state,
+      BatchLedger.GateLockName)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(state,
+      BatchLedger.CompactLockName)))
+  }
+
   test("similarity ingest gate: both indexes, cross-batch, replay-proof") {
     import graft.streaming.SimilarityIngest
     val state = java.nio.file.Files
