@@ -390,10 +390,18 @@ def compress_sql(src, t_lit):
     re-indexed. Greedy right-to-left grouping: a group's representative
     is its RIGHTMOST element (value + delta kept, g summed); element 0
     always survives unmerged (sorted input makes the head-prepend
-    condition vacuous). Group boundary via prefix sums: absorbing i
-    into the group ending at j requires (double)(S[j]-S[i-1]+d[j]) < T,
-    and S is strictly increasing (g >= 1), so the stop index is a
-    prefix-sum count. The recursion has one row per GROUP."""
+    condition vacuous).
+
+    Absorbing i into the group ending at j requires
+    (double)(S[j]-S[i-1]+d[j]) < T; S is strictly increasing (g >= 1),
+    so each j's stop index is a searchsorted position: the count of
+    prefix sums psm1_i <= S[j]+d[j]-ceil(T), computed for ALL j at once
+    with ONE sort + running sum (the integer reformulation is exact:
+    for integer a, (double)a >= T iff a >= ceil(T)). The recursion then
+    just follows precomputed stop pointers — one O(1) row per GROUP,
+    not an O(n) correlated scan per group (that shape cost ~40s on the
+    100k-row sf0.1 validation; this one is sub-second)."""
+    ceil_t = f"CAST(ceil({t_lit}) AS BIGINT)"
     return f"""
   WITH RECURSIVE el AS MATERIALIZED (
     SELECT idx, v, g, d,
@@ -401,26 +409,33 @@ def compress_sql(src, t_lit):
       sum(g) OVER (ORDER BY idx) - g AS psm1,
       (SELECT max(idx) FROM {src}) AS mx
     FROM {src}),
+  cnts AS MATERIALIZED (
+    -- searchsorted: for each j, #{{i: psm1_i <= ps_j + d_j - ceil(T)}}
+    -- (el rows sort BEFORE query rows at equal value: <= is inclusive)
+    SELECT j, cnt FROM (
+      SELECT j, is_el, sum(is_el) OVER (ORDER BY val, is_el DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+      FROM (SELECT psm1 AS val, 1 AS is_el, idx AS j FROM el
+            UNION ALL
+            SELECT ps + d - {ceil_t} AS val, 0 AS is_el, idx AS j
+            FROM el) marks) t
+    WHERE is_el = 0),
+  stops AS MATERIALIZED (
+    SELECT e.idx AS j, e.ps AS psj, e.v, e.d,
+      greatest(least(c.cnt - 1, e.idx - 1), 0) AS stop
+    FROM el e JOIN cnts c ON c.j = e.idx),
   grp AS (
-    SELECT e.idx AS j, e.ps AS psj, e.v, e.g AS gj, e.d,
-      COALESCE((SELECT max(i.idx) FROM el i
-                WHERE i.idx BETWEEN 1 AND e.idx - 1
-                  AND CAST(e.ps - i.psm1 + e.d AS DOUBLE) >= {t_lit}),
-               0) AS stop
-    FROM el e WHERE e.idx = e.mx
+    SELECT j, psj, v, d, stop FROM stops
+    WHERE j = (SELECT mx FROM el LIMIT 1) AND j > 0
     UNION ALL
-    SELECT e.idx, e.ps, e.v, e.g, e.d,
-      COALESCE((SELECT max(i.idx) FROM el i
-                WHERE i.idx BETWEEN 1 AND e.idx - 1
-                  AND CAST(e.ps - i.psm1 + e.d AS DOUBLE) >= {t_lit}),
-               0) AS stop
-    FROM grp g2 JOIN el e ON e.idx = g2.stop
+    SELECT s.j, s.psj, s.v, s.d, s.stop
+    FROM grp g2 JOIN stops s ON s.j = g2.stop
     WHERE g2.stop >= 1),
   outsel AS (
     SELECT row_number() OVER (ORDER BY j) AS idx, v,
       psj - (SELECT ps FROM el WHERE idx = grp.stop) AS g,
       d
-    FROM grp WHERE j > 0
+    FROM grp
     UNION ALL
     SELECT 0 AS idx, v, g, d FROM el WHERE idx = 0 AND mx > 0
     UNION ALL
