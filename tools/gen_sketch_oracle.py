@@ -55,6 +55,12 @@ multiset and the oracle replays QuantileSummaries exactly
   The result is an actual data value: compared bit-exactly.
   approx_count_distinct replays via the existing HLL++ machinery
   (tools/gen_hll_oracle.py, same p=9 geometry).
+  Sort-equivalence assumption (verified absent from the data at all
+  SFs, would surface as a loud hash mismatch): no NaN and no -0.0 in
+  `value` — Spark's double ordering (java.lang.Double.compare) places
+  -0.0 < 0.0 and NaN last, DuckDB's IEEE comparison ties -0.0 = 0.0.
+  EQUAL doubles are harmless: deltas attach by position, so any tie
+  order yields the identical (value, g, delta) sequence.
 
 Usage: python3 tools/gen_sketch_oracle.py [sf0.01] [/tmp/verify_out]
 Writes src/main/resources/oracles/q_sketch_{merge,pinned}.sql, then
