@@ -85,8 +85,6 @@ HEAD = 50000
 REL_ERR = 1.0 / 1000       # percentile_approx(value, 0.5, 1000)
 C2E = 2.0 * REL_ERR        # Java computes 2.0*relativeError first
 
-M64 = (1 << 64) - 1
-
 # ---------------------------------------------------------------- JVM dump
 DUMP_JAVA = """import java.lang.reflect.Field;
 public class SketchConst {
@@ -203,12 +201,12 @@ NLZ = """CASE WHEN {v} = 0 THEN 64 ELSE 63 -
         ELSE g0_{t} END) END"""
 
 
-def coupon_ctes(events_filter):
+def coupon_ctes():
     """CTEs from distinct user ids to per-user coupon (slot, value,
     slot12)."""
     ctes = [
-        "mu AS (SELECT DISTINCT user_id AS u FROM events WHERE user_id IS "
-        "NOT NULL" + events_filter + ")",
+        "mu AS (SELECT DISTINCT user_id AS u FROM events "
+        "WHERE user_id IS NOT NULL)",
         "min0 AS (SELECT u, CASE WHEN u < 0 THEN CAST(u AS HUGEINT) + "
         "18446744073709551616 ELSE CAST(u AS HUGEINT) END AS x FROM mu)",
     ]
@@ -297,7 +295,7 @@ def gen_merge_sql(cmx, cmy, xt, ystride, harm):
     cubic_xt = cubic_expr(xi(0), yi(0), xi(1), yi(1), xi(2), yi(2),
                           xi(3), yi(3), "raw")
 
-    coupon_cte_sql = ",\n".join(coupon_ctes(""))
+    coupon_cte_sql = ",\n".join(coupon_ctes())
     return f"""WITH
 consts AS (SELECT {dlist(cmx)} AS cm_x, {dlist(cmy)} AS cm_y,
                   {dlist(xt)} AS xt_x),
