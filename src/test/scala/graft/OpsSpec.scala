@@ -162,6 +162,45 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("distCol"))
   }
 
+  test("autoLeftJoin overlap sweep: random schemas, any overlap position") {
+    // the single-shape test above pins one overlap layout; sweep the
+    // space: payload columns on both sides whose names overlap in
+    // random positions, INCLUDING the case where the right KEY's name
+    // collides with a left payload column. Reference = the disjoint
+    // path on a manually renamed right, compared positionally.
+    val rnd = new scala.util.Random(23)
+    def randStr(n: Int) =
+      (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    val strs = (0 until 25).map(i => randStr(5 + (i % 5))).distinct
+    (1 to 6).foreach { trial =>
+      val overlapKey = trial % 2 == 0
+      // left: key 'k' + payloads p1, p2; right: key (maybe named p1!) +
+      // payloads drawn to overlap a random subset of the left's names
+      val rKeyName = if (overlapKey) "p1" else "rk"
+      // two payload names drawn from a pool that overlaps the left's
+      // names — keeping the right's OWN names unique (the operator's
+      // documented requirement; within-side duplicates are refused)
+      val rPayloads = rnd.shuffle(Seq("p1", "p2", "q1", "q2"))
+        .filterNot(_ == rKeyName).take(2)
+      val l = strs.map(s => (s, s.length.toLong, s.reverse))
+        .toDF("k", "p1", "p2")
+      val rCols = rKeyName +: rPayloads
+      val r = strs.map(s => (s, s.toUpperCase, s.length.toString))
+        .toDF(rCols: _*)
+      val got = SimilarityJoin.autoLeftJoin(l, r, "k", rKeyName, 2)
+      assert(got.columns.toSeq ===
+        (l.columns.toSeq ++ r.columns :+ "string_distance"),
+        s"trial $trial: names must restore positionally")
+      val renamed = r.toDF(rCols.map(c => s"__ref_$c"): _*)
+      val want = SimilarityJoin.autoLeftJoin(l, renamed, "k",
+        s"__ref_$rKeyName", 2)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+      assert(rows(got) === rows(want), s"trial $trial diverged")
+      assert(got.count() >= strs.size, s"trial $trial: every left row pads")
+    }
+  }
+
   test("BestMatch topOne is deterministic under ties") {
     val df = Seq((1, "b", 5), (1, "a", 5), (2, "c", 1)).toDF("k", "v", "d")
     val out = BestMatch.topOnePerKey(df, Seq(col("k")),
