@@ -64,19 +64,35 @@ object Bench {
     * the suspect flag, but far enough off the committed expectation that
     * a reader should look (r9 shipped a query at 2.71× for a full round
     * before anyone noticed). Purely observational — names land in
-    * bench.json's `"drifted"`, no retry behavior changes. */
+    * bench.json's `"drifted"`, no retry behavior changes.
+    *
+    * Gated on the EXPECTATION, not the reading: the pre-r11 `best >= 0.5`
+    * floor silently excluded small queries whose readings tripled
+    * (q_interleave at 2.34× and q_importance_sample at 2.19× in the r10
+    * driver run) — exactly the systematic small-query drift the key was
+    * built to surface. A query whose quiet-box line is >= 150 ms is big
+    * enough that 1.5× is signal; sub-150ms lines stay muted (scheduler
+    * jitter trips 1.5× on a 60 ms query constantly). */
   def isDrifted(best: Double, expected: Option[Double]): Boolean =
-    best >= 0.5 && expected.exists(e => e > 0 && best / e >= 1.5)
+    best >= 0 && expected.exists(e => e >= 0.15 && best / e >= 1.5)
 
   /** Deferred-retry policy over one query's two first-pass runs: retry on
-    * 2× disagreement (the original trigger — a spike during ONE run) or
-    * on a 3× expectation breach (both runs inside one load window). */
+    * 2× disagreement (the original trigger — a spike during ONE run), on
+    * a 3× expectation breach (both runs inside one load window), or on a
+    * DRIFTED reading (>= 1.5× a >= 150 ms expectation). The drifted
+    * trigger is new in r11: q_dedup_incremental_exact read 2.0–2.7× its
+    * line in two consecutive driver runs — under the 3× retry bar, over
+    * the drift bar — and a phase profile under deliberate 32-thread load
+    * (PERF.md) showed the inflation is uniform global CPU dilation, not
+    * any query-specific stage. A deferred third run minutes later, outside
+    * the load window, reads the quiet number; queries genuinely at 1.5×
+    * stay drifted through the retry and remain visible. */
   def needsDeferredRetry(cold: Double, warm: Double,
                          expected: Option[Double]): Boolean = {
     if (cold < 0 || warm < 0) return false // failed query: no time to fix
     val best = math.min(cold, warm)
     val disagree = best >= 0.5 && math.max(cold, warm) / best >= 2.0
-    disagree || isSuspect(best, expected)
+    disagree || isSuspect(best, expected) || isDrifted(best, expected)
   }
 
   /** Committed per-query quiet-box baseline: `name<TAB>seconds` lines,

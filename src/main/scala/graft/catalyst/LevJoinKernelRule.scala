@@ -145,8 +145,12 @@ object LevJoinKernelRule extends Rule[LogicalPlan] with PredicateHelper {
     val spark = SparkSession.getActiveSession.orNull
     if (spark == null || inRewrite.get() ||
         !spark.conf.get(EnabledKey, "true").toBoolean) return plan
-    val minBytes = spark.conf.get(MinSideBytesKey,
-      DefaultMinSideBytes.toString).toLong
+    // accept "8388608" or "8m" (byteStringAsBytes parses both); a bad
+    // value must not fail the query — fall back to the default floor
+    val minBytes = try {
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get(MinSideBytesKey, DefaultMinSideBytes.toString))
+    } catch { case _: Exception => DefaultMinSideBytes }
     plan.transformUp {
       case j @ Join(l, r, jt @ (Inner | LeftOuter), Some(cond), _)
           if noKernelCols(l, r) =>
@@ -177,8 +181,15 @@ object LevJoinKernelRule extends Rule[LogicalPlan] with PredicateHelper {
   private def bothLarge(spark: SparkSession, l: LogicalPlan, r: LogicalPlan,
                         minBytes: Long): Boolean = {
     if (l.isStreaming || r.isStreaming) return false
-    val sentinel = BigInt(spark.conf
-      .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString).toLong)
+    // defaultSizeInBytes is a bytesConf: "10g" is as legal as "1234567".
+    // byteStringAsBytes accepts both forms; a parse failure must keep the
+    // original join (the rule never fails a query), so fall back to the
+    // Long.MaxValue sentinel rather than letting the exception escape
+    // this filter chain (it runs OUTSIDE rewrite()'s try/catch).
+    val sentinel = BigInt(try {
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(spark.conf
+        .get("spark.sql.defaultSizeInBytes", Long.MaxValue.toString))
+    } catch { case _: Exception => Long.MaxValue })
     def ok(p: LogicalPlan): Boolean = {
       val s = p.stats.sizeInBytes
       // check the LEAVES for the stats-less sentinel too: an operator
@@ -349,6 +360,12 @@ object LevJoinKernelRule extends Rule[LogicalPlan] with PredicateHelper {
         case al: Alias =>
           Alias(al.child, al.name)(fresh(al.exprId), al.qualifier,
             al.explicitMetadata, al.nonInheritableMetadataKeys)
+        // AggregateExpression carries its own resultId (the id its
+        // resultAttribute binds under); without remapping it, two spliced
+        // copies of one cached kernel would share agg result ids across
+        // branches even though every AttributeReference was freshened.
+        case ae: aggregate.AggregateExpression =>
+          ae.copy(resultId = fresh(ae.resultId))
       }
     }
   }
@@ -390,8 +407,12 @@ object LevJoinKernelRule extends Rule[LogicalPlan] with PredicateHelper {
     import graft.ops.SimilarityJoin
     val (lDF, lk) = renamed(GraftSql.ofRows(spark, l), "gsql_l", lKey)
     val (rDF, rk) = renamed(GraftSql.ofRows(spark, r), "gsql_r", rKey)
-    val sampleBytes = spark.conf.get(HistSampleBytesKey,
-      DefaultHistSampleBytes.toString).toLong
+    // bytes-string tolerant for the same reason as minSideBytes: "1g"
+    // must route to sampling, not (via rewrite's catch) kill the kernel
+    val sampleBytes = try {
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get(HistSampleBytesKey, DefaultHistSampleBytes.toString))
+    } catch { case _: Exception => DefaultHistSampleBytes }
     def frac(p: LogicalPlan): Double =
       if (p.stats.sizeInBytes > sampleBytes) 0.01 else 1.0
     val histL = SimilarityJoin.lengthHistogram(lDF, lk, frac(l))

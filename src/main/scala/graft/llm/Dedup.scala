@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Phase timer for [[jaccardNewVsCorpusPrefix]], active only under
+    * GRAFT_DEDUP_PROF=1 — prints per-phase wall seconds so a contended-box
+    * inflation (the bench drift signature this query showed two rounds
+    * running) can be attributed to a specific stage without an external
+    * profiler. In prof mode the phases are FORCED in sequence (count() on
+    * each persisted side, then on the candidate set), which the normal
+    * path never does — total prof-mode wall is indicative, not the
+    * benchmark number. */
+  private val prof = sys.env.get("GRAFT_DEDUP_PROF").contains("1")
+  private def timed[T](label: String)(f: => T): T =
+    if (!prof) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[dedup-prof] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   /** Exact duplicates: one row per distinct text hash with its cardinality
     * and keeper (minimum) id. */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String)
@@ -155,6 +172,10 @@ object Dedup {
         .persist(StorageLevel.MEMORY_AND_DISK)
     val nd = prep(newDocs)
     val cd = prep(corpus)
+    if (prof) { // force each phase so its wall time is separable
+      timed("prep-new")(nd.count())
+      timed("prep-corpus")(cd.count())
+    }
     def prefixes(docs: DataFrame): DataFrame =
       docs.select(col("id"), col("n"),
         explode(slice(col("ws"), lit(1), col("p"))).as("h"))
@@ -165,13 +186,14 @@ object Dedup {
       .join(prefixes(cd).alias("b"), col("a.h") === col("b.h") && sizeBand)
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
       .distinct()
+    if (prof) timed("candidates")(candidates.count())
     val da = nd.select(col("id").as("new_id"), col("ws").as("ws_a"))
     val db = cd.select(col("id").as("corpus_id"), col("ws").as("ws_b"))
     val pairs = candidates.join(da, "new_id").join(db, "corpus_id")
       .select(col("new_id"), col("corpus_id"),
         jaccard(col("ws_a"), col("ws_b")).as("jac"))
       .filter(col("jac") >= threshold)
-    graft.Util.finishAndRelease(pairs, nd, cd)
+    timed("verify+checkpoint")(graft.Util.finishAndRelease(pairs, nd, cd))
   }
 
   /** MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket

@@ -105,6 +105,15 @@ private[graft] object BatchLedger {
     val other = new Path(stateDir, otherName)
     val fs = own.getFileSystem(spark.sparkContext.hadoopConfiguration)
     breakStaleOrThrow(fs, own)
+    // ATOMICITY NOTE: create(overwrite=false) is atomic-exclusive on
+    // HDFS-like stores; RawLocalFileSystem and most object stores do
+    // exists-then-create, so two simultaneous SAME-SIDE acquirers can
+    // both "win" in a narrow window there. That residual race only
+    // matters for duplicate same-side holders (two streams sharing one
+    // state dir — already a misconfiguration this lock detects
+    // best-effort, not a guarantee); the load-bearing gate↔compaction
+    // exclusion uses two DIFFERENT marker files and is enforced by the
+    // other-side freshness check below, which needs no create atomicity.
     try fs.create(own, false).close()
     catch {
       case _: java.io.IOException =>
@@ -137,17 +146,27 @@ private[graft] object BatchLedger {
         catch { case _: InterruptedException => () }
         if (!done)
           try fs.setTimes(own, System.currentTimeMillis(), -1)
-          catch { // a dead heartbeat must not kill the fold itself — but
-            // it MUST be observable: without beats a live hold goes
-            // "stale" after LockStaleMs and a competitor breaks it
-            case scala.util.control.NonFatal(ex) =>
-              if (!warned) {
-                warned = true
-                log.warn(s"lock heartbeat on $own is failing " +
-                  s"(${ex.getClass.getSimpleName}: ${ex.getMessage}); " +
-                  "this filesystem may not support setTimes — a hold " +
-                  s"longer than ${LockStaleMs / 60000} minutes can be " +
-                  "broken as stale by a competitor", ex)
+          catch {
+            // Object stores (S3A et al.) don't support setTimes. An
+            // overwrite-create of the marker refreshes its mtime on every
+            // store, so the hold stays observably live there too. Safe
+            // against clobbering a competitor: as long as THIS fallback
+            // beats every 30 s the marker never ages past LockStaleMs, so
+            // no competitor ever breaks-and-reacquires it while we hold.
+            case scala.util.control.NonFatal(_) =>
+              try fs.create(own, true).close()
+              catch { // both paths dead must not kill the fold itself —
+                // but it MUST be observable: without beats a live hold
+                // goes "stale" and a competitor breaks it
+                case scala.util.control.NonFatal(ex) =>
+                  if (!warned) {
+                    warned = true
+                    log.warn(s"lock heartbeat on $own is failing " +
+                      s"(${ex.getClass.getSimpleName}: ${ex.getMessage}); " +
+                      "neither setTimes nor overwrite-create works — a " +
+                      s"hold longer than ${LockStaleMs / 60000} minutes " +
+                      "can be broken as stale by a competitor", ex)
+                  }
               }
           }
       }

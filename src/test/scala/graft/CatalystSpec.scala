@@ -607,6 +607,178 @@ class CatalystSpec extends SparkSpec {
     }
   }
 
+  test("LevJoinKernelRule skips the plan cache for catalog-backed " +
+      "relations (stale-splice guard)") {
+    import graft.catalyst.LevJoinKernelRule
+    // The hazard this pins (ADVICE r9's medium finding): canonicalization
+    // normalizes away a catalog table's file/stats detail, so a table
+    // re-read after an INSERT in the same JVM is canonically EQUAL to its
+    // pre-INSERT plan — a cache hit would splice a kernel whose chunked
+    // combo tables were baked from the OLD distinct-length set and
+    // silently miss every pair involving a newly inserted length.
+    val n = 300
+    spark.sql("DROP TABLE IF EXISTS graft_cat_l")
+    spark.sql("DROP TABLE IF EXISTS graft_cat_r")
+    def base = spark.range(n.toLong).select(col("id"),
+      concat(lit("doc_"), lpad(col("id").cast("string"), 6, "0")).as("k"))
+    base.write.mode("overwrite").saveAsTable("graft_cat_l")
+    base.select(col("id").as("id2"), col("k").as("k2"))
+      .write.mode("overwrite").saveAsTable("graft_cat_r")
+    val sql = "SELECT l.id, r.id2 FROM graft_cat_l l JOIN graft_cat_r r " +
+      "ON levenshtein(l.k, r.k2) <= 2"
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set(LevJoinKernelRule.MinSideBytesKey, "1")
+    try {
+      val first = spark.sql(sql)
+      val plan1 = first.queryExecution.optimizedPlan.toString
+      assert(plan1.contains("xxhash64"),
+        s"catalog-table lev join must still route to the kernel:\n$plan1")
+      assert(pairs(first).size > n)
+      // the SKIP arm itself: re-optimizing the same SQL must RE-RUN the
+      // planning-time jobs (histograms / distinct-length collect) — a
+      // zero-job re-optimization would mean the cache was (wrongly) used
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val jl = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(jl)
+      try {
+        val again = spark.sql(sql)
+        assert(again.queryExecution.optimizedPlan.toString
+          .contains("xxhash64"))
+        Thread.sleep(1000)
+        assert(jobs.get() > 0,
+          "catalog-backed children must rebuild the kernel every " +
+            "optimization, never splice a cached plan")
+      } finally spark.sparkContext.removeSparkListener(jl)
+      // INSERT rows with a NEW string length (11 chars vs the corpus's
+      // 10): a stale spliced kernel would miss every pair touching them
+      spark.sql("INSERT INTO graft_cat_r VALUES " +
+        "(99991, 'doc_000001x'), (99992, 'doc_000002x')")
+      val routed = spark.sql(sql)
+      assert(routed.queryExecution.optimizedPlan.toString
+        .contains("xxhash64"))
+      val got = pairs(routed)
+      // new-length matches present: 'doc_000001x' is lev 1 from
+      // 'doc_000001'
+      assert(got.contains((1L, 99991L)) && got.contains((2L, 99992L)),
+        "kernel rebuilt after INSERT must see the new length class")
+      spark.conf.set(LevJoinKernelRule.EnabledKey, "false")
+      val want = pairs(spark.sql(sql))
+      assert(got === want, "post-INSERT kernel results must equal the " +
+        s"naive plan: ${got.size} vs ${want.size} pairs")
+    } finally {
+      spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
+      spark.conf.unset(LevJoinKernelRule.EnabledKey)
+      spark.sql("DROP TABLE IF EXISTS graft_cat_l")
+      spark.sql("DROP TABLE IF EXISTS graft_cat_r")
+    }
+  }
+
+  test("LevJoinKernelRule residual-composition property sweep: 24 " +
+      "randomized trials == rule-disabled naive results") {
+    import graft.catalyst.LevJoinKernelRule
+    // Breadth over the newest silent-rewrite surface (VERDICT r10 #4):
+    // deterministic 16-combo coverage of (join type × duplicate left rows
+    // × overlapping names × null keys) plus 8 re-rolls, with the residual
+    // conjuncts, d, and sizes drawn from a seeded RNG. Residual pool
+    // spans side-local (each side), cross-side non-equi, and
+    // null-producing predicates. Every trial asserts kernel-rewritten
+    // results == rule-disabled naive results as MULTISETS (duplicate left
+    // rows make row counts semantics, not noise).
+    val rnd = new scala.util.Random(20260815)
+    val residualPool: Seq[(String, String)] = Seq( // (name, sql)
+      "l-local" -> "(L.num % 5) <= 3",
+      "r-local" -> "(R.num % 3) > 0",
+      "cross-nonequi" -> "(L.num % 7) <= (R.num % 7)",
+      "null-producing" -> "nullif(R.num % 4, 0) >= 1",
+      "cross-null" -> "L.num <= R.num + nullif(L.num % 5, 2)")
+    spark.conf.set(LevJoinKernelRule.MinSideBytesKey, "1")
+    try {
+      var leftDupPadTrials = 0
+      for (trial <- 0 until 24) {
+        val leftJoin = trial % 2 == 1
+        val dupLeft = (trial / 2) % 2 == 1
+        val overlap = (trial / 4) % 2 == 1
+        val nullKeys = (trial / 8) % 2 == 1
+        val d = 1 + rnd.nextInt(3)
+        val n = 150 + rnd.nextInt(100)
+        val nResidual = 1 + rnd.nextInt(2)
+        val residual = rnd.shuffle(residualPool).take(nResidual)
+        val keyExpr = {
+          val k = concat(lit("doc_"),
+            lpad((col("id") % 97).cast("string"), 5, "0"))
+          if (nullKeys) when(col("id") % 17 === 0, lit(null)).otherwise(k)
+          else k
+        }
+        // random column LAYOUT: key/num/id in shuffled order, plus an
+        // extra ballast column, names overlapping across sides or not
+        def side(prefix: String): org.apache.spark.sql.DataFrame = {
+          val cols = rnd.shuffle(Seq(
+            col("id").as(s"${prefix}id"),
+            keyExpr.as(s"${prefix}k"),
+            (col("id") * 3 % 11).as(s"${prefix}num"),
+            concat(lit("x"), col("id").cast("string"))
+              .as(s"${prefix}extra")))
+          spark.range(n.toLong).select(cols: _*)
+        }
+        val lName = if (overlap) "" else "a_"
+        val rName = if (overlap) "" else "b_"
+        val baseL = side(lName)
+        val l = if (dupLeft)
+          baseL.unionAll(baseL.filter(col(s"${lName}id") % 5 === 0))
+        else baseL
+        l.createOrReplaceTempView(s"graft_sweep_l_$trial")
+        side(rName).createOrReplaceTempView(s"graft_sweep_r_$trial")
+        // the pool's L./R. placeholders become qualified refs under the
+        // trial's naming scheme: "L.num" -> "l.a_num" (or "l.num" when
+        // the sides overlap)
+        val resSql = residual.map(_._2)
+          .map(_.replace("L.", s"l.$lName").replace("R.", s"r.$rName"))
+          .mkString(" AND ")
+        val jt = if (leftJoin) "LEFT JOIN" else "JOIN"
+        val sql = s"SELECT * FROM graft_sweep_l_$trial l $jt " +
+          s"graft_sweep_r_$trial r ON levenshtein(l.${lName}k, " +
+          s"r.${rName}k) <= $d AND $resSql"
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+            .groupBy(identity).view.mapValues(_.length).toMap
+        spark.conf.set(LevJoinKernelRule.EnabledKey, "true")
+        val routed = spark.sql(sql)
+        val plan = routed.queryExecution.optimizedPlan.toString
+        assert(plan.contains("xxhash64") ||
+          plan.contains("__graft_len_band"),
+          s"trial $trial ($sql) must route to a kernel:\n$plan")
+        val got = rows(routed)
+        spark.conf.set(LevJoinKernelRule.EnabledKey, "false")
+        val want = rows(spark.sql(sql))
+        assert(got === want, s"trial $trial diverges (d=$d, n=$n, " +
+          s"jt=$jt, dup=$dupLeft, overlap=$overlap, nulls=$nullKeys, " +
+          s"residual=${residual.map(_._1).mkString("+")}):\n$sql")
+        assert(want.nonEmpty, s"trial $trial degenerate: no rows")
+        if (leftJoin && dupLeft) {
+          // the full-row-identity padding arm under duplicate left rows:
+          // padded duplicates must appear with multiplicity
+          val dupPadded = got.exists { case (row, cnt) =>
+            cnt >= 2 && row.split("\\|", -1).drop(4).forall(_ == "null") }
+          if (dupPadded) leftDupPadTrials += 1
+        }
+        spark.catalog.dropTempView(s"graft_sweep_l_$trial")
+        spark.catalog.dropTempView(s"graft_sweep_r_$trial")
+      }
+      assert(leftDupPadTrials > 0,
+        "sweep never exercised duplicate-left-row padding — fixture or " +
+          "schedule drifted")
+    } finally {
+      spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
+      spark.conf.unset(LevJoinKernelRule.EnabledKey)
+    }
+  }
+
   test("LevJoinKernelRule sampled-histogram arm is conf-reachable and " +
       "agrees with the exact chooser") {
     import graft.catalyst.LevJoinKernelRule
