@@ -340,6 +340,18 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"), col("n_name"))
         .orderBy(col("c_custkey"))),
 
+    // Same hot-key regime, LEFT enrichment shape (fact ⟕ dim): the dim is
+    // filtered so a fifth of the fact rows have NO partner and must
+    // null-pad — proving the salt preserves left semantics, not just the
+    // match set. Oracle: the plain LEFT JOIN SQL.
+    "q_skew_left_join" -> ((s, dir) =>
+      SkewJoin.saltedLeftJoin(
+          table(s, dir, "customer"),
+          table(s, dir, "nation").filter(col("n_nationkey") < 20),
+          "c_nationkey", "n_nationkey", salts = 8)
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+        .orderBy(col("c_custkey"))),
+
     // A1 — row count
     "q_count" -> ((s, dir) =>
       table(s, dir, "lineitem").agg(count(lit(1)).as("n_rows"))),
@@ -823,6 +835,53 @@ object SparkEntry {
           approx_count_distinct(col("user_id")).as("approx_users"),
           count(col("value")).as("n_vals"),
           expr("percentile_approx(value, 0.5, 1000)").as("p50_approx"))),
+
+    // Sketches #5 (r11): the SCALE shape of approximate percentile,
+    // pinned. q_sketch_pinned replays the GK algebra under a ONE-sorted-
+    // partition pin — correct but serial. This twin is the shape a
+    // 100 TB job runs: fixed-literal range buckets (boundaries from a
+    // prior profile pass — floor(value/40.0) clamped to [0,15]), ONE
+    // exact per-bucket count aggregate, then the GK summary built only
+    // on the bucket containing the global target rank, queried at the
+    // rank-adjusted quantile phi = (rank − cum_before)/n_bucket. Rank
+    // arithmetic over the buckets is exact integer math, the one local
+    // summary is single-sorted-partition pinned (≈ n/k rows, a bounded
+    // task at any corpus size — deepen the bucketing to shrink it), so
+    // the whole distributed percentile is a pure function of the
+    // multiset and the DuckDB oracle bit-replays it end to end
+    // (tools/gen_sketch_oracle.py gen_bucketed_sql, incl. the
+    // phi-edge shortcuts QuantileSummaries.query takes). The collect is
+    // the ≤16-row bucket-count table — a bounded manifest read.
+    "q_sketch_bucketed" -> ((s, dir) => {
+      val ev = table(s, dir, "events").filter(col("value").isNotNull)
+        .select(col("value"),
+          least(greatest(floor(col("value") / lit(40.0)).cast("int"),
+            lit(0)), lit(15)).as("b"))
+      val counts = ev.groupBy(col("b")).agg(count(lit(1)).as("n"))
+        .orderBy(col("b")).collect()
+      val nTotal = counts.map(_.getLong(1)).sum
+      val rk = math.ceil(0.5 * nTotal).toLong
+      var cumBefore = 0L
+      var tb = -1
+      var nB = 0L
+      val it = counts.iterator
+      while (tb < 0 && it.hasNext) {
+        val r = it.next()
+        if (cumBefore + r.getLong(1) >= rk) { tb = r.getInt(0); nB = r.getLong(1) }
+        else cumBefore += r.getLong(1)
+      }
+      val phi = (rk - cumBefore).toDouble / nB.toDouble
+      // CAST('<repr>' AS DOUBLE): shortest round-trip decimal recovers
+      // phi's exact bits on both engines (plain decimal literals parse
+      // as DECIMAL and change rounding)
+      ev.filter(col("b") === tb).select(col("value"))
+        .repartition(1).sortWithinPartitions(col("value"))
+        .agg(count(lit(1)).as("n_bucket"),
+          expr(s"percentile_approx(value, CAST('$phi' AS DOUBLE), 1000)")
+            .as("p50_bucketed"))
+        .select(lit(nTotal).as("n_vals"), lit(tb).as("target_bucket"),
+          col("n_bucket"), col("p50_bucketed"))
+    }),
 
     // Sketches #3: mergeability — the property that makes sketches work at
     // scale: per-day HLL sketches union to the exact-window estimate
@@ -1643,6 +1702,7 @@ object SparkEntry {
     // tools/gen_sketch_oracle.py for the decompiled-bytecode provenance
     "q_sketch_merge" -> resourceSql("q_sketch_merge"),
     "q_sketch_pinned" -> resourceSql("q_sketch_pinned"),
+    "q_sketch_bucketed" -> resourceSql("q_sketch_bucketed"),
 
     "q_sketch_exact" ->
       """SELECT count(DISTINCT user_id) AS exact_users,
@@ -1846,6 +1906,13 @@ object SparkEntry {
     "q_skew_join" ->
       """SELECT c_custkey, c_name, n_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_skew_left_join" ->
+      """SELECT c_custkey, c_name, n_name
+        |FROM customer LEFT JOIN
+        |  (SELECT * FROM nation WHERE n_nationkey < 20) n
+        |  ON c_nationkey = n_nationkey
         |ORDER BY c_custkey""".stripMargin,
 
     "q_count" -> "SELECT count(*) AS n_rows FROM lineitem",

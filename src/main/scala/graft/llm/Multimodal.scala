@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
   * batches in place of the grouped iterator) and calls the real codec
   * (PIL/ffmpeg) inside the batch loop.
   *
-  * STUB NOTE: no image/audio codec libraries exist in this container, so the
-  * decode step is a clearly-marked deterministic fake (byte histogram /
-  * chunk hashes). The Spark-side plumbing — schema, partition-wise batched
-  * iteration, typed `Dataset` output, no driver collect — is real and is
-  * what matters at 100 TB: payload bytes never leave the executors.
+  * CODEC NOTE: [[resize]] carries a REAL decoder arm for genuine image
+  * payloads — javax.imageio is pure JVM and present in every JRE — routed
+  * by payload magic bytes; everything else (and all non-image ops) uses a
+  * clearly-marked deterministic fake (byte histogram / chunk hashes /
+  * stride decimation), since no audio/video codec libraries exist in this
+  * container. The Spark-side plumbing — schema, partition-wise batched
+  * iteration, typed `Dataset` output, no driver collect — is real either
+  * way and is what matters at 100 TB: payload bytes never leave the
+  * executors.
   */
 object Multimodal {
 
@@ -76,10 +80,16 @@ object Multimodal {
   final case class ResizedMedia(id: Long, width: Int, height: Int,
                                 data: Array[Byte])
 
-  /** STUB resize: deterministic stride-decimation of the payload (every
-    * `factor`-th byte) with the metadata dimensions scaled to match — the
-    * plumbing shape of an image resize (payload in, smaller payload +
-    * consistent metadata out) without a codec. Partition-wise, typed. */
+  /** Resize: REAL codec arm for genuine image payloads (javax.imageio —
+    * pure JVM, in every JRE: PNG/JPEG/GIF/BMP), deterministic
+    * stride-decimation STUB for everything else. The real arm proves the
+    * partition-wise batched shape against an actual decoder's cost
+    * profile (decode → nearest-neighbor decimate → PNG re-encode, all
+    * in-executor); the stub keeps non-image payloads (this container's
+    * registry fixtures) byte-deterministic for the DuckDB oracle.
+    * Routing is by payload MAGIC BYTES, not metadata — a mislabeled
+    * payload can't crash the codec path, and non-image bytes never pay
+    * an ImageIO format probe. */
   def resize(df: DataFrame, idCol: String, factor: Int = 2): Dataset[ResizedMedia] = {
     require(factor >= 1)
     val spark = df.sparkSession
@@ -89,15 +99,66 @@ object Multimodal {
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions { it =>
         it.map { case (id, bytes, w, h) =>
-          val out =
-            if (bytes.isEmpty) Array.emptyByteArray
-            else Array.tabulate(
-              math.max(bytes.length / factor, 1))(i =>
-                bytes(math.min(i.toLong * factor, bytes.length - 1L).toInt))
-          ResizedMedia(id, math.max(w / factor, 1),
-            math.max(h / factor, 1), out)
+          realResize(bytes, factor) match {
+            case Some((rw, rh, out)) => ResizedMedia(id, rw, rh, out)
+            case None =>
+              val out =
+                if (bytes.isEmpty) Array.emptyByteArray
+                else Array.tabulate(
+                  math.max(bytes.length / factor, 1))(i =>
+                    bytes(math.min(i.toLong * factor, bytes.length - 1L).toInt))
+              ResizedMedia(id, math.max(w / factor, 1),
+                math.max(h / factor, 1), out)
+          }
         }
       }
+  }
+
+  /** True iff the payload starts with a magic prefix ImageIO can decode
+    * (PNG / JPEG / GIF / BMP). Cheap gate so fake payloads skip the
+    * ImageIO reader probe entirely. */
+  private[graft] def looksLikeImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 4 && {
+      val b0 = bytes(0) & 0xff; val b1 = bytes(1) & 0xff
+      val b2 = bytes(2) & 0xff; val b3 = bytes(3) & 0xff
+      (b0 == 0x89 && b1 == 'P' && b2 == 'N' && b3 == 'G') ||
+        (b0 == 0xff && b1 == 0xd8 && b2 == 0xff) ||
+        (b0 == 'G' && b1 == 'I' && b2 == 'F' && b3 == '8') ||
+        (b0 == 'B' && b1 == 'M')
+    }
+
+  /** Real-decoder resize: decode with javax.imageio, nearest-neighbor
+    * decimate (pure integer arithmetic — deterministic, unlike
+    * interpolating Graphics2D scaling whose rendering hints are
+    * implementation detail), re-encode PNG. None when the payload is not
+    * decodable — caller falls back to the stub, so a corrupt image is a
+    * routed row, never a task failure. */
+  private[graft] def realResize(bytes: Array[Byte], factor: Int)
+      : Option[(Int, Int, Array[Byte])] = {
+    if (!looksLikeImage(bytes)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val rw = math.max(img.getWidth / factor, 1)
+        val rh = math.max(img.getHeight / factor, 1)
+        val out = new java.awt.image.BufferedImage(rw, rh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < rh) {
+          var x = 0
+          while (x < rw) {
+            out.setRGB(x, y, img.getRGB(x * factor, y * factor))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some((rw, rh, bos.toByteArray))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Frame sampling: split each payload into `frames` equal chunks and emit

@@ -20,7 +20,27 @@ object SkewJoin {
   def saltedInnerJoin(fact: DataFrame, dim: DataFrame,
                       factKey: String, dimKey: String,
                       salts: Int = 8,
-                      fingerprint: Seq[String] = Nil): DataFrame = {
+                      fingerprint: Seq[String] = Nil): DataFrame =
+    saltedJoin(fact, dim, factKey, dimKey, salts, fingerprint, "inner")
+
+  /** LEFT-outer variant — the fact ⟕ dim enrichment join, which hits the
+    * same hot-key regime (every fact row carrying a hot key lands in one
+    * task). Salting the FACT side and exploding the DIM side preserves
+    * left semantics directly: each fact row exists exactly once at one
+    * salt, every dim row exists at all salts, so the (key, salt) match
+    * set per fact row equals the plain key match set, and an unmatched
+    * fact row null-pads exactly once. Null fact keys pad as in a plain
+    * left join (null never equals). */
+  def saltedLeftJoin(fact: DataFrame, dim: DataFrame,
+                     factKey: String, dimKey: String,
+                     salts: Int = 8,
+                     fingerprint: Seq[String] = Nil): DataFrame =
+    saltedJoin(fact, dim, factKey, dimKey, salts, fingerprint, "left")
+
+  private def saltedJoin(fact: DataFrame, dim: DataFrame,
+                         factKey: String, dimKey: String,
+                         salts: Int, fingerprint: Seq[String],
+                         joinType: String): DataFrame = {
     require(salts > 0, s"salts=$salts must be > 0")
     // qcol: bare col() would parse dotted names as struct-field access
     val fpCols: Seq[Column] =
@@ -35,7 +55,8 @@ object SkewJoin {
     val q = graft.Util.q _
     saltedFact.join(saltedDim,
         saltedFact(q(factKey)) === saltedDim(q(dimKey)) &&
-          saltedFact("__graft_salt") === saltedDim("__graft_salt"))
+          saltedFact("__graft_salt") === saltedDim("__graft_salt"),
+        joinType)
       .drop("__graft_salt")
   }
 }

@@ -358,6 +358,47 @@ class LlmSpec extends SparkSpec {
     assert(out(1L) === 0 && out(2L) > 0)
   }
 
+  test("multimodal resize decodes a REAL image payload via javax.imageio, " +
+      "stub rows coexisting in the same partition") {
+    import spark.implicits._
+    // deterministic 8x6 RGB gradient, PNG-encoded in-memory (no external
+    // fixture file, no codec library beyond the JRE)
+    val (w0, h0) = (8, 6)
+    val src = new java.awt.image.BufferedImage(w0, h0,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h0; x <- 0 until w0)
+      src.setRGB(x, y, (x * 31 << 16) | (y * 42 << 8) | (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val png = bos.toByteArray
+    assert(Multimodal.looksLikeImage(png))
+    assert(!Multimodal.looksLikeImage("just text".getBytes("UTF-8")))
+    // one real PNG + one fake payload through the SAME Spark path: the
+    // magic-byte router must send each row down its own arm
+    val df = Seq((1L, png), (2L, "just text!".getBytes("UTF-8")))
+      .toDF("doc_id", "data")
+      .select(col("doc_id"), struct(col("data"), struct(
+        lit("mixed").as("format"), lit(99).as("width"),
+        lit(99).as("height")).as("meta")).as("media"))
+    val out = Multimodal.resize(df, "doc_id", factor = 2)
+      .collect().map(r => r.id -> r).toMap
+    // REAL arm: dims from the DECODED image (not the lying metadata);
+    // pixels are exact nearest-neighbor decimation of the source
+    val r1 = out(1L)
+    assert(r1.width === 4 && r1.height === 3)
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r1.data))
+    assert(dec != null && dec.getWidth === 4 && dec.getHeight === 3,
+      "resized payload must itself be a decodable PNG")
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert((dec.getRGB(x, y) & 0xffffff) ===
+        (src.getRGB(x * 2, y * 2) & 0xffffff),
+        s"pixel ($x,$y) must be the source pixel at (${x * 2},${y * 2})")
+    // STUB arm for the non-image row: stride decimation + metadata scale
+    val r2 = out(2L)
+    assert(r2.width === 49 && r2.data.length === "just text!".length / 2)
+  }
+
   test("connected components on an empty pair set returns empty, no crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")

@@ -23,6 +23,30 @@ class ScaleSpec extends SparkSpec {
     assert(plain.size === 5020)
   }
 
+  test("salted LEFT join equals plain left join, incl. null-padded and " +
+      "null-key rows") {
+    // hot key 1 (5000 rows), 20 cold keys of which half have NO dim
+    // partner (must null-pad), plus 5 null-key rows (must null-pad —
+    // null never equals)
+    val fact = ((1 to 5000).map(i => (Option(1L), s"v$i")) ++
+      (1 to 20).map(i => (Option(i + 1L), s"w$i")) ++
+      (1 to 5).map(i => (Option.empty[Long], s"n$i")))
+      .toDF("k", "payload")
+    val dim = (1 to 11).map(i => (i.toLong, s"dim$i")).toDF("dk", "attr")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "payload", "attr").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) "<null>" else r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val plain = rows(fact.join(dim, col("k") === col("dk"), "left"))
+    val salted = rows(SkewJoin.saltedLeftJoin(fact, dim, "k", "dk",
+      salts = 8))
+    assert(salted === plain)
+    // padded rows really exist: keys 12..21 and the null keys
+    assert(plain.count { case ((_, _, a), _) => a == "<null>" } === 15)
+    assert(plain.values.sum === 5025)
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")

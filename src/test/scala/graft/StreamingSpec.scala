@@ -75,6 +75,40 @@ class StreamingSpec extends SparkSpec {
       s"p50=$p50 rank window [$rankBelow, $rankAtOrBelow] vs target $target")
   }
 
+  test("bucketed percentile is bit-deterministic and tighter-than-GK " +
+      "rank-correct") {
+    // q_sketch_bucketed is the SCALE shape: exact bucket-count rank
+    // arithmetic + one pinned GK summary on the target bucket at the
+    // rank-adjusted quantile. Pin (a) bit-determinism under upstream
+    // repartitioning, (b) rank correctness of the returned value — the
+    // bucket decomposition makes the global rank error AT MOST the
+    // local summary's eps*n_bucket, tighter than global GK's eps*n.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val base = SparkEntry.queries("q_sketch_bucketed")(spark, dir)
+        .collect()(0)
+      val again = SparkEntry.queries("q_sketch_bucketed")(spark, dir)
+        .collect()(0)
+      assert(java.lang.Double.doubleToRawLongBits(
+        base.getAs[Double]("p50_bucketed")) ===
+        java.lang.Double.doubleToRawLongBits(
+          again.getAs[Double]("p50_bucketed")),
+        s"$dir: bucketed percentile must be a pure function of the data")
+      val ev = Util.table(spark, dir, "events")
+      val n = base.getAs[Long]("n_vals")
+      assert(n === ev.filter(col("value").isNotNull).count())
+      val p50 = base.getAs[Double]("p50_bucketed")
+      val nB = base.getAs[Long]("n_bucket")
+      val rankBelow = ev.filter(col("value") < p50).count()
+      val rankAtOrBelow = ev.filter(col("value") <= p50).count()
+      val target = 0.5 * n
+      // error bounded by the LOCAL summary: 2*eps*n_bucket, not 2*eps*n
+      val slack = 2 * math.max(1L, math.ceil(0.001 * nB).toLong)
+      assert(rankBelow <= target + slack && rankAtOrBelow >= target - slack,
+        s"$dir: p50=$p50 rank window [$rankBelow, $rankAtOrBelow] vs " +
+          s"target $target (slack $slack)")
+    }
+  }
+
   test("merged daily HLL sketches track exact weekly distincts") {
     val dir = "/root/testdata/sf0.001"
     val exact = Util.table(spark, dir, "events")

@@ -514,6 +514,94 @@ SELECT (SELECT nd FROM fin_au) AS approx_users,
        (SELECT p FROM p50) AS p50_approx"""
 
 
+# --------------------------------------------------------- bucketed oracle
+# q_sketch_bucketed: the SCALE shape of approximate percentile, pinned.
+# Fixed-literal range buckets (floor(value/40.0) clamped to [0,15], the
+# same IEEE expression the Spark query computes), exact per-bucket
+# counts, then the GK summary built ONLY on the bucket containing the
+# global target rank rk0 = ceil(0.5*n), queried at the rank-adjusted
+# quantile phi = (rk0 - cum_before) / n_bucket. The GK replay is the
+# SAME machinery as q_sketch_pinned (sorted single-partition insert →
+# flush cycles + compressImmut + serialize-time final compress), just
+# over the bucket's values and parameterized by phi — including the two
+# edge shortcuts Spark's QuantileSummaries.query takes before walking
+# (phi <= relativeError → head sample; phi >= 1-relativeError → last).
+BUCKET_W = 40.0
+BUCKET_MAX = 15  # buckets 0..15 cover [0, 640); clamp catches the rest
+
+
+def gen_bucketed_sql():
+    cycles = ",\n".join(gk_cycle(c)
+                        for c in range(1, MAX_CYCLES + 1)) + ","
+    rem_lo = f"((SELECT n FROM nn) // {HEAD}) * {HEAD}"
+    return f"""WITH RECURSIVE
+bq_ev AS MATERIALIZED (
+  SELECT value AS v,
+    least(greatest(CAST(floor(value / {dlit(BUCKET_W)}) AS INT), 0),
+          {BUCKET_MAX}) AS b
+  FROM events WHERE value IS NOT NULL),
+bq_cnts AS MATERIALIZED (SELECT b, count(*) AS n FROM bq_ev GROUP BY b),
+bq_tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM bq_cnts),
+bq_rk0 AS (SELECT CAST(ceil({dlit(0.5)} * CAST((SELECT n FROM bq_tot) AS DOUBLE))
+               AS BIGINT) AS rk),
+bq_cum AS (SELECT b, n, sum(n) OVER (ORDER BY b) AS c,
+               sum(n) OVER (ORDER BY b) - n AS cb FROM bq_cnts),
+bq_tgt AS (SELECT b, CAST(n AS BIGINT) AS nb, CAST(cb AS BIGINT) AS cb
+        FROM bq_cum WHERE c >= (SELECT rk FROM bq_rk0) ORDER BY b LIMIT 1),
+bq_phi AS (SELECT CAST((SELECT rk FROM bq_rk0) - (SELECT cb FROM bq_tgt) AS DOUBLE)
+             / CAST((SELECT nb FROM bq_tgt) AS DOUBLE) AS p),
+vals AS MATERIALIZED (SELECT v, row_number() OVER (ORDER BY v) AS rn
+         FROM bq_ev WHERE b = (SELECT b FROM bq_tgt)),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM vals),
+samp_0 AS (SELECT CAST(NULL AS BIGINT) AS idx, CAST(NULL AS DOUBLE) AS v,
+                  CAST(NULL AS BIGINT) AS g, CAST(NULL AS BIGINT) AS d
+           WHERE FALSE),
+{cycles}
+mrg_f AS MATERIALIZED (
+  SELECT * FROM samp_{MAX_CYCLES}
+  UNION ALL
+  SELECT (SELECT count(*) FROM samp_{MAX_CYCLES}) + rn - {rem_lo} - 1
+      AS idx,
+    v, CAST(1 AS BIGINT) AS g,
+    CASE WHEN rn = 1 THEN 0
+         WHEN rn = (SELECT n FROM nn) THEN 0
+         ELSE CAST(floor({dlit(C2E)} * CAST(rn AS DOUBLE)) AS BIGINT)
+    END AS d
+  FROM vals WHERE rn > {rem_lo}),
+cmp_f AS ({compress_sql("mrg_f",
+                        f"({dlit(C2E)} * CAST((SELECT n FROM nn) AS DOUBLE))")}),
+samp_f AS MATERIALIZED (
+  SELECT * FROM cmp_f WHERE (SELECT n FROM nn) % {HEAD} <> 0
+  UNION ALL
+  SELECT * FROM samp_{MAX_CYCLES} WHERE (SELECT n FROM nn) % {HEAD} = 0),
+walk AS (
+  SELECT idx, v,
+    sum(g) OVER (ORDER BY idx) AS minrank, d,
+    (SELECT max(g + d) FROM samp_f) // 2 AS te,
+    CAST(ceil((SELECT p FROM bq_phi) * CAST((SELECT n FROM nn) AS DOUBLE))
+         AS BIGINT) AS rk,
+    (SELECT max(idx) FROM samp_f) AS mx
+  FROM samp_f),
+hit AS (
+  SELECT v FROM walk
+  WHERE idx < mx AND minrank + d - te <= rk AND rk <= minrank + te
+  ORDER BY idx LIMIT 1),
+p50 AS (
+  SELECT CASE
+    WHEN (SELECT p FROM bq_phi) <= {dlit(REL_ERR)}
+      THEN (SELECT v FROM samp_f WHERE idx = 0)
+    WHEN (SELECT p FROM bq_phi) >= CAST(1 AS DOUBLE) - {dlit(REL_ERR)}
+      THEN (SELECT v FROM samp_f WHERE idx = (SELECT max(idx) FROM samp_f))
+    ELSE COALESCE((SELECT v FROM hit),
+                  (SELECT v FROM walk WHERE idx = (SELECT max(idx)
+                                                   FROM samp_f)))
+  END AS p)
+SELECT (SELECT n FROM bq_tot) AS n_vals,
+       (SELECT b FROM bq_tgt) AS target_bucket,
+       (SELECT CAST(n AS BIGINT) FROM nn) AS n_bucket,
+       (SELECT p FROM p50) AS p50_bucketed"""
+
+
 # ---------------------------------------------------------------- driver
 def main():
     import sys
@@ -529,17 +617,22 @@ def main():
     hll_consts = hll.jvm_constants()
     merge_sql = gen_merge_sql(cmx, cmy, xt, ystride, harm)
     pinned_sql = gen_pinned_sql(hll_consts)
+    bucketed_sql = gen_bucketed_sql()
     os.makedirs(ORACLES, exist_ok=True)
     open(os.path.join(ORACLES, "q_sketch_merge.sql"), "w").write(merge_sql)
     open(os.path.join(ORACLES, "q_sketch_pinned.sql"), "w").write(pinned_sql)
+    open(os.path.join(ORACLES, "q_sketch_bucketed.sql"), "w").write(
+        bucketed_sql)
     print(f"wrote q_sketch_merge.sql ({len(merge_sql)} chars), "
-          f"q_sketch_pinned.sql ({len(pinned_sql)} chars)")
+          f"q_sketch_pinned.sql ({len(pinned_sql)} chars), "
+          f"q_sketch_bucketed.sql ({len(bucketed_sql)} chars)")
 
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"'/root/testdata/{sf}/events.parquet'")
     for name, sql in [("q_sketch_merge", merge_sql),
-                      ("q_sketch_pinned", pinned_sql)]:
+                      ("q_sketch_pinned", pinned_sql),
+                      ("q_sketch_bucketed", bucketed_sql)]:
         t0 = time.time()
         got = con.execute(sql).df()
         print(f"{name}: {time.time() - t0:.1f}s")
