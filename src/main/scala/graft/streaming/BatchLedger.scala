@@ -83,6 +83,23 @@ private[graft] object BatchLedger {
     }
   }
 
+  /** One heartbeat: refresh `own`'s mtime, preferring setTimes (cheap
+    * metadata op). Object stores (S3A et al.) don't support setTimes —
+    * there an overwrite-create of the empty marker refreshes its mtime on
+    * every store, so the hold stays observably live too. Safe against
+    * clobbering a competitor: as long as this beats every
+    * [[LockHeartbeatMs]] the marker never ages past [[LockStaleMs]], so
+    * no competitor ever breaks-and-reacquires it while we hold. Returns
+    * the failure when NEITHER path works (caller warns once). */
+  private[graft] def refreshMtime(fs: org.apache.hadoop.fs.FileSystem,
+                                      own: Path): Option[Throwable] =
+    try { fs.setTimes(own, System.currentTimeMillis(), -1); None }
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        try { fs.create(own, true).close(); None }
+        catch { case scala.util.control.NonFatal(ex) => Some(ex) }
+    }
+
   /** Acquire `ownName`, verify `otherName` is absent/stale, heartbeat
     * own marker from a daemon thread while `f` runs, release. Backs out
     * (releasing its own marker) if the other side holds a fresh one, so
@@ -145,29 +162,18 @@ private[graft] object BatchLedger {
         try Thread.sleep(LockHeartbeatMs)
         catch { case _: InterruptedException => () }
         if (!done)
-          try fs.setTimes(own, System.currentTimeMillis(), -1)
-          catch {
-            // Object stores (S3A et al.) don't support setTimes. An
-            // overwrite-create of the marker refreshes its mtime on every
-            // store, so the hold stays observably live there too. Safe
-            // against clobbering a competitor: as long as THIS fallback
-            // beats every 30 s the marker never ages past LockStaleMs, so
-            // no competitor ever breaks-and-reacquires it while we hold.
-            case scala.util.control.NonFatal(_) =>
-              try fs.create(own, true).close()
-              catch { // both paths dead must not kill the fold itself —
-                // but it MUST be observable: without beats a live hold
-                // goes "stale" and a competitor breaks it
-                case scala.util.control.NonFatal(ex) =>
-                  if (!warned) {
-                    warned = true
-                    log.warn(s"lock heartbeat on $own is failing " +
-                      s"(${ex.getClass.getSimpleName}: ${ex.getMessage}); " +
-                      "neither setTimes nor overwrite-create works — a " +
-                      s"hold longer than ${LockStaleMs / 60000} minutes " +
-                      "can be broken as stale by a competitor", ex)
-                  }
-              }
+          refreshMtime(fs, own).foreach { ex =>
+            // both paths dead must not kill the fold itself — but it MUST
+            // be observable: without beats a live hold goes "stale" and a
+            // competitor breaks it
+            if (!warned) {
+              warned = true
+              log.warn(s"lock heartbeat on $own is failing " +
+                s"(${ex.getClass.getSimpleName}: ${ex.getMessage}); " +
+                "neither setTimes nor overwrite-create works — a " +
+                s"hold longer than ${LockStaleMs / 60000} minutes " +
+                "can be broken as stale by a competitor", ex)
+            }
           }
       }
     }, s"graft-lock-heartbeat-$ownName")

@@ -771,6 +771,50 @@ class StreamingSpec extends SparkSpec {
       Set(1L, 2L, 3L))
   }
 
+  test("lock heartbeat falls back to overwrite-create where setTimes is " +
+      "unsupported (object-store shape)") {
+    // Pins the r11 fix for the object-store heartbeat gap: stores like
+    // S3A reject setTimes, and before the fallback a legitimate hold
+    // longer than LockStaleMs went "stale" and was broken by a
+    // competitor. A FilterFileSystem that throws on setTimes models the
+    // store; the fallback must refresh the marker's mtime anyway.
+    import graft.streaming.BatchLedger
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_hb").toString
+    val marker = new Path(dir, BatchLedger.CompactLockName)
+    val raw = marker
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    raw.create(marker, false).close()
+    val past = System.currentTimeMillis() - 120000L
+    raw.setTimes(marker, past, -1L)
+    assert(raw.getFileStatus(marker).getModificationTime === past)
+    val noSetTimes = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def setTimes(p: Path, m: Long, a: Long): Unit =
+        throw new UnsupportedOperationException("setTimes not supported")
+    }
+    assert(BatchLedger.refreshMtime(noSetTimes, marker).isEmpty,
+      "overwrite-create fallback must succeed where setTimes throws")
+    val after = raw.getFileStatus(marker).getModificationTime
+    assert(after > past && System.currentTimeMillis() - after < 60000L,
+      s"fallback must refresh the marker mtime (got $after, was $past)")
+    assert(raw.getFileStatus(marker).getLen === 0L,
+      "the refreshed marker stays an empty file")
+    // both paths dead: failure is RETURNED for the warn-once log, never
+    // thrown into the fold, and the marker is left alone
+    raw.setTimes(marker, past, -1L)
+    val dead = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def setTimes(p: Path, m: Long, a: Long): Unit =
+        throw new UnsupportedOperationException("setTimes not supported")
+      override def create(p: Path, overwrite: Boolean)
+          : org.apache.hadoop.fs.FSDataOutputStream =
+        throw new java.io.IOException("create not supported either")
+    }
+    val failure = BatchLedger.refreshMtime(dead, marker)
+    assert(failure.exists(_.isInstanceOf[java.io.IOException]))
+    assert(raw.exists(marker) &&
+      raw.getFileStatus(marker).getModificationTime === past)
+  }
+
   test("lock protocol under real simultaneous starts: never overlapping, " +
       "gate always wins") {
     // the protocol's two claims, pinned under actual thread races:
