@@ -145,15 +145,24 @@ object Multimodal {
         val rh = math.max(img.getHeight / factor, 1)
         val out = new java.awt.image.BufferedImage(rw, rh,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // bulk getRGB/setRGB: one color-model conversion pass instead of
+        // one JNI-ish call per pixel — the difference between O(pixels)
+        // array strides and megapixel-scale per-pixel overhead
+        val srcW = img.getWidth
+        val src = img.getRGB(0, 0, srcW, img.getHeight, null, 0, srcW)
+        val dst = new Array[Int](rw * rh)
         var y = 0
         while (y < rh) {
+          val srcRow = y * factor * srcW
+          val dstRow = y * rw
           var x = 0
           while (x < rw) {
-            out.setRGB(x, y, img.getRGB(x * factor, y * factor))
+            dst(dstRow + x) = src(srcRow + x * factor)
             x += 1
           }
           y += 1
         }
+        out.setRGB(0, 0, rw, rh, dst, 0, rw)
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(out, "png", bos)
         Some((rw, rh, bos.toByteArray))
