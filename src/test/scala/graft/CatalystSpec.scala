@@ -650,7 +650,11 @@ class CatalystSpec extends SparkSpec {
         val again = spark.sql(sql)
         assert(again.queryExecution.optimizedPlan.toString
           .contains("xxhash64"))
-        Thread.sleep(1000)
+        // listener delivery is async: poll (a fixed sleep can fail
+        // spuriously on a loaded box before the JobStart event lands)
+        val deadline = System.currentTimeMillis() + 15000
+        while (jobs.get() == 0 && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
         assert(jobs.get() > 0,
           "catalog-backed children must rebuild the kernel every " +
             "optimization, never splice a cached plan")
