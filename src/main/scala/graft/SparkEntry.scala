@@ -860,27 +860,38 @@ object SparkEntry {
       val counts = ev.groupBy(col("b")).agg(count(lit(1)).as("n"))
         .orderBy(col("b")).collect()
       val nTotal = counts.map(_.getLong(1)).sum
-      val rk = math.ceil(0.5 * nTotal).toLong
-      var cumBefore = 0L
-      var tb = -1
-      var nB = 0L
-      val it = counts.iterator
-      while (tb < 0 && it.hasNext) {
-        val r = it.next()
-        if (cumBefore + r.getLong(1) >= rk) { tb = r.getInt(0); nB = r.getLong(1) }
-        else cumBefore += r.getLong(1)
+      if (nTotal == 0L)
+        // empty input: phi below would be 0/0 = NaN and percentile_approx
+        // rejects a NaN percentage at analysis time — emit the same
+        // all-NULL row the DuckDB oracle produces on zero rows instead
+        s.range(1).select(
+          lit(null).cast("long").as("n_vals"),
+          lit(null).cast("int").as("target_bucket"),
+          lit(0L).as("n_bucket"),
+          lit(null).cast("double").as("p50_bucketed"))
+      else {
+        val rk = math.ceil(0.5 * nTotal).toLong
+        var cumBefore = 0L
+        var tb = -1
+        var nB = 0L
+        val it = counts.iterator
+        while (tb < 0 && it.hasNext) {
+          val r = it.next()
+          if (cumBefore + r.getLong(1) >= rk) { tb = r.getInt(0); nB = r.getLong(1) }
+          else cumBefore += r.getLong(1)
+        }
+        val phi = (rk - cumBefore).toDouble / nB.toDouble
+        // CAST('<repr>' AS DOUBLE): shortest round-trip decimal recovers
+        // phi's exact bits on both engines (plain decimal literals parse
+        // as DECIMAL and change rounding)
+        ev.filter(col("b") === tb).select(col("value"))
+          .repartition(1).sortWithinPartitions(col("value"))
+          .agg(count(lit(1)).as("n_bucket"),
+            expr(s"percentile_approx(value, CAST('$phi' AS DOUBLE), 1000)")
+              .as("p50_bucketed"))
+          .select(lit(nTotal).as("n_vals"), lit(tb).as("target_bucket"),
+            col("n_bucket"), col("p50_bucketed"))
       }
-      val phi = (rk - cumBefore).toDouble / nB.toDouble
-      // CAST('<repr>' AS DOUBLE): shortest round-trip decimal recovers
-      // phi's exact bits on both engines (plain decimal literals parse
-      // as DECIMAL and change rounding)
-      ev.filter(col("b") === tb).select(col("value"))
-        .repartition(1).sortWithinPartitions(col("value"))
-        .agg(count(lit(1)).as("n_bucket"),
-          expr(s"percentile_approx(value, CAST('$phi' AS DOUBLE), 1000)")
-            .as("p50_bucketed"))
-        .select(lit(nTotal).as("n_vals"), lit(tb).as("target_bucket"),
-          col("n_bucket"), col("p50_bucketed"))
     }),
 
     // Sketches #3: mergeability — the property that makes sketches work at

@@ -127,18 +127,44 @@ object Multimodal {
         (b0 == 'B' && b1 == 'M')
     }
 
+  /** Pixel cap for the real decode arm (64 Mpx ≈ a 256 MB ARGB raster).
+    * looksLikeImage checks only magic PREFIXES, so arbitrary bytes that
+    * happen to start with 'BM'/'GIF8' reach the format reader — and a
+    * byte pattern that parses to a huge header width×height would make
+    * ImageIO allocate a multi-GB raster and throw OutOfMemoryError PAST
+    * the NonFatal catch, killing the task. The header probe below reads
+    * dimensions WITHOUT decoding pixels, so the cap rejects such rows
+    * into the stub arm before any allocation. */
+  private val MaxDecodePixels = 64L * 1024 * 1024
+
   /** Real-decoder resize: decode with javax.imageio, nearest-neighbor
     * decimate (pure integer arithmetic — deterministic, unlike
     * interpolating Graphics2D scaling whose rendering hints are
     * implementation detail), re-encode PNG. None when the payload is not
-    * decodable — caller falls back to the stub, so a corrupt image is a
-    * routed row, never a task failure. */
+    * decodable or its header claims more than [[MaxDecodePixels]] —
+    * caller falls back to the stub, so a corrupt (or adversarially
+    * huge) image is a routed row, never a task failure. */
   private[graft] def realResize(bytes: Array[Byte], factor: Int)
       : Option[(Int, Int, Array[Byte])] = {
     if (!looksLikeImage(bytes)) return None
     try {
-      val img = javax.imageio.ImageIO.read(
+      val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
+      val img = try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            // header-only dimension probe: no pixel allocation yet
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) null
+            else reader.read(0)
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
       if (img == null) None
       else {
         val rw = math.max(img.getWidth / factor, 1)

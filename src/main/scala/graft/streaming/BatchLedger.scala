@@ -95,9 +95,21 @@ private[graft] object BatchLedger {
                                       own: Path): Option[Throwable] =
     try { fs.setTimes(own, System.currentTimeMillis(), -1); None }
     catch {
+      // Marker GONE = the hold was LOST (a competitor broke it as stale —
+      // e.g. this holder was GC/VM-paused past LockStaleMs). NEVER
+      // recreate it: an overwrite-create here would silently resurrect
+      // the broken lock under the competitor's feet and our release would
+      // then delete THE COMPETITOR's marker. Surface it to the warn-once
+      // instead; the residual overlap is inherent to any mtime-lease
+      // scheme whose holder sleeps past the lease.
+      case fnf: java.io.FileNotFoundException => Some(fnf)
       case scala.util.control.NonFatal(_) =>
-        try { fs.create(own, true).close(); None }
-        catch { case scala.util.control.NonFatal(ex) => Some(ex) }
+        try {
+          if (!fs.exists(own))
+            Some(new java.io.FileNotFoundException(
+              s"$own vanished mid-hold — broken as stale by a competitor?"))
+          else { fs.create(own, true).close(); None }
+        } catch { case scala.util.control.NonFatal(ex) => Some(ex) }
     }
 
   /** Acquire `ownName`, verify `otherName` is absent/stale, heartbeat
@@ -170,9 +182,10 @@ private[graft] object BatchLedger {
               warned = true
               log.warn(s"lock heartbeat on $own is failing " +
                 s"(${ex.getClass.getSimpleName}: ${ex.getMessage}); " +
-                "neither setTimes nor overwrite-create works — a " +
-                s"hold longer than ${LockStaleMs / 60000} minutes " +
-                "can be broken as stale by a competitor", ex)
+                "the hold is no longer protected — either the marker " +
+                "was already broken as stale (this holder paused past " +
+                s"${LockStaleMs / 60000} minutes?) or this filesystem " +
+                "supports neither setTimes nor overwrite-create", ex)
             }
           }
       }

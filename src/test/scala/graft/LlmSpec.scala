@@ -397,6 +397,26 @@ class LlmSpec extends SparkSpec {
     // STUB arm for the non-image row: stride decimation + metadata scale
     val r2 = out(2L)
     assert(r2.width === 49 && r2.data.length === "just text!".length / 2)
+    // ADVERSARIAL header: a structurally-valid PNG whose IHDR claims
+    // 100000x100000 (10 Gpx). The header-only dimension probe must
+    // reject it into the stub arm BEFORE any raster allocation — an
+    // ImageIO.read here would attempt a multi-GB buffer and throw
+    // OutOfMemoryError past the NonFatal catch, killing the task.
+    val huge = png.clone()
+    def putInt(off: Int, v: Int): Unit = {
+      huge(off) = (v >>> 24).toByte; huge(off + 1) = (v >>> 16).toByte
+      huge(off + 2) = (v >>> 8).toByte; huge(off + 3) = v.toByte
+    }
+    putInt(16, 100000) // IHDR width  (8 sig + 4 len + 4 "IHDR")
+    putInt(20, 100000) // IHDR height
+    val crc = new java.util.zip.CRC32
+    crc.update(huge, 12, 17) // chunk type + 13 IHDR data bytes
+    putInt(29, crc.getValue.toInt)
+    assert(Multimodal.looksLikeImage(huge))
+    assert(Multimodal.realResize(huge, 2).isEmpty,
+      "oversized header dims must route to the stub, not decode")
+    // sanity: the unpatched PNG still takes the real arm
+    assert(Multimodal.realResize(png, 2).isDefined)
   }
 
   test("connected components on an empty pair set returns empty, no crash") {

@@ -107,6 +107,20 @@ class StreamingSpec extends SparkSpec {
         s"$dir: p50=$p50 rank window [$rankBelow, $rankAtOrBelow] vs " +
           s"target $target (slack $slack)")
     }
+    // EMPTY input: phi would be 0/0 = NaN and percentile_approx rejects a
+    // NaN percentage at analysis time — the query must instead emit the
+    // same all-NULL row the DuckDB oracle produces on zero rows
+    val emptyDir = java.nio.file.Files
+      .createTempDirectory("graft_bucketed_empty").toString
+    Util.table(spark, "/root/testdata/sf0.001", "events").limit(0)
+      .write.parquet(s"$emptyDir/events.parquet")
+    val er = SparkEntry.queries("q_sketch_bucketed")(spark, emptyDir)
+      .collect()
+    assert(er.length === 1)
+    assert(er(0).isNullAt(er(0).fieldIndex("n_vals")))
+    assert(er(0).isNullAt(er(0).fieldIndex("target_bucket")))
+    assert(er(0).getAs[Long]("n_bucket") === 0L)
+    assert(er(0).isNullAt(er(0).fieldIndex("p50_bucketed")))
   }
 
   test("merged daily HLL sketches track exact weekly distincts") {
@@ -813,6 +827,18 @@ class StreamingSpec extends SparkSpec {
     assert(failure.exists(_.isInstanceOf[java.io.IOException]))
     assert(raw.exists(marker) &&
       raw.getFileStatus(marker).getModificationTime === past)
+    // VANISHED marker = the hold was LOST (competitor broke it as stale
+    // while this holder was paused). The beat must NEVER resurrect it —
+    // an overwrite-create here would squat on the competitor's fresh
+    // reacquisition and our release would then delete THEIR marker.
+    raw.delete(marker, false)
+    val lost = BatchLedger.refreshMtime(raw, marker)
+    assert(lost.exists(_.isInstanceOf[java.io.FileNotFoundException]))
+    assert(!raw.exists(marker), "a lost hold must not be resurrected")
+    val lostNoSetTimes = BatchLedger.refreshMtime(noSetTimes, marker)
+    assert(lostNoSetTimes.exists(_.isInstanceOf[java.io.FileNotFoundException]))
+    assert(!raw.exists(marker),
+      "the overwrite-create fallback must not resurrect a lost hold either")
   }
 
   test("lock protocol under real simultaneous starts: never overlapping, " +
