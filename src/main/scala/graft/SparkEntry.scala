@@ -1535,6 +1535,20 @@ object SparkEntry {
             .cast("long").as("cnt"))
         .orderBy(col("id"), col("bin"))),
 
+    // LLM: audio feature extraction (r11) — 16 fixed windows of summed
+    // absolute PCM16 amplitude per payload. The registry fixture routes
+    // the STUB arm (payloads are UTF-8 text, not WAV), whose
+    // byte-pair-to-sample arithmetic is exact integer math the oracle
+    // replays bit-for-bit; the REAL javax.sound WAV arm behind the same
+    // API is pinned in LlmSpec against a generated PCM WAV.
+    "q_audio_windows" -> ((s, dir) =>
+      Multimodal.audioWindows(
+          Multimodal.withFakeMedia(table(s, dir, "documents"), "text"),
+          "doc_id")
+        .toDF()
+        .select(col("id"), col("win"), col("n_samples"), col("sum_abs"))
+        .orderBy(col("id"), col("win"))),
+
     // S1/S4 — the reference's CSV front door (varinfo-update.R:54,150) made
     // driver-visible: round-trip `documents` through the single-file RFC-4180
     // sink and the multiLine reader, then fingerprint the text. The oracle
@@ -2989,6 +3003,32 @@ object SparkEntry {
         |  CAST(len(list_filter(nib, x -> x = bin)) AS BIGINT) AS cnt
         |FROM b, generate_series(0, 15) AS t(bin)
         |ORDER BY id, bin""".stripMargin,
+
+    // Replays the STUB arm's PCM16-LE interpretation exactly: byte pair
+    // (2k-1, 2k) [1-based; text is pure printable ASCII so ord == byte]
+    // -> sample lo + 256*hi, sign-fixed, window (j*16)//ns in integer
+    // division, BIGINT |sample| sums — all exact integer math.
+    "q_audio_windows" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, strlen(text) // 2)) AS k
+        |  FROM documents),
+        |samp AS (
+        |  SELECT doc_id, CAST(k - 1 AS BIGINT) AS j,
+        |    CAST(strlen(text) // 2 AS BIGINT) AS ns,
+        |    ascii(substring(text, CAST(2*k - 1 AS INT), 1))
+        |      + 256 * ascii(substring(text, CAST(2*k AS INT), 1)) AS u16
+        |  FROM pos),
+        |sgn AS (
+        |  SELECT doc_id, j, ns,
+        |    CASE WHEN u16 >= 32768 THEN u16 - 65536 ELSE u16 END AS s
+        |  FROM samp)
+        |SELECT CAST(doc_id AS BIGINT) AS id,
+        |  CAST((j * 16) // ns AS INT) AS win,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+        |FROM sgn GROUP BY doc_id, (j * 16) // ns
+        |ORDER BY id, win""".stripMargin,
 
     // Header-as-data transpose as explicit per-column UNION ALL (not
     // UNPIVOT, which silently drops NULL cells) over the first lineitem

@@ -76,6 +76,111 @@ object Multimodal {
     hist.map(_ / n)
   }
 
+  /** Windowed audio-energy row: one per (payload, window), exact BIGINT
+    * sums — order-independent integer math, hence exactly replayable. */
+  final case class AudioWindow(id: Long, win: Int, n_samples: Long,
+                               sum_abs: Long)
+
+  /** Audio feature extraction with a REAL decoder arm for genuine WAV
+    * payloads (javax.sound.sampled — pure JVM, in every JRE; routed by
+    * RIFF/WAVE magic) and a deterministic PCM16-interpretation STUB for
+    * everything else: the raw payload bytes are read as little-endian
+    * signed 16-bit samples (trailing odd byte dropped). Both arms reduce
+    * to the same feature — `windows` fixed windows of summed absolute
+    * amplitude per payload. The sums are exact integers (no float
+    * accumulation), so the result is a pure function of the payload and
+    * the DuckDB oracle replays the stub arm bit-for-bit; sample j of nS
+    * lands in window (j*windows)/nS (integer division), and windows with
+    * no samples emit no row. No decode bomb is possible: WAV is
+    * uncompressed, so the decoded stream is bounded by the payload size
+    * (unlike image headers, which is why [[realResize]] needs a pixel
+    * cap and this needs none). Partition-wise, typed; payload bytes
+    * never leave the executors. */
+  def audioWindows(df: DataFrame, idCol: String,
+                   dataCol: String = "media.data",
+                   windows: Int = 16): Dataset[AudioWindow] = {
+    require(windows > 0, s"windows=$windows must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = windows
+    df.select(col(idCol).cast("long"), col(dataCol))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val samples = realWavSamples(bytes).getOrElse(pcm16Le(bytes))
+        val nS = samples.length
+        if (nS == 0) Iterator.empty
+        else {
+          val sums = new Array[Long](w)
+          val counts = new Array[Long](w)
+          var j = 0
+          while (j < nS) {
+            val win = ((j.toLong * w) / nS).toInt
+            sums(win) += math.abs(samples(j).toLong)
+            counts(win) += 1
+            j += 1
+          }
+          (0 until w).iterator.filter(counts(_) > 0)
+            .map(win => AudioWindow(id, win, counts(win), sums(win)))
+        }
+      }
+  }
+
+  /** True iff the payload carries the RIFF/WAVE container magic. */
+  private[graft] def looksLikeWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+      bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** Real-decoder arm: parse the WAV container with javax.sound.sampled
+    * and return the signed 16-bit PCM samples (all channels interleaved,
+    * container endianness honored). None when the payload is not a
+    * decodable 16-bit PCM WAV — caller falls back to the stub, so a
+    * corrupt file is a routed row, never a task failure. */
+  private[graft] def realWavSamples(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (!looksLikeWav(bytes)) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          // bounded by the payload: WAV data is raw PCM inside the
+          // container, and the stream cannot read past the input array
+          val data = ais.readAllBytes()
+          val n = data.length / 2
+          val out = new Array[Int](n)
+          val hiOff = if (fmt.isBigEndian) 0 else 1
+          var i = 0
+          while (i < n) {
+            val lo = data(2 * i + 1 - hiOff) & 0xff
+            val hi = data(2 * i + hiOff).toInt // sign-extends
+            out(i) = (hi << 8) | lo
+            i += 1
+          }
+          Some(out)
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** STUB arm: interpret the raw payload as little-endian signed 16-bit
+    * PCM (trailing odd byte dropped) — deterministic, oracle-replayable
+    * byte arithmetic. */
+  private[graft] def pcm16Le(bytes: Array[Byte]): Array[Int] = {
+    val n = bytes.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+      i += 1
+    }
+    out
+  }
+
   /** Resized media row: payload downsampled, metadata updated. */
   final case class ResizedMedia(id: Long, width: Int, height: Int,
                                 data: Array[Byte])

@@ -419,6 +419,53 @@ class LlmSpec extends SparkSpec {
     assert(Multimodal.realResize(png, 2).isDefined)
   }
 
+  test("audioWindows decodes a REAL WAV payload via javax.sound, stub " +
+      "rows coexisting, window sums exact") {
+    import spark.implicits._
+    // deterministic 400-sample PCM16 mono ramp, WAV-encoded in-memory
+    // (javax.sound.sampled — no external fixture, no codec library)
+    val nSamples = 400
+    val srcSamples = Array.tabulate(nSamples)(i => (i * 163 - 32000).toShort)
+    val pcm = new Array[Byte](nSamples * 2)
+    for (i <- 0 until nSamples) { // little-endian, as WAVE writes PCM16
+      pcm(2 * i) = (srcSamples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((srcSamples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    assert(Multimodal.looksLikeWav(wav))
+    assert(!Multimodal.looksLikeWav("not audio".getBytes("UTF-8")))
+    // one real WAV + one text payload through the SAME Spark path
+    val df = Seq((1L, wav), (2L, "abcdefgh".getBytes("UTF-8")))
+      .toDF("doc_id", "data")
+      .select(col("doc_id"), struct(col("data"), struct(
+        lit("mixed").as("format"), lit(0).as("width"),
+        lit(0).as("height")).as("meta")).as("media"))
+    val out = Multimodal.audioWindows(df, "doc_id", windows = 4)
+      .collect().groupBy(_.id)
+    // REAL arm: the WAV container header must NOT leak into the samples —
+    // sums must equal the SOURCE samples' windowed |amplitude| exactly
+    val real = out(1L).sortBy(_.win)
+    assert(real.map(_.win).toSeq === Seq(0, 1, 2, 3))
+    assert(real.map(_.n_samples).sum === nSamples.toLong)
+    val wantSums = new Array[Long](4)
+    for (j <- 0 until nSamples)
+      wantSums((j * 4) / nSamples) += math.abs(srcSamples(j).toLong)
+    assert(real.map(_.sum_abs).toSeq === wantSums.toSeq,
+      "real WAV arm must reproduce the source samples bit-exactly")
+    // STUB arm: "abcdefgh" = 4 LE samples (b<<8|a, d<<8|c, f<<8|e, h<<8|g)
+    val stub = out(2L).sortBy(_.win)
+    val expStub = Array("ab", "cd", "ef", "gh")
+      .map(p => ((p(1).toInt << 8) | p(0).toInt).toLong)
+    assert(stub.map(_.sum_abs).toSeq === expStub.toSeq)
+    assert(stub.map(_.n_samples).toSeq === Seq(1L, 1L, 1L, 1L))
+  }
+
   test("connected components on an empty pair set returns empty, no crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
