@@ -117,4 +117,64 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("PCM16 window algebra: windows partition the samples and conserve " +
+      "total |amplitude| (2k samples)") {
+    import graft.llm.Multimodal
+    (1 to 2000).foreach { _ =>
+      val bytes = Array.fill(rnd.nextInt(200))(rnd.nextInt(256).toByte)
+      val samples = Multimodal.pcm16Le(bytes)
+      // decode: every LE pair round-trips to a signed 16-bit value
+      assert(samples.length === bytes.length / 2)
+      samples.zipWithIndex.foreach { case (sm, i) =>
+        assert(sm >= -32768 && sm <= 32767)
+        val want = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+        assert(sm === want)
+      }
+      // window algebra, checked through the same loop audioWindows runs:
+      // the (j*W)/nS split partitions [0, nS) into W contiguous ranges
+      val w = 1 + rnd.nextInt(20)
+      val nS = samples.length
+      if (nS > 0) {
+        val wins = (0 until nS).map(j => ((j.toLong * w) / nS).toInt)
+        assert(wins.forall(x => x >= 0 && x < w))
+        assert(wins.zip(wins.tail).forall { case (a, b) => a <= b },
+          "window ids must be monotone in sample index")
+        // conservation: per-window counts/sums total the whole stream
+        val byWin = (0 until nS).groupBy(wins)
+        assert(byWin.values.map(_.size).sum === nS)
+        assert(byWin.values.flatten.map(j => math.abs(samples(j).toLong))
+          .sum === samples.map(s => math.abs(s.toLong)).sum)
+        // every window gets at least one sample when nS >= w (no gaps a
+        // rank-based oracle would disagree on)
+        if (nS >= w) assert(byWin.size === w,
+          s"nS=$nS w=$w produced only ${byWin.size} windows")
+      }
+    }
+  }
+
+  test("WAV real arm round-trips random PCM16 sample buffers exactly " +
+      "(200 samples x both endiannesses via javax.sound)") {
+    import graft.llm.Multimodal
+    (1 to 200).foreach { _ =>
+      val n = 1 + rnd.nextInt(300)
+      val src = Array.fill(n)((rnd.nextInt(65536) - 32768).toShort)
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        pcm(2 * i) = (src(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((src(i) >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true,
+        false)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val got = Multimodal.realWavSamples(bos.toByteArray)
+      assert(got.isDefined, "a generated PCM16 WAV must take the real arm")
+      assert(got.get.toSeq === src.map(_.toInt).toSeq,
+        s"WAV round-trip diverged at n=$n")
+    }
+  }
 }
