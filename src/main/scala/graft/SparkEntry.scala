@@ -1540,10 +1540,16 @@ object SparkEntry {
     // the STUB arm (payloads are UTF-8 text, not WAV), whose
     // byte-pair-to-sample arithmetic is exact integer math the oracle
     // replays bit-for-bit; the REAL javax.sound WAV arm behind the same
-    // API is pinned in LlmSpec against a generated PCM WAV.
+    // API is pinned in LlmSpec against a generated PCM WAV. The
+    // printable-ASCII filter (both sides) makes the oracle's
+    // char-code == byte equivalence hold BY CONSTRUCTION, not by
+    // fixture luck — a future non-ASCII document drops out of both
+    // engines identically instead of silently diverging.
     "q_audio_windows" -> ((s, dir) =>
       Multimodal.audioWindows(
-          Multimodal.withFakeMedia(table(s, dir, "documents"), "text"),
+          Multimodal.withFakeMedia(
+            table(s, dir, "documents")
+              .filter(col("text").rlike("^[\\x20-\\x7e]*$")), "text"),
           "doc_id")
         .toDF()
         .select(col("id"), col("win"), col("n_samples"), col("sum_abs"))
@@ -3005,14 +3011,16 @@ object SparkEntry {
         |ORDER BY id, bin""".stripMargin,
 
     // Replays the STUB arm's PCM16-LE interpretation exactly: byte pair
-    // (2k-1, 2k) [1-based; text is pure printable ASCII so ord == byte]
-    // -> sample lo + 256*hi, sign-fixed, window (j*16)//ns in integer
-    // division, BIGINT |sample| sums — all exact integer math.
+    // (2k-1, 2k) [1-based] -> sample lo + 256*hi, sign-fixed, window
+    // (j*16)//ns in integer division, BIGINT |sample| sums — all exact
+    // integer math. The printable-ASCII predicate (same on the Spark
+    // side) guarantees ord(char) == byte, so the char-indexed replay
+    // equals the byte-indexed stub by construction.
     "q_audio_windows" ->
       """WITH pos AS (
         |  SELECT doc_id, text,
         |    unnest(generate_series(1, strlen(text) // 2)) AS k
-        |  FROM documents),
+        |  FROM documents WHERE text ~ '^[\x20-\x7e]*$'),
         |samp AS (
         |  SELECT doc_id, CAST(k - 1 AS BIGINT) AS j,
         |    CAST(strlen(text) // 2 AS BIGINT) AS ns,

@@ -35,6 +35,11 @@ object Multimodal {
   /** Attach an opaque media payload + typed metadata struct. The payload is
     * a deterministic fake (the UTF-8 bytes of a text column); a real
     * pipeline would read it from object storage as `binaryFile`. */
+  /** NULL payloads (missing media) decode as EMPTY payloads at every
+    * entry point — a routed row, never a task failure. */
+  private def orEmpty(bytes: Array[Byte]): Array[Byte] =
+    if (bytes == null) Array.emptyByteArray else bytes
+
   def withFakeMedia(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("media", struct(
       encode(col(textCol), "UTF-8").as("data"),
@@ -56,7 +61,8 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, bytes) =>
+          batch.map { case (id, raw) =>
+            val bytes = orEmpty(raw)
             MediaFeature(id, bytes.length, fakeDecode(bytes))
           }
         }
@@ -105,7 +111,8 @@ object Multimodal {
     val w = windows
     df.select(col(idCol).cast("long"), col(dataCol))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
+      .flatMap { case (id, raw) =>
+        val bytes = orEmpty(raw)
         val samples = realWavSamples(bytes).getOrElse(pcm16Le(bytes))
         val nS = samples.length
         if (nS == 0) Iterator.empty
@@ -147,39 +154,36 @@ object Multimodal {
         if (fmt.getEncoding !=
               javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
             fmt.getSampleSizeInBits != 16) None
-        else {
+        else
           // bounded by the payload: WAV data is raw PCM inside the
           // container, and the stream cannot read past the input array
-          val data = ais.readAllBytes()
-          val n = data.length / 2
-          val out = new Array[Int](n)
-          val hiOff = if (fmt.isBigEndian) 0 else 1
-          var i = 0
-          while (i < n) {
-            val lo = data(2 * i + 1 - hiOff) & 0xff
-            val hi = data(2 * i + hiOff).toInt // sign-extends
-            out(i) = (hi << 8) | lo
-            i += 1
-          }
-          Some(out)
-        }
+          Some(decodePcm16(ais.readAllBytes(), fmt.isBigEndian))
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** STUB arm: interpret the raw payload as little-endian signed 16-bit
-    * PCM (trailing odd byte dropped) — deterministic, oracle-replayable
-    * byte arithmetic. */
-  private[graft] def pcm16Le(bytes: Array[Byte]): Array[Int] = {
-    val n = bytes.length / 2
+  /** Signed 16-bit PCM decode, shared by both arms (one copy of the
+    * byte-pair arithmetic, both endiannesses; trailing odd byte
+    * dropped). */
+  private[graft] def decodePcm16(data: Array[Byte],
+                                 bigEndian: Boolean): Array[Int] = {
+    val n = data.length / 2
     val out = new Array[Int](n)
+    val hiOff = if (bigEndian) 0 else 1
     var i = 0
     while (i < n) {
-      out(i) = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+      val lo = data(2 * i + 1 - hiOff) & 0xff
+      val hi = data(2 * i + hiOff).toInt // sign-extends
+      out(i) = (hi << 8) | lo
       i += 1
     }
     out
   }
+
+  /** STUB arm: interpret the raw payload as little-endian signed 16-bit
+    * PCM — deterministic, oracle-replayable byte arithmetic. */
+  private[graft] def pcm16Le(bytes: Array[Byte]): Array[Int] =
+    decodePcm16(bytes, bigEndian = false)
 
   /** Resized media row: payload downsampled, metadata updated. */
   final case class ResizedMedia(id: Long, width: Int, height: Int,
@@ -203,7 +207,8 @@ object Multimodal {
         col("media.meta.width"), col("media.meta.height"))
       .as[(Long, Array[Byte], Int, Int)]
       .mapPartitions { it =>
-        it.map { case (id, bytes, w, h) =>
+        it.map { case (id, raw, w, h) =>
+          val bytes = orEmpty(raw)
           realResize(bytes, factor) match {
             case Some((rw, rh, out)) => ResizedMedia(id, rw, rh, out)
             case None =>
@@ -238,17 +243,23 @@ object Multimodal {
     * byte pattern that parses to a huge header width×height would make
     * ImageIO allocate a multi-GB raster and throw OutOfMemoryError PAST
     * the NonFatal catch, killing the task. The header probe below reads
-    * dimensions WITHOUT decoding pixels, so the cap rejects such rows
-    * into the stub arm before any allocation. */
-  private val MaxDecodePixels = 64L * 1024 * 1024
+    * dimensions WITHOUT decoding pixels; an over-cap payload PASSES
+    * THROUGH UNCHANGED with its true header dimensions (a legitimate
+    * 100+ Mpx image must not be fed to the byte-decimation stub, whose
+    * output on compressed bytes would be garbage — passthrough is
+    * honest: no corruption, no OOM, a capacity-sized later stage can
+    * decode it). */
+  private[graft] val MaxDecodePixels = 64L * 1024 * 1024
 
   /** Real-decoder resize: decode with javax.imageio, nearest-neighbor
     * decimate (pure integer arithmetic — deterministic, unlike
     * interpolating Graphics2D scaling whose rendering hints are
     * implementation detail), re-encode PNG. None when the payload is not
-    * decodable or its header claims more than [[MaxDecodePixels]] —
-    * caller falls back to the stub, so a corrupt (or adversarially
-    * huge) image is a routed row, never a task failure. */
+    * decodable (caller falls back to the stub); an image whose header
+    * claims more than [[MaxDecodePixels]] passes through UNCHANGED with
+    * its true header dimensions (see the cap note above). Either way a
+    * corrupt or adversarially huge image is a routed row, never a task
+    * failure. */
   private[graft] def realResize(bytes: Array[Byte], factor: Int)
       : Option[(Int, Int, Array[Byte])] = {
     if (!looksLikeImage(bytes)) return None
@@ -265,7 +276,13 @@ object Multimodal {
             // header-only dimension probe: no pixel allocation yet
             val w = reader.getWidth(0)
             val h = reader.getHeight(0)
-            if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) null
+            if (w <= 0 || h <= 0) null
+            else if (w.toLong * h > MaxDecodePixels)
+              // legitimate-but-huge (or adversarial) dims: emit the
+              // payload unchanged with its TRUE header dims — never
+              // decode (OOM), never stub-decimate compressed bytes
+              // (garbage)
+              return Some((w, h, bytes))
             else reader.read(0)
           } finally reader.dispose()
         }
@@ -312,7 +329,8 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(dataCol))
       .as[(Long, Array[Byte])]
-      .flatMap { case (id, bytes) =>
+      .flatMap { case (id, raw) =>
+        val bytes = orEmpty(raw)
         val chunk = math.max(bytes.length / frames, 1)
         (0 until frames).map { f =>
           val from = math.min(f * chunk, bytes.length)

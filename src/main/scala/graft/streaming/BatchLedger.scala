@@ -96,12 +96,19 @@ private[graft] object BatchLedger {
     try { fs.setTimes(own, System.currentTimeMillis(), -1); None }
     catch {
       // Marker GONE = the hold was LOST (a competitor broke it as stale —
-      // e.g. this holder was GC/VM-paused past LockStaleMs). NEVER
+      // e.g. this holder was GC/VM-paused past LockStaleMs). Do not
       // recreate it: an overwrite-create here would silently resurrect
       // the broken lock under the competitor's feet and our release would
       // then delete THE COMPETITOR's marker. Surface it to the warn-once
-      // instead; the residual overlap is inherent to any mtime-lease
-      // scheme whose holder sleeps past the lease.
+      // instead. HONESTY NOTE: on setTimes-less stores the exists→create
+      // below is a TOCTOU — a competitor deleting the marker inside that
+      // microsecond window still gets clobbered. That narrows the
+      // resurrection to (paused past 3-minute staleness) ∧ (competitor
+      // breaks inside the stat-to-create window); fully closing it needs
+      // a conditional-put primitive those stores don't expose. Same
+      // residual class as breakStaleOrThrow's stat-to-delete window —
+      // inherent to any mtime-lease scheme whose holder sleeps past the
+      // lease.
       case fnf: java.io.FileNotFoundException => Some(fnf)
       case scala.util.control.NonFatal(_) =>
         try {

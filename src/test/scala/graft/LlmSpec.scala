@@ -397,11 +397,13 @@ class LlmSpec extends SparkSpec {
     // STUB arm for the non-image row: stride decimation + metadata scale
     val r2 = out(2L)
     assert(r2.width === 49 && r2.data.length === "just text!".length / 2)
-    // ADVERSARIAL header: a structurally-valid PNG whose IHDR claims
-    // 100000x100000 (10 Gpx). The header-only dimension probe must
-    // reject it into the stub arm BEFORE any raster allocation — an
-    // ImageIO.read here would attempt a multi-GB buffer and throw
-    // OutOfMemoryError past the NonFatal catch, killing the task.
+    // OVERSIZED header: a structurally-valid PNG whose IHDR claims
+    // 100000x100000 (10 Gpx). The header-only dimension probe must stop
+    // BEFORE any raster allocation — an ImageIO.read here would attempt
+    // a multi-GB buffer and throw OutOfMemoryError past the NonFatal
+    // catch, killing the task — and the row must PASS THROUGH unchanged
+    // with its true header dims (not stub-decimate compressed bytes
+    // into garbage: a real 100+ Mpx photo hits this same path).
     val huge = png.clone()
     def putInt(off: Int, v: Int): Unit = {
       huge(off) = (v >>> 24).toByte; huge(off + 1) = (v >>> 16).toByte
@@ -413,10 +415,26 @@ class LlmSpec extends SparkSpec {
     crc.update(huge, 12, 17) // chunk type + 13 IHDR data bytes
     putInt(29, crc.getValue.toInt)
     assert(Multimodal.looksLikeImage(huge))
-    assert(Multimodal.realResize(huge, 2).isEmpty,
-      "oversized header dims must route to the stub, not decode")
-    // sanity: the unpatched PNG still takes the real arm
+    val passed = Multimodal.realResize(huge, 2)
+    assert(passed.isDefined &&
+      passed.get._1 === 100000 && passed.get._2 === 100000 &&
+      (passed.get._3 eq huge),
+      "over-cap dims must pass the payload through unchanged, not decode")
+    // sanity: the unpatched PNG still takes the real decode arm
     assert(Multimodal.realResize(png, 2).isDefined)
+    // NULL payload: a routed row (stub arm on empty bytes), never an NPE
+    val withNull = Seq((7L, Option.empty[Array[Byte]]))
+      .toDF("doc_id", "data")
+      .select(col("doc_id"), struct(col("data"), struct(
+        lit("missing").as("format"), lit(5).as("width"),
+        lit(5).as("height")).as("meta")).as("media"))
+    val nr = Multimodal.resize(withNull, "doc_id", factor = 2).collect()
+    assert(nr.length === 1 && nr(0).data.length === 0)
+    assert(Multimodal.audioWindows(withNull, "doc_id").collect().isEmpty)
+    assert(Multimodal.extractFeatures(withNull, "doc_id")
+      .collect().head.n_bytes === 0)
+    assert(Multimodal.sampleFrames(withNull, "doc_id").collect()
+      .length === 4)
   }
 
   test("audioWindows decodes a REAL WAV payload via javax.sound, stub " +

@@ -153,8 +153,30 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("decodePcm16 decodes both endiannesses and they agree under " +
+      "byte-pair swap (2k samples)") {
+    import graft.llm.Multimodal
+    (1 to 2000).foreach { _ =>
+      val n = rnd.nextInt(100)
+      val data = Array.fill(2 * n + rnd.nextInt(2))( // odd tails dropped
+        rnd.nextInt(256).toByte)
+      val le = Multimodal.decodePcm16(data, bigEndian = false)
+      val be = Multimodal.decodePcm16(data, bigEndian = true)
+      assert(le.length === n && be.length === n)
+      for (i <- 0 until n) {
+        assert(le(i) === ((data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)))
+        assert(be(i) === ((data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xff)))
+      }
+      // swapping each byte pair converts one endianness into the other
+      val swapped = data.take(2 * n).grouped(2)
+        .flatMap(p => Array(p(1), p(0))).toArray
+      assert(Multimodal.decodePcm16(swapped, bigEndian = true).toSeq ===
+        le.toSeq)
+    }
+  }
+
   test("WAV real arm round-trips random PCM16 sample buffers exactly " +
-      "(200 samples x both endiannesses via javax.sound)") {
+      "(200 buffers via javax.sound; WAVE PCM is little-endian)") {
     import graft.llm.Multimodal
     (1 to 200).foreach { _ =>
       val n = 1 + rnd.nextInt(300)
