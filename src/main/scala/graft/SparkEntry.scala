@@ -1401,6 +1401,24 @@ object SparkEntry {
 
     // LLM corpus hygiene: benchmark contamination — corpus docs sharing any
     // word 4-gram with the (broadcast) eval slice, with the shared count
+    // LLM: URL/domain hygiene (r11) — C4-style domain rollup + blocklist.
+    // The fixture texts carry no URLs, so each doc gets two synthetic
+    // mentions appended (97 .org domains, 13 .net domains of which 7 are
+    // blocklisted) — the extraction, per-domain rollup, and broadcast
+    // anti-join all fire for real and the oracle replays them exactly.
+    "q_url_domains" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" see https://D"),
+          pmod(col("doc_id"), lit(97)).cast("string"),
+          lit(".example.org/p and http://m"),
+          pmod(col("doc_id"), lit(13)).cast("string"),
+          lit(".example.net/q")).as("text"))
+      CorpusHygiene.domainStats(docs, "doc_id", "text",
+          blocklist = (0 until 7).map(i => s"m$i.example.net"))
+        .orderBy(col("domain"))
+    }),
+
     "q_contamination" -> ((s, dir) => {
       val docs = spread(table(s, dir, "documents"), "doc_id")
       CorpusHygiene.contamination(
@@ -1782,6 +1800,28 @@ object SparkEntry {
         |  JOIN counts c USING (seg) WHERE c.cnt <= 2)
         |SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS text_clean
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same synthetic URL injection as the Spark side (pmod == % on the
+    // non-negative doc_id), same RE2-compatible extraction regex, same
+    // lowercasing; the blocklist is the NOT IN list (domains never null).
+    "q_url_domains" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' see https://D' || (doc_id % 97)
+        |         || '.example.org/p and http://m' || (doc_id % 13)
+        |         || '.example.net/q' AS text
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lower(unnest(regexp_extract_all(
+        |    text, 'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+        |  FROM t)
+        |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_mentions
+        |FROM h
+        |WHERE domain NOT IN ('m0.example.net', 'm1.example.net',
+        |  'm2.example.net', 'm3.example.net', 'm4.example.net',
+        |  'm5.example.net', 'm6.example.net')
+        |GROUP BY domain ORDER BY domain""".stripMargin,
 
     "q_contamination" ->
       """WITH toks AS (

@@ -73,4 +73,33 @@ object CorpusHygiene {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** C4-style URL/domain hygiene: extract every `http(s)://host` mention
+    * from the text, roll up per lowercased domain (distinct documents
+    * touching it, total mentions), and drop blocklisted domains — the
+    * domain-filtering stage every web-scale corpus runs before training.
+    *
+    * Scale shape: extraction is a narrow per-row regexp pass (no
+    * shuffle), the rollup is one map-side-combined aggregate on the
+    * domain key, and blocklists are list-sized (thousands of rows), so
+    * the LEFT ANTI join broadcasts the blocklist — the corpus side is
+    * never re-shuffled for the filter. Output:
+    * (domain, n_docs, n_mentions). */
+  def domainStats(df: DataFrame, idCol: String, textCol: String,
+                  blocklist: Seq[String] = Nil): DataFrame = {
+    val hosts = df.select(col(idCol).as("__id"),
+        explode(regexp_extract_all(col(textCol),
+          lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("__h"))
+      .select(col("__id"), lower(col("__h")).as("domain"))
+    val stats = hosts.groupBy(col("domain")).agg(
+      countDistinct(col("__id")).as("n_docs"),
+      count(lit(1)).as("n_mentions"))
+    if (blocklist.isEmpty) stats
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val bl = blocklist.map(_.toLowerCase).toDF("domain")
+      stats.join(broadcast(bl), Seq("domain"), "left_anti")
+    }
+  }
 }

@@ -266,6 +266,31 @@ class LlmSpec extends SparkSpec {
     assert(out === Seq((1L, 1L), (2L, 2L)))
   }
 
+  test("domainStats extracts, lowercases, rolls up per domain, and " +
+      "broadcast-anti-joins the blocklist") {
+    import graft.llm.CorpusHygiene
+    val corpus = Seq(
+      (1L, "see https://News.Example.COM/a and http://ads.example.com/x"),
+      (2L, "again https://news.example.com/b https://news.example.com/c"),
+      (3L, "no urls in this one at all"),
+      (4L, "ftp://not-http.example.com and https://ok.example.org/")
+    ).toDF("doc_id", "text")
+    val out = CorpusHygiene.domainStats(corpus, "doc_id", "text",
+        blocklist = Seq("ADS.example.com")) // blocklist matching is
+      .collect()                            // case-insensitive too
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(
+      // case-folded; doc 2's two mentions count once in n_docs
+      ("news.example.com", 2L, 3L),
+      ("ok.example.org", 1L, 1L)))
+    // the blocklist side must plan as a BROADCAST anti join — the corpus
+    // side is never re-shuffled for a list-sized filter
+    val plan = CorpusHygiene.domainStats(corpus, "doc_id", "text",
+      blocklist = Seq("x.example.com")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"blocklist filter must broadcast:\n$plan")
+  }
+
   test("library persists are scoped: only result blocks outlive the call") {
     // drain anything earlier suites left behind so the count below is ours
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
