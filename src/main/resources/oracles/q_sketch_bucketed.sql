@@ -1,8 +1,8 @@
 WITH RECURSIVE
 bq_ev AS MATERIALIZED (
   SELECT value AS v,
-    least(greatest(CAST(floor(value / CAST(40.0 AS DOUBLE)) AS INT), 0),
-          15) AS b
+    CAST(least(greatest(floor(value / CAST(40.0 AS DOUBLE)), 0),
+          15) AS INT) AS b
   FROM events WHERE value IS NOT NULL),
 bq_cnts AS MATERIALIZED (SELECT b, count(*) AS n FROM bq_ev GROUP BY b),
 bq_tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM bq_cnts),

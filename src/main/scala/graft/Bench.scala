@@ -54,11 +54,18 @@ object Bench {
   val EscalationPauseMs = 30000L
 
   /** A best-of-runs reading that still contradicts the committed quiet-box
-    * expectation by >= 3×: the residual-contamination flag. Sub-500ms
+    * expectation by >= 3×: the residual-contamination flag. Sub-300ms
     * readings are exempt (scheduler noise), as are queries with no
-    * committed expectation (new this round — no baseline yet). */
+    * committed expectation (new this round — no baseline yet).
+    *
+    * The floor was 0.5 s through r11, which opened a blind crack between
+    * the two defenses: q_sample_hash read 0.448 s vs its 0.124 s line
+    * (3.61×) in the r11 driver run and was neither retried (reading
+    * < 0.5 s) nor listed as drifted (expectation < 0.15 s). A 0.3 s floor
+    * catches a tripled ~120 ms query while 60 ms jitter (3× = 0.18 s)
+    * stays muted. */
   def isSuspect(best: Double, expected: Option[Double]): Boolean =
-    best >= 0.5 && expected.exists(e => e > 0 && best / e >= 3.0)
+    best >= 0.3 && expected.exists(e => e > 0 && best / e >= 3.0)
 
   /** The silent 1.5–3× band: not inflated enough to trigger a retry or
     * the suspect flag, but far enough off the committed expectation that
@@ -72,9 +79,13 @@ object Bench {
     * driver run) — exactly the systematic small-query drift the key was
     * built to surface. A query whose quiet-box line is >= 150 ms is big
     * enough that 1.5× is signal; sub-150ms lines stay muted (scheduler
-    * jitter trips 1.5× on a 60 ms query constantly). */
+    * jitter trips 1.5× on a 60 ms query constantly). The second arm keeps
+    * "suspects are also drifted" true now that isSuspect fires below the
+    * 150 ms expectation line (r12): a >= 0.3 s reading at >= 3× any
+    * committed line is at least worth a look. */
   def isDrifted(best: Double, expected: Option[Double]): Boolean =
-    best >= 0 && expected.exists(e => e >= 0.15 && best / e >= 1.5)
+    (best >= 0 && expected.exists(e => e >= 0.15 && best / e >= 1.5)) ||
+      isSuspect(best, expected)
 
   /** Deferred-retry policy over one query's two first-pass runs: retry on
     * 2× disagreement (the original trigger — a spike during ONE run), on

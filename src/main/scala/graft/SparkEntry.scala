@@ -855,8 +855,11 @@ object SparkEntry {
     "q_sketch_bucketed" -> ((s, dir) => {
       val ev = table(s, dir, "events").filter(col("value").isNotNull)
         .select(col("value"),
-          least(greatest(floor(col("value") / lit(40.0)).cast("int"),
-            lit(0)), lit(15)).as("b"))
+          // clamp on the LONG floor result BEFORE the int cast: a value
+          // ≥ ~2^31·40 would wrap negative under cast-then-clamp and
+          // silently land in bucket 0 while the oracle's CAST raises
+          least(greatest(floor(col("value") / lit(40.0)), lit(0L)),
+            lit(15L)).cast("int").as("b"))
       val counts = ev.groupBy(col("b")).agg(count(lit(1)).as("n"))
         .orderBy(col("b")).collect()
       val nTotal = counts.map(_.getLong(1)).sum
@@ -1399,8 +1402,6 @@ object SparkEntry {
           "doc_id", "text", w = 10, maxOcc = 2)
         .orderBy(col("doc_id"))),
 
-    // LLM corpus hygiene: benchmark contamination — corpus docs sharing any
-    // word 4-gram with the (broadcast) eval slice, with the shared count
     // LLM: URL/domain hygiene (r11) — C4-style domain rollup + blocklist.
     // The fixture texts carry no URLs, so each doc gets two synthetic
     // mentions appended (97 .org domains, 13 .net domains of which 7 are
@@ -1419,6 +1420,8 @@ object SparkEntry {
         .orderBy(col("domain"))
     }),
 
+    // LLM corpus hygiene: benchmark contamination — corpus docs sharing any
+    // word 4-gram with the (broadcast) eval slice, with the shared count
     "q_contamination" -> ((s, dir) => {
       val docs = spread(table(s, dir, "documents"), "doc_id")
       CorpusHygiene.contamination(
@@ -1562,12 +1565,15 @@ object SparkEntry {
     // printable-ASCII filter (both sides) makes the oracle's
     // char-code == byte equivalence hold BY CONSTRUCTION, not by
     // fixture luck — a future non-ASCII document drops out of both
-    // engines identically instead of silently diverging.
+    // engines identically instead of silently diverging. Anchors are
+    // \A..\z, not ^..$: Java's $ matches before a trailing newline
+    // while DuckDB's RE2 $ is end-of-text, so a text ending in '\n'
+    // would pass only the Spark filter under ^..$.
     "q_audio_windows" -> ((s, dir) =>
       Multimodal.audioWindows(
           Multimodal.withFakeMedia(
             table(s, dir, "documents")
-              .filter(col("text").rlike("^[\\x20-\\x7e]*$")), "text"),
+              .filter(col("text").rlike("\\A[\\x20-\\x7e]*\\z")), "text"),
           "doc_id")
         .toDF()
         .select(col("id"), col("win"), col("n_samples"), col("sum_abs"))

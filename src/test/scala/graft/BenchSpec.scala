@@ -26,15 +26,28 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.needsDeferredRetry(1.4, 1.4, expected = Some(1.0)))
     // no committed baseline (new query) -> only the disagreement trigger
     assert(!Bench.needsDeferredRetry(5.0, 5.1, expected = None))
-    // sub-150ms expectation: scheduler jitter, never triggers on drift
-    assert(!Bench.needsDeferredRetry(0.45, 0.45, expected = Some(0.1)))
+    // r12: the former blind crack — q_sample_hash read 0.448 s vs its
+    // 0.124 s line (3.61x) in the r11 driver run, under BOTH the old
+    // 0.5 s suspect floor and the 0.15 s drift-expectation floor. A
+    // >= 0.3 s reading at >= 3x its line now earns the deferred retry.
+    assert(Bench.needsDeferredRetry(0.448, 0.448, expected = Some(0.124)))
+    // ...while a 60 ms query tripling (0.18 s) stays muted
+    assert(!Bench.needsDeferredRetry(0.18, 0.18, expected = Some(0.06)))
+    // and a 120 ms line at 2x (0.25 s, under both 3x and the 0.3 floor)
+    // is still treated as scheduler noise
+    assert(!Bench.needsDeferredRetry(0.25, 0.25, expected = Some(0.124)))
   }
 
   test("suspect flag marks residual >= 3x readings only") {
     assert(Bench.isSuspect(3.1, Some(1.0)))
     assert(!Bench.isSuspect(2.9, Some(1.0)))
     assert(!Bench.isSuspect(3.1, None))
-    assert(!Bench.isSuspect(0.45, Some(0.01)))
+    // r12: floor lowered 0.5 -> 0.3 (the q_sample_hash crack); a 450 ms
+    // reading at 3x+ a small line is now a flagged suspect...
+    assert(Bench.isSuspect(0.45, Some(0.01)))
+    assert(Bench.isSuspect(0.448, Some(0.124)))
+    // ...but sub-300ms readings stay exempt (scheduler noise)
+    assert(!Bench.isSuspect(0.29, Some(0.05)))
     // a zero/negative expectation line must not divide-by-zero its way
     // into a spurious retry storm
     assert(!Bench.isSuspect(3.1, Some(0.0)))
@@ -50,7 +63,10 @@ class BenchSpec extends AnyFunSuite {
     // r11: gated on the EXPECTATION (>= 150 ms), not the reading — the
     // old best >= 0.5 floor hid q_interleave at 2.34x (line 0.174 s)
     assert(Bench.isDrifted(0.41, Some(0.174))) // the r10 hidden case
-    assert(!Bench.isDrifted(0.45, Some(0.1))) // sub-150ms line stays muted
+    // r12: a sub-150ms LINE at >= 3x with a >= 0.3 s reading is a suspect,
+    // and suspects remain a subset of drifted
+    assert(Bench.isDrifted(0.45, Some(0.1)))
+    assert(!Bench.isDrifted(0.25, Some(0.1))) // 2.5x on a small line: muted
     // failed queries (-1 sentinel) never read as drifted
     assert(!Bench.isDrifted(-1.0, Some(1.0)))
   }

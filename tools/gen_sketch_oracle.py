@@ -537,8 +537,8 @@ def gen_bucketed_sql():
     return f"""WITH RECURSIVE
 bq_ev AS MATERIALIZED (
   SELECT value AS v,
-    least(greatest(CAST(floor(value / {dlit(BUCKET_W)}) AS INT), 0),
-          {BUCKET_MAX}) AS b
+    CAST(least(greatest(floor(value / {dlit(BUCKET_W)}), 0),
+          {BUCKET_MAX}) AS INT) AS b
   FROM events WHERE value IS NOT NULL),
 bq_cnts AS MATERIALIZED (SELECT b, count(*) AS n FROM bq_ev GROUP BY b),
 bq_tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM bq_cnts),
