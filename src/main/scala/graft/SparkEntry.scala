@@ -1386,6 +1386,67 @@ object SparkEntry {
           length(col("data")).cast("long").as("n_bytes"))
         .orderBy(col("id"))),
 
+    // LLM: the REAL javax.imageio resize arm, hash-checked end-to-end
+    // (r12 — the registry's q_multimodal_resize exercises the stub arm;
+    // until now the real arm was pinned only by LlmSpec). Each doc gets a
+    // deterministic synthetic PNG (pixel (x,y) = syntheticRgb(d,x,y),
+    // dims d%13+4 × d%9+3), routed through resize(factor=2) — the PNG
+    // magic selects the real decode→decimate→re-encode arm — and the
+    // output PNG is DECODED BACK to a position-weighted pixel sum. PNG is
+    // lossless RGB, so the oracle needs no codec: it replays the pixel
+    // function at the decimated coordinates (x·2, y·2) in BIGINT SQL. A
+    // stub-routed payload would emit decimated PNG bytes that do not
+    // decode → the (-1,-1,-1) sentinel → loud hash mismatch, so a green
+    // row PROVES the real arm ran on every doc.
+    "q_multimodal_resize_real" -> ((s, dir) => {
+      import s.implicits._
+      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val w = (d % 13 + 4).toInt
+          val h = (d % 9 + 3).toInt
+          (d, Multimodal.syntheticPng(d, w, h), w, h)
+        })
+        .toDF("doc_id", "data", "w", "h")
+        .select(col("doc_id"), struct(
+          col("data"),
+          struct(lit("image/png").as("format"), col("w").as("width"),
+            col("h").as("height")).as("meta")).as("media"))
+      Multimodal.resize(media, "doc_id", factor = 2)
+        .map { r =>
+          val (dw, dh, sum) = Multimodal.decodedChecksum(r.data)
+            .getOrElse((-1, -1, -1L))
+          (r.id, dw, dh, sum)
+        }
+        .toDF("id", "width", "height", "pix_sum")
+        .orderBy(col("id"))
+    }),
+
+    // LLM: the REAL javax.sound WAV arm, hash-checked end-to-end (r12 —
+    // q_audio_windows exercises the stub arm on text payloads). Each doc
+    // gets a hand-built RIFF/PCM16 payload (44-byte canonical header +
+    // d%37+20 samples from an integer recurrence); the WAVE magic routes
+    // realWavSamples, and the oracle replays the sample arithmetic with
+    // the header NOT counted. The stub arm on this payload would consume
+    // the 22 header byte-pairs as samples too (different n_samples AND
+    // sums in every window), so a green row proves the javax.sound
+    // branch decoded every payload.
+    "q_audio_windows_real" -> ((s, dir) => {
+      import s.implicits._
+      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          (d, Multimodal.syntheticWav(d, (d % 37 + 20).toInt))
+        })
+        .toDF("doc_id", "data")
+        .select(col("doc_id"), struct(
+          col("data"),
+          struct(lit("audio/wav").as("format"), lit(0).as("width"),
+            lit(0).as("height")).as("meta")).as("media"))
+      Multimodal.audioWindows(media, "doc_id")
+        .toDF()
+        .select(col("id"), col("win"), col("n_samples"), col("sum_abs"))
+        .orderBy(col("id"), col("win"))
+    }),
+
     "q_frame_samples" -> ((s, dir) =>
       Multimodal.sampleFrames(
           Multimodal.withFakeMedia(table(s, dir, "documents"), "text"),
@@ -3009,6 +3070,29 @@ object SparkEntry {
         |       ELSE greatest(strlen(text) // 2, 1) END AS BIGINT) AS n_bytes
         |FROM documents ORDER BY id""".stripMargin,
 
+    // The REAL imageio arm's oracle never touches a PNG byte: nearest-
+    // neighbor decimation means resized pixel (x,y) = source pixel
+    // (2x, 2y), and the source pixel is the synthetic integer function —
+    // so the position-weighted sum the Spark side computes from DECODED
+    // output pixels replays as plain BIGINT arithmetic at the decimated
+    // coordinates. rw = w//2 and rh = h//2 exactly (w >= 4, h >= 3, so
+    // the max(.,1) floor never binds; `greatest` kept for fidelity).
+    "q_multimodal_resize_real" ->
+      """WITH dims AS (SELECT CAST(doc_id AS BIGINT) AS d,
+        |    doc_id % 13 + 4 AS w, doc_id % 9 + 3 AS h
+        |  FROM documents),
+        |r AS (SELECT d, greatest(w // 2, 1) AS rw, greatest(h // 2, 1) AS rh
+        |  FROM dims),
+        |px AS (SELECT d, rw, rh,
+        |    unnest(generate_series(0, rw * rh - 1)) AS i
+        |  FROM r)
+        |SELECT d AS id, CAST(rw AS INT) AS width, CAST(rh AS INT) AS height,
+        |  CAST(sum(((d * 1103515245 + (2 * (i % rw)) * 12345
+        |             + (2 * (i // rw)) * 2654435761) % 16777216)
+        |           * (1 + (i % rw) + 1000 * (i // rw))) AS BIGINT) AS pix_sum
+        |FROM px GROUP BY d, rw, rh
+        |ORDER BY id""".stripMargin,
+
     // FNV-1a replayed in SQL: HUGEINT accumulator mod 2^64; xor only ever
     // touches the low 8 bits, so it is lifted to BIGINT and stitched back.
     // list_reduce folds the byte list with the offset basis prepended (an
@@ -3082,6 +3166,28 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_samples,
         |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs
         |FROM sgn GROUP BY doc_id, (j * 16) // ns
+        |ORDER BY id, win""".stripMargin,
+
+    // The REAL javax.sound arm's oracle replays the synthetic sample
+    // recurrence directly — sample j of doc d is ((d·48271 + j·69621)
+    // mod 65536) − 32768, ns = d%37+20 — with the 44-byte WAV header NOT
+    // counted (the stub arm would count its 22 byte-pairs, so the hash
+    // disambiguates the routing). Same exact-integer window arithmetic
+    // as q_audio_windows.
+    "q_audio_windows_real" ->
+      """WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS d,
+        |    doc_id % 37 + 20 AS ns
+        |  FROM documents),
+        |idx AS (SELECT d, ns,
+        |    unnest(generate_series(0, ns - 1)) AS j
+        |  FROM docs),
+        |smp AS (SELECT d, ns, j,
+        |    ((d * 48271 + j * 69621) % 65536) - 32768 AS s
+        |  FROM idx)
+        |SELECT d AS id, CAST((j * 16) // ns AS INT) AS win,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+        |FROM smp GROUP BY d, (j * 16) // ns
         |ORDER BY id, win""".stripMargin,
 
     // Header-as-data transpose as explicit per-column UNION ALL (not

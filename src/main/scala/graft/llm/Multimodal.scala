@@ -318,6 +318,113 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** 24-bit pixel value of the SYNTHETIC test image for doc `d` at (x,y):
+    * pure integer arithmetic (no overflow at any realistic doc_id — the
+    * largest term is d·1103515245 ≈ 2^61 at d = 2·10^9), so the DuckDB
+    * oracle replays it with BIGINT `%`. Position-dependent in both axes,
+    * so a transposed or shifted decimation cannot produce the same
+    * raster. */
+  private[graft] def syntheticRgb(d: Long, x: Int, y: Int): Int =
+    ((d * 1103515245L + x * 12345L + y * 2654435761L) % 16777216L).toInt
+
+  /** Deterministic synthetic PNG for doc `d`: a w×h TYPE_INT_RGB raster
+    * with pixel (x,y) = [[syntheticRgb]](d,x,y), PNG-encoded. PNG is
+    * lossless 24-bit truecolor, so decode∘encode is the identity on these
+    * pixels — the bridge that lets the REAL javax.imageio resize arm be
+    * hash-checked end-to-end by a SQL oracle that never sees a PNG byte:
+    * the oracle replays the pixel function at the decimated coordinates
+    * instead. */
+  private[graft] def syntheticPng(d: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = syntheticRgb(d, x, y); x += 1 }
+      y += 1
+    }
+    img.setRGB(0, 0, w, h, px, 0, w)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode an image payload and reduce it to (width, height, weighted
+    * pixel sum): Σ rgb24(x,y) · (1 + x + 1000·y). The position weights
+    * make the sum injective against the decimation bugs a plain pixel sum
+    * would cancel (transpose, row shift). Exact BIGINT math — rgb24 < 2^24
+    * and the weight is ≤ ~10^4 at test dims, so no overflow. None when the
+    * payload does not decode — the caller emits a sentinel row so a
+    * mis-routed (stub-resized) payload fails the hash LOUDLY rather than
+    * vanishing. */
+  private[graft] def decodedChecksum(bytes: Array[Byte])
+      : Option[(Int, Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(orEmpty(bytes)))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            sum += (px(y * w + x) & 0xffffff).toLong * (1L + x + 1000L * y)
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sum))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic synthetic WAV for doc `d`: canonical 44-byte RIFF
+    * header (PCM_SIGNED, 16-bit, mono, little-endian, 8 kHz) followed by
+    * `nS` samples with sample j = ((d·48271 + j·69621) mod 65536) − 32768
+    * — pure integer arithmetic the DuckDB oracle replays. The header is
+    * hand-built (not AudioSystem-written) so the javax.sound READ path is
+    * what the round-trip proves; the stub arm on this payload would also
+    * consume the 22 header byte-pairs as samples, so a hash match is
+    * per-construction proof the REAL arm routed. */
+  private[graft] def syntheticWav(d: Long, nS: Int): Array[Byte] = {
+    val dataLen = nS * 2
+    val out = new Array[Byte](44 + dataLen)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >>> 8) & 0xff).toByte
+      out(off + 2) = ((v >>> 16) & 0xff).toByte
+      out(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >>> 8) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16)
+    le16(20, 1) // PCM
+    le16(22, 1) // mono
+    le32(24, 8000) // sample rate
+    le32(28, 16000) // byte rate
+    le16(32, 2) // block align
+    le16(34, 16) // bits per sample
+    tag(36, "data"); le32(40, dataLen)
+    var j = 0
+    while (j < nS) {
+      val s = ((d * 48271L + j * 69621L) % 65536L).toInt - 32768
+      le16(44 + 2 * j, s & 0xffff)
+      j += 1
+    }
+    out
+  }
+
   /** Frame sampling: split each payload into `frames` equal chunks and emit
     * one deterministic fingerprint (FNV-1a) per chunk — the shape of a
     * video keyframe sampler, stubbed. */

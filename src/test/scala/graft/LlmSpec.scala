@@ -509,6 +509,50 @@ class LlmSpec extends SparkSpec {
     assert(stub.map(_.n_samples).toSeq === Seq(1L, 1L, 1L, 1L))
   }
 
+  test("synthetic registry payloads route the REAL decoder arms " +
+      "(q_multimodal_resize_real / q_audio_windows_real routing proof)") {
+    // the exact payload builders the r12 registry queries use — pinned
+    // here so the hash-checked rows provably exercise the real branches,
+    // not the stubs
+    val d = 123L
+    val (w, h) = ((d % 13 + 4).toInt, (d % 9 + 3).toInt) // 7 x 6
+    val png = Multimodal.syntheticPng(d, w, h)
+    assert(Multimodal.looksLikeImage(png), "PNG magic must route realResize")
+    // PNG round-trip is the identity on the synthetic raster
+    val back = Multimodal.decodedChecksum(png)
+    assert(back.isDefined && back.get._1 === w && back.get._2 === h)
+    var want = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      want += (Multimodal.syntheticRgb(d, x, y) & 0xffffff).toLong *
+        (1L + x + 1000L * y)
+    assert(back.get._3 === want, "decode∘encode must be identity")
+    // realResize (not the stub) handles it, and its output pixels are the
+    // decimated synthetic function — the exact claim the oracle replays
+    val rr = Multimodal.realResize(png, 2)
+    assert(rr.isDefined, "synthetic PNG must take the real decode arm")
+    val (rw, rh, outPng) = rr.get
+    assert(rw === w / 2 && rh === h / 2)
+    var wantR = 0L
+    for (y <- 0 until rh; x <- 0 until rw)
+      wantR += (Multimodal.syntheticRgb(d, 2 * x, 2 * y) & 0xffffff).toLong *
+        (1L + x + 1000L * y)
+    assert(Multimodal.decodedChecksum(outPng) === Some((rw, rh, wantR)))
+    // WAV: magic routes the real javax.sound branch and the decoded
+    // samples are exactly the recurrence — header bytes NOT counted
+    // (the stub would read 22 extra header byte-pairs as samples)
+    val nS = (d % 37 + 20).toInt
+    val wav = Multimodal.syntheticWav(d, nS)
+    assert(Multimodal.looksLikeWav(wav))
+    val samples = Multimodal.realWavSamples(wav)
+    assert(samples.isDefined, "synthetic WAV must take the javax.sound arm")
+    val wantS = Array.tabulate(nS)(j =>
+      ((d * 48271L + j * 69621L) % 65536L).toInt - 32768)
+    assert(samples.get.toSeq === wantS.toSeq)
+    assert(Multimodal.pcm16Le(wav).length === samples.get.length + 22,
+      "stub arm on the same payload would count the header pairs — the " +
+        "hash distinguishes the arms by construction")
+  }
+
   test("connected components on an empty pair set returns empty, no crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
