@@ -163,12 +163,7 @@ object Dedup {
                                threshold: Double): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     def prep(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"),
-        array_sort(array_distinct(
-          transform(tokens(col(textCol)), t => xxhash64(t)))).as("ws"))
-        .withColumn("n", size(col("ws")))
-        .withColumn("p",
-          (col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"))
+      prepPrefixDocs(df, idCol, textCol, threshold)
         .persist(StorageLevel.MEMORY_AND_DISK)
     val nd = prep(newDocs)
     val cd = prep(corpus)
@@ -194,6 +189,121 @@ object Dedup {
         jaccard(col("ws_a"), col("ws_b")).as("jac"))
       .filter(col("jac") >= threshold)
     timed("verify+checkpoint")(graft.Util.finishAndRelease(pairs, nd, cd))
+  }
+
+  /** Shared prep for the exact prefix-filter kernel: (id, ws, n, p) where
+    * `ws` is the sorted distinct hashed token set, `n` its size, and `p`
+    * the prefix length n − ⌈t·n⌉ + 1 the completeness lemma prescribes. */
+  private def prepPrefixDocs(df: DataFrame, idCol: String, textCol: String,
+                             threshold: Double): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_sort(array_distinct(
+        transform(tokens(col(textCol)), t => xxhash64(t)))).as("ws"))
+      .withColumn("n", size(col("ws")))
+      .withColumn("p",
+        (col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"))
+
+  private def prefixTable(docs: DataFrame): DataFrame =
+    docs.select(col("id"), col("n"),
+      explode(slice(col("ws"), lit(1), col("p"))).as("h"))
+
+  /** Persist a corpus's EXACT prefix-filter index so per-batch lossless
+    * dedup never re-preps the corpus side — the stored form the
+    * [[jaccardNewVsCorpusPrefix]] scaladoc promises (hash order needs no
+    * corpus-statistics pass, so the index is write-once). Two parquet
+    * tables under `path`: `docs` (id, ws, n, p) for the verify step and
+    * `prefixes` (id, n, h) for the candidate join; a `_params` stamp pins
+    * the THRESHOLD, which is part of the index identity — the prefix
+    * length p is a function of it, and probing at a different threshold
+    * silently breaks the completeness lemma (missed pairs, not an error).
+    * The prefixes table is derived from the WRITTEN docs table so
+    * tokenization runs exactly once. */
+  def writeExactPrefixIndex(corpus: DataFrame, idCol: String,
+                            textCol: String, threshold: Double,
+                            path: String, shards: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    // EXPLICIT shard count on the write: the probe's joins are broadcast-
+    // against-scan, so probe parallelism IS the index's split count — and
+    // an unconstrained write lets AQE coalesce a small index to one file,
+    // serializing every later probe onto one task (measured 4x on the
+    // registry fixture). ROUND-ROBIN repartition(n), not
+    // repartition(n, id): CollapseRepartition merges a by-expression
+    // repartition into an upstream repartition-by-col (spread()'s shape),
+    // and the surviving exchange carries the REPARTITION_BY_COL origin
+    // AQE is free to coalesce — the explicit count silently vanishes
+    // (observed: 1 file). The round-robin form keeps REPARTITION_BY_NUM,
+    // which AQE must respect. At real scale pick shards so files land
+    // near the FS block size. The prefixes table derives from the
+    // WRITTEN docs table — tokenization runs once, and its files inherit
+    // the docs sharding.
+    val w = if (shards > 0) shards
+            else spark.sparkContext.defaultParallelism
+    prepPrefixDocs(corpus, idCol, textCol, threshold)
+      .repartition(w)
+      .write.mode("overwrite").parquet(s"$path/docs")
+    prefixTable(spark.read.parquet(s"$path/docs"))
+      .write.mode("overwrite").parquet(s"$path/prefixes")
+    val p = new org.apache.hadoop.fs.Path(s"$path/_params")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(threshold.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** [[jaccardNewVsCorpusPrefix]] against a STORED corpus index
+    * ([[writeExactPrefixIndex]]): preps ONLY the new batch, so the
+    * per-ingest cost is O(batch prep + candidate matches + corpus scan)
+    * with NO corpus shuffle — the batch's prefix table rides a broadcast
+    * into both the candidate join and the verify join, and the corpus
+    * tables stream map-side. The broadcast is the ingest-gate contract
+    * (batch ≪ corpus); a bulk backfill with a corpus-sized "batch"
+    * should use the symmetric in-memory form instead. Results are
+    * identical to the in-memory form by construction (same prep, same
+    * joins); threshold is validated against the index stamp. */
+  def jaccardNewVsCorpusPrefixStored(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, newDocs: DataFrame,
+                                     idCol: String, textCol: String,
+                                     threshold: Double): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pp = new org.apache.hadoop.fs.Path(s"$path/_params")
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(pp),
+      s"exact prefix index at $path has no _params stamp — not a " +
+        "writeExactPrefixIndex layout")
+    val in = fs.open(pp)
+    val stored = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    require(stored.toDouble == threshold,
+      s"exact prefix index at $path was built at threshold=$stored but " +
+        s"caller passed $threshold — the prefix length depends on the " +
+        "threshold, so a cross-threshold probe silently misses pairs")
+    val nd = prepPrefixDocs(newDocs, idCol, textCol, threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (prof) timed("prep-new")(nd.count())
+    val sizeBand =
+      col("a.n") >= col("b.n") * threshold &&
+        col("b.n") >= col("a.n") * threshold
+    val candidates = broadcast(prefixTable(nd)).alias("a")
+      .join(spark.read.parquet(s"$path/prefixes").alias("b"),
+        col("a.h") === col("b.h") && sizeBand)
+      .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
+      .distinct()
+    if (prof) timed("candidates")(candidates.count())
+    // Verify with the CORPUS side streaming: the id-pair candidate set and
+    // the batch's (id, ws) table ride broadcasts (both are O(batch)-ish
+    // and carry no corpus arrays), while the stored corpus docs scan
+    // map-side — broadcasting the candidate×ws_a join instead would haul
+    // every candidate's full hash array through the driver.
+    val pairs = spark.read.parquet(s"$path/docs")
+      .select(col("id").as("corpus_id"), col("ws").as("ws_b"))
+      .join(broadcast(candidates), "corpus_id")
+      .join(broadcast(
+        nd.select(col("id").as("new_id"), col("ws").as("ws_a"))), "new_id")
+      .select(col("new_id"), col("corpus_id"),
+        jaccard(col("ws_a"), col("ws_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+    timed("verify+checkpoint")(graft.Util.finishAndRelease(pairs, nd))
   }
 
   /** MinHash+LSH near-duplicate pairs: shingle → minhash → band → bucket

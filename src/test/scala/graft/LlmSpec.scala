@@ -689,6 +689,26 @@ class LlmSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(kernel === naive)
     assert(naive.nonEmpty, "fixture should contain at least one true pair")
+    // r12: the STORED-index probe (the registry/production shape — corpus
+    // prepped once, batch side broadcast) must agree pair-for-pair, with
+    // jac values identical, against the symmetric in-memory form
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_exactidx").toString
+    Dedup.writeExactPrefixIndex(corpus, "doc_id", "text", 0.8, idxPath)
+    val stored = Dedup.jaccardNewVsCorpusPrefixStored(spark, idxPath,
+        newBatch, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mem = Dedup.jaccardNewVsCorpusPrefix(
+        newBatch, corpus, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(stored === mem)
+    // threshold is part of the index identity: a cross-threshold probe
+    // must FAIL LOUDLY (the prefix lemma would silently miss pairs)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.jaccardNewVsCorpusPrefixStored(spark, idxPath,
+        newBatch, "doc_id", "text", 0.9).collect()
+    }
+    assert(ex.getMessage.contains("threshold"))
   }
 
   test("chunking: coverage, overlap, and reassembly invariants") {
