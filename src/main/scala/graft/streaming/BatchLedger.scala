@@ -18,7 +18,8 @@ private[graft] object BatchLedger {
   /** Mutual-exclusion markers between a stream's applyBatch and a
     * compaction fold: `stateDir/_compact.lock` (held across a fold) and
     * `stateDir/_gate.lock` (held across one micro-batch's gate work).
-    * Each side creates its OWN marker fail-fast (no overwrite), then
+    * Each side acquires its OWN marker fail-fast (token-verified
+    * rename-of-unique-temp — [[acquireMarker]]), then
     * checks the OTHER side's marker and backs out loudly if it is
     * fresh — so BOTH interleavings fail fast: a compaction starting
     * while a batch is mid-probe, and a batch starting while a fold is
@@ -83,16 +84,64 @@ private[graft] object BatchLedger {
     }
   }
 
+  /** Read a marker's hold token (the UUID [[acquireMarker]] wrote), None
+    * if the marker does not exist. */
+  private def readToken(fs: org.apache.hadoop.fs.FileSystem,
+                        p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Acquire a marker by WRITE → RENAME → READ-BACK (r12, replacing the
+    * bare create(overwrite=false)): write a fresh UUID token to a unique
+    * dot-temp sibling, rename it onto the marker, then read the marker
+    * back and require our own token. Rename-of-unique-temp is atomic on
+    * HDFS and the local FS; on stores whose rename silently REPLACES an
+    * existing destination (POSIX rename(2) via RawLocalFileSystem) or is
+    * copy+delete (S3A), the read-back settles the race deterministically
+    * anyway: the last writer's token is in the file, so every acquirer
+    * but one reads a foreign token and loses — the old exists→create
+    * window in which two same-side acquirers could BOTH "win" is gone on
+    * any store with read-after-write consistency. Returns the hold token;
+    * throws (leaving no temp litter) when the marker is held. */
+  private def acquireMarker(fs: org.apache.hadoop.fs.FileSystem,
+                            own: Path): String = {
+    val token = java.util.UUID.randomUUID().toString
+    val tmp = new Path(own.getParent, s".${own.getName}.$token.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val renamed =
+      try fs.rename(tmp, own)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) {
+      // rename refused (checking stores return false when the destination
+      // exists): a competitor holds the marker
+      try fs.delete(tmp, false)
+      catch { case _: java.io.IOException => () }
+      throw new IllegalStateException(activeMsg(own))
+    }
+    if (!readToken(fs, own).contains(token))
+      // an overwriting-rename store let a simultaneous acquirer replace
+      // our marker: exactly one of us reads their own token — we didn't
+      throw new IllegalStateException(activeMsg(own))
+    token
+  }
+
   /** One heartbeat: refresh `own`'s mtime, preferring setTimes (cheap
     * metadata op). Object stores (S3A et al.) don't support setTimes —
-    * there an overwrite-create of the empty marker refreshes its mtime on
-    * every store, so the hold stays observably live too. Safe against
-    * clobbering a competitor: as long as this beats every
-    * [[LockHeartbeatMs]] the marker never ages past [[LockStaleMs]], so
-    * no competitor ever breaks-and-reacquires it while we hold. Returns
-    * the failure when NEITHER path works (caller warns once). */
+    * there, re-writing the marker refreshes its mtime on every store, so
+    * the hold stays observably live too. Safe against clobbering a
+    * competitor: as long as this beats every [[LockHeartbeatMs]] the
+    * marker never ages past [[LockStaleMs]], so no competitor ever
+    * breaks-and-reacquires it while we hold. Returns the failure when
+    * neither path works (caller warns once). */
   private[graft] def refreshMtime(fs: org.apache.hadoop.fs.FileSystem,
-                                      own: Path): Option[Throwable] =
+                                  own: Path,
+                                  token: String): Option[Throwable] =
     try { fs.setTimes(own, System.currentTimeMillis(), -1); None }
     catch {
       // Marker GONE = the hold was LOST (a competitor broke it as stale —
@@ -100,24 +149,56 @@ private[graft] object BatchLedger {
       // recreate it: an overwrite-create here would silently resurrect
       // the broken lock under the competitor's feet and our release would
       // then delete THE COMPETITOR's marker. Surface it to the warn-once
-      // instead. HONESTY NOTE: on setTimes-less stores the exists→create
-      // below is a TOCTOU — a competitor deleting the marker inside that
-      // microsecond window still gets clobbered. That narrows the
-      // resurrection to (paused past 3-minute staleness) ∧ (competitor
-      // breaks inside the stat-to-create window); fully closing it needs
-      // a conditional-put primitive those stores don't expose. Same
-      // residual class as breakStaleOrThrow's stat-to-delete window —
-      // inherent to any mtime-lease scheme whose holder sleeps past the
-      // lease.
+      // instead. r12: the fallback is TOKEN-VERIFIED — it re-creates the
+      // marker only when the marker still carries OUR token, so a
+      // competitor that already broke-and-reacquired is detected (foreign
+      // token → hold lost) instead of clobbered. HONESTY NOTE: a residual
+      // TOCTOU remains on setTimes-less stores — a competitor replacing
+      // the marker inside the read-to-create window still gets clobbered.
+      // That narrows the resurrection to (paused past 3-minute staleness)
+      // ∧ (competitor acquires inside that microsecond window); fully
+      // closing it needs a conditional-put primitive those stores don't
+      // expose. Same residual class as breakStaleOrThrow's stat-to-delete
+      // window — inherent to any mtime-lease scheme whose holder sleeps
+      // past the lease.
       case fnf: java.io.FileNotFoundException => Some(fnf)
       case scala.util.control.NonFatal(_) =>
         try {
-          if (!fs.exists(own))
-            Some(new java.io.FileNotFoundException(
-              s"$own vanished mid-hold — broken as stale by a competitor?"))
-          else { fs.create(own, true).close(); None }
+          readToken(fs, own) match {
+            case None =>
+              Some(new java.io.FileNotFoundException(
+                s"$own vanished mid-hold — broken as stale by a competitor?"))
+            case Some(t) if t != token =>
+              Some(new IllegalStateException(
+                s"$own now carries a different hold token — this hold " +
+                  "was broken as stale and the marker reacquired by a " +
+                  "competitor; refusing to clobber it"))
+            case Some(_) =>
+              val out = fs.create(own, true)
+              try out.write(
+                token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              finally out.close()
+              None
+          }
         } catch { case scala.util.control.NonFatal(ex) => Some(ex) }
     }
+
+  /** Release a hold: delete the marker only while it still carries OUR
+    * token — a hold lost to a stale-break must not delete the
+    * competitor's reacquired marker. (The read-to-delete window is the
+    * breakStaleOrThrow residual, documented there.) */
+  private def release(fs: org.apache.hadoop.fs.FileSystem, own: Path,
+                      token: String): Unit =
+    try {
+      readToken(fs, own) match {
+        case Some(t) if t == token => fs.delete(own, false)
+        case Some(_) =>
+          log.warn(s"not releasing $own: it carries a different hold " +
+            "token (this hold was broken as stale and reacquired by a " +
+            "competitor)")
+        case None => ()
+      }
+    } catch { case _: java.io.IOException => () }
 
   /** Acquire `ownName`, verify `otherName` is absent/stale, heartbeat
     * own marker from a daemon thread while `f` runs, release. Backs out
@@ -141,20 +222,16 @@ private[graft] object BatchLedger {
     val other = new Path(stateDir, otherName)
     val fs = own.getFileSystem(spark.sparkContext.hadoopConfiguration)
     breakStaleOrThrow(fs, own)
-    // ATOMICITY NOTE: create(overwrite=false) is atomic-exclusive on
-    // HDFS-like stores; RawLocalFileSystem and most object stores do
-    // exists-then-create, so two simultaneous SAME-SIDE acquirers can
-    // both "win" in a narrow window there. That residual race only
-    // matters for duplicate same-side holders (two streams sharing one
-    // state dir — already a misconfiguration this lock detects
-    // best-effort, not a guarantee); the load-bearing gate↔compaction
-    // exclusion uses two DIFFERENT marker files and is enforced by the
-    // other-side freshness check below, which needs no create atomicity.
-    try fs.create(own, false).close()
-    catch {
-      case _: java.io.IOException =>
-        throw new IllegalStateException(activeMsg(own))
-    }
+    // ATOMICITY NOTE (r12): acquisition is token-verified rename-of-
+    // unique-temp (see acquireMarker) — atomic-exclusive on HDFS/local
+    // rename semantics, and settled by the token read-back on stores
+    // whose rename overwrites. The pre-r12 create(overwrite=false) path
+    // let two simultaneous SAME-SIDE acquirers both "win" on
+    // exists-then-create stores. The load-bearing gate↔compaction
+    // exclusion additionally uses two DIFFERENT marker files and is
+    // enforced by the other-side freshness check below, which needs no
+    // create atomicity at all.
+    val token = acquireMarker(fs, own)
     try {
       val deadline = System.currentTimeMillis() + graceMs
       var acquired = false
@@ -170,8 +247,7 @@ private[graft] object BatchLedger {
       }
     } catch {
       case e: Throwable =>
-        try fs.delete(own, false)
-        catch { case _: java.io.IOException => () }
+        release(fs, own, token)
         throw e
     }
     @volatile var done = false
@@ -181,7 +257,7 @@ private[graft] object BatchLedger {
         try Thread.sleep(LockHeartbeatMs)
         catch { case _: InterruptedException => () }
         if (!done)
-          refreshMtime(fs, own).foreach { ex =>
+          refreshMtime(fs, own, token).foreach { ex =>
             // both paths dead must not kill the fold itself — but it MUST
             // be observable: without beats a live hold goes "stale" and a
             // competitor breaks it
@@ -203,8 +279,7 @@ private[graft] object BatchLedger {
     finally {
       done = true
       hb.interrupt()
-      try fs.delete(own, false)
-      catch { case _: java.io.IOException => () }
+      release(fs, own, token)
     }
   }
 

@@ -798,7 +798,12 @@ class StreamingSpec extends SparkSpec {
     val marker = new Path(dir, BatchLedger.CompactLockName)
     val raw = marker
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    raw.create(marker, false).close()
+    val token = "11111111-1111-1111-1111-111111111111"
+    def writeMarker(content: String): Unit = {
+      val out = raw.create(marker, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
+    writeMarker(token)
     val past = System.currentTimeMillis() - 120000L
     raw.setTimes(marker, past, -1L)
     assert(raw.getFileStatus(marker).getModificationTime === past)
@@ -806,13 +811,17 @@ class StreamingSpec extends SparkSpec {
       override def setTimes(p: Path, m: Long, a: Long): Unit =
         throw new UnsupportedOperationException("setTimes not supported")
     }
-    assert(BatchLedger.refreshMtime(noSetTimes, marker).isEmpty,
+    assert(BatchLedger.refreshMtime(noSetTimes, marker, token).isEmpty,
       "overwrite-create fallback must succeed where setTimes throws")
     val after = raw.getFileStatus(marker).getModificationTime
     assert(after > past && System.currentTimeMillis() - after < 60000L,
       s"fallback must refresh the marker mtime (got $after, was $past)")
-    assert(raw.getFileStatus(marker).getLen === 0L,
-      "the refreshed marker stays an empty file")
+    val content = {
+      val in = raw.open(marker)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(content === token,
+      "the refreshed marker must preserve the hold token")
     // both paths dead: failure is RETURNED for the warn-once log, never
     // thrown into the fold, and the marker is left alone
     raw.setTimes(marker, past, -1L)
@@ -823,19 +832,35 @@ class StreamingSpec extends SparkSpec {
           : org.apache.hadoop.fs.FSDataOutputStream =
         throw new java.io.IOException("create not supported either")
     }
-    val failure = BatchLedger.refreshMtime(dead, marker)
+    val failure = BatchLedger.refreshMtime(dead, marker, token)
     assert(failure.exists(_.isInstanceOf[java.io.IOException]))
     assert(raw.exists(marker) &&
       raw.getFileStatus(marker).getModificationTime === past)
+    // TAKEN-OVER marker (r12): a competitor broke this hold as stale and
+    // reacquired — the marker carries THEIR token. The fallback must
+    // refuse to clobber it and surface the loss instead (the pre-r12
+    // exists→create fallback would have silently resurrected our hold
+    // over the competitor's, and our release would then delete THEIR
+    // marker).
+    writeMarker("22222222-2222-2222-2222-222222222222")
+    val taken = BatchLedger.refreshMtime(noSetTimes, marker, token)
+    assert(taken.exists(_.isInstanceOf[IllegalStateException]),
+      "a foreign-token marker must surface hold-lost, not refresh")
+    val contentAfter = {
+      val in = raw.open(marker)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(contentAfter === "22222222-2222-2222-2222-222222222222",
+      "the competitor's marker must be left untouched")
     // VANISHED marker = the hold was LOST (competitor broke it as stale
     // while this holder was paused). The beat must NEVER resurrect it —
     // an overwrite-create here would squat on the competitor's fresh
     // reacquisition and our release would then delete THEIR marker.
     raw.delete(marker, false)
-    val lost = BatchLedger.refreshMtime(raw, marker)
+    val lost = BatchLedger.refreshMtime(raw, marker, token)
     assert(lost.exists(_.isInstanceOf[java.io.FileNotFoundException]))
     assert(!raw.exists(marker), "a lost hold must not be resurrected")
-    val lostNoSetTimes = BatchLedger.refreshMtime(noSetTimes, marker)
+    val lostNoSetTimes = BatchLedger.refreshMtime(noSetTimes, marker, token)
     assert(lostNoSetTimes.exists(_.isInstanceOf[java.io.FileNotFoundException]))
     assert(!raw.exists(marker),
       "the overwrite-create fallback must not resurrect a lost hold either")
