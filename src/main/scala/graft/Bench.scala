@@ -103,7 +103,10 @@ object Bench {
     if (cold < 0 || warm < 0) return false // failed query: no time to fix
     val best = math.min(cold, warm)
     val disagree = best >= 0.5 && math.max(cold, warm) / best >= 2.0
-    disagree || isSuspect(best, expected) || isDrifted(best, expected)
+    // isDrifted subsumes isSuspect since r12 (its second arm), so the
+    // retry trigger is exactly "the runs disagree, or the reading is
+    // flaggable" — one predicate per concept, no drift between call sites
+    disagree || isDrifted(best, expected)
   }
 
   /** Committed per-query quiet-box baseline: `name<TAB>seconds` lines,

@@ -217,7 +217,16 @@ object Dedup {
     * length p is a function of it, and probing at a different threshold
     * silently breaks the completeness lemma (missed pairs, not an error).
     * The prefixes table is derived from the WRITTEN docs table so
-    * tokenization runs exactly once. */
+    * tokenization runs exactly once.
+    *
+    * The stamp is the COMMIT RECORD (r12): it is deleted before the
+    * first data write and recreated last, so a rebuild that crashes
+    * between the docs and prefixes overwrites leaves a stamp-less
+    * layout that [[jaccardNewVsCorpusPrefixStored]] refuses loudly —
+    * without the up-front delete, the surviving old stamp would bless a
+    * torn index (new docs, stale prefixes) whose probes SILENTLY miss
+    * pairs: corpus docs absent from `prefixes` generate no candidates,
+    * and the verify join just never sees them. */
   def writeExactPrefixIndex(corpus: DataFrame, idCol: String,
                             textCol: String, threshold: Double,
                             path: String, shards: Int = 0): Unit = {
@@ -238,14 +247,16 @@ object Dedup {
     // the docs sharding.
     val w = if (shards > 0) shards
             else spark.sparkContext.defaultParallelism
+    val stamp = new org.apache.hadoop.fs.Path(s"$path/_params")
+    val stampFs =
+      stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stampFs.delete(stamp, false) // invalidate BEFORE touching data
     prepPrefixDocs(corpus, idCol, textCol, threshold)
       .repartition(w)
       .write.mode("overwrite").parquet(s"$path/docs")
     prefixTable(spark.read.parquet(s"$path/docs"))
       .write.mode("overwrite").parquet(s"$path/prefixes")
-    val p = new org.apache.hadoop.fs.Path(s"$path/_params")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val out = stampFs.create(stamp, true) // commit record, written LAST
     try out.write(threshold.toString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -465,9 +476,19 @@ object Dedup {
                        bands: Int = 8): Unit = {
     val (docs, buckets) =
       shingleBuckets(corpus, idCol, textCol, shingleN, numHashes, bands)
+    // the _params stamp is the COMMIT RECORD: deleted before the first
+    // data write, recreated last (writeIndexParams), so a rebuild that
+    // crashes between the docs and buckets overwrites leaves a
+    // stamp-less layout requireIndexParams refuses — not a torn index
+    // (new docs, stale buckets) whose probes silently find no candidates
+    // for the new rows
+    val spark = corpus.sparkSession
+    val stamp = new org.apache.hadoop.fs.Path(s"$path/_params")
+    stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(stamp, false)
     docs.write.mode("overwrite").parquet(s"$path/docs")
     buckets.write.mode("overwrite").parquet(s"$path/buckets")
-    writeIndexParams(corpus.sparkSession, path, shingleN, numHashes, bands)
+    writeIndexParams(spark, path, shingleN, numHashes, bands)
     docs.unpersist()
   }
 
@@ -491,16 +512,18 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(s"$path/_params")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
-      // same contract as requireSemanticParams: new stores always stamp,
-      // so a missing stamp over existing data is a deleted stamp or a
-      // legacy layout — warn instead of silently skipping validation
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/buckets")))
-        System.err.println(
-          s"[graft] WARNING: corpus index at $path has buckets data but no " +
-            s"_params stamp — cannot validate (shingleN,numHashes,bands)=" +
-            s"($shingleN,$numHashes,$bands) against the stored signature " +
-            "scheme; a mismatched probe finds near-zero candidates " +
-            "silently. Re-stamp or rebuild the index.")
+      // new stores always stamp and the stamp is the rebuild COMMIT
+      // RECORD (deleted first, written last), so buckets data without a
+      // stamp is a crashed rebuild (docs/buckets possibly torn), a
+      // hand-deleted stamp, or a legacy layout — all three make the next
+      // probe silently find near-zero candidates, so refuse loudly
+      // (r12: was a warning, which blessed the torn-rebuild state the
+      // commit-record ordering exists to surface)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/buckets")),
+        s"corpus index at $path has buckets data but no _params stamp — " +
+          "a crashed rebuild left a possibly-torn index, or the stamp " +
+          "was deleted; probing it would find near-zero candidates " +
+          "silently. Rebuild the index (writeCorpusIndex).")
       return
     }
     val in = fs.open(p)

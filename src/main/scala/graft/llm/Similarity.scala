@@ -277,6 +277,16 @@ object Similarity {
     val inline = nlist.toLong * centers.head.length <= maxInlineLiterals
     val dists = centroidDists(col("cv"), centers, inline)
     import spark.implicits._
+    // `_params` is the COMMIT RECORD (r12): deleted before the first
+    // data write, recreated last. A rebuild that crashes between the
+    // centroids and cells overwrites would otherwise leave a torn index
+    // — cell assignments computed under the OLD centroids probed via the
+    // NEW ones — which returns silently wrong neighbors (recall loss
+    // with no error); stamp-less layouts are refused by ivfTopKVsIndex.
+    val stamp = new org.apache.hadoop.fs.Path(s"$path/_params")
+    val stampFs =
+      stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    stampFs.delete(stamp, false)
     centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cell", "center")
@@ -285,6 +295,10 @@ object Similarity {
       .withColumn("cell",
         (array_position(dists, array_min(dists)) - 1).cast("int"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val out = stampFs.create(stamp, true)
+    try out.write(s"$nlist,$seed,$trainN"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Probe a stored IVF index ([[writeIvfIndex]]): rank the stored
@@ -300,6 +314,14 @@ object Similarity {
                      maxInlineLiterals: Int = MaxInlineLiterals)
       : DataFrame = {
     val spark = queries.sparkSession
+    val stamp = new org.apache.hadoop.fs.Path(s"$indexPath/_params")
+    require(stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(stamp),
+      s"IVF index at $indexPath has no _params stamp — the stamp is " +
+        "writeIvfIndex's commit record (written after both tables), so " +
+        "its absence means a crashed/torn rebuild (cells assigned under " +
+        "different centroids return silently wrong neighbors) or a " +
+        "pre-stamp layout; rebuild with writeIvfIndex")
     val centers = spark.read.parquet(s"$indexPath/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)

@@ -101,14 +101,21 @@ private[graft] object BatchLedger {
     * back and require our own token. Rename-of-unique-temp is atomic on
     * HDFS and the local FS; on stores whose rename silently REPLACES an
     * existing destination (POSIX rename(2) via RawLocalFileSystem) or is
-    * copy+delete (S3A), the read-back settles the race deterministically
-    * anyway: the last writer's token is in the file, so every acquirer
-    * but one reads a foreign token and loses — the old exists→create
-    * window in which two same-side acquirers could BOTH "win" is gone on
-    * any store with read-after-write consistency. Returns the hold token;
-    * throws (leaving no temp litter) when the marker is held. */
-  private def acquireMarker(fs: org.apache.hadoop.fs.FileSystem,
-                            own: Path): String = {
+    * copy+delete (S3A), the read-back NARROWS the race instead of
+    * settling it: the last writer's token is in the file, so of two
+    * same-side acquirers racing inside the rename-to-read-back window
+    * the later renamer wins and the earlier one MAY still read its own
+    * token before being clobbered. That residual double-win is detected
+    * within one [[LockHeartbeatMs]] by the token check in
+    * [[refreshMtime]] — the clobbered holder's next beat reads the
+    * foreign token — which is the best an mtime-lease scheme can do
+    * without a conditional-put primitive. Returns the hold token; throws
+    * IllegalStateException (leaving no temp litter) when the marker is
+    * held, and rethrows a RENAME IO FAILURE chained as such — a
+    * transient store fault is not contention, and the activeMsg advice
+    * ("wait 3 minutes") would be wrong for it. */
+  private[graft] def acquireMarker(fs: org.apache.hadoop.fs.FileSystem,
+                                   own: Path): String = {
     val token = java.util.UUID.randomUUID().toString
     val tmp = new Path(own.getParent, s".${own.getName}.$token.tmp")
     val out = fs.create(tmp, false)
@@ -116,7 +123,15 @@ private[graft] object BatchLedger {
     finally out.close()
     val renamed =
       try fs.rename(tmp, own)
-      catch { case _: java.io.IOException => false }
+      catch {
+        case e: java.io.IOException =>
+          try fs.delete(tmp, false)
+          catch { case _: java.io.IOException => () }
+          throw new java.io.UncheckedIOException(
+            s"rename($tmp -> $own) failed with an IO error — this is a " +
+              "store fault, NOT lock contention; retry the operation",
+            e)
+      }
     if (!renamed) {
       // rename refused (checking stores return false when the destination
       // exists): a competitor holds the marker
@@ -131,18 +146,44 @@ private[graft] object BatchLedger {
     token
   }
 
-  /** One heartbeat: refresh `own`'s mtime, preferring setTimes (cheap
-    * metadata op). Object stores (S3A et al.) don't support setTimes —
-    * there, re-writing the marker refreshes its mtime on every store, so
-    * the hold stays observably live too. Safe against clobbering a
-    * competitor: as long as this beats every [[LockHeartbeatMs]] the
-    * marker never ages past [[LockStaleMs]], so no competitor ever
-    * breaks-and-reacquires it while we hold. Returns the failure when
-    * neither path works (caller warns once). */
+  /** One heartbeat: verify the marker still carries OUR token, then
+    * refresh its mtime, preferring setTimes (cheap metadata op). Object
+    * stores (S3A et al.) don't support setTimes — there, re-writing the
+    * marker refreshes its mtime on every store, so the hold stays
+    * observably live too. Safe against clobbering a competitor: as long
+    * as this beats every [[LockHeartbeatMs]] the marker never ages past
+    * [[LockStaleMs]], so no competitor ever breaks-and-reacquires it
+    * while we hold. Returns the failure when the hold is lost or neither
+    * refresh path works (caller warns once).
+    *
+    * The token check runs on EVERY beat (r12), not just the
+    * setTimes-less fallback: on stores whose rename silently REPLACES
+    * the destination (POSIX rename(2) via RawLocalFileSystem), two
+    * same-side acquirers racing inside [[acquireMarker]]'s
+    * rename-to-read-back window can BOTH read their own token — the
+    * earlier renamer checks before the later rename lands. A
+    * token-blind setTimes would then refresh the competitor's marker
+    * forever and the double-hold would never surface; with the check,
+    * the clobbered holder reads the foreign token at its next beat and
+    * learns the hold is lost within one [[LockHeartbeatMs]]. */
   private[graft] def refreshMtime(fs: org.apache.hadoop.fs.FileSystem,
                                   own: Path,
                                   token: String): Option[Throwable] =
-    try { fs.setTimes(own, System.currentTimeMillis(), -1); None }
+    try {
+      readToken(fs, own) match {
+        case None =>
+          Some(new java.io.FileNotFoundException(
+            s"$own vanished mid-hold — broken as stale by a competitor?"))
+        case Some(t) if t != token =>
+          Some(new IllegalStateException(
+            s"$own now carries a different hold token — this hold was " +
+              "lost (broken as stale, or clobbered by a simultaneous " +
+              "acquirer on an overwriting-rename store) and the marker " +
+              "is now a competitor's; refusing to refresh it"))
+        case Some(_) =>
+          fs.setTimes(own, System.currentTimeMillis(), -1); None
+      }
+    }
     catch {
       // Marker GONE = the hold was LOST (a competitor broke it as stale —
       // e.g. this holder was GC/VM-paused past LockStaleMs). Do not
@@ -223,9 +264,12 @@ private[graft] object BatchLedger {
     val fs = own.getFileSystem(spark.sparkContext.hadoopConfiguration)
     breakStaleOrThrow(fs, own)
     // ATOMICITY NOTE (r12): acquisition is token-verified rename-of-
-    // unique-temp (see acquireMarker) — atomic-exclusive on HDFS/local
-    // rename semantics, and settled by the token read-back on stores
-    // whose rename overwrites. The pre-r12 create(overwrite=false) path
+    // unique-temp (see acquireMarker) — atomic-exclusive on HDFS rename
+    // semantics; on stores whose rename overwrites (POSIX local, S3A)
+    // the read-back narrows the same-side race to the rename-to-read-back
+    // window and the per-beat token check in refreshMtime detects a
+    // clobbered hold within one LockHeartbeatMs. The pre-r12
+    // create(overwrite=false) path
     // let two simultaneous SAME-SIDE acquirers both "win" on
     // exists-then-create stores. The load-bearing gate↔compaction
     // exclusion additionally uses two DIFFERENT marker files and is
@@ -263,12 +307,25 @@ private[graft] object BatchLedger {
             // competitor breaks it
             if (!warned) {
               warned = true
-              log.warn(s"lock heartbeat on $own is failing " +
-                s"(${ex.getClass.getSimpleName}: ${ex.getMessage}); " +
-                "the hold is no longer protected — either the marker " +
-                "was already broken as stale (this holder paused past " +
-                s"${LockStaleMs / 60000} minutes?) or this filesystem " +
-                "supports neither setTimes nor overwrite-create", ex)
+              ex match {
+                case _: IllegalStateException =>
+                  // foreign token: not a dead heartbeat but a LOST hold —
+                  // a competitor owns the marker and mutual exclusion is
+                  // already violated; the two-phase ledger + repair path
+                  // bound the damage, but this must read as an error
+                  log.error(s"hold on $own is LOST " +
+                    s"(${ex.getMessage}); this holder's remaining work " +
+                    "races the competitor's — mutual exclusion was " +
+                    "broken by a stale-break or a simultaneous-acquire " +
+                    "clobber", ex)
+                case _ =>
+                  log.warn(s"lock heartbeat on $own is failing " +
+                    s"(${ex.getClass.getSimpleName}: ${ex.getMessage}); " +
+                    "the hold is no longer protected — either the marker " +
+                    "was already broken as stale (this holder paused past " +
+                    s"${LockStaleMs / 60000} minutes?) or this filesystem " +
+                    "supports neither setTimes nor overwrite-create", ex)
+              }
             }
           }
       }

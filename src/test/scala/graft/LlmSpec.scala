@@ -711,6 +711,75 @@ class LlmSpec extends SparkSpec {
     assert(ex.getMessage.contains("threshold"))
   }
 
+  test("index commit records: a stamp-less stored index is refused " +
+      "(torn-rebuild protection)") {
+    // r12: every monolithic index writer (exact-prefix, MinHash corpus,
+    // IVF) treats its _params stamp as the COMMIT RECORD — deleted
+    // before the first data overwrite, recreated after the last. A
+    // rebuild that crashes between its two table overwrites therefore
+    // leaves a stamp-less layout, which probes must refuse LOUDLY: a
+    // torn index (one table new, the other stale) produces silently
+    // missing pairs / wrong neighbors, not errors. The crashed state is
+    // simulated by deleting the stamp, which is byte-identical to what
+    // the crash window leaves behind.
+    import org.apache.hadoop.fs.Path
+    def delStamp(dir: String): Unit = {
+      val p = new Path(s"$dir/_params")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(p), s"writer must have stamped $dir")
+      fs.delete(p, false)
+    }
+    val newBatch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+
+    // exact prefix-filter index
+    val exDir = java.nio.file.Files
+      .createTempDirectory("graft_tornex").toString
+    Dedup.writeExactPrefixIndex(corpus, "doc_id", "text", 0.8, exDir)
+    delStamp(exDir)
+    val exEx = intercept[IllegalArgumentException] {
+      Dedup.jaccardNewVsCorpusPrefixStored(spark, exDir,
+        newBatch, "doc_id", "text", 0.8).collect()
+    }
+    assert(exEx.getMessage.contains("_params"))
+    // a completed rebuild over the torn layout re-stamps and probes fine
+    Dedup.writeExactPrefixIndex(corpus, "doc_id", "text", 0.8, exDir)
+    assert(Dedup.jaccardNewVsCorpusPrefixStored(spark, exDir,
+      newBatch, "doc_id", "text", 0.8).collect().nonEmpty)
+
+    // MinHash corpus index (was a stderr WARNING pre-r12 — too quiet for
+    // a state that silently drops candidates)
+    val mhDir = java.nio.file.Files
+      .createTempDirectory("graft_tornmh").toString
+    Dedup.writeCorpusIndex(corpus, "doc_id", "text", mhDir)
+    delStamp(mhDir)
+    val mhEx = intercept[IllegalArgumentException] {
+      Dedup.minhashLshNewVsIndex(newBatch, mhDir, "doc_id", "text")
+        .collect()
+    }
+    assert(mhEx.getMessage.contains("_params"))
+    Dedup.writeCorpusIndex(corpus, "doc_id", "text", mhDir)
+    Dedup.minhashLshNewVsIndex(newBatch, mhDir, "doc_id", "text").collect()
+
+    // IVF index (had NO stamp pre-r12: a torn rebuild probed cells
+    // assigned under different centroids — silently wrong neighbors)
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft_tornivf").toString
+    Similarity.writeIvfIndex(embs, "vec_id", "embedding", ivfDir,
+      nlist = 8, seed = 42L)
+    delStamp(ivfDir)
+    val ivfEx = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKVsIndex(embs.filter(col("vec_id") < 5), ivfDir,
+        "vec_id", "embedding", k = 3, nprobe = 2).collect()
+    }
+    assert(ivfEx.getMessage.contains("_params"))
+    Similarity.writeIvfIndex(embs, "vec_id", "embedding", ivfDir,
+      nlist = 8, seed = 42L)
+    assert(Similarity.ivfTopKVsIndex(embs.filter(col("vec_id") < 5),
+      ivfDir, "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().nonEmpty)
+  }
+
   test("chunking: coverage, overlap, and reassembly invariants") {
     val fixture = Seq(
       (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 tokens

@@ -866,6 +866,92 @@ class StreamingSpec extends SparkSpec {
       "the overwrite-create fallback must not resurrect a lost hold either")
   }
 
+  test("lock heartbeat detects a same-side clobber on setTimes-capable " +
+      "stores (token check on EVERY beat)") {
+    // r12: on stores whose rename silently REPLACES the destination
+    // (POSIX rename(2)), two same-side acquirers racing inside
+    // acquireMarker's rename-to-read-back window can BOTH read their own
+    // token. The pre-r12 happy path refreshed via a token-blind setTimes,
+    // so the clobbered holder kept refreshing the COMPETITOR's marker
+    // forever and the double-hold never surfaced. Pin: a beat against a
+    // foreign-token marker must report the hold LOST even where setTimes
+    // works fine, and must not touch the marker.
+    import graft.streaming.BatchLedger
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_clobber").toString
+    val marker = new Path(dir, BatchLedger.CompactLockName)
+    val raw = marker
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mine = BatchLedger.acquireMarker(raw, marker)
+    // a healthy beat refreshes and keeps the token
+    val past = System.currentTimeMillis() - 120000L
+    raw.setTimes(marker, past, -1L)
+    assert(BatchLedger.refreshMtime(raw, marker, mine).isEmpty)
+    assert(raw.getFileStatus(marker).getModificationTime > past)
+    // the competitor's rename lands over our marker (what an
+    // overwriting-rename store does when both acquirers raced)
+    val theirs = "99999999-9999-9999-9999-999999999999"
+    val out = raw.create(marker, true)
+    try out.write(theirs.getBytes("UTF-8")) finally out.close()
+    raw.setTimes(marker, past, -1L)
+    val lost = BatchLedger.refreshMtime(raw, marker, mine)
+    assert(lost.exists(_.isInstanceOf[IllegalStateException]),
+      "a foreign-token marker must surface hold-lost on the setTimes " +
+        "path too, not just the object-store fallback")
+    assert(raw.getFileStatus(marker).getModificationTime === past,
+      "the competitor's marker mtime must be left untouched")
+    val content = {
+      val in = raw.open(marker)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(content === theirs)
+  }
+
+  test("lock acquisition: a rename IO fault is surfaced as a store " +
+      "fault, not misdiagnosed as contention") {
+    // r12: S3A renames are copy+delete and can throw on transient
+    // throttling. Mapping that to "another holder is active — wait 3
+    // minutes" sends the operator chasing a lock nobody holds; the real
+    // cause must stay chained in the thrown error.
+    import graft.streaming.BatchLedger
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_renameio").toString
+    val marker = new Path(dir, BatchLedger.CompactLockName)
+    val raw = marker
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val flaky = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def rename(src: Path, dst: Path): Boolean =
+        throw new java.io.IOException("simulated store throttle")
+    }
+    val e = intercept[java.io.UncheckedIOException] {
+      BatchLedger.acquireMarker(flaky, marker)
+    }
+    assert(e.getMessage.contains("NOT lock contention"))
+    assert(e.getCause.getMessage.contains("simulated store throttle"),
+      "the original fault must stay chained")
+    assert(!raw.exists(marker), "no marker may be left behind")
+    // and no temp litter either
+    val kids = raw.listStatus(new Path(dir))
+    assert(kids.forall(!_.getPath.getName.endsWith(".tmp")),
+      s"temp litter left: ${kids.map(_.getPath.getName).mkString(",")}")
+    // a rename returning FALSE (checking stores refuse when the
+    // destination exists — HDFS semantics; the POSIX-backed local FS
+    // instead REPLACES, which is the overwriting shape the heartbeat
+    // token check covers) is still diagnosed as contention
+    val checking = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def rename(src: Path, dst: Path): Boolean = false
+    }
+    val held = intercept[IllegalStateException] {
+      BatchLedger.acquireMarker(checking, marker)
+    }
+    assert(held.getMessage.contains("another holder is active"))
+    assert(raw.listStatus(new Path(dir))
+        .forall(!_.getPath.getName.endsWith(".tmp")),
+      "the refused-rename path must clean its temp too")
+  }
+
   test("lock protocol under real simultaneous starts: never overlapping, " +
       "gate always wins") {
     // the protocol's two claims, pinned under actual thread races:
