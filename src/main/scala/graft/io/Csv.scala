@@ -32,7 +32,8 @@ object Csv {
     * matter its size. When a compressed file IS above [[SplitThreshold]],
     * pass `decompressDir`: each compressed file is decompressed once
     * (distributed, one task per file) into that staging directory and the
-    * splittable reader runs over the staged plaintext —
+    * splittable reader runs over the staged plaintext plus any plain
+    * members IN PLACE (they are not copied) —
     * [[CsvSplit.decompressToSplittable]]. The caller owns cleaning the
     * staging directory after the returned frame is consumed. */
   def read(spark: SparkSession, path: String,
@@ -40,7 +41,7 @@ object Csv {
            decompressDir: Option[String] = None): DataFrame = {
     val (maxLen, anyCompressed) = dataFileStats(spark, path)
     if (maxLen > SplitThreshold && anyCompressed && decompressDir.nonEmpty)
-      CsvSplit.read(spark,
+      CsvSplit.readFiles(spark,
         CsvSplit.decompressToSplittable(spark, path, decompressDir.get),
         inferSchema)
     else if (maxLen > SplitThreshold && !anyCompressed)

@@ -65,7 +65,6 @@ object CsvSplit {
   def read(spark: SparkSession, path: String,
            inferSchema: Boolean = true,
            blockSize: Long = 32L * 1024 * 1024): DataFrame = {
-    require(blockSize >= 16, s"blockSize must be >= 16 bytes, got $blockSize")
     val sconf = new SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
     val fs = new Path(path).getFileSystem(sconf.value)
@@ -98,6 +97,48 @@ object CsvSplit {
 
     if (files.isEmpty)
       return Csv.read(spark, path, inferSchema) // empty input: same answer
+    readCore(spark, sconf, files, inferSchema, blockSize, path)
+  }
+
+  /** Splittable reader over an EXPLICIT file list (no glob expansion) —
+    * the decompress route reads staged plaintext and untouched plain
+    * originals IN PLACE, possibly from different directories or even
+    * different filesystems, without copying the plain members anywhere.
+    * Same parsing contract as [[read]]. */
+  def readFiles(spark: SparkSession, paths: Seq[String],
+                inferSchema: Boolean = true,
+                blockSize: Long = 32L * 1024 * 1024): DataFrame = {
+    require(paths.nonEmpty, "readFiles needs at least one path")
+    val sconf = new SerializableWritable(
+      spark.sparkContext.hadoopConfiguration)
+    val files: Seq[(String, Long)] = paths.map { p =>
+      val hp = new Path(p)
+      val st = hp.getFileSystem(sconf.value).getFileStatus(hp)
+      require(st.isFile, s"readFiles takes concrete files, got " +
+        s"directory $p — enumerate it (or use read) first")
+      (st.getPath.toString, st.getLen)
+    }.filter(_._2 > 0L).sortBy(_._1)
+    if (files.isEmpty) // every input empty: the stock reader's answer
+      return spark.read
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", "\"")
+        .option("nullValue", "NA")
+        .option("inferSchema", inferSchema.toString)
+        .csv(paths: _*)
+    readCore(spark, sconf, files, inferSchema, blockSize,
+      if (paths.size == 1) paths.head
+      else s"${paths.head} (+${paths.size - 1} more)")
+  }
+
+  /** The two-pass splittable scan over a resolved (path, length) list.
+    * `label` only feeds error messages. */
+  private def readCore(spark: SparkSession,
+                       sconf: SerializableWritable[Configuration],
+                       files: Seq[(String, Long)], inferSchema: Boolean,
+                       blockSize: Long, label: String): DataFrame = {
+    require(blockSize >= 16, s"blockSize must be >= 16 bytes, got $blockSize")
+    val path = label
 
     // block ranges per file
     val ranges: Seq[(String, Int, Int, Long, Long)] = for {
@@ -214,18 +255,27 @@ object CsvSplit {
     }
   }
 
-  /** Stage a directory of (possibly) compressed CSV files as splittable
-    * plaintext under `stagingDir`, returning `stagingDir`: each
-    * compressed file (by Hadoop codec extension) is decompressed in one
-    * distributed task; already-plain files are copied through. This is
-    * the decompress-then-split path for oversized `.gz` exports — one
-    * sequential pass per file (the stream is inherently sequential), but
-    * every DOWNSTREAM pass over the staged bytes is splittable, which is
-    * the trade a >256 MiB gzip member forces. Idempotent: outputs are
+  /** Stage the COMPRESSED members of `path` as splittable plaintext
+    * under `stagingDir` and return the effective file list for
+    * [[readFiles]]: the staged plaintext plus the untouched plain
+    * originals IN PLACE. (Pre-r12 this copied plain files through the
+    * staging dir too — pure wasted sequential I/O and doubled storage
+    * when one oversized .gz sits next to terabytes of already-splittable
+    * plaintext.) Each compressed file (by Hadoop codec extension)
+    * decompresses in one distributed task — the stream is inherently
+    * sequential, but every DOWNSTREAM pass over the staged bytes is
+    * splittable, which is the trade a >256 MiB gzip member forces.
+    * Staged names carry a digest of the FULL source path, so
+    * same-basename files matched from different directories (a glob
+    * like /exports/[star]/part-00000.csv.gz) never clobber each other;
+    * keeping the full source name after the digest (rather than
+    * stripping the codec suffix) keeps data.csv.gz apart from a plain
+    * data.csv twin, and the .raw suffix keeps the staged file from
+    * re-matching the codec factory downstream. Idempotent: outputs are
     * overwritten, so a re-run (or a crashed earlier run) converges. The
     * caller owns deleting `stagingDir` when done. */
   def decompressToSplittable(spark: SparkSession, path: String,
-                             stagingDir: String): String = {
+                             stagingDir: String): Seq[String] = {
     val sconf = new SerializableWritable(
       spark.sparkContext.hadoopConfiguration)
     val fs = new Path(path).getFileSystem(sconf.value)
@@ -241,48 +291,59 @@ object CsvSplit {
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
       .map(_.getPath.toString)
-    new Path(stagingDir).getFileSystem(sconf.value)
-      .mkdirs(new Path(stagingDir))
-    spark.sparkContext.parallelize(files, math.max(1, files.size))
-      .foreach { f =>
-        val conf = sconf.value
-        val src = new Path(f)
-        val srcFs = src.getFileSystem(conf)
-        val factory =
-          new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
-        val codec = Option(factory.getCodec(src))
-        // a compressed-by-extension file whose codec is unavailable (e.g.
-        // zstd without native hadoop libs) must fail here, not get staged
-        // verbatim and parsed downstream as garbage plaintext
-        require(codec.nonEmpty || !Csv.isCompressedName(src.getName),
-          s"no hadoop codec available for compressed file $f — " +
-            "decompress it externally or add the codec to the cluster")
-        // staged name = FULL source name + ".raw" for decompressed files:
-        // stripping the codec suffix instead would stage data.csv.gz AND
-        // a plain data.csv twin to the SAME destination, silently
-        // clobbering one of them; the .raw suffix also keeps the staged
-        // file from re-matching the codec factory downstream
-        val outName = codec.map(_ => src.getName + ".raw")
-          .getOrElse(src.getName)
-        val dst = new Path(stagingDir, outName)
-        val dstFs = dst.getFileSystem(conf)
-        val in = codec match {
-          case Some(c) => c.createInputStream(srcFs.open(src))
-          case None => srcFs.open(src)
-        }
-        try {
-          val out = dstFs.create(dst, true)
+    // split by CODEC detection (driver-side; the factory keys on
+    // extension, same as the executors') so a codec-known extension
+    // outside Csv's routing list still decompresses rather than being
+    // left in place and parsed downstream as garbage bytes
+    val factory = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+      sconf.value)
+    val (compressed, plain) = files.partition { f =>
+      factory.getCodec(new Path(f)) != null ||
+        Csv.isCompressedName(new Path(f).getName)
+    }
+    def stagedName(f: String): String = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(6).map("%02x".format(_)).mkString
+      digest + "_" + new Path(f).getName + ".raw"
+    }
+    if (compressed.nonEmpty) {
+      new Path(stagingDir).getFileSystem(sconf.value)
+        .mkdirs(new Path(stagingDir))
+      spark.sparkContext
+        .parallelize(compressed, math.max(1, compressed.size))
+        .foreach { f =>
+          val conf = sconf.value
+          val src = new Path(f)
+          val srcFs = src.getFileSystem(conf)
+          val codec = Option(
+            new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+              .getCodec(src))
+          // a compressed-by-extension file whose codec is unavailable
+          // (e.g. zstd without native hadoop libs) must fail here, not
+          // get staged verbatim and parsed downstream as garbage
+          // plaintext
+          require(codec.nonEmpty,
+            s"no hadoop codec available for compressed file $f — " +
+              "decompress it externally or add the codec to the cluster")
+          val dst = new Path(stagingDir, stagedName(f))
+          val dstFs = dst.getFileSystem(conf)
+          val in = codec.get.createInputStream(srcFs.open(src))
           try {
-            val buf = new Array[Byte](1 << 20)
-            var n = in.read(buf)
-            while (n >= 0) {
-              if (n > 0) out.write(buf, 0, n)
-              n = in.read(buf)
-            }
-          } finally out.close()
-        } finally in.close()
-      }
-    stagingDir
+            val out = dstFs.create(dst, true)
+            try {
+              val buf = new Array[Byte](1 << 20)
+              var n = in.read(buf)
+              while (n >= 0) {
+                if (n > 0) out.write(buf, 0, n)
+                n = in.read(buf)
+              }
+            } finally out.close()
+          } finally in.close()
+        }
+    }
+    compressed.map(f => new Path(stagingDir, stagedName(f)).toString) ++
+      plain
   }
 
   private case class Block(file: String, start: Long, end: Long,

@@ -148,6 +148,42 @@ object Parquet {
     finishFold(fs, dir, upToBatch)
   }
 
+  /** Entries under `dir` that do NOT belong to a batch-keyed store
+    * layout: anything that is not a hidden/metadata entry (`_`/`.`
+    * prefix) or a `batch=<id>` partition dir. Batch-keyed writers refuse
+    * dirs where this is nonempty — a legacy flat dataset cannot be
+    * partition-pruned for exactly-once replay, and writing batch=N
+    * subdirs next to foreign data would silently graft partitions onto
+    * someone else's table. Shared so the three guard sites (ingest-gate
+    * index roots, gate outDir, semantic index puts) cannot drift. */
+  def foreignEntries(fs: org.apache.hadoop.fs.FileSystem,
+                     dir: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filterNot(e => e.getPath.getName.startsWith("_") ||
+        e.getPath.getName.startsWith("."))
+      .filterNot(e => e.isDirectory &&
+        e.getPath.getName.matches("batch=-?\\d+"))
+
+  /** Is a fold's DESTRUCTIVE phase underway (or crashed mid-way) on this
+    * store? True while a fold tmp dir exists WITH its `_SUCCESS` marker:
+    * from that point until the final rename, the store's listing
+    * transiently shows NEITHER the folded `batch=N` dirs NOR the
+    * (dot-hidden) tmp, so a concurrent reader planning a scan inside the
+    * window would silently miss every folded row.
+    * [[graft.streaming.BatchLedger.committedRead]] polls this before
+    * planning; phase A (tmp being written, no `_SUCCESS`) is
+    * non-destructive and does not block readers. */
+  def destructiveFoldPending(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path): Boolean = {
+    import org.apache.hadoop.fs.Path
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      st.isDirectory && st.getPath.getName.startsWith(FoldTmpPrefix) &&
+        fs.exists(new Path(st.getPath, "_SUCCESS"))
+    }
+  }
+
   /** Complete (or roll back) an interrupted [[compactBatchStore]] fold.
     * Safe whenever no fold is concurrently running: a tmp dir WITH
     * `_SUCCESS` finished phase A, so its destructive phase B is replayed

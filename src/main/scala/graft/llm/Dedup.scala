@@ -911,9 +911,18 @@ object Dedup {
     * silently lands new docs in foreign cells, so it fails loudly. */
   def writeSemanticIndex(corpus: DataFrame, idCol: String, vecCol: String,
                          path: String, bits: Int = 8): Unit = {
+    // stamp = COMMIT RECORD (r12, same protocol as the other monolithic
+    // index writers): deleted before the data overwrite, recreated
+    // after, so a rebuild that crashes mid cells-write leaves a
+    // stamp-less layout the probe refuses instead of a half-written
+    // corpus blessed by the old stamp
+    val spark = corpus.sparkSession
+    val stamp = new org.apache.hadoop.fs.Path(s"$path/_semparams")
+    stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(stamp, false)
     semanticRows(corpus, idCol, vecCol, bits)
       .write.mode("overwrite").parquet(s"$path/cells")
-    writeSemanticParams(corpus.sparkSession, path, bits)
+    writeSemanticParams(spark, path, bits)
   }
 
   /** Append an accepted batch to a [[writeSemanticIndex]] layout.
@@ -1046,17 +1055,17 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(s"$path/_semparams")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {
-      // New stores always stamp, so a missing stamp over EXISTING cells
-      // data means the stamp was deleted (or a legacy layout) — the exact
-      // silent-mismatch failure the stamp exists to prevent. Warn loudly
-      // rather than skipping validation in silence; only a truly empty
-      // store (nothing written yet) passes quietly.
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells")))
-        System.err.println(
-          s"[graft] WARNING: semantic index at $path has cells data but no " +
-            s"_semparams stamp — cannot validate bits=$bits against the " +
-            "stored geometry; a cross-bits probe finds near-zero " +
-            "candidates silently. Re-stamp or rebuild the index.")
+      // New stores always stamp and the stamp is the rebuild COMMIT
+      // RECORD (deleted first, written last), so cells data without a
+      // stamp is a crashed rebuild (half-written corpus), a deleted
+      // stamp, or a legacy layout — all three make probes silently
+      // wrong, so refuse loudly (r12: was a warning); only a truly
+      // empty store (nothing written yet) passes quietly.
+      require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells")),
+        s"semantic index at $path has cells data but no _semparams " +
+          "stamp — a crashed rebuild left a possibly-partial index, or " +
+          "the stamp was deleted; probing it would silently miss " +
+          "near-duplicates. Rebuild the index (writeSemanticIndex).")
       return
     }
     val in = fs.open(p)

@@ -180,13 +180,16 @@ object SubstringDedup {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stampPath = new org.apache.hadoop.fs.Path(s"$path/_params")
     if (!fs.exists(stampPath)) {
-      if (fs.exists(dir) && fs.listStatus(dir).nonEmpty)
-        System.err.println(
-          s"[graft] WARNING: window index at $path has data but no " +
-            s"_params stamp — cannot validate windowK=$k against the " +
-            "stored gram size; a mismatched probe finds zero duplicated " +
-            "windows silently. Re-stamp or rebuild the index.")
-      else writeWindowParams(spark, path, k)
+      // the stamp is written AFTER the data (writeWindowIndex's
+      // overwrite clears the dir, old stamp included), so data without
+      // a stamp is a crashed write or a deleted stamp — either way the
+      // gram size cannot be validated and a mismatched probe finds zero
+      // duplicated windows silently; refuse loudly (r12: was a warning)
+      require(!fs.exists(dir) || fs.listStatus(dir).isEmpty,
+        s"window index at $path has data but no _params stamp — a " +
+          "crashed write left a possibly-partial index, or the stamp " +
+          "was deleted; rebuild the index (writeWindowIndex).")
+      writeWindowParams(spark, path, k)
       return
     }
     val in = fs.open(stampPath)

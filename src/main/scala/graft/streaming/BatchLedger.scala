@@ -63,6 +63,23 @@ private[graft] object BatchLedger {
     * proceed, the caller's own create() settles the race fail-fast. */
   private def breakStaleOrThrow(fs: org.apache.hadoop.fs.FileSystem,
                                 lock: Path): Unit = {
+    // sweep crash litter first: a kill -9 between acquireMarker's
+    // create(tmp) and rename leaves a `.{lock}.{uuid}.tmp` orphan that
+    // no other path deletes, so a long-lived state dir would accumulate
+    // one per crash forever. Age-gated on LockStaleMs so a LIVE
+    // acquirer's in-flight temp (alive for microseconds) is never swept.
+    try {
+      val parent = lock.getParent
+      val prefix = s".${lock.getName}."
+      if (parent != null && fs.exists(parent))
+        fs.listStatus(parent).foreach { t =>
+          val n = t.getPath.getName
+          if (t.isFile && n.startsWith(prefix) && n.endsWith(".tmp") &&
+              System.currentTimeMillis() - t.getModificationTime >=
+                LockStaleMs)
+            fs.delete(t.getPath, false)
+        }
+    } catch { case _: java.io.IOException => () } // best-effort hygiene
     val st =
       try Some(fs.getFileStatus(lock))
       catch { case _: java.io.FileNotFoundException => None }
@@ -402,6 +419,28 @@ private[graft] object BatchLedger {
     if (frontier < 0L) throw new IllegalStateException(
       s"no committed batches at $stateDir yet — accepted()/quarantined() " +
         "have no schema to return before the first nonempty batch commits")
+    // Fold isolation (r12): during compactBatchStore's destructive phase
+    // B the store's listing transiently shows NEITHER the folded batch
+    // dirs NOR the dot-hidden fold tmp — a plan-time listing inside that
+    // window silently drops every folded committed row. The compaction
+    // lock excludes the GATE, not readers, so wait the (rename+deletes,
+    // normally sub-second) phase out here; a marker that persists past
+    // the deadline is a fold that CRASHED mid-phase-B, and reading a
+    // torn store must fail loudly (repairBatchStore completes the fold).
+    // The check-to-listing race that remains is the same microseconds
+    // residual class as breakStaleOrThrow's stat-to-delete window.
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deadline = System.currentTimeMillis() + 60000L
+    while (graft.io.Parquet.destructiveFoldPending(fs, p)) {
+      if (System.currentTimeMillis() >= deadline)
+        throw new IllegalStateException(
+          s"a compaction fold of $path has been in its destructive phase " +
+            "for over 60s — the folding process likely crashed mid-swap; " +
+            "run the gate's repair (repairBatchStore) before reading, or " +
+            "the scan would silently miss the folded committed rows")
+      Thread.sleep(200)
+    }
     spark.read.parquet(path)
       .filter(org.apache.spark.sql.functions.col("batch") <= frontier)
   }

@@ -120,8 +120,8 @@ object EventsStream {
     * consumed and the sink's _spark_metadata commits atomically, so a
     * crash-and-restart (or the next AvailableNow run) resumes exactly where
     * the last committed batch ended — exactly-once file output without any
-    * dedup pass. Returns the started query; callers pick the trigger via
-    * `trigger`. */
+    * dedup pass. Returns an UNSTARTED writer, like every builder in this
+    * package: callers pick the trigger via `trigger` and call `start()`. */
   def parquetIngest(spark: SparkSession, srcDir: String, outDir: String,
                     checkpointDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[

@@ -115,17 +115,10 @@ object IngestDedup {
       // a legacy flat index (writeCorpusIndex layout) has data FILES at the
       // docs root instead of batch= subdirs — its entries cannot be
       // partition-pruned on replay, so refuse loudly with the migration
-      if (fs.exists(docsDir)) {
-        val foreign = fs.listStatus(docsDir)
-          .filterNot(e => e.getPath.getName.startsWith("_") ||
-            e.getPath.getName.startsWith("."))
-          .filterNot(e => e.isDirectory &&
-            e.getPath.getName.matches("batch=-?\\d+"))
-        require(foreign.isEmpty,
-          s"legacy flat corpus index at $indexPath — rebuild the seed with " +
-            "Dedup.seedCorpusIndex (batch=-1 base segment); a flat layout " +
-            "cannot be batch-pruned for exactly-once replay")
-      }
+      require(graft.io.Parquet.foreignEntries(fs, docsDir).isEmpty,
+        s"legacy flat corpus index at $indexPath — rebuild the seed with " +
+          "Dedup.seedCorpusIndex (batch=-1 base segment); a flat layout " +
+          "cannot be batch-pruned for exactly-once replay")
       // bootstrap: nothing committed AND no seed base. (A crashed first
       // batch may have left its own batch=0 index dirs — the bootstrap
       // replay overwrites them; a crashed SEEDED first batch replays
@@ -160,18 +153,11 @@ object IngestDedup {
             // The batch-keyed output write only ever overwrites its own
             // subdir, but a FOREIGN flat dataset at outDir would silently
             // gain a batch=0 partition — refuse that
-            val outP = new Path(outDir)
-            if (fs.exists(outP)) {
-              val foreignOut = fs.listStatus(outP)
-                .filterNot(e => e.getPath.getName.startsWith("_") ||
-                  e.getPath.getName.startsWith("."))
-                .filterNot(e => e.isDirectory &&
-                  e.getPath.getName.matches("batch=-?\\d+"))
-              require(foreignOut.isEmpty,
-                s"dedupIngest bootstrap would write into non-empty $outDir " +
-                  "that holds data it did not write; point outDir at a " +
-                  "fresh directory")
-            }
+            require(graft.io.Parquet
+                .foreignEntries(fs, new Path(outDir)).isEmpty,
+              s"dedupIngest bootstrap would write into non-empty $outDir " +
+                "that holds data it did not write; point outDir at a " +
+                "fresh directory")
             val pairs = Dedup.minhashLshPairsFromSigs(sigDocs, sigBuckets,
               threshold)
             Dedup.dedupedCorpus(batch, idCol, pairs)

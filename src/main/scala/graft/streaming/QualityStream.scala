@@ -30,6 +30,14 @@ object QualityStream {
                   quarantineDir: String, metricsDir: String,
                   checkpointDir: String,
                   expectations: Seq[Expectation]): DataStreamWriter[Row] = {
+    // validate at CONSTRUCTION: an empty suite would otherwise start
+    // fine and only hit Expectations.check's require hours later, when
+    // the first nonempty micro-batch kills the running query from
+    // inside the gate
+    require(expectations.nonEmpty,
+      "gatedIngest needs at least one expectation — an empty suite " +
+        "would pass every batch vacuously (and fails inside the gate " +
+        "at the first nonempty batch, long after deploy)")
     val schema = spark.read.parquet(srcDir).schema
     val gate: (Dataset[Row], Long) => Unit = (batch0, batchId) => {
       // one persist at entry: the gate otherwise scans the batch three

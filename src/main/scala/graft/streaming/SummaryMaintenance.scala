@@ -30,15 +30,19 @@ object SummaryMaintenance {
   /** Stamped batch id inside the live summary dir, -1 before first commit. */
   def lastBatchId(spark: SparkSession, summaryDir: String): Long = {
     import org.apache.hadoop.fs.Path
-    val fs = new Path(summaryDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stamp = new Path(new Path(summaryDir, "data"), StampName)
-    if (!fs.exists(stamp)) -1L
-    else {
-      val in = fs.open(stamp)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
+    val root = new Path(summaryDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readableData(fs, root) match {
+      case None => -1L
+      case Some(d) =>
+        val stamp = new Path(d, StampName)
+        if (!fs.exists(stamp)) -1L
+        else {
+          val in = fs.open(stamp)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+          finally in.close()
+        }
     }
   }
 
@@ -46,9 +50,38 @@ object SummaryMaintenance {
     * first commit). */
   def readSummary(spark: SparkSession, summaryDir: String): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
-    val data = new Path(summaryDir, "data")
-    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(data)) Some(spark.read.parquet(data.toString)) else None
+    val root = new Path(summaryDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readableData(fs, root).map(d => spark.read.parquet(d.toString))
+  }
+
+  /** The concrete dir a reader should load: `data`, or — when a commit's
+    * two-rename swap is mid-flight (`data` absent, the pre-swap state
+    * parked at `data.__graft_old`) — wait for the second rename to land.
+    * Pre-r12 a reader in that window got None / -1 once per micro-batch
+    * commit, so an external consumer saw a populated view flicker
+    * "empty-before-first-commit". The swap window is two metadata renames
+    * (microseconds); if it outlasts the wait the committer crashed
+    * between them, and the PARKED pre-swap view — exactly what the next
+    * applyBatch's repair restores — is the last committed state, so
+    * return it rather than pretending the summary never existed. None
+    * only when neither dir exists: genuinely before the first commit. */
+  private def readableData(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path)
+      : Option[org.apache.hadoop.fs.Path] = {
+    import org.apache.hadoop.fs.Path
+    val data = new Path(root, "data")
+    val old = new Path(root, "data.__graft_old")
+    var tries = 0
+    while (tries < 40) {
+      if (fs.exists(data)) return Some(data)
+      if (!fs.exists(old)) return None // no swap in flight: truly empty
+      Thread.sleep(50)
+      tries += 1
+    }
+    if (fs.exists(data)) Some(data)
+    else if (fs.exists(old)) Some(old)
+    else None
   }
 
   /** Merge one micro-batch into the summary; idempotent under replay of

@@ -778,6 +778,39 @@ class LlmSpec extends SparkSpec {
     assert(Similarity.ivfTopKVsIndex(embs.filter(col("vec_id") < 5),
       ivfDir, "vec_id", "embedding", k = 3, nprobe = 2)
       .collect().nonEmpty)
+
+    // semantic sign-cell index (its stamp is _semparams)
+    val semDir = java.nio.file.Files
+      .createTempDirectory("graft_tornsem").toString
+    Dedup.writeSemanticIndex(embs, "vec_id", "embedding", semDir)
+    val semStamp = new Path(s"$semDir/_semparams")
+    val semFs =
+      semStamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(semFs.exists(semStamp)); semFs.delete(semStamp, false)
+    val semEx = intercept[IllegalArgumentException] {
+      Dedup.semanticNewVsIndex(embs.filter(col("vec_id") < 5), semDir,
+        "vec_id", "embedding", 0.3).collect()
+    }
+    assert(semEx.getMessage.contains("_semparams"))
+    Dedup.writeSemanticIndex(embs, "vec_id", "embedding", semDir)
+    Dedup.semanticNewVsIndex(embs.filter(col("vec_id") < 5), semDir,
+      "vec_id", "embedding", 0.3).collect()
+
+    // substring window index (stamp cleared WITH the data by the
+    // overwrite; data-without-stamp must still refuse)
+    import graft.llm.SubstringDedup
+    val winDir = java.nio.file.Files
+      .createTempDirectory("graft_tornwin").toString + "/idx"
+    SubstringDedup.writeWindowIndex(docs, "doc_id", "text", 8, winDir)
+    delStamp(winDir)
+    val winEx = intercept[IllegalArgumentException] {
+      SubstringDedup.appendWindowIndex(
+        docs.limit(3), "doc_id", "text", 8, winDir)
+    }
+    assert(winEx.getMessage.contains("_params"))
+    SubstringDedup.writeWindowIndex(docs, "doc_id", "text", 8, winDir)
+    SubstringDedup.appendWindowIndex(
+      docs.limit(3), "doc_id", "text", 8, winDir)
   }
 
   test("chunking: coverage, overlap, and reassembly invariants") {

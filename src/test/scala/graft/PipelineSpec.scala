@@ -387,20 +387,25 @@ class PipelineSpec extends SparkSpec {
     // reader is row-identical to the stock read of the gzip
     val staging = java.nio.file.Files
       .createTempDirectory("graft_csvgz_stage").toString
-    CsvSplit.decompressToSplittable(spark, dir, staging)
-    val split = CsvSplit.read(spark, staging, inferSchema = false,
+    val effective = CsvSplit.decompressToSplittable(spark, dir, staging)
+    val split = CsvSplit.readFiles(spark, effective, inferSchema = false,
       blockSize = 128)
     assert(split.schema === stock.schema)
     val key = col("id").cast("long")
     assert(split.orderBy(key).collect().toSeq ===
       stock.orderBy(key).collect().toSeq)
-    // staged name = full source name + ".raw": stripping the codec
-    // suffix instead would collide with a plain same-stem twin, and the
-    // .raw suffix keeps the plaintext from re-matching the codec factory
-    assert(new java.io.File(staging).listFiles.map(_.getName)
-      .filterNot(_.startsWith(".")).toSet === Set("data.csv.gz.raw"))
-    // the collision case the naming exists for: a plain twin of the
-    // compressed file stages alongside it, neither clobbers the other
+    // staged name = digest(full source path) + source name + ".raw":
+    // the digest keeps same-basename files from different directories
+    // apart, keeping the source name keeps data.csv.gz apart from a
+    // plain data.csv twin, and the .raw suffix keeps the plaintext from
+    // re-matching the codec factory
+    val stagedNames = new java.io.File(staging).listFiles.map(_.getName)
+      .filterNot(_.startsWith(".")).toSeq
+    assert(stagedNames.size === 1 &&
+      stagedNames.head.matches("[0-9a-f]{12}_data\\.csv\\.gz\\.raw"),
+      s"unexpected staged names: $stagedNames")
+    // r12: plain members are NOT copied through staging — they are read
+    // in place (the returned list points at the originals)
     val twinDir = java.nio.file.Files
       .createTempDirectory("graft_csvgz_twin").toString
     val hdr = "id,c1\n" + (0 until 3).map(i => s"$i,x$i").mkString("\n")
@@ -414,12 +419,43 @@ class PipelineSpec extends SparkSpec {
     finally gzo.close()
     val twinStage = java.nio.file.Files
       .createTempDirectory("graft_csvgz_tst").toString
-    CsvSplit.decompressToSplittable(spark, twinDir, twinStage)
+    val twinEff = CsvSplit.decompressToSplittable(spark, twinDir, twinStage)
     assert(new java.io.File(twinStage).listFiles.map(_.getName)
-      .filterNot(_.startsWith(".")).toSet ===
-      Set("data.csv", "data.csv.gz.raw"))
-    assert(CsvSplit.read(spark, twinStage, inferSchema = false,
+      .filterNot(_.startsWith(".")).toSeq
+      .forall(_.matches("[0-9a-f]{12}_data\\.csv\\.gz\\.raw")),
+      "only the compressed twin may be staged")
+    assert(twinEff.exists(_.endsWith("data.csv")) &&
+      twinEff.exists(_.endsWith(".raw")) && twinEff.size === 2,
+      s"effective list must mix in-place plain + staged: $twinEff")
+    assert(CsvSplit.readFiles(spark, twinEff, inferSchema = false,
       blockSize = 128).count() === 6, "both twins' rows must survive")
+    // r12 regression: same-BASENAME compressed files matched from
+    // DIFFERENT directories must not clobber each other in staging (the
+    // pre-digest naming staged both to one destination and silently
+    // dropped a whole input file's rows)
+    val multiRoot = java.nio.file.Files
+      .createTempDirectory("graft_csvgz_multi")
+    for ((sub, base) <- Seq(("day1", 100), ("day2", 200))) {
+      val d = multiRoot.resolve(sub)
+      java.nio.file.Files.createDirectory(d)
+      val gz = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(d.resolve("part-0.csv.gz")))
+      try gz.write(("id,c1\n" + (base until base + 3)
+        .map(i => s"$i,z$i").mkString("\n")).getBytes("UTF-8"))
+      finally gz.close()
+    }
+    val multiStage = java.nio.file.Files
+      .createTempDirectory("graft_csvgz_mst").toString
+    val multiEff = CsvSplit.decompressToSplittable(
+      spark, s"$multiRoot/*", multiStage)
+    assert(multiEff.size === 2 && multiEff.distinct.size === 2,
+      s"two staged destinations expected: $multiEff")
+    val multiRows = CsvSplit.readFiles(spark, multiEff,
+      inferSchema = false, blockSize = 128)
+    assert(multiRows.count() === 6,
+      "rows from BOTH same-basename sources must survive staging")
+    assert(multiRows.select(col("id").cast("long")).collect()
+      .map(_.getLong(0)).toSet === Set(100L, 101L, 102L, 200L, 201L, 202L))
   }
 
   test("splittable CSV refuses multi-file inputs with disagreeing headers") {

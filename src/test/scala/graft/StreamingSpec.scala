@@ -419,6 +419,14 @@ class StreamingSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.rename(new org.apache.hadoop.fs.Path(sumDir, "data"),
       new org.apache.hadoop.fs.Path(sumDir, "data.__graft_old")))
+    // r12 reader guarantee: even in the crashed-swap window an external
+    // reader sees the PARKED pre-swap committed view, not a flicker to
+    // "empty before first commit" (pre-r12 this read None / -1 once per
+    // commit for any concurrent reader)
+    assert(summary() === expected,
+      "mid-swap readers must get the parked pre-swap view, not None")
+    assert(SummaryMaintenance.lastBatchId(spark, sumDir) === stamped,
+      "mid-swap lastBatchId must come from the parked view, not -1")
     SummaryMaintenance.applyBatch(spark, sumDir, events, stamped,
       Seq("event_type"), "value")
     assert(summary() === expected, "repair must restore the pre-swap state")
