@@ -2388,7 +2388,8 @@ object SparkEntry {
         |    unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM s)
         |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
         |  coalesce(d.n, 0) AS n_events
-        |FROM g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
+        |FROM g LEFT JOIN d ON g.user_id IS NOT DISTINCT FROM d.user_id
+        |  AND g.day = d.day
         |ORDER BY 1, 2""".stripMargin,
 
     "q_rolling_range" ->

@@ -143,8 +143,16 @@ object LevJoinKernelRule extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val spark = SparkSession.getActiveSession.orNull
-    if (spark == null || inRewrite.get() ||
-        !spark.conf.get(EnabledKey, "true").toBoolean) return plan
+    // a malformed enabled flag ("1", "yes") must not fail the query —
+    // apply() runs for EVERY plan in the session, so a bare .toBoolean
+    // here would fail every query, violating the rule's never-fails
+    // invariant the byteStringAsBytes parse below already upholds.
+    // Anything that is not exactly true/false (ignoring case) counts as
+    // enabled, the default.
+    val enabled = !"false".equalsIgnoreCase(
+      spark match { case null => "true"
+                    case s => s.conf.get(EnabledKey, "true").trim })
+    if (spark == null || inRewrite.get() || !enabled) return plan
     // accept "8388608" or "8m" (byteStringAsBytes parses both); a bad
     // value must not fail the query — fall back to the default floor
     val minBytes = try {

@@ -18,8 +18,16 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * only the per-partition survivors (≤ k · keys · partitions rows) through
   * the shuffle, and merges heaps on the reduce side — the same
   * partial/final split Spark uses for hash aggregates, applied to top-k.
-  * No partition-wide sort ever happens; memory is O(distinct keys × k) per
-  * task, the same bound a hash aggregate already assumes.
+  * No partition-wide sort ever happens; memory is O(distinct keys × k)
+  * ROWS per task, resident with NO spill path — a strictly heavier bound
+  * than a hash aggregate's one fixed-size buffer per key (and Spark's
+  * object hash aggregate additionally falls back to sort when it grows).
+  * That resident set equals the operator's own retained output for the
+  * task, so the safe regime is exactly the one top-k exists for:
+  * k × keys ≪ input rows. For k large enough that the retained output
+  * stops fitting, the spillable window sort is the right plan —
+  * [[WindowTopKRule]] declines the rewrite above its cap for that
+  * reason.
   *
   * The stack demonstrates every extension tier: a resolved logical node
   * ([[TopKPerKeyNode]]), a planner strategy ([[TopKStrategy]]) that emits

@@ -55,12 +55,19 @@ object WindowTopKRule extends Rule[LogicalPlan] {
   }
 
   /** Above this k the rewrite is declined: TopKPerKeyExec holds k row
-    * copies per key in an on-heap priority queue with no spill, so a
-    * giant literal (the exec contemplates k in the millions) must stay
-    * on Spark's native window exec, whose external sort CAN spill. 1M
-    * rows × a few hundred bytes ≈ low hundreds of MB per hot key —
-    * executor-sized; beyond that the heap bound is the wrong trade. */
-  private val MaxRewriteK = 1 << 20
+    * copies per key — k × distinct-keys-per-task rows TOTAL, resident
+    * with no spill path (the exec's scaladoc spells out why that equals
+    * its own retained output) — while Spark's native window exec sorts
+    * externally and CAN spill. The cap bounds only the per-key factor
+    * (the keys factor is unknowable at plan time, with or without
+    * stats), so it is set where the trade is still safely favorable:
+    * 64k rows × a few hundred bytes ≈ 20 MB per hot key, and a task
+    * would need hundreds of heavy keys at the cap before the heaps
+    * rival one spilled sort run. Real top-k idioms sit at k ≤ a few
+    * thousand; a larger literal keeps the spillable sort plan. (r12:
+    * was 1M, whose justification sized ONE hot key and ignored the keys
+    * factor.) */
+  private val MaxRewriteK = 1 << 16
 
   /** The k for which `cond` is exactly "rank in 1..k", if provable.
     * Strict comparisons compute k-1 in Long first — `rn < Int.MinValue`

@@ -65,8 +65,11 @@ object AsOfJoin {
       .withColumn("__graft_is_left", lit(1))
     // a NULL right timestamp can never satisfy ts <= / >= anything (ASOF
     // semantics; DuckDB agrees) — but unfiltered it would sort first and
-    // its payload would be carried into early left rows
-    val r = right.filter(col(rightTs).isNotNull)
+    // its payload would be carried into early left rows. A NULL right KEY
+    // can never satisfy the equality either (r12): the window's
+    // partitionBy groups NULL keys together, so unfiltered it would match
+    // NULL-key left rows the way no SQL equality join does
+    val r = right.filter(col(rightTs).isNotNull && col(rightKey).isNotNull)
       .withColumn("__graft_key", col(rightKey))
       .withColumn("__graft_ts", col(rightTs))
       .withColumn("__graft_is_left", lit(0))
@@ -107,9 +110,16 @@ object AsOfJoin {
         unioned.withColumn("__graft_c",
           first(col("__graft_p"), ignoreNulls = true).over(w))
       }
+    // a NULL LEFT timestamp matches nothing in either direction (r12):
+    // ascending sort puts NULLs first, which the backward frame handles
+    // by accident (nothing precedes) but the forward frame does not —
+    // [current..following) from a NULL-ts row sees EVERY right row and
+    // would carry the earliest payload into a row ASOF semantics says
+    // must stay null-padded
     val kept = payloadAll.foldLeft(
         carried.filter(col("__graft_is_left") === 1))((df, c) =>
-      df.withColumn(outName(c), col("__graft_c").getField(c)))
+      df.withColumn(outName(c),
+        when(col("__graft_ts").isNotNull, col("__graft_c").getField(c))))
     val toleranced = toleranceSeconds match {
       case None => kept
       case Some(tol) =>

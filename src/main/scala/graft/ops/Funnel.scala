@@ -87,7 +87,7 @@ object Funnel {
                    gapMicros: Long = 1800000000L, topN: Int = 20): DataFrame = {
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(orderCol))
     val sid = events
-      .withColumn("__us", expr(s"unix_micros($tsCol)"))
+      .withColumn("__us", expr(s"unix_micros(${graft.Util.q(tsCol)})"))
       .withColumn("__new",
         when(lag(col("__us"), 1).over(w).isNull ||
           col("__us") - lag(col("__us"), 1).over(w) >= gapMicros, 1)
@@ -109,6 +109,12 @@ object Funnel {
     * were active offset weeks later. Two aggregates + one equi-join on the
     * user key — the (user, week) distinct bounds the join input to
     * users x active-weeks, tiny relative to raw events.
+    * NULL users are EXCLUDED by the (null-unsafe) self-join, matching the
+    * SQL equivalent: a null user id carries no identity to track across
+    * weeks, so counting all null-id activity as one "user" would
+    * fabricate a phantom retained cohort member. (Deliberate divergence
+    * from maxStagePerUser/scd2, which keep a NULL group: those aggregate
+    * within one frame rather than re-identify across joins.)
     * Output: (cohort_week date, week_offset int, n_users). */
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val weeks = events

@@ -47,11 +47,22 @@ object SimilarityJoin {
       val shared = left.columns.toSet.intersect(right.columns.toSet)
       require(shared.isEmpty,
         s"leftJoin needs disjoint column names; rename ${shared.mkString(", ")} first")
+      require(!left.columns.contains(distCol) &&
+        !right.columns.contains(distCol),
+        s"input already carries a column named '$distCol' — withColumn " +
+          "would silently REPLACE it; pass a different distCol")
     }
     val l = left.alias("sj_l")
     val r = right.alias("sj_r")
     val lk = col(s"sj_l.${q(leftKey)}")
     val rk = col(s"sj_r.${q(rightKey)}")
+    // the DP runs in the join condition (every candidate pair — the
+    // dominant cost) and once more in the projection for SURVIVING pairs
+    // only. Unlike blockedInnerJoin, the survivor recompute cannot be
+    // folded into the condition here: LEFT semantics need the predicate
+    // at join time to decide null-padding, and Spark cannot project a
+    // join-condition intermediate. Survivors are a vanishing fraction of
+    // candidates under any selective theta, so this is second-order.
     l.join(r, condition(lk, rk, maxDist), "left")
       .withColumn(distCol,
         when(rk.isNotNull, boundedDistance(lk, rk, maxDist)))
@@ -105,6 +116,10 @@ object SimilarityJoin {
     val band = "__graft_len_band"
     require(!left.columns.contains(band) && !right.columns.contains(band),
       s"input may not carry the internal working column '$band'")
+    require(!left.columns.contains(distCol) &&
+      !right.columns.contains(distCol),
+      s"input already carries a column named '$distCol' — withColumn " +
+        "would silently REPLACE it; pass a different distCol")
     val l = left.withColumn(band, length(qc(leftKey))).alias("sj_l")
     val r = right
       .withColumn(band,
@@ -250,13 +265,18 @@ object SimilarityJoin {
       val reserved = (left.columns ++ right.columns).filter(_.startsWith("__g"))
       require(reserved.isEmpty,
         s"input may not carry internal working columns: ${reserved.mkString(", ")}")
+      require(!left.columns.contains(distCol) &&
+        !right.columns.contains(distCol),
+        s"input already carries a column named '$distCol' — withColumn " +
+          "would silently REPLACE it; pass a different distCol")
     }
     val d = maxDist
     // NULL keys qualify for no pair (same as the sibling kernels) — and
     // must be dropped BEFORE the collect, where a null length row would NPE
-    val lens = left.select(length(qc(leftKey)).as("len")).distinct()
+    val allLens = left.select(length(qc(leftKey)).as("len")).distinct()
       .filter(col("len").isNotNull)
-      .collect().map(_.getInt(0)).filter(_ >= d + 1).sorted
+      .collect().map(_.getInt(0)).sorted
+    val lens = allLens.filter(_ >= d + 1)
     val chunkSpec: Map[Int, Seq[(Int, Int)]] = lens.map { l =>
       val base = l / (d + 1); val rem = l % (d + 1)
       val sizes = (0 until (d + 1)).map(i => base + (if (i < rem) 1 else 0))
@@ -347,11 +367,17 @@ object SimilarityJoin {
       .filter(col(distCol) >= 0)
       .drop("__ga", "__gb")
 
-    // short lefts (< d+1 chars): length-band kernel on that slice
-    val shortLeft = left.filter(length(qc(leftKey)) < d + 1)
-    val shortPart =
-      blockedInnerJoin(shortLeft, right, leftKey, rightKey, d, distCol)
-    verified.unionByName(shortPart)
+    // short lefts (< d+1 chars): length-band kernel on that slice. The
+    // length collect above already proves whether any exist — when none
+    // do (the common case), skip the branch entirely rather than explode
+    // the FULL right side (2d+1)x to join a provably empty left slice
+    if (!allLens.exists(_ < d + 1)) verified
+    else {
+      val shortLeft = left.filter(length(qc(leftKey)) < d + 1)
+      val shortPart =
+        blockedInnerJoin(shortLeft, right, leftKey, rightKey, d, distCol)
+      verified.unionByName(shortPart)
+    }
   }
 
   // ---------- cost-based kernel selection ----------

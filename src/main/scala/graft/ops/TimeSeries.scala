@@ -28,9 +28,20 @@ object TimeSeries {
       .select(col(keyCol),
         explode(sequence(col("d0"), col("d1"), expr("interval 1 day")))
           .as("day"))
-    scaffold.join(daily, Seq(keyCol, "day"), "left")
-      .select(col(keyCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
-        coalesce(col("n"), lit(0L)).as("n_events"))
+    // NULL-SAFE fill join (r12): groupBy keeps a NULL-key group, so the
+    // scaffold emits its days — but a null-unsafe join never matches
+    // them back to `daily`, fabricating n_events=0 for every day of the
+    // NULL-key group while its real counts silently vanish. <=> on the
+    // key (day is never null: it comes from min/max of non-null groups)
+    // keeps the NULL group's true counts; the committed oracle uses IS
+    // NOT DISTINCT FROM to match.
+    scaffold.alias("s").join(daily.alias("d"),
+        col("s." + graft.Util.q(keyCol)) <=> col("d." + graft.Util.q(keyCol))
+          && col("s.day") === col("d.day"),
+        "left")
+      .select(col("s." + graft.Util.q(keyCol)).as(keyCol),
+        date_format(col("s.day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("d.n"), lit(0L)).as("n_events"))
   }
 
   /** SCD type-2 / gaps-and-islands compaction: collapse each key's
@@ -91,12 +102,12 @@ object TimeSeries {
     // dropping it would undercount any rollup over the result (same
     // convention as AsOfJoin)
     f.join(d,
-        col(s"f.$keyCol") === col(s"d.$keyCol") &&
-          col("d.valid_from") <= col(s"f.$tsCol") &&
+        col("f." + graft.Util.q(keyCol)) === col("d." + graft.Util.q(keyCol))
+          && col("d.valid_from") <= col("f." + graft.Util.q(tsCol)) &&
           (col("d.valid_to").isNull ||
-            col(s"f.$tsCol") < col("d.valid_to")),
+            col("f." + graft.Util.q(tsCol)) < col("d.valid_to")),
         "left")
-      .select(f.columns.map(c => col(s"f.$c")) :+
+      .select(f.columns.map(c => col("f." + graft.Util.q(c))) :+
         col("d.attr") :+ col("d.valid_from"): _*)
   }
 

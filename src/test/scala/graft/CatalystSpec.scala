@@ -396,6 +396,38 @@ class CatalystSpec extends SparkSpec {
     }
   }
 
+  test("a malformed levJoinKernel.enabled value never fails queries") {
+    import graft.catalyst.LevJoinKernelRule
+    // apply() runs for EVERY plan in the session — pre-r12 a bare
+    // .toBoolean on the flag made `set enabled=1` (or "yes") throw at
+    // the top of every optimization, failing every query in the session.
+    // Non-true/false values count as enabled (the default); only exactly
+    // "false" disables.
+    val sql = "SELECT l.id a, r.id2 b FROM lev_probe_l l JOIN " +
+      "lev_probe_r r ON levenshtein(l.k, r.k2) <= 1"
+    Seq((1L, "ab")).toDF("id", "k").createOrReplaceTempView("lev_probe_l")
+    Seq((2L, "ab")).toDF("id2", "k2")
+      .createOrReplaceTempView("lev_probe_r")
+    spark.conf.set(LevJoinKernelRule.MinSideBytesKey, "1")
+    try {
+      for (v <- Seq("1", "yes", " TRUE ", "")) {
+        spark.conf.set(LevJoinKernelRule.EnabledKey, v)
+        assert(Seq((1L, "a")).toDF("id", "s").count() === 1L,
+          s"flag value '$v' must not fail unrelated queries")
+        assert(spark.sql(sql).queryExecution.optimizedPlan.toString
+          .contains("__graft_sql_lev_dist"),
+          s"non-false value '$v' must count as enabled")
+      }
+      spark.conf.set(LevJoinKernelRule.EnabledKey, "FALSE")
+      assert(!spark.sql(sql).queryExecution.optimizedPlan.toString
+        .contains("__graft_sql_lev_dist"),
+        "case-insensitive false must still disable the rewrite")
+    } finally {
+      spark.conf.unset(LevJoinKernelRule.EnabledKey)
+      spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
+    }
+  }
+
   test("LevJoinKernelRule also routes LEFT lev joins (the stringdist_left_join " +
       "shape) with null-padded unmatched rows") {
     import graft.catalyst.LevJoinKernelRule

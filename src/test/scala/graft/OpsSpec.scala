@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops._
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 class OpsSpec extends SparkSpec {
@@ -24,6 +24,17 @@ class OpsSpec extends SparkSpec {
     assert(kitten === Seq(("mitten", 1), ("sitting", 3)))
     val zzz = out.filter(_.getString(0) == "zzzzzzzzzzzz")
     assert(zzz.length === 1 && zzz(0).isNullAt(1) && zzz(0).isNullAt(2))
+    // r12: an input already carrying distCol must be refused — withColumn
+    // would silently REPLACE the user's column (autoLeftJoin/
+    // viaDistinctKeys always guarded this; the three kernels were the gap)
+    val lDist = Seq(("kitten", 99)).toDF("a", "string_distance")
+    for (k <- Seq[(DataFrame, DataFrame) => DataFrame](
+        (x, y) => SimilarityJoin.leftJoin(x, y, "a", "b", 3),
+        (x, y) => SimilarityJoin.blockedInnerJoin(x, y, "a", "b", 3),
+        (x, y) => SimilarityJoin.chunkedInnerJoin(x, y, "a", "b", 3))) {
+      val e = intercept[IllegalArgumentException] { k(lDist, r) }
+      assert(e.getMessage.contains("string_distance"))
+    }
   }
 
   test("blocked similarity join == naive on random strings (soundness)") {
@@ -316,6 +327,29 @@ class OpsSpec extends SparkSpec {
       .orderBy("eid").collect()
     assert(fwdTol.map(r => Option(r.getString(3))).toSeq ===
       Seq(None, Some("a"), None, None))
+    // r12: a NULL LEFT timestamp matches nothing in EITHER direction.
+    // Backward got this right by sort-order accident; forward's
+    // [current..following) frame from a NULLs-first row saw every right
+    // row and carried the earliest payload into a row ASOF semantics
+    // says must stay null-padded.
+    val leftNullTs = Seq((5L, 10L, null.asInstanceOf[Timestamp]))
+      .toDF("eid", "k", "t")
+    for (dir <- Seq("backward", "forward")) {
+      val r = ops.AsOfJoin.asofLeftJoin(leftNullTs, right,
+        "k", "rk", "t", "rt", Seq("v"), direction = dir).collect()(0)
+      assert(r.isNullAt(3), s"NULL left ts must stay unmatched ($dir)")
+    }
+    // r12: NULL keys never match NULL keys (window partitioning grouped
+    // them; SQL equality matches nothing) — in either direction
+    val leftNullKey = Seq((6L, null.asInstanceOf[java.lang.Long],
+      ts("2024-01-05 00:00:00"))).toDF("eid", "k", "t")
+    val rightNullKey = Seq((null.asInstanceOf[java.lang.Long],
+      ts("2024-01-01 00:00:00"), "nk")).toDF("rk", "rt", "v")
+    for (dir <- Seq("backward", "forward")) {
+      val r = ops.AsOfJoin.asofLeftJoin(leftNullKey, rightNullKey,
+        "k", "rk", "t", "rt", Seq("v"), direction = dir).collect()(0)
+      assert(r.isNullAt(3), s"NULL keys must never match ($dir)")
+    }
   }
 
   test("AsOfJoin auto-renames a payload column that collides with the left") {
@@ -567,6 +601,19 @@ class OpsSpec extends SparkSpec {
     assert(out === Map(
       (1L, "2024-01-01") -> 2L, (1L, "2024-01-02") -> 0L,
       (1L, "2024-01-03") -> 1L, (2L, "2024-02-05") -> 1L))
+    // r12: groupBy keeps a NULL-key group and the scaffold emits its
+    // days — the fill join must be NULL-SAFE, or it fabricates
+    // n_events=0 for every day of the group while the real counts
+    // silently vanish
+    val withNull = events.union(Seq(
+      (null.asInstanceOf[java.lang.Long], ts("2024-03-01 10:00:00")),
+      (null.asInstanceOf[java.lang.Long], ts("2024-03-01 11:00:00")))
+      .toDF("user_id", "ts"))
+    val nulls = TimeSeries.resampleDaily(withNull, "user_id", "ts")
+      .filter(col("user_id").isNull).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(nulls === Map("2024-03-01" -> 2L),
+      "the NULL-key group's true count must survive the fill join")
   }
 
   test("TimeSeries rollingDailySum RANGE frame ages values out across gaps") {
