@@ -1375,9 +1375,13 @@ object SparkEntry {
     // clustering), so the END-TO-END composition hash-checks, not just the
     // stages
     "q_training_pipeline" -> ((s, dir) =>
+      // clean_text (r12: now part of prepare's output) is selected away
+      // here: the oracle replays the manifest columns, and the text
+      // column's regex arithmetic is already hash-checked by q_text_clean
       graft.pipeline.TrainingData.prepare(
           spread(table(s, dir, "documents"), "doc_id"),
           "doc_id", "text", "source")
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("bin"))
         .orderBy(col("doc_id"))),
 
     // LLM: sliding-window chunking — context-window prep (64-token chunks,
@@ -1495,13 +1499,21 @@ object SparkEntry {
     // blocklisted) — the extraction, per-domain rollup, and broadcast
     // anti-join all fire for real and the oracle replays them exactly.
     "q_url_domains" -> ((s, dir) => {
+      // the fixture exercises every extraction arm under the hash check:
+      // lowercase scheme, UPPERCASE scheme (r12 — case-insensitive
+      // match), and a userinfo URL (r12 — user@ must not be captured as
+      // the host)
       val docs = table(s, dir, "documents").select(col("doc_id"),
         concat(col("text"),
           lit(" see https://D"),
           pmod(col("doc_id"), lit(97)).cast("string"),
           lit(".example.org/p and http://m"),
           pmod(col("doc_id"), lit(13)).cast("string"),
-          lit(".example.net/q")).as("text"))
+          lit(".example.net/q plus HTTP://U"),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".EXAMPLE.COM/r and http://user@w"),
+          pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".example.org/s")).as("text"))
       CorpusHygiene.domainStats(docs, "doc_id", "text",
           blocklist = (0 until 7).map(i => s"m$i.example.net"))
         .orderBy(col("domain"))
@@ -1902,11 +1914,14 @@ object SparkEntry {
         |  SELECT doc_id,
         |    text || ' see https://D' || (doc_id % 97)
         |         || '.example.org/p and http://m' || (doc_id % 13)
-        |         || '.example.net/q' AS text
+        |         || '.example.net/q plus HTTP://U' || (doc_id % 7)
+        |         || '.EXAMPLE.COM/r and http://user@w' || (doc_id % 5)
+        |         || '.example.org/s' AS text
         |  FROM documents),
         |h AS (
         |  SELECT doc_id, lower(unnest(regexp_extract_all(
-        |    text, 'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+        |    text, '(?i)https?://(?:[^/@\s]*@)?([A-Za-z0-9.-]+)', 1)))
+        |    AS domain
         |  FROM t)
         |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  CAST(count(*) AS BIGINT) AS n_mentions
@@ -2756,11 +2771,16 @@ object SparkEntry {
         |s AS (SELECT doc_id AS id, count(*) AS n_tokens,
         |    CAST(sum(coalesce(w.w_milli, 0)) AS BIGINT) AS w_sum
         |  FROM tb LEFT JOIN w USING (bucket) GROUP BY doc_id)
-        |SELECT id, n_tokens,
-        |  CAST(w_sum * 1000000 // (2000 * n_tokens) AS BIGINT)
-        |    AS score_micro,
-        |  w_sum * 1000000 // (2000 * n_tokens) >= 500000 AS keep
-        |FROM s ORDER BY id""".stripMargin,
+        |SELECT d.doc_id AS id,
+        |  CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(
+        |    w_sum * 1000000 // (2000 * greatest(n_tokens, 1)), 0)
+        |    AS BIGINT) AS score_micro,
+        |  coalesce(
+        |    w_sum * 1000000 // (2000 * greatest(n_tokens, 1)) >= 500000,
+        |    FALSE) AS keep
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.id
+        |ORDER BY id""".stripMargin,
 
     "q_inverted_index" ->
       """WITH t AS (SELECT doc_id,

@@ -87,9 +87,16 @@ object CorpusHygiene {
     * (domain, n_docs, n_mentions). */
   def domainStats(df: DataFrame, idCol: String, textCol: String,
                   blocklist: Seq[String] = Nil): DataFrame = {
+    // (?i): URL schemes are case-insensitive and real crawls carry
+    // HTTP:// — a lowercase-literal scheme let those escape the rollup
+    // AND the blocklist entirely. The optional non-capturing userinfo
+    // group keeps http://alice@spam.com from capturing "alice" as the
+    // host. Both constructs have identical semantics in Java regex and
+    // RE2, so the pass stays oracle-checkable.
     val hosts = df.select(col(idCol).as("__id"),
         explode(regexp_extract_all(col(textCol),
-          lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("__h"))
+          lit("(?i)https?://(?:[^/@\\s]*@)?([A-Za-z0-9.-]+)"),
+          lit(1))).as("__h"))
       .select(col("__id"), lower(col("__h")).as("domain"))
     val stats = hosts.groupBy(col("domain")).agg(
       countDistinct(col("__id")).as("n_docs"),

@@ -1280,6 +1280,19 @@ object Dedup {
         iter += 1
       }
       edges.unpersist()
+      // exhausting maxIter without the fixpoint must be LOUD (r12):
+      // returning partially-propagated labels silently means members of
+      // one true component carry different comp values, and dedupedCorpus
+      // keeps every id == comp row — duplicates survive with no signal.
+      // Pointer jumping collapses chains in O(log2 diameter) rounds, so
+      // the default 20 covers diameters past 2^20 (no realistic dup
+      // graph); hitting the cap means a pathological graph or a caller's
+      // tiny maxIter, and exactness is this kernel's contract.
+      require(converged,
+        s"connected components did not converge within $maxIter rounds — " +
+          "labels are partial and deduplication over them would keep " +
+          "duplicates silently; raise maxIter (rounds grow with " +
+          "log2(component diameter))")
       labels
   }
 }

@@ -50,20 +50,30 @@ object QualityClassifier {
   def score(docs: DataFrame, idCol: String, textCol: String,
             weights: DataFrame, k: Int,
             cutoffMicros: Long = 500000L): DataFrame = {
+    // explode_OUTER + count(tok), not explode + count(*) (r12): a plain
+    // explode silently DROPPED null/empty-text documents from the
+    // output, so a keep/drop gate anti-joining on keep=false verdicts
+    // let exactly the worst documents through unexamined. The outer
+    // explode keeps them as one null-token row in the same single pass
+    // (no second shuffle); count(tok) ignores that row, so they report
+    // n_tokens=0, score 0, and fail any positive cutoff.
     val toks = docs.select(col(idCol).as("id"),
-        explode(TextFunctions.tokens(col(textCol))).as("tok"))
+        explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
       .withColumn("bucket", bucket(col("tok"), k))
     toks
       .join(broadcast(weights.select(col("bucket"),
         col("w_milli").cast("long").as("w_milli"))), Seq("bucket"), "left")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"),
+      .agg(count(col("tok")).as("n_tokens"),
         sum(coalesce(col("w_milli"), lit(0L))).as("w_sum"))
       // floor division of non-negative integers — portable across engines
       // (negative DIV truncates toward zero in Spark but floors in DuckDB,
-      // which is why the weight range is [0, 2000], not [-1000, 1000])
+      // which is why the weight range is [0, 2000], not [-1000, 1000]);
+      // greatest() keeps the zero-token row off ANSI's DIVIDE_BY_ZERO
+      // (w_sum is 0 there, so the score is 0 either way)
       .select(col("id"), col("n_tokens"),
-        expr("w_sum * 1000000L DIV (2000L * n_tokens)").as("score_micro"))
+        expr("w_sum * 1000000L DIV (2000L * greatest(n_tokens, 1L))")
+          .as("score_micro"))
       .withColumn("keep", col("score_micro") >= cutoffMicros)
   }
 }

@@ -412,6 +412,14 @@ object Similarity {
     // and engine; a few Lloyd rounds suffice (space partition, not
     // convergence — same rationale as ivfTopK's maxIter = 5).
     val sample = trainSample(corpusF, "cv", "neighbor_id", trainN)
+    if (sample.isEmpty) // no well-formed corpus vectors (r12: headDim can
+      // return the modal SIZE while every modal-size vector carries a
+      // null element, so the dim==0 guard above does not cover this —
+      // ivfTopK already had the same second guard): zero neighbors, not
+      // a localLloyd train error
+      return q0.limit(0).crossJoin(corpusD.limit(0))
+        .select(col("query_id"), lit(0).as("rank"), col("neighbor_id"),
+          lit(0.0).as("adc"))
     val codebooks: IndexedSeq[Array[Array[Double]]] = (0 until m).map { j =>
       localLloyd(sample.map(v => java.util.Arrays.copyOfRange(
         v, j * sub, (j + 1) * sub)), ksub, iters = 5, seed = seed + j)

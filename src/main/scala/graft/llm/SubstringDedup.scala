@@ -354,6 +354,11 @@ object SubstringDedup {
   def dedupSubstringsVsIndex(batch: DataFrame, idCol: String,
       textCol: String, k: Int, indexPath: String): DataFrame = {
     require(k >= 1, s"window size k must be >= 1, got $k")
+    // validate k against the index stamp like every other path-level
+    // prober (r12 — this was the one gap): probing a k=8 index with
+    // k=12 windows matches NOTHING, so every corpus-duplicated span
+    // would silently survive ingest as if clean
+    stampOrRequireWindowParams(batch.sparkSession, indexPath, k)
     val spark = batch.sparkSession
     val wins = hashedWindows(batch, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

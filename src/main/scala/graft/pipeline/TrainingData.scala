@@ -51,10 +51,16 @@ object TrainingData {
       exactDeduped, idCol, "clean_text", sourceCol, jaccardThreshold)
     val nearDeduped = Dedup.dedupedCorpus(exactDeduped, idCol, pairs)
 
-    // pack surviving docs into token-budget bins per source shard
+    // pack surviving docs into token-budget bins per source shard.
+    // clean_text rides through to the output (r12): it is the pipeline's
+    // PRIMARY artifact — the text tokenization actually consumes — and
+    // the cached frames are released on return, so dropping it forced
+    // callers to re-run the whole regex-cleaning pass over the corpus to
+    // recover what this function had already computed
     val packed = TextFunctions.packBins(nearDeduped, idCol, "n_tokens",
         sourceCol, packBudget)
-      .select(col(idCol), col(sourceCol), col("n_tokens"), col("bin"))
+      .select(col(idCol), col(sourceCol), col("clean_text"),
+        col("n_tokens"), col("bin"))
     graft.Util.finishAndRelease(packed, cleaned, exactDeduped)
   }
 }

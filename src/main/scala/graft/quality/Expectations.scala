@@ -17,10 +17,15 @@ import graft.Util.qcol
 object Expectations {
 
   sealed trait Metric { def column: String; def expr: Column }
-  /** Fraction of non-null values. */
+  /** Fraction of non-null values. The denominator is guarded like
+    * Uniqueness's (r12): under Spark 4's default ANSI mode an EMPTY
+    * batch would otherwise throw DIVIDE_BY_ZERO out of check() instead
+    * of reporting 0.0 → pass=false, which is what the degraded-batch
+    * convention there intends. */
   final case class Completeness(column: String) extends Metric {
     def expr: Column =
-      (count(qcol(column)).cast("double") / count(lit(1))).as("value")
+      (count(qcol(column)).cast("double") /
+        greatest(count(lit(1)), lit(1L)).cast("double")).as("value")
   }
   /** Fraction of distinct values among non-nulls. */
   final case class Uniqueness(column: String) extends Metric {

@@ -167,9 +167,14 @@ object Profile {
   /** Fixed-width value histogram of a numeric column: one hash aggregate
     * on ⌊v / width⌋ — single pass, no pre-scan for bounds, portable
     * integer bucketing. */
-  def histogram(df: DataFrame, c: String, width: Double): DataFrame =
+  def histogram(df: DataFrame, c: String, width: Double): DataFrame = {
+    // width 0 is DIVIDE_BY_ZERO task failures under ANSI (or one null
+    // bucket without it), negative width inverts buckets silently —
+    // fail at the call site like packBins does for its budget
+    require(width > 0, s"histogram width must be > 0, got $width")
     df.filter(qcol(c).isNotNull)
       .groupBy(floor(qcol(c).cast("double") / lit(width)).cast("long")
         .as("bucket"))
       .agg(count(lit(1)).as("n"))
+  }
 }

@@ -28,9 +28,13 @@ object TableDiff {
     // compare (name, type) pairs, not names: same-named columns with
     // different types would otherwise surface as a confusing analysis
     // error (or silent coercion) inside the struct <=> compare
+    // ORDER-INSENSITIVE compare (r12): tagged() builds both payload
+    // structs from the old frame's column order BY NAME, so a reordered
+    // but otherwise identical schema diffs correctly — rejecting it was
+    // needless friction for refactored producers
     def shape(df: DataFrame) = df.schema.fields
       .filterNot(f => keyCols.contains(f.name))
-      .map(f => f.name -> f.dataType).toSeq
+      .map(f => f.name -> f.dataType).sortBy(_._1).toSeq
     require(shape(newDf) == shape(oldDf),
       s"snapshots must share one schema; old=${shape(oldDf).mkString(",")} " +
         s"new=${shape(newDf).mkString(",")}")

@@ -41,7 +41,14 @@ class LlmSpec extends SparkSpec {
     val outIds = out.map(_.getLong(0))
     assert(outIds.toSet.subsetOf(inIds), "output ids come from the input")
     assert(outIds.length === outIds.distinct.length, "each doc at most once")
-    assert(out.forall(_.getLong(2) >= 5), "quality floor holds")
+    assert(out.forall(r => r.getLong(r.fieldIndex("n_tokens")) >= 5),
+      "quality floor holds")
+    // r12: clean_text rides through — the pipeline's primary artifact
+    // must not force callers to re-run the cleaning pass to recover it
+    assert(out.forall { r =>
+      val t = r.getString(r.fieldIndex("clean_text"))
+      t != null && t.nonEmpty
+    }, "prepare() must emit the cleaned text it computed")
     // survivors have no exact-duplicate cleaned text left
     import org.apache.spark.sql.functions._
     import graft.llm.TextFunctions
@@ -50,10 +57,13 @@ class LlmSpec extends SparkSpec {
         TextFunctions.normalizeText(col("text"))).as("t"))
     assert(survivors.count() === survivors.distinct().count())
     // bins are dense per source: 0..max with no gaps
-    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
-      val bins = rows.map(_.getLong(3)).distinct.sorted
-      assert(bins === (0L to bins.max).toVector, s"gapped bins: $bins")
-    }
+    out.groupBy(r => r.getString(r.fieldIndex("source")))
+      .foreach { case (_, rows) =>
+        val bins = rows.map(r => r.getLong(r.fieldIndex("bin")))
+          .distinct.sorted
+        assert(bins === (0L to bins.max).toVector,
+          s"gapped bins: ${bins.mkString(",")}")
+      }
     assert(out.nonEmpty)
   }
 
@@ -560,6 +570,23 @@ class LlmSpec extends SparkSpec {
     // downstream: a clean corpus passes through dedupedCorpus untouched
     val docs = Seq((1L, "unique one"), (2L, "unique two")).toDF("doc_id", "t")
     assert(Dedup.dedupedCorpus(docs, "doc_id", empty).count() === 2)
+  }
+
+  test("connected components refuse to return non-converged labels") {
+    import spark.implicits._
+    // a 6-node chain needs >1 distributed round; maxIter=1 must FAIL
+    // LOUDLY (r12) — the pre-fix behavior returned partially-propagated
+    // labels, and dedupedCorpus over them keeps duplicates silently
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 1,
+        localEdgeThreshold = 0L).collect()
+    }
+    assert(e.getMessage.contains("converge"))
+    // the default budget converges the same graph fine
+    val comps = Dedup.connectedComponents(chain, localEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.values.toSet === Set(1L), "one chain, one component")
   }
 
   test("connected components equal local union-find") {
