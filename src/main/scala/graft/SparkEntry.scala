@@ -1920,7 +1920,7 @@ object SparkEntry {
         |  FROM documents),
         |h AS (
         |  SELECT doc_id, lower(unnest(regexp_extract_all(
-        |    text, '(?i)https?://(?:[^/@\s]*@)?([A-Za-z0-9.-]+)', 1)))
+        |    text, '(?i)https?://(?:[^/@ \t\n\r\f]*@)?([A-Za-z0-9.-]+)', 1)))
         |    AS domain
         |  FROM t)
         |SELECT domain, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,

@@ -83,6 +83,28 @@ object Util {
     out
   }
 
+  /** Write-side destructive fence (r13, VERDICT #4). A lock holder
+    * ([[graft.streaming.BatchLedger]]) binds a token-verification thunk
+    * here for the dynamic extent of its critical section; destructive
+    * sites — a compaction fold's phase B, the ledger stamp/prune — call
+    * [[fenceDestructive]] immediately before mutating, so a hold LOST to
+    * an overwriting-rename double-win or a stale-break refuses the
+    * destruction instead of merely detecting it a heartbeat later.
+    * DynamicVariable is InheritableThreadLocal-backed: threads a fenced
+    * scope spawns (the [[runConcurrently]] pool is created inside the
+    * scope, never reused across calls) inherit the binding — load-bearing
+    * for the fold fan-out; do not swap in a shared pool. No-op when no
+    * fence is bound (library callers mutating outside any lock). */
+  private val destructiveFence =
+    new scala.util.DynamicVariable[Option[() => Unit]](None)
+
+  def withDestructiveFence[T](check: () => Unit)(f: => T): T =
+    destructiveFence.withValue(Some(check))(f)
+
+  /** Verify the enclosing lock hold (throws if it was lost); no-op when
+    * no fence is bound. Call immediately before each destructive phase. */
+  def fenceDestructive(): Unit = destructiveFence.value.foreach(_.apply())
+
   /** Run independent Spark actions CONCURRENTLY and wait for all of them
     * — the exactly-once gates' commit/compaction shape: N mutually
     * independent batch-keyed writes where the caller pays the slowest

@@ -124,6 +124,12 @@ object LevJoinKernelRule extends Rule[LogicalPlan] with PredicateHelper {
     * conjunct-based [[extractWithResidual]] would happily match — firing
     * the rule on its own output, recursively, with nested histogram jobs
     * at every level. Never rewrite while a rewrite is in flight. */
+  /** Distinct not-quite-boolean enabled-flag values already warned about
+    * (once per value per JVM — apply() runs for every plan, so an
+    * unconditional warning would spam every query's log). */
+  private val warnedFlagValues =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private val inRewrite = new ThreadLocal[java.lang.Boolean] {
     override def initialValue(): java.lang.Boolean = false
   }
@@ -148,10 +154,18 @@ object LevJoinKernelRule extends Rule[LogicalPlan] with PredicateHelper {
     // here would fail every query, violating the rule's never-fails
     // invariant the byteStringAsBytes parse below already upholds.
     // Anything that is not exactly true/false (ignoring case) counts as
-    // enabled, the default.
-    val enabled = !"false".equalsIgnoreCase(
-      spark match { case null => "true"
-                    case s => s.conf.get(EnabledKey, "true").trim })
+    // enabled, the default — but SILENTLY enabling on "0"/"no"/"off"
+    // would invert a user's intent with no signal, so each distinct odd
+    // value gets one warning (r13, ADVICE).
+    val rawFlag = spark match { case null => "true"
+                                case s => s.conf.get(EnabledKey, "true").trim }
+    val enabled = !"false".equalsIgnoreCase(rawFlag)
+    if (enabled && !"true".equalsIgnoreCase(rawFlag) &&
+        warnedFlagValues.add(rawFlag))
+      logWarning(s"$EnabledKey is set to '$rawFlag', which is neither " +
+        "'true' nor 'false' — treating it as ENABLED (the default). If " +
+        "the intent was to disable the lev-join kernel rewrite, set it " +
+        "to exactly 'false'.")
     if (spark == null || inRewrite.get() || !enabled) return plan
     // accept "8388608" or "8m" (byteStringAsBytes parses both); a bad
     // value must not fail the query — fall back to the default floor

@@ -215,6 +215,15 @@ object Parquet {
                          dir: org.apache.hadoop.fs.Path,
                          upTo: Long): Unit = {
     import org.apache.hadoop.fs.Path
+    // r13 write-side fence: phase B deletes committed batch dirs — a
+    // compaction whose lock hold was lost (overwriting-rename double-win,
+    // stale-break) must REFUSE here, not merely detect the loss at its
+    // next heartbeat. Checked again before the final rename: the deletes
+    // above can take a while on a big store, and the rename is the point
+    // of no return. No-op when no lock scope is active (repair paths run
+    // under the caller's gate/compaction lock; bare library calls fence
+    // nothing, as before).
+    graft.Util.fenceDestructive()
     val tmp = new Path(dir, s"$FoldTmpPrefix$upTo")
     val base = new Path(dir, "batch=-1")
     if (fs.exists(base) && !fs.delete(base, true))
@@ -226,6 +235,7 @@ object Parquet {
         if (!fs.delete(p, true))
           throw new java.io.IOException(s"fold: delete of folded $p failed")
       }
+    graft.Util.fenceDestructive()
     if (!fs.rename(tmp, base))
       throw new java.io.IOException(s"fold: rename $tmp -> $base failed")
   }

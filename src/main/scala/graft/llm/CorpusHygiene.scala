@@ -91,11 +91,13 @@ object CorpusHygiene {
     // HTTP:// — a lowercase-literal scheme let those escape the rollup
     // AND the blocklist entirely. The optional non-capturing userinfo
     // group keeps http://alice@spam.com from capturing "alice" as the
-    // host. Both constructs have identical semantics in Java regex and
-    // RE2, so the pass stays oracle-checkable.
+    // host. (?i) and (?:...) have identical semantics in Java regex and
+    // RE2; \s does NOT (Java includes \x0B, RE2 doesn't), so the
+    // userinfo terminator is an EXPLICIT whitespace class both engines
+    // read identically — the pass stays oracle-checkable.
     val hosts = df.select(col(idCol).as("__id"),
         explode(regexp_extract_all(col(textCol),
-          lit("(?i)https?://(?:[^/@\\s]*@)?([A-Za-z0-9.-]+)"),
+          lit("(?i)https?://(?:[^/@ \\t\\n\\r\\f]*@)?([A-Za-z0-9.-]+)"),
           lit(1))).as("__h"))
       .select(col("__id"), lower(col("__h")).as("domain"))
     val stats = hosts.groupBy(col("domain")).agg(

@@ -160,9 +160,11 @@ object SubstringDedup {
     * pass everything while poisoning the index with mixed-k hashes.
     * Same stamp/validate protocol as the MinHash index's `_params`
     * (underscore-prefixed, so parquet discovery ignores it): writers
-    * stamp on first use, every writer and path-level prober validates;
-    * a store with data but no stamp (deleted stamp / legacy layout)
-    * warns instead of silently skipping validation. */
+    * stamp on first use and validate thereafter; read-only path-level
+    * probes VALIDATE ONLY ([[requireWindowParams]]) — they never stamp,
+    * so a mistaken probe cannot plant a phantom identity on an unbuilt
+    * path. A store with data but no stamp (crashed write / deleted
+    * stamp) refuses loudly on every path. */
   private def writeWindowParams(spark: org.apache.spark.sql.SparkSession,
                                 path: String, k: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$path/_params")
@@ -192,6 +194,34 @@ object SubstringDedup {
       writeWindowParams(spark, path, k)
       return
     }
+    val in = fs.open(stampPath)
+    val stored = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    require(stored == k.toString,
+      s"window index at $path was built with windowK=$stored but caller " +
+        s"passed windowK=$k — probing across mismatched gram sizes finds " +
+        "zero duplicated windows silently")
+  }
+
+  /** Validate-only form for READ-ONLY probes: requires a matching stamp
+    * and NEVER writes one. The stamping form above is for writers and
+    * appenders — a mistaken probe at the wrong k against a not-yet-built
+    * path must not leave a phantom `_params` stamp that later refuses
+    * [[appendWindowIndex]] at the intended k (r13, ADVICE). A probe
+    * against an absent/empty path is itself an error: there is nothing
+    * to probe, and the parquet read would fail anyway — fail with the
+    * index-identity message instead of a schema-inference one. */
+  private[graft] def requireWindowParams(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      k: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stampPath = new org.apache.hadoop.fs.Path(s"$path/_params")
+    require(fs.exists(stampPath),
+      s"no window index at $path (missing _params stamp): build it with " +
+        "writeWindowIndex/putWindowIndexBatch before probing — or, if " +
+        "data exists without a stamp, a crashed write left a " +
+        "possibly-partial index; rebuild it.")
     val in = fs.open(stampPath)
     val stored = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()
@@ -261,7 +291,8 @@ object SubstringDedup {
     * probe: one semi-join on the 8-byte hash column. */
   def duplicatedWindowStatsVsIndex(batch: DataFrame, idCol: String,
       textCol: String, k: Int, indexPath: String): DataFrame = {
-    stampOrRequireWindowParams(batch.sparkSession, indexPath, k)
+    // validate-only: a read-only probe must never stamp (r13)
+    requireWindowParams(batch.sparkSession, indexPath, k)
     duplicatedWindowStatsVsIndexFrame(batch, idCol, textCol, k,
       batch.sparkSession.read.parquet(indexPath))
   }
@@ -357,8 +388,10 @@ object SubstringDedup {
     // validate k against the index stamp like every other path-level
     // prober (r12 — this was the one gap): probing a k=8 index with
     // k=12 windows matches NOTHING, so every corpus-duplicated span
-    // would silently survive ingest as if clean
-    stampOrRequireWindowParams(batch.sparkSession, indexPath, k)
+    // would silently survive ingest as if clean. Validate-ONLY (r13):
+    // this probe never writes, so it must not leave a phantom stamp on
+    // a not-yet-built path.
+    requireWindowParams(batch.sparkSession, indexPath, k)
     val spark = batch.sparkSession
     val wins = hashedWindows(batch, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

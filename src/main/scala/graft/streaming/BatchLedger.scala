@@ -349,10 +349,44 @@ private[graft] object BatchLedger {
     }, s"graft-lock-heartbeat-$ownName")
     hb.setDaemon(true)
     hb.start()
-    try f
+    // write-side fence (r13): destructive sites inside f (fold phase B,
+    // ledger stamp/prune) re-verify the token IMMEDIATELY before
+    // mutating, so a hold lost to an overwriting-rename double-win or a
+    // stale-break refuses the destruction outright — the per-beat check
+    // above only DETECTS the loss within one heartbeat, leaving
+    // mutations inside that latency unfenced.
+    val fence: () => Unit = () => readToken(fs, own) match {
+      case Some(t) if t == token => ()
+      case got => throw new IllegalStateException(
+        s"refusing destructive phase: the hold on $own was lost (" +
+          (got match {
+            case None => "marker vanished — broken as stale by a competitor"
+            case Some(_) => "marker now carries a competitor's token — " +
+              "clobbered by a simultaneous acquirer on an " +
+              "overwriting-rename store, or broken as stale and reacquired"
+          }) + "); the competitor may be mid-mutation, so this holder " +
+          "must not touch shared state")
+    }
+    try graft.Util.withDestructiveFence(fence)(f)
     finally {
       done = true
       hb.interrupt()
+      // wait the heartbeat out before releasing: a beat mid-overwrite
+      // (the setTimes-less fallback re-creates the marker) would race
+      // release's token read — on a non-atomic-overwrite store the read
+      // can see partial content, refuse the delete, and leave the marker
+      // locked until the stale-break. Bounded join: a beat is one small
+      // metadata op, so a join that outlasts a full heartbeat period
+      // means the store itself is hung — release then proceeds best-
+      // effort (its own read/delete will surface the same hang).
+      try hb.join(LockHeartbeatMs)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt() }
+      if (hb.isAlive)
+        log.warn(s"lock heartbeat thread for $own did not exit within " +
+          s"${LockHeartbeatMs} ms of interrupt; releasing anyway — a " +
+          "mid-rewrite beat may make this release a no-op, leaving the " +
+          s"marker to the ${LockStaleMs / 60000}-minute stale-break")
       release(fs, own, token)
     }
   }
@@ -388,6 +422,10 @@ private[graft] object BatchLedger {
   }
 
   def stamp(spark: SparkSession, stateDir: String, batchId: Long): Unit = {
+    // the stamp is a batch's COMMIT RECORD — the one write that makes
+    // half-written state readable — so a holder whose lock was lost must
+    // not land it (r13 fence; no-op outside a lock scope)
+    graft.Util.fenceDestructive()
     val marker = new Path(new Path(stateDir, Dir), s"batch-$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.create(marker, true).close()
@@ -397,6 +435,7 @@ private[graft] object BatchLedger {
     * load-bearing ([[last]] takes `maxOption`), so pruning keeps the
     * ledger listing O(1) over years of batches. */
   def prune(spark: SparkSession, stateDir: String, keepMax: Long): Unit = {
+    graft.Util.fenceDestructive() // deleting ledger markers is destructive
     val dir = new Path(stateDir, Dir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return

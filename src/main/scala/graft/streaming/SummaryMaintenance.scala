@@ -27,6 +27,12 @@ object SummaryMaintenance {
 
   private val StampName = "_last_batch_id"
 
+  /** How long a reader waits out a mid-flight summary swap before falling
+    * back to the parked pre-swap dir (see [[readableData]]). Sized for an
+    * object store's O(files) copy-"rename", not HDFS's metadata rename;
+    * tests shrink it so the crashed-committer path doesn't poll 30 s. */
+  @volatile private[graft] var SwapWaitMs: Long = 30000L
+
   /** Stamped batch id inside the live summary dir, -1 before first commit. */
   def lastBatchId(spark: SparkSession, summaryDir: String): Long = {
     import org.apache.hadoop.fs.Path
@@ -60,27 +66,42 @@ object SummaryMaintenance {
     * parked at `data.__graft_old`) — wait for the second rename to land.
     * Pre-r12 a reader in that window got None / -1 once per micro-batch
     * commit, so an external consumer saw a populated view flicker
-    * "empty-before-first-commit". The swap window is two metadata renames
-    * (microseconds); if it outlasts the wait the committer crashed
-    * between them, and the PARKED pre-swap view — exactly what the next
-    * applyBatch's repair restores — is the last committed state, so
-    * return it rather than pretending the summary never existed. None
-    * only when neither dir exists: genuinely before the first commit. */
+    * "empty-before-first-commit".
+    *
+    * On HDFS/local the swap window is two metadata renames
+    * (microseconds); on object stores a directory "rename" is an
+    * O(files) copy, so a SLOW BUT LIVE commit can hold the window open
+    * for seconds — and handing such a reader the parked `old` dir is a
+    * time bomb: the committer deletes it the moment its second rename
+    * lands, failing the reader's scan at action time. The deadline is
+    * therefore sized for the slow-copy case ([[SwapWaitMs]]), and `data` is
+    * re-checked one final time AFTER deciding to fall back, so a commit
+    * that lands during the last poll interval wins over the doomed
+    * path. A window that outlasts all of that is a committer that
+    * CRASHED between its two renames: the parked pre-swap view —
+    * exactly what the next applyBatch's repair restores — is the last
+    * committed state and is stable until that repair, so return it
+    * rather than pretending the summary never existed. None only when
+    * neither dir exists: genuinely before the first commit. */
   private def readableData(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path)
       : Option[org.apache.hadoop.fs.Path] = {
     import org.apache.hadoop.fs.Path
     val data = new Path(root, "data")
     val old = new Path(root, "data.__graft_old")
-    var tries = 0
-    while (tries < 40) {
+    val deadline = System.currentTimeMillis() + SwapWaitMs
+    while (System.currentTimeMillis() < deadline) {
       if (fs.exists(data)) return Some(data)
       if (!fs.exists(old)) return None // no swap in flight: truly empty
       Thread.sleep(50)
-      tries += 1
     }
+    // last-look order matters: `old` first, then `data` — if the commit
+    // finished inside the final poll interval (old gone, data live) the
+    // fresher check wins and the deleted-moments-later path is never
+    // handed out
+    val oldExists = fs.exists(old)
     if (fs.exists(data)) Some(data)
-    else if (fs.exists(old)) Some(old)
+    else if (oldExists) Some(old)
     else None
   }
 

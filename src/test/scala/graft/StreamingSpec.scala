@@ -422,11 +422,16 @@ class StreamingSpec extends SparkSpec {
     // r12 reader guarantee: even in the crashed-swap window an external
     // reader sees the PARKED pre-swap committed view, not a flicker to
     // "empty before first commit" (pre-r12 this read None / -1 once per
-    // commit for any concurrent reader)
-    assert(summary() === expected,
-      "mid-swap readers must get the parked pre-swap view, not None")
-    assert(SummaryMaintenance.lastBatchId(spark, sumDir) === stamped,
-      "mid-swap lastBatchId must come from the parked view, not -1")
+    // commit for any concurrent reader). Shrink the r13 slow-commit
+    // deadline for the test: a genuinely crashed swap polls it in full.
+    val savedWait = SummaryMaintenance.SwapWaitMs
+    SummaryMaintenance.SwapWaitMs = 500L
+    try {
+      assert(summary() === expected,
+        "mid-swap readers must get the parked pre-swap view, not None")
+      assert(SummaryMaintenance.lastBatchId(spark, sumDir) === stamped,
+        "mid-swap lastBatchId must come from the parked view, not -1")
+    } finally SummaryMaintenance.SwapWaitMs = savedWait
     SummaryMaintenance.applyBatch(spark, sumDir, events, stamped,
       Seq("event_type"), "value")
     assert(summary() === expected, "repair must restore the pre-swap state")
@@ -914,6 +919,70 @@ class StreamingSpec extends SparkSpec {
       try new String(in.readAllBytes(), "UTF-8") finally in.close()
     }
     assert(content === theirs)
+  }
+
+  test("write-side fence: a lost hold REFUSES its destructive phases " +
+      "(prevention, not one-heartbeat detection)") {
+    // r13 (VERDICT #4): a hold lost to a POSIX-rename double-win used to
+    // be DETECTED within one heartbeat, but mutations inside that
+    // latency ran unfenced. Now every destructive site re-verifies the
+    // token immediately before mutating. Simulate the double-win: while
+    // we hold _compact.lock, a competitor's overwriting rename replaces
+    // the marker with THEIR token.
+    import graft.streaming.BatchLedger
+    import org.apache.hadoop.fs.Path
+    val state = java.nio.file.Files
+      .createTempDirectory("graft_fence").toString
+    val marker = new Path(state, BatchLedger.CompactLockName)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def clobber(): Unit = {
+      val out = fs.create(marker, true)
+      try out.write("99999999-9999-9999-9999-999999999999".getBytes("UTF-8"))
+      finally out.close()
+    }
+    // 1) the ledger stamp (a batch's commit record) refuses
+    val e1 = intercept[IllegalStateException] {
+      BatchLedger.withCompactionLock(spark, state) {
+        clobber()
+        BatchLedger.stamp(spark, state, 0L)
+      }
+    }
+    assert(e1.getMessage.contains("refusing destructive phase"))
+    assert(BatchLedger.last(spark, state) === -1L,
+      "the refused stamp must not have committed")
+    assert(fs.exists(marker),
+      "release must leave the competitor's marker in place")
+    fs.delete(marker, false)
+    // 2) a compaction fold's phase B refuses BEFORE deleting batch dirs
+    val store = s"$state/store"
+    Seq((1L, "a")).toDF("k", "v")
+      .write.parquet(s"$store/batch=0")
+    Seq((2L, "b")).toDF("k", "v")
+      .write.parquet(s"$store/batch=1")
+    val e2 = intercept[IllegalStateException] {
+      BatchLedger.withCompactionLock(spark, state) {
+        clobber()
+        graft.io.Parquet.compactBatchStore(spark, store, 1L)
+      }
+    }
+    assert(e2.getMessage.contains("refusing destructive phase"))
+    assert(fs.exists(new Path(s"$store/batch=0")) &&
+      fs.exists(new Path(s"$store/batch=1")),
+      "the refused fold must leave every committed batch dir intact")
+    fs.delete(marker, false)
+    // 3) positive path: with an intact hold the same operations commit
+    BatchLedger.withCompactionLock(spark, state) {
+      BatchLedger.stamp(spark, state, 0L)
+      graft.io.Parquet.compactBatchStore(spark, store, 1L)
+    }
+    assert(BatchLedger.last(spark, state) === 0L)
+    assert(fs.exists(new Path(s"$store/batch=-1")) &&
+      !fs.exists(new Path(s"$store/batch=0")))
+    assert(spark.read.parquet(store).count() === 2L)
+    // 4) outside any lock scope the fence is a no-op (library callers)
+    graft.io.Parquet.compactBatchStore(spark, store, 1L)
+    BatchLedger.stamp(spark, state, 1L)
+    assert(BatchLedger.last(spark, state) === 1L)
   }
 
   test("lock acquisition: a rename IO fault is surfaced as a store " +
