@@ -127,14 +127,15 @@ object Dedup {
         (col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val pref = docs.select(col("g"), col("id"), col("n"),
-      explode(slice(col("ws"), lit(1), col("p"))).as("h"))
+      posexplode(slice(col("ws"), lit(1), col("p"))).as(Seq("pos", "h")))
     val a = pref.alias("a")
     val b = pref.alias("b")
     val sizeBand =
       col("a.n") >= col("b.n") * threshold &&
         col("b.n") >= col("a.n") * threshold
     val candidates = a.join(b, col("a.g") === col("b.g") &&
-        col("a.h") === col("b.h") && col("a.id") < col("b.id") && sizeBand)
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") && sizeBand &&
+        positionalFilter(threshold))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val da = docs.select(col("id").as("id_a"), col("ws").as("ws_a"))
@@ -171,14 +172,13 @@ object Dedup {
       timed("prep-new")(nd.count())
       timed("prep-corpus")(cd.count())
     }
-    def prefixes(docs: DataFrame): DataFrame =
-      docs.select(col("id"), col("n"),
-        explode(slice(col("ws"), lit(1), col("p"))).as("h"))
     val sizeBand =
       col("a.n") >= col("b.n") * threshold &&
         col("b.n") >= col("a.n") * threshold
-    val candidates = prefixes(nd).alias("a")
-      .join(prefixes(cd).alias("b"), col("a.h") === col("b.h") && sizeBand)
+    val candidates = prefixTable(nd).alias("a")
+      .join(prefixTable(cd).alias("b"),
+        col("a.h") === col("b.h") && sizeBand &&
+          positionalFilter(threshold))
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
       .distinct()
     if (prof) timed("candidates")(candidates.count())
@@ -203,16 +203,46 @@ object Dedup {
       .withColumn("p",
         (col("n") - ceil(col("n") * threshold - lit(1e-9)) + 1).cast("int"))
 
+  /** Prefix rows WITH their 0-based in-set position — the position feeds
+    * the PPJoin positional filter ([[positionalFilter]]), so it is part
+    * of the stored index layout too. */
   private def prefixTable(docs: DataFrame): DataFrame =
     docs.select(col("id"), col("n"),
-      explode(slice(col("ws"), lit(1), col("p"))).as("h"))
+      posexplode(slice(col("ws"), lit(1), col("p"))).as(Seq("pos", "h")))
+
+  /** PPJoin positional filter (Xiao et al., WWW'08), the exact
+    * candidate-stage cut for prefix-filter joins (r13, VERDICT #2): a
+    * matched prefix row where hash h sits at 0-based position pos_a in
+    * A's sorted set and pos_b in B's bounds the pair's overlap only
+    * when h is the FIRST common token — every element before it in A is
+    * then absent from B and vice versa, so
+    *   overlap <= min(n_a - pos_a, n_b - pos_b),
+    * while jac >= t forces overlap >= t/(1+t) * (n_a + n_b). Filtering
+    * EVERY matched row by that inequality and keeping a pair if ANY row
+    * survives is sound: a true pair's first common token is within both
+    * prefixes (the prefix lemma) and ITS row satisfies the bound, so no
+    * true pair is lost — but a false candidate whose only shared hashes
+    * sit late in both prefixes generates ZERO rows into the candidates
+    * `distinct`. At t=0.9 the bound kills matches past ~53% of the
+    * prefix, cutting the dominant candidate shuffle severalfold on
+    * near-dup-dense batches where raw prefix-match multiplicity, not
+    * batch size, drives the stage. The 1e-9 nudge rounds the ceiling
+    * DOWN on fp boundary cases — it can only loosen the filter, never
+    * drop a true pair (same convention as the prefix-length nudge in
+    * [[prepPrefixDocs]]). */
+  private def positionalFilter(threshold: Double)
+      : org.apache.spark.sql.Column =
+    least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+      ceil((col("a.n") + col("b.n")) * lit(threshold / (1 + threshold)) -
+        lit(1e-9))
 
   /** Persist a corpus's EXACT prefix-filter index so per-batch lossless
     * dedup never re-preps the corpus side — the stored form the
     * [[jaccardNewVsCorpusPrefix]] scaladoc promises (hash order needs no
     * corpus-statistics pass, so the index is write-once). Two parquet
     * tables under `path`: `docs` (id, ws, n, p) for the verify step and
-    * `prefixes` (id, n, h) for the candidate join; a `_params` stamp pins
+    * `prefixes` (id, n, pos, h) for the candidate join (`pos` feeds the
+    * positional filter — r13); a `_params` stamp pins
     * the THRESHOLD, which is part of the index identity — the prefix
     * length p is a function of it, and probing at a different threshold
     * silently breaks the completeness lemma (missed pairs, not an error).
@@ -292,12 +322,18 @@ object Dedup {
     val nd = prepPrefixDocs(newDocs, idCol, textCol, threshold)
       .persist(StorageLevel.MEMORY_AND_DISK)
     if (prof) timed("prep-new")(nd.count())
+    val storedPrefixes = spark.read.parquet(s"$path/prefixes")
+    require(storedPrefixes.columns.contains("pos"),
+      s"exact prefix index at $path predates the positional-filter " +
+        "layout (no `pos` column in prefixes) — rebuild it with " +
+        "writeExactPrefixIndex")
     val sizeBand =
       col("a.n") >= col("b.n") * threshold &&
         col("b.n") >= col("a.n") * threshold
     val candidates = broadcast(prefixTable(nd)).alias("a")
-      .join(spark.read.parquet(s"$path/prefixes").alias("b"),
-        col("a.h") === col("b.h") && sizeBand)
+      .join(storedPrefixes.alias("b"),
+        col("a.h") === col("b.h") && sizeBand &&
+          positionalFilter(threshold))
       .select(col("a.id").as("new_id"), col("b.id").as("corpus_id"))
       .distinct()
     if (prof) timed("candidates")(candidates.count())

@@ -738,6 +738,71 @@ class LlmSpec extends SparkSpec {
     assert(ex.getMessage.contains("threshold"))
   }
 
+  test("positional filter: dense near-dup batch probes exactly, with a " +
+      "strictly smaller candidate stage") {
+    // r13 (VERDICT #2): the probe's candidate `distinct` used to see
+    // every raw prefix match, and that row count grows with NEAR-DUP
+    // DENSITY, not batch size — a pathological dense batch inflates the
+    // one shuffle the stored-index shape still pays. The PPJoin
+    // positional filter cuts matched rows whose in-prefix positions
+    // bound the overlap below threshold, provably keeping at least one
+    // row per TRUE pair. Plant a dense batch: every batch doc is a
+    // light edit of a corpus doc, so true-pair multiplicity dominates.
+    val corpus = (0L until 60L).map { i =>
+      (i, (0 until 30).map(w => s"w${i}_$w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val dense = (0L until 60L).map { i =>
+      // drop one word, append one: jac = 29/31 ≈ 0.935 >= 0.9
+      (1000L + i, ((1 until 30).map(w => s"w${i}_$w") :+ "zz").mkString(" "))
+    }.toDF("doc_id", "text")
+    val t = 0.9
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_denseidx").toString
+    Dedup.writeExactPrefixIndex(corpus, "doc_id", "text", t, idxPath)
+    val got = Dedup.jaccardNewVsCorpusPrefixStored(spark, idxPath,
+        dense, "doc_id", "text", t)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def sets(df: org.apache.spark.sql.DataFrame, idAs: String, wsAs: String) =
+      df.select(col("doc_id").as(idAs),
+        array_distinct(split(col("text"), " ")).as(wsAs))
+    val naive = sets(dense, "new_id", "ws_a")
+      .join(sets(corpus, "corpus_id", "ws_b"),
+        Dedup.jaccard(col("ws_a"), col("ws_b")) >= t)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(naive.size === 60, "every planted edit must be a true pair")
+    assert(got === naive, "the positional cut must not lose a true pair")
+    // the shrink itself, on the same prep the kernel uses (sorted
+    // distinct hashed token sets, prefix length n - ceil(t*n) + 1):
+    // matched prefix rows under sizeBand alone vs sizeBand + positional
+    def prep(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("id"),
+        array_sort(array_distinct(
+          transform(split(col("text"), " "), w => xxhash64(w)))).as("ws"))
+        .withColumn("n", size(col("ws")))
+        .withColumn("p",
+          (col("n") - ceil(col("n") * t - lit(1e-9)) + 1).cast("int"))
+        .select(col("id"), col("n"),
+          posexplode(slice(col("ws"), lit(1), col("p")))
+            .as(Seq("pos", "h")))
+    val a = prep(dense).alias("a")
+    val b = prep(corpus).alias("b")
+    val sizeBand = col("a.n") >= col("b.n") * t &&
+      col("b.n") >= col("a.n") * t
+    val positional =
+      least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+        ceil((col("a.n") + col("b.n")) * lit(t / (1 + t)) - lit(1e-9))
+    val rawRows = a.join(b, col("a.h") === col("b.h") && sizeBand).count()
+    val cutRows = a.join(b,
+      col("a.h") === col("b.h") && sizeBand && positional).count()
+    info(s"candidate rows: $rawRows raw -> $cutRows after positional")
+    assert(cutRows < rawRows,
+      "positional filter must shrink the dense batch's candidate stage")
+    assert(cutRows >= naive.size.toLong,
+      "at least one surviving row per true pair")
+  }
+
   test("index commit records: a stamp-less stored index is refused " +
       "(torn-rebuild protection)") {
     // r12: every monolithic index writer (exact-prefix, MinHash corpus,
