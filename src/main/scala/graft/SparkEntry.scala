@@ -1071,6 +1071,44 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Streaming: exactly-once incremental materialized-view maintenance
+    // over a plain parquet sink (r13 — the last test-only exactly-once
+    // surface, now under the driver's hash gate like the other two
+    // streaming gates). Three micro-batches merge into the per-key
+    // summary; batch 1 is REPLAYED (the idempotent-sink no-op) and a
+    // crash between the swap's two renames is simulated before batch 2
+    // (the repair path must restore the parked view before merging).
+    // The oracle replays the whole ledger sequence as one grouped
+    // aggregate — merging per-batch decimal sums is associative, so the
+    // hash check proves replay + repair changed NOTHING.
+    "q_summary_maintenance" -> ((s, dir) => {
+      import graft.streaming.SummaryMaintenance
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val state = scratchPath("q_summaint", dir)
+      deleteRecursively(state)
+      def batch(b: Long) = ev.filter(pmod(col("event_id"), lit(3)) === b)
+      for (b <- 0L to 2L) {
+        SummaryMaintenance.applyBatch(s, state, batch(b), b,
+          Seq("event_type"), "value")
+        if (b == 1L) {
+          // same-run replay of the committed batch: must no-op
+          SummaryMaintenance.applyBatch(s, state, batch(1L), 1L,
+            Seq("event_type"), "value")
+          // crash between the two swap renames: data parked at __graft_old
+          val root = new org.apache.hadoop.fs.Path(state)
+          val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val data = new org.apache.hadoop.fs.Path(root, "data")
+          val old = new org.apache.hadoop.fs.Path(root, "data.__graft_old")
+          require(fs.rename(data, old), "crash simulation rename failed")
+        }
+      }
+      SummaryMaintenance.readSummary(s, state).get
+        .select(col("event_type"), col("n_events"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // LLM: model-based quality filter (fastText/DCLM-shaped linear
     // classifier inference over hashed token features; deterministic
     // stand-in weights so the oracle replays the whole score)
@@ -2663,6 +2701,19 @@ object SparkEntry {
         |  UNION SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
         |SELECT id, least(id, min(reach)) AS comp FROM r GROUP BY id
         |ORDER BY id""".stripMargin,
+
+    // The 3-batch merge-by-key ledger sequence collapses to one grouped
+    // aggregate: per-batch delta = (count, sum(value::decimal(18,6)))
+    // and the merge SUMS those at decimal(38,6) — both associative, so
+    // replaying batch 1 and repairing the simulated mid-swap crash must
+    // land on exactly the whole-table aggregate or the hash fails.
+    // Cast to double at the end (decimal readout differs across
+    // engines; the double of the same exact decimal is bit-identical).
+    "q_summary_maintenance" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+        |    AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // The full 3-batch exactly-once gate replayed in one statement: per
     // batch, an index probe against the accumulated accepted set, then a
