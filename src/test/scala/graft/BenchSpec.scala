@@ -88,6 +88,71 @@ class BenchSpec extends AnyFunSuite {
       java.nio.file.Paths.get("/nonexistent/nope.tsv")) === Map.empty)
   }
 
+  test("shape-drift flag: records primary (20%), bytes secondary (35%), " +
+      "floors muted") {
+    // record-count drift trips at 20% in both directions
+    assert(Bench.isShapeDrift(1000000L, 130000L, Some((1000000L, 100000L))))
+    assert(Bench.isShapeDrift(1000000L, 70000L, Some((1000000L, 100000L))))
+    assert(!Bench.isShapeDrift(1000000L, 115000L, Some((1000000L, 100000L))))
+    // byte drift alone needs 35% (compression/serialization wiggle on
+    // identical rows was observed at ±18% — q_quality_checks)
+    assert(!Bench.isShapeDrift(1300000L, 100000L, Some((1000000L, 100000L))))
+    assert(Bench.isShapeDrift(1400000L, 100000L, Some((1000000L, 100000L))))
+    assert(Bench.isShapeDrift(600000L, 100000L, Some((1000000L, 100000L))))
+    // row floor: a bookkeeping-rows query tripling 100 -> 300 is muted...
+    assert(!Bench.isShapeDrift(10000L, 300L, Some((10000L, 100L))))
+    // ...but a NEW 50k-row shuffle appearing on a near-zero line trips
+    assert(Bench.isShapeDrift(10000L, 50000L, Some((10000L, 0L))))
+    // byte floor mutes few-KB jitter around tiny lines
+    assert(!Bench.isShapeDrift(50000L, 100L, Some((10000L, 100L))))
+    // a VANISHED shuffle (expected MBs/many rows, now ~0) trips
+    assert(Bench.isShapeDrift(0L, 0L, Some((5000000L, 500000L))))
+    // no committed line (new query) or failed run: exempt
+    assert(!Bench.isShapeDrift(5000000L, 500000L, None))
+    assert(!Bench.isShapeDrift(-1L, -1L, Some((1000000L, 100000L))))
+  }
+
+  test("shuffle baseline is SF-keyed: wrong-SF table is ignored") {
+    val tmp = java.nio.file.Files.createTempFile("bench_bytes", ".tsv")
+    java.nio.file.Files.write(tmp,
+      ("# comment\n" +
+        "# sf sf0.1\n" +
+        "q_alpha\t123456\t7890\n" +
+        "q_beta\tnot_a_number\t5\n" +
+        "q_gamma\t1\n" + // old two-column format: dropped, not crashed
+        "malformed\n").getBytes("UTF-8"))
+    // matching SF basename -> parsed (malformed lines dropped)
+    assert(Bench.loadExpectedBytes(tmp, "/root/testdata/sf0.1") ===
+      Map("q_alpha" -> ((123456L, 7890L))))
+    // shuffle volume scales with the data: consulting an sf0.1 table
+    // while benching sf0.01 would flag every query at -90% — must be
+    // EMPTY
+    assert(Bench.loadExpectedBytes(tmp, "/root/testdata/sf0.01") ===
+      Map.empty)
+    java.nio.file.Files.delete(tmp)
+    // a table with NO sf header never matches (fail closed), as does a
+    // missing file
+    val noHdr = java.nio.file.Files.createTempFile("bench_bytes2", ".tsv")
+    java.nio.file.Files.write(noHdr, "q_alpha\t1\t1\n".getBytes("UTF-8"))
+    assert(Bench.loadExpectedBytes(noHdr, "/root/testdata/sf0.1") ===
+      Map.empty)
+    java.nio.file.Files.delete(noHdr)
+    assert(Bench.loadExpectedBytes(
+      java.nio.file.Paths.get("/nonexistent/nope.tsv"),
+      "/root/testdata/sf0.1") === Map.empty)
+  }
+
+  test("committed byte baseline covers the registry") {
+    val path = java.nio.file.Paths.get("tools", "bench_bytes_expected.tsv")
+    assume(java.nio.file.Files.exists(path), "byte baseline not generated")
+    val m = Bench.loadExpectedBytes(path, "/root/testdata/sf0.1")
+    assert(m.nonEmpty, "committed table must carry '# sf sf0.1' and rows")
+    val registry = SparkEntry.queries.keySet
+    val orphans = m.keySet.diff(registry)
+    assert(orphans.isEmpty, s"byte lines for unknown queries: $orphans")
+    assert(m.size > 50, s"byte baseline has only ${m.size} entries")
+  }
+
   test("committed baseline covers the registry") {
     val path = java.nio.file.Paths.get("tools", "bench_expected.tsv")
     assume(java.nio.file.Files.exists(path), "baseline not yet generated")
