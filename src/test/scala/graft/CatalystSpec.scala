@@ -428,6 +428,54 @@ class CatalystSpec extends SparkSpec {
     }
   }
 
+  test("LevJoinKernelRule routes DataFrame-API lev joins too (r13: not " +
+      "just raw SQL text)") {
+    import graft.catalyst.LevJoinKernelRule
+    // The rule matches the optimized LOGICAL plan, so a join built with
+    // the Column API — df.join(other, levenshtein(a, b) <= d) — must
+    // re-plan through the kernel exactly like the spark.sql form; a
+    // user on the DataFrame API must not silently keep the BNLJ plan.
+    val n = 600
+    val l = spark.range(n.toLong).select(col("id"),
+      concat(lit("doc_"), lpad(col("id").cast("string"), 6, "0")).as("k"))
+    val r = l.select(col("id").as("id2"), col("k").as("k2"))
+    spark.conf.set(LevJoinKernelRule.MinSideBytesKey, "1")
+    try {
+      val apiJoin = l.join(r, levenshtein(col("k"), col("k2")) <= 2)
+        .select(col("id"), col("id2"))
+      val plan = apiJoin.queryExecution.optimizedPlan.toString
+      assert(plan.contains("xxhash64"),
+        s"API-built lev join must route through the kernel:\n$plan")
+      assert(!plan.contains("Join Inner, (levenshtein"),
+        s"lev theta join survived the rewrite:\n$plan")
+      val got = apiJoin.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      spark.conf.set(LevJoinKernelRule.EnabledKey, "false")
+      val want = l.join(r, levenshtein(col("k"), col("k2")) <= 2)
+        .select(col("id"), col("id2"))
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(got === want)
+      assert(want.size > n, "fixture should produce real near-matches")
+      // LEFT outer through the API as well
+      spark.conf.unset(LevJoinKernelRule.EnabledKey)
+      val lonely = Seq((9999999L, "zzzzzzzzzzzzzzz")).toDF("id", "k")
+      val apiLeft = l.unionByName(lonely)
+        .join(r, levenshtein(col("k"), col("k2")) <= 2, "left")
+        .select(col("id"), col("id2"))
+      assert(apiLeft.queryExecution.optimizedPlan.toString
+        .contains("xxhash64"), "API LEFT lev join must route too")
+      val gotL = apiLeft.collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+        .toSet
+      assert(gotL.contains((9999999L, -1L)),
+        "unmatched left row must survive null-padded")
+      assert(gotL.filter(_._2 >= 0L) === got.map(identity),
+        "LEFT matches must equal the inner matches")
+    } finally {
+      spark.conf.unset(LevJoinKernelRule.EnabledKey)
+      spark.conf.unset(LevJoinKernelRule.MinSideBytesKey)
+    }
+  }
+
   test("LevJoinKernelRule also routes LEFT lev joins (the stringdist_left_join " +
       "shape) with null-padded unmatched rows") {
     import graft.catalyst.LevJoinKernelRule
