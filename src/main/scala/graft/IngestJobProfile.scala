@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool (r13, VERDICT #3): Spark JOBS per ingest-gate micro-batch.
+  * At 10k micro-batches/day the per-job driver overhead (scheduling, DAG
+  * build, listener traffic) is the scale term local[32] wall time cannot
+  * see — a gate that spends 20 driver jobs per batch saturates the
+  * driver long before the executors. This replays the registry gates'
+  * batch sequences with a job-counting listener and prints jobs + stages
+  * per applyBatch call, so a fusion change diffs on a deterministic
+  * number.
+  *
+  * Usage: runMain graft.IngestJobProfile [sfDir]
+  */
+object IngestJobProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled",
+        // GRAFT_JOBPROF_AQE=0 measures the AQE-off job economy
+        if (sys.env.get("GRAFT_JOBPROF_AQE").contains("0")) "false"
+        else "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.catalyst.GraftExtensions.install(spark)
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+    })
+    def measured[T](label: String)(f: => T): T = {
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      jobs.set(0); stages.set(0)
+      val t0 = System.nanoTime()
+      val r = f
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      println(f"[jobs] $label%-28s jobs=${jobs.get}%3d " +
+        f"stages=${stages.get}%4d wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+
+    // q_similarity_ingest's exact 3-batch replay
+    val docs = Util.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val simState = java.nio.file.Files
+      .createTempDirectory("graft_jobprof_sim").toString
+    for (b <- 0L to 2L) {
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+      measured(s"similarity batch $b") {
+        graft.streaming.SimilarityIngest.applyBatch(spark, simState,
+          batch, b, "doc_id", "text")
+      }
+    }
+    measured("similarity compact") {
+      graft.streaming.SimilarityIngest.compactIndexes(spark, simState)
+    }
+
+    // q_embedding_ingest's 3-batch replay
+    val emb = Util.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val embState = java.nio.file.Files
+      .createTempDirectory("graft_jobprof_emb").toString
+    for (b <- 0L to 2L) {
+      val batch = emb.filter(pmod(col("vec_id"), lit(3)) === b)
+      measured(s"embedding batch $b") {
+        graft.streaming.EmbeddingIngest.applyBatch(spark, embState,
+          batch, b, "vec_id", "embedding")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -105,6 +105,42 @@ object Util {
     * no fence is bound. Call immediately before each destructive phase. */
   def fenceDestructive(): Unit = destructiveFence.value.foreach(_.apply())
 
+  /** Run `f` with a session conf key temporarily overridden, restoring
+    * the prior value (or unsetting) afterwards. The caller must own the
+    * session for the duration — Spark session confs are session-global,
+    * so a concurrent query on the same session would see the override.
+    * The exactly-once gates qualify: Structured Streaming runs
+    * foreachBatch bodies serially per trigger. */
+  def withSessionConf[T](spark: org.apache.spark.sql.SparkSession,
+                         key: String, value: String)(f: => T): T = {
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try f
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Planning profile for O(batch)-sized micro-batch gate work (r13,
+    * VERDICT #3): ADAPTIVE EXECUTION OFF. AQE submits one driver JOB per
+    * query stage — measured 53 jobs per similarity-gate micro-batch and
+    * 47 per embedding-gate batch at sf0.1, versus 24 and 13 with AQE
+    * off (wall also improved ~10%). At 10k micro-batches/day that
+    * per-job driver overhead (DAG build, scheduling, listener traffic)
+    * is the scale term local[32] wall time barely shows. Inside a gate
+    * the batch is small by contract, partition counts are known, and
+    * skew is bounded by the hot-bucket caps, so AQE's runtime re-planning
+    * buys nothing — results are identical either way. Opt out (keep AQE
+    * on) by setting `spark.graft.ingest.adaptive=true` for gates that
+    * legitimately feed huge batches (bulk backfills through the batch
+    * path). */
+  def withMicroBatchPlanning[T](spark: org.apache.spark.sql.SparkSession)
+      (f: => T): T =
+    if (spark.conf.getOption("spark.graft.ingest.adaptive")
+        .exists(_.trim.equalsIgnoreCase("true"))) f
+    else withSessionConf(spark, "spark.sql.adaptive.enabled", "false")(f)
+
   /** Run independent Spark actions CONCURRENTLY and wait for all of them
     * — the exactly-once gates' commit/compaction shape: N mutually
     * independent batch-keyed writes where the caller pays the slowest

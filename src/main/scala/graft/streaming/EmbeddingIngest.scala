@@ -89,7 +89,10 @@ object EmbeddingIngest {
     if (batchId == last) return // replay of the committed batch: no-op
     // the gate holds _gate.lock for the whole batch: a compaction
     // starting mid-batch now fails loudly instead of racing the probes
-    // (and a batch starting mid-fold still fails on _compact.lock)
+    // (and a batch starting mid-fold still fails on _compact.lock).
+    // Job economy (r13): AQE off for the batch's plans — measured
+    // 47 -> 13 jobs/batch (Util.withMicroBatchPlanning)
+    graft.Util.withMicroBatchPlanning(spark) {
     BatchLedger.withGateLock(spark, stateDir) {
       leafStores(stateDir).foreach(s =>
         graft.io.Parquet.repairBatchStore(spark, s))
@@ -174,6 +177,7 @@ object EmbeddingIngest {
         pinned.foreach(_.unpersist())
         batch.unpersist()
       }
+    }
     }
   }
 

@@ -104,7 +104,10 @@ object IngestDedup {
     if (batchId == last) return // replay of the committed batch: no-op
     // the gate holds _gate.lock for the whole batch: a compaction
     // starting mid-batch now fails loudly instead of racing the probes
-    // (and a batch starting mid-fold still fails on _compact.lock)
+    // (and a batch starting mid-fold still fails on _compact.lock).
+    // Job economy (r13): AQE off for the batch's plans (see
+    // Util.withMicroBatchPlanning)
+    graft.Util.withMicroBatchPlanning(spark) {
     BatchLedger.withGateLock(spark, indexPath) {
       // finish/roll back any interrupted compaction before probing
       Seq(s"$indexPath/docs", s"$indexPath/buckets", outDir)
@@ -205,6 +208,7 @@ object IngestDedup {
         sigBuckets.unpersist()
         batch.unpersist()
       }
+    }
     }
   }
 

@@ -173,6 +173,9 @@ object SimilarityIngest {
     // racing the probes below with half-folded stores, and a batch
     // starting mid-fold fails on the fold's fresh _compact.lock (a
     // STALE marker from a crashed holder is broken and repaired next)
+    // job economy (r13): AQE off for the batch's plans — see
+    // Util.withMicroBatchPlanning for the measured 53 -> 24 jobs/batch
+    graft.Util.withMicroBatchPlanning(spark) {
     BatchLedger.withGateLock(spark, stateDir) {
       // a compactIndexes crash mid-fold leaves a store in its two-phase
       // window (tmp segment present, originals half-deleted); finish or
@@ -375,6 +378,7 @@ object SimilarityIngest {
         pinned.foreach(_.unpersist())
         batch.unpersist()
       }
+    }
     }
   }
 

@@ -137,6 +137,9 @@ object SummaryMaintenance {
         "lineage. Start a fresh summaryDir (or restore the original " +
         "checkpoint) instead of silently dropping batches.")
     if (batchId == last) return // replay of the committed batch: no-op
+    // job economy (r13): AQE off for the merge's plans — summary-size
+    // work, same argument as the ledger gates (Util.withMicroBatchPlanning)
+    graft.Util.withMicroBatchPlanning(spark) {
     // the running sum lives at decimal(38,6) on EVERY commit: a narrower
     // cast (the old 18,6) overflows once a key's lifetime sum passes
     // 10^12 — an ANSI ARITHMETIC_OVERFLOW rethrown on every micro-batch
@@ -169,6 +172,7 @@ object SummaryMaintenance {
         (if (restored) "previous summary restored" else s"left at $old"))
     }
     fs.delete(old, true)
+    }
   }
 
   /** The maintained view as a streaming query: parquet file source →
