@@ -30,7 +30,10 @@ object ScaleProbe13 {
     // log-uniform over a 50k vocabulary via md5-derived uniforms (no
     // RNG state; any engine reproduces it), 10-100 words per doc.
     val root = "target/tmp/scaleprobe13"
-    val full = new java.io.File(s"$root/docs_x10")
+    // completeness check, not bare dir existence: a run killed mid-write
+    // leaves a partial parquet dir every later run would silently reuse,
+    // recording wrong exponents — _SUCCESS lands only on a complete write
+    val full = new java.io.File(s"$root/docs_x10/_SUCCESS")
     if (!full.exists()) {
       val n = 50000L
       val nWords = (lit(10) + pmod(

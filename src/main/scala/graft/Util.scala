@@ -105,20 +105,63 @@ object Util {
     * no fence is bound. Call immediately before each destructive phase. */
   def fenceDestructive(): Unit = destructiveFence.value.foreach(_.apply())
 
+  /** Live holds per (session, key) for [[withSessionConf]]: hold count
+    * plus the PRE-OVERRIDE value captured by the first holder, so
+    * overlapping holders (two gate streams sharing one session — their
+    * foreachBatch bodies are serial per query, not across queries)
+    * restore the ORIGINAL value exactly once, when the last hold exits.
+    * A naive set/restore pair interleaved across two holders captures
+    * the other holder's override as its "prior" and leaves it on the
+    * session permanently. IdentityHashMap: sessions are compared by
+    * object identity, and entries are removed on last release so dead
+    * sessions are not retained. */
+  private val confHolds =
+    new java.util.IdentityHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, (Int, Option[String])]]()
+
   /** Run `f` with a session conf key temporarily overridden, restoring
-    * the prior value (or unsetting) afterwards. The caller must own the
-    * session for the duration — Spark session confs are session-global,
-    * so a concurrent query on the same session would see the override.
-    * The exactly-once gates qualify: Structured Streaming runs
-    * foreachBatch bodies serially per trigger. */
+    * the pre-override value when the LAST overlapping hold exits
+    * (reference-counted per session×key, so concurrent gate batches on
+    * one session cannot strand the override — r13 review). Overlapping
+    * holds must agree on the value: a mismatch is a programming error
+    * surfaced loudly rather than letting one caller silently run under
+    * the other's setting. Residual: a concurrent NON-holder query on
+    * the same session still observes the override for the duration —
+    * callers sharing a session with interactive work should opt out or
+    * use a separate session. */
   def withSessionConf[T](spark: org.apache.spark.sql.SparkSession,
                          key: String, value: String)(f: => T): T = {
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key, value)
+    confHolds.synchronized {
+      val m = Option(confHolds.get(spark)).getOrElse {
+        val fresh = scala.collection.mutable.Map
+          .empty[String, (Int, Option[String])]
+        confHolds.put(spark, fresh)
+        fresh
+      }
+      m.get(key) match {
+        case Some((n, prior)) =>
+          require(spark.conf.getOption(key).contains(value),
+            s"overlapping withSessionConf holds on $key disagree: " +
+              s"already overridden to ${spark.conf.getOption(key)}, " +
+              s"caller wants $value")
+          m(key) = (n + 1, prior)
+        case None =>
+          m(key) = (1, spark.conf.getOption(key))
+          spark.conf.set(key, value)
+      }
+    }
     try f
-    finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally confHolds.synchronized {
+      val m = confHolds.get(spark)
+      val (n, prior) = m(key)
+      if (n == 1) {
+        prior match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        m.remove(key)
+        if (m.isEmpty) confHolds.remove(spark)
+      } else m(key) = (n - 1, prior)
     }
   }
 
@@ -134,12 +177,25 @@ object Util {
     * buys nothing — results are identical either way. Opt out (keep AQE
     * on) by setting `spark.graft.ingest.adaptive=true` for gates that
     * legitimately feed huge batches (bulk backfills through the batch
-    * path). */
-  def withMicroBatchPlanning[T](spark: org.apache.spark.sql.SparkSession)
-      (f: => T): T =
-    if (spark.conf.getOption("spark.graft.ingest.adaptive")
-        .exists(_.trim.equalsIgnoreCase("true"))) f
-    else withSessionConf(spark, "spark.sql.adaptive.enabled", "false")(f)
+    * path).
+    *
+    * Takes EVERY session the batch's plans can be rooted at: under real
+    * Structured Streaming the foreachBatch DataFrame belongs to the
+    * stream's CLONED session (MicroBatchExecution's
+    * sparkSessionForStream), not the outer session the gate also reads
+    * stored indexes through — toggling only the outer session would
+    * silently leave the batch-rooted plans (the bulk of the gate) on
+    * AQE (r13 review). Callers pass the outer session AND
+    * `batch.sparkSession`; duplicates are collapsed. */
+  def withMicroBatchPlanning[T](
+      sessions: Seq[org.apache.spark.sql.SparkSession])(f: => T): T = {
+    val distinct = sessions.distinct.filterNot(s =>
+      s.conf.getOption("spark.graft.ingest.adaptive")
+        .exists(_.trim.equalsIgnoreCase("true")))
+    distinct.foldLeft(() => f) { (g, s) =>
+      () => withSessionConf(s, "spark.sql.adaptive.enabled", "false")(g())
+    }()
+  }
 
   /** Run independent Spark actions CONCURRENTLY and wait for all of them
     * — the exactly-once gates' commit/compaction shape: N mutually

@@ -194,13 +194,10 @@ object SubstringDedup {
       writeWindowParams(spark, path, k)
       return
     }
-    val in = fs.open(stampPath)
-    val stored = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    require(stored == k.toString,
-      s"window index at $path was built with windowK=$stored but caller " +
-        s"passed windowK=$k — probing across mismatched gram sizes finds " +
-        "zero duplicated windows silently")
+    // stamp present: same validation as the read-only probes — one code
+    // path, so the stamp format / mismatch message cannot drift between
+    // the writer and prober sides (r13 review)
+    requireWindowParams(spark, path, k)
   }
 
   /** Validate-only form for READ-ONLY probes: requires a matching stamp

@@ -312,13 +312,20 @@ private[graft] object BatchLedger {
         throw e
     }
     @volatile var done = false
+    // beats and fence reads are serialized on this monitor: on
+    // setTimes-less stores a beat REWRITES the marker (create+write),
+    // and a fence read inside that window would see partial content and
+    // spuriously refuse a destructive phase while the hold is intact
+    // (r13 review). Same-process only — cross-process rewrites are
+    // covered by the fence's one retry below.
+    val beatMonitor = new Object
     val hb = new Thread(() => {
       var warned = false
       while (!done) {
         try Thread.sleep(LockHeartbeatMs)
         catch { case _: InterruptedException => () }
         if (!done)
-          refreshMtime(fs, own, token).foreach { ex =>
+          beatMonitor.synchronized(refreshMtime(fs, own, token)).foreach { ex =>
             // both paths dead must not kill the fold itself — but it MUST
             // be observable: without beats a live hold goes "stale" and a
             // competitor breaks it
@@ -355,17 +362,33 @@ private[graft] object BatchLedger {
     // stale-break refuses the destruction outright — the per-beat check
     // above only DETECTS the loss within one heartbeat, leaving
     // mutations inside that latency unfenced.
-    val fence: () => Unit = () => readToken(fs, own) match {
-      case Some(t) if t == token => ()
-      case got => throw new IllegalStateException(
-        s"refusing destructive phase: the hold on $own was lost (" +
-          (got match {
-            case None => "marker vanished — broken as stale by a competitor"
-            case Some(_) => "marker now carries a competitor's token — " +
-              "clobbered by a simultaneous acquirer on an " +
-              "overwriting-rename store, or broken as stale and reacquired"
-          }) + "); the competitor may be mid-mutation, so this holder " +
-          "must not touch shared state")
+    val fence: () => Unit = () => {
+      def read(): Option[String] =
+        beatMonitor.synchronized(readToken(fs, own))
+      val got = read() match {
+        case ok @ Some(t) if t == token => ok
+        case _ =>
+          // one retry after a beat-width pause: a CROSS-PROCESS
+          // competitor's in-flight marker rewrite (their beat's
+          // overwrite-create) can expose partial content for
+          // microseconds; a genuinely lost hold stays foreign forever
+          Thread.sleep(100)
+          read()
+      }
+      got match {
+        case Some(t) if t == token => ()
+        case g => throw new IllegalStateException(
+          s"refusing destructive phase: the hold on $own was lost (" +
+            (g match {
+              case None =>
+                "marker vanished — broken as stale by a competitor"
+              case Some(_) => "marker now carries a competitor's token — " +
+                "clobbered by a simultaneous acquirer on an " +
+                "overwriting-rename store, or broken as stale and " +
+                "reacquired"
+            }) + "); the competitor may be mid-mutation, so this holder " +
+            "must not touch shared state")
+      }
     }
     try graft.Util.withDestructiveFence(fence)(f)
     finally {

@@ -91,8 +91,9 @@ object EmbeddingIngest {
     // starting mid-batch now fails loudly instead of racing the probes
     // (and a batch starting mid-fold still fails on _compact.lock).
     // Job economy (r13): AQE off for the batch's plans — measured
-    // 47 -> 13 jobs/batch (Util.withMicroBatchPlanning)
-    graft.Util.withMicroBatchPlanning(spark) {
+    // 47 -> 13 jobs/batch (Util.withMicroBatchPlanning). BOTH sessions:
+    // under Structured Streaming batch0 is rooted at the stream's clone
+    graft.Util.withMicroBatchPlanning(Seq(spark, batch0.sparkSession)) {
     BatchLedger.withGateLock(spark, stateDir) {
       leafStores(stateDir).foreach(s =>
         graft.io.Parquet.repairBatchStore(spark, s))

@@ -106,8 +106,9 @@ object IngestDedup {
     // starting mid-batch now fails loudly instead of racing the probes
     // (and a batch starting mid-fold still fails on _compact.lock).
     // Job economy (r13): AQE off for the batch's plans (see
-    // Util.withMicroBatchPlanning)
-    graft.Util.withMicroBatchPlanning(spark) {
+    // Util.withMicroBatchPlanning). BOTH sessions: under Structured
+    // Streaming batch0 is rooted at the stream's clone
+    graft.Util.withMicroBatchPlanning(Seq(spark, batch0.sparkSession)) {
     BatchLedger.withGateLock(spark, indexPath) {
       // finish/roll back any interrupted compaction before probing
       Seq(s"$indexPath/docs", s"$indexPath/buckets", outDir)

@@ -174,8 +174,10 @@ object SimilarityIngest {
     // starting mid-fold fails on the fold's fresh _compact.lock (a
     // STALE marker from a crashed holder is broken and repaired next)
     // job economy (r13): AQE off for the batch's plans — see
-    // Util.withMicroBatchPlanning for the measured 53 -> 24 jobs/batch
-    graft.Util.withMicroBatchPlanning(spark) {
+    // Util.withMicroBatchPlanning for the measured 53 -> 24 jobs/batch.
+    // BOTH sessions: under Structured Streaming batch0 is rooted at the
+    // stream's cloned session, the stored-index reads at `spark`
+    graft.Util.withMicroBatchPlanning(Seq(spark, batch0.sparkSession)) {
     BatchLedger.withGateLock(spark, stateDir) {
       // a compactIndexes crash mid-fold leaves a store in its two-phase
       // window (tmp segment present, originals half-deleted); finish or

@@ -138,8 +138,10 @@ object SummaryMaintenance {
         "checkpoint) instead of silently dropping batches.")
     if (batchId == last) return // replay of the committed batch: no-op
     // job economy (r13): AQE off for the merge's plans — summary-size
-    // work, same argument as the ledger gates (Util.withMicroBatchPlanning)
-    graft.Util.withMicroBatchPlanning(spark) {
+    // work, same argument as the ledger gates (Util.withMicroBatchPlanning;
+    // both sessions — under Structured Streaming the batch is rooted at
+    // the stream's clone)
+    graft.Util.withMicroBatchPlanning(Seq(spark, batch.sparkSession)) {
     // the running sum lives at decimal(38,6) on EVERY commit: a narrower
     // cast (the old 18,6) overflows once a key's lifetime sum passes
     // 10^12 — an ANSI ARITHMETIC_OVERFLOW rethrown on every micro-batch
