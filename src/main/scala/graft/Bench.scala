@@ -217,21 +217,33 @@ object Bench {
   }
 
   /** Committed per-query quiet-box baseline: `name<TAB>seconds` lines,
-    * '#' comments. Missing/unreadable file → empty map (every trigger
-    * below degrades to the pre-r8 disagreement-only behavior). */
-  def loadExpected(path: java.nio.file.Path): Map[String, Double] =
+    * '#' comments — except the `# sf <basename>` header, which must
+    * match the benched dir exactly like the byte table's (r13 review:
+    * this table previously applied to ANY SF, so a baseline regenerated
+    * from a non-sf0.1 bench.json would silently poison the wall gate —
+    * 10–50× too-small lines flag the whole registry suspect; inflated
+    * lines mute every trigger). Missing/unreadable file or SF mismatch
+    * → empty map (every trigger below degrades to the pre-r8
+    * disagreement-only behavior). */
+  def loadExpected(path: java.nio.file.Path,
+                   sfDir: String): Map[String, Double] =
     if (!java.nio.file.Files.isReadable(path)) Map.empty
     else {
+      val sfBase = new java.io.File(sfDir).getName
       val src = scala.io.Source.fromFile(path.toFile, "UTF-8")
-      try src.getLines()
-        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
-        .flatMap { l =>
+      try {
+        val lines = src.getLines().map(_.trim).filter(_.nonEmpty).toVector
+        val tableSf = lines.collectFirst {
+          case l if l.startsWith("# sf ") => l.stripPrefix("# sf ").trim
+        }
+        if (!tableSf.contains(sfBase)) Map.empty
+        else lines.filterNot(_.startsWith("#")).flatMap { l =>
           l.split("\t") match {
             case Array(name, secs) => secs.toDoubleOption.map(name -> _)
             case _ => None
           }
         }.toMap
-      finally src.close()
+      } finally src.close()
     }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -309,7 +321,7 @@ object Bench {
     // typically minutes later and outside the window.
     val expected = loadExpected(
       java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_EXPECTED", "tools/bench_expected.tsv")))
+        "SPARK_GRAFT_EXPECTED", "tools/bench_expected.tsv")), sfDir)
     var results = firstPass.map { case (name, fn, cold, warm, _) =>
       val best =
         if (cold < 0 || warm < 0) -1.0 // fail in either run = failed query

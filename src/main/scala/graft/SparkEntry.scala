@@ -68,10 +68,10 @@ object SparkEntry {
     * sessions. */
   private val winIndexBuilt = scala.collection.mutable.Set.empty[String]
   private def substringIndexFixture(s: SparkSession, dir: String): String = {
-    // full path sanitized into the key — a 32-bit hashCode could collide
-    // two different sf dirs in one JVM and silently cross their indexes
-    val path = "target/tmp/q_substring_windex_" +
-      dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    // one path-construction convention (r13 review): hand-rolling the
+    // sanitize-and-concat here let this fixture drift from scratchPath's
+    // checkout/sfDir-keying discipline
+    val path = scratchPath("q_substring_windex", dir)
     winIndexBuilt.synchronized {
       if (!winIndexBuilt.contains(path)) {
         val docs = spread(table(s, dir, "documents"), "doc_id")
@@ -153,13 +153,8 @@ object SparkEntry {
     finally in.close()
   }
 
-  private def deleteRecursively(path: String): Unit = {
-    import java.nio.file.{Files, Path}
-    val p = Path.of(path)
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
-  }
+  private def deleteRecursively(path: String): Unit =
+    Util.deleteRecursively(path)
 
   // ---------- the registry ----------
 
@@ -1724,7 +1719,10 @@ object SparkEntry {
     "q_csv_roundtrip" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
-      val path = "target/tmp/q_csv_roundtrip.csv"
+      // scratchPath discipline like every other stored-state query (r13
+      // review): a fixed path let verify (sf0.01) and bench (sf0.1) from
+      // one checkout clobber each other's staged CSV mid-roundtrip
+      val path = scratchPath("q_csv_roundtrip", dir) + ".csv"
       graft.io.Csv.writeSingle(docs, path)
       graft.io.Csv.readAsStrings(s, path)
         .select(col("doc_id").cast("long").as("doc_id"), col("source"),

@@ -105,6 +105,20 @@ object Util {
     * no fence is bound. Call immediately before each destructive phase. */
   def fenceDestructive(): Unit = destructiveFence.value.foreach(_.apply())
 
+  /** Recursive local-FS delete, tolerant of entries vanishing between
+    * the walk and the delete (deleteIfExists) — shared by the fixture
+    * resets in SparkEntry and Verify's stale-output clearing so the two
+    * copies cannot drift (r13 review: Verify's inline copy used a
+    * throwing Files.delete, so a concurrently-removed file aborted the
+    * whole verify run before the manifests were written). */
+  def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Path}
+    val p = Path.of(path)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
   /** Live holds per (session, key) for [[withSessionConf]]: hold count
     * plus the PRE-OVERRIDE value captured by the first holder, so
     * overlapping holders (two gate streams sharing one session — their

@@ -27,12 +27,7 @@ object Verify {
       // DataFrame construction never reaches its overwrite, and a stale
       // parquet dir from an earlier run would make the gate silently
       // PASS on old results exactly when a regression lands
-      val dest = Paths.get(s"$outDir/$name")
-      if (Files.exists(dest)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(dest).iterator().asScala.toSeq.reverse
-          .foreach(Files.delete)
-      }
+      Util.deleteRecursively(s"$outDir/$name")
       // NonFatal only: an OOM/StackOverflow leaves the JVM untrustworthy —
       // aborting beats dumping the remaining queries from a wrecked heap
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -46,7 +41,12 @@ object Verify {
     // JSON string escape shared with Bench (graft.Util.jsonEscape) so the
     // two driver-facing emitters cannot drift apart.
     def q(s: String): String = Util.jsonEscape(s)
+    // manifests honor the subset filter too (r13 review): a
+    // SPARK_GRAFT_ONLY run otherwise asserted the FULL registry in
+    // queries.json while deliberately producing one dir, so check.py
+    // could never pass on a fresh subset outDir
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Full-registry manifest: rows-only queries have no oracle_sql entry,
@@ -55,7 +55,9 @@ object Verify {
     // — its dir was missing and nothing noticed). Checkers cross-check
     // every name here against an output dir.
     Files.writeString(Paths.get(s"$outDir/queries.json"),
-      SparkEntry.queries.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+      SparkEntry.queries.keys.toSeq.sorted
+        .filter(name => only.forall(_.contains(name)))
+        .map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -71,21 +71,31 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.isDrifted(-1.0, Some(1.0)))
   }
 
-  test("expectation file round-trips through the TSV format") {
+  test("expectation file round-trips through the TSV format, SF-keyed") {
     val tmp = java.nio.file.Files.createTempFile("bench_expected", ".tsv")
     java.nio.file.Files.write(tmp,
       ("# comment line\n" +
+        "# sf sf0.1\n" +
         "q_alpha\t1.234\n" +
         "\n" +
         "q_beta\t0.5\n" +
         "malformed line without tab\n" +
         "q_gamma\tnot_a_number\n").getBytes("UTF-8"))
-    val m = Bench.loadExpected(tmp)
+    val m = Bench.loadExpected(tmp, "/root/testdata/sf0.1")
     assert(m === Map("q_alpha" -> 1.234, "q_beta" -> 0.5))
+    // r13: wall expectations are sf0.1 quantities — consulted at another
+    // SF they would either flag everything or mute everything, so a
+    // mismatched (or absent) sf header yields the empty map
+    assert(Bench.loadExpected(tmp, "/root/testdata/sf0.01") === Map.empty)
     java.nio.file.Files.delete(tmp)
+    val noHdr = java.nio.file.Files.createTempFile("bench_expected2", ".tsv")
+    java.nio.file.Files.write(noHdr, "q_alpha\t1.0\n".getBytes("UTF-8"))
+    assert(Bench.loadExpected(noHdr, "/root/testdata/sf0.1") === Map.empty)
+    java.nio.file.Files.delete(noHdr)
     // missing file -> empty map (pre-r8 behavior, never a crash)
     assert(Bench.loadExpected(
-      java.nio.file.Paths.get("/nonexistent/nope.tsv")) === Map.empty)
+      java.nio.file.Paths.get("/nonexistent/nope.tsv"),
+      "/root/testdata/sf0.1") === Map.empty)
   }
 
   test("shape-drift flag: records primary (20%), bytes secondary (35%), " +
@@ -156,7 +166,8 @@ class BenchSpec extends AnyFunSuite {
   test("committed baseline covers the registry") {
     val path = java.nio.file.Paths.get("tools", "bench_expected.tsv")
     assume(java.nio.file.Files.exists(path), "baseline not yet generated")
-    val m = Bench.loadExpected(path)
+    val m = Bench.loadExpected(path, "/root/testdata/sf0.1")
+    assert(m.nonEmpty, "committed table must carry '# sf sf0.1' and rows")
     // every baseline line names a real registry query (a rename would
     // silently orphan its expectation and disable the 3x trigger for the
     // renamed query)

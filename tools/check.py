@@ -77,7 +77,14 @@ def main():
         expected |= set(json.load(open(qj)))
     for name in sorted(expected - dirs):
         results[name] = {"status": "MISSING_OUTPUT"}
+    # the inverse gap: a dir with no manifest entry is STALE (a renamed/
+    # removed query's leftover output Verify never clears) — before this
+    # it fell through to "rows-only" and counted green forever
+    have_manifest = os.path.exists(qj)
     for name in sorted(dirs):
+        if have_manifest and name not in expected:
+            results[name] = {"status": "STALE_OUTPUT"}
+            continue
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         try:
             mine = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()

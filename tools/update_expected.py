@@ -22,10 +22,17 @@ if rec.get("suspect"):
     sys.exit(f"refusing: {src} still flags suspects {rec['suspect']} — "
              "this run was itself contended")
 dst = pathlib.Path(__file__).parent / "bench_expected.tsv"
+# SF-keyed like the byte table: a baseline regenerated from a non-sf0.1
+# run must never silently apply to the driver's sf0.1 bench (10-50x
+# too-small lines flag the whole registry; inflated lines mute every
+# trigger). graft.Bench only consults the table when this header matches
+# the benched dir's basename.
+sf_base = pathlib.PurePath(rec["sf"]).name
 lines = ["# Quiet-box per-query expected seconds (best-of-runs)."]
 lines.append("# Regenerate with tools/update_expected.py from a trusted "
              "target/bench.json;")
 lines.append("# graft.Bench retries any query reading >= 3x its line here.")
+lines.append(f"# sf {sf_base}")
 for name, secs in sorted(rec["queries"].items()):
     if secs >= 0:
         lines.append(f"{name}\t{secs:.3f}")
