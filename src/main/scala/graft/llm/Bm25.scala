@@ -113,7 +113,13 @@ object Bm25 {
           "postings render doc ids as longs and a lossy cast would " +
           "silently merge rows under NULL")
     }
-    val hits = df.select(col(idCol).cast("long").as("doc_id"),
+    // NULL id VALUES slip past the static type guard above and collapse
+    // under doc_id NULL the same way — and concat_ws drops the null in
+    // the rendering, leaving a bare ":"-less position in the postings
+    // string (r13 review). Null-id rows are malformed input for a
+    // postings artifact; drop them explicitly rather than merging them.
+    val hits = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos0", "term")))
       .select(col("term"), col("doc_id"), (col("pos0") + 1).as("pos"))
     hits.groupBy(col("term"))

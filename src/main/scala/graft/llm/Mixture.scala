@@ -37,16 +37,28 @@ object Mixture {
     // weights are <= 1 and strata are dozens, so the long sum stays far
     // under 2^53 and the final double division replays bit-for-bit —
     // the Bm25/NgramLm integer-micros pattern).
+    // zero-mass guards (r13 review): a stratum whose measure sums to 0
+    // (or an all-null measure, coalesced to 0) must not crash the whole
+    // mixture with ANSI DIVIDE_BY_ZERO in the boost division — it gets
+    // p_natural 0, weight 0, boost 0 (no mass to upsample). A fully
+    // zero-mass mixture likewise reports all-zero rows rather than 0/0.
     byStratum
-      .withColumn("__p", col("n_tokens") / sum(col("n_tokens")).over(all))
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      .withColumn("__tot", sum(col("n_tokens")).over(all))
+      .withColumn("__p",
+        when(col("__tot") > 0, col("n_tokens") / col("__tot"))
+          .otherwise(lit(0.0)))
       .withColumn("__w12",
         floor(pow(col("__p"), lit(alpha)) * lit(1e12)).cast("long"))
       .withColumn("__wsum", sum(col("__w12")).over(all).cast("double"))
       .select(col(stratumCol), col("n_tokens"),
         round(col("__p"), 6).as("p_natural"),
-        round(col("__w12").cast("double") / col("__wsum"), 6).as("weight"),
-        round(col("__w12").cast("double") / col("__wsum") / col("__p"), 6)
-          .as("boost"))
+        round(when(col("__wsum") > 0,
+          col("__w12").cast("double") / col("__wsum"))
+          .otherwise(lit(0.0)), 6).as("weight"),
+        round(when(col("__wsum") > 0 && col("__p") > 0,
+          col("__w12").cast("double") / col("__wsum") / col("__p"))
+          .otherwise(lit(0.0)), 6).as("boost"))
   }
 
   /** Whitespace token count — the mixture's default size measure. */

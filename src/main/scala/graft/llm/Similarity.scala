@@ -43,25 +43,34 @@ object Similarity {
                      queryIdCol: String, corpusIdCol: String,
                      vecCol: String, k: Int,
                      excludeSelf: Boolean = true): DataFrame = {
+    // NaN-element vectors are dropped (r13): a NaN cosine sorts ABOVE
+    // every real score under desc (Spark's NaN total order), so one
+    // failed-encoder row would be rank 1 of EVERY query. Null vectors
+    // stay: their null cosine sorts last, harmlessly.
+    def noNan(v: Column): Column =
+      !coalesce(exists(v, e => isnan(e)), lit(false))
     val q = queries.select(col(queryIdCol).as("query_id"),
-      toDouble(col(vecCol)).as("qv"))
+        toDouble(col(vecCol)).as("qv"))
+      .filter(noNan(col("qv")))
     val c = corpus.select(col(corpusIdCol).as("neighbor_id"),
-      toDouble(col(vecCol)).as("cv"))
+        toDouble(col(vecCol)).as("cv"))
+      .filter(noNan(col("cv")))
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         cosineFor(queries.sparkSession)(col("qv"), col("cv")).as("cos"))
-    graft.ops.BestMatch.topKPerKey(scored, Seq(col("query_id")),
-        Seq(col("cos").desc, col("neighbor_id").asc), k)
-      .withColumnRenamed("__graft_rank", "rank")
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankedTopK(scored, col("cos").desc, "cos", k)
   }
 
   /** Exact all-pairs with cosine >= threshold. O(n²) — small corpora and
     * oracle checks only; the scale path is `lshPairsAbove`. */
   def allPairsAbove(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double): DataFrame = {
+    // NaN-element vectors dropped (r13): `NaN >= threshold` is TRUE
+    // under Spark's NaN ordering, so they would emit spurious pairs
+    // (null-element vectors already vanish — null cosine fails >=)
     val v = df.select(col(idCol).as("id"), toDouble(col(vecCol)).as("v"))
+      .filter(!coalesce(exists(col("v"), e => isnan(e)), lit(false)))
     val a = v.alias("a")
     val b = v.alias("b")
     a.join(b, col("a.id") < col("b.id"))
@@ -70,14 +79,42 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
-  /** Well-formed vector predicate: exact length AND no null elements.
-    * `size(null)` is null so the length check drops null vectors, but a
-    * vector with a null ELEMENT passes it — and one such element makes
-    * every plane dot / ADC / cosine null, which re-creates the
-    * bucket-0 pileup and k-null-neighbors poisoning the length filter
-    * exists to prevent. One extra array scan per row buys both out. */
+  /** Well-formed vector predicate: exact length, no null elements, and
+    * no NaN elements. `size(null)` is null so the length check drops
+    * null vectors, but a vector with a null ELEMENT passes it — and one
+    * such element makes every plane dot / ADC / cosine null, which
+    * re-creates the bucket-0 pileup and k-null-neighbors poisoning the
+    * length filter exists to prevent. NaN (r13: what a failed encoder
+    * actually emits) is WORSE than null: Spark's total order puts NaN
+    * ABOVE every double, so a NaN cosine sorts to rank 1 of every
+    * query under `desc`, `NaN >= threshold` is TRUE in pair filters,
+    * and all-NaN vectors share one bucket per table (NaN > 0) —
+    * re-creating the quadratic pileup with wrong results instead of
+    * vanishing ones. One array scan per row buys all three out. */
   private def wellFormed(v: Column, dim: Int): Column =
-    size(v) === dim && !exists(v, _.isNull)
+    size(v) === dim && !exists(v, e => e.isNull || isnan(e))
+
+  /** 0-based argmin over a centroid-distance array — THE cell/code
+    * assignment expression. One definition (r13 review): the in-memory
+    * assignment (ivfTopK, pqTopK's encode) and the persisted-index
+    * assignment (writeIvfIndex) MUST stay bit-identical, or a stored
+    * index probed by the in-memory quantizer returns silently wrong
+    * neighbors — exactly the torn-index class the `_params` stamp
+    * guards, but stamp-invisible. */
+  private def nearestIdx(dists: Column): Column =
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+
+  /** Shared ANN top-k postlude: bounded-heap top-k per query, ordered by
+    * (score, neighbor_id tiebreak), rank renamed to the public contract.
+    * One code path for all five variants so the output shape cannot
+    * drift between them (r13 review). */
+  private def rankedTopK(scored: DataFrame, scoreOrd: Column,
+                         scoreCol: String, k: Int): DataFrame =
+    graft.ops.BestMatch.topKPerKey(scored, Seq(col("query_id")),
+        Seq(scoreOrd, col("neighbor_id").asc), k)
+      .withColumnRenamed("__graft_rank", "rank")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col(scoreCol))
 
   /** Deterministic random hyperplanes: `tables` independent sets of
     * `planesPerTable` unit-free gaussian planes, seeded — identical across
@@ -216,8 +253,7 @@ object Similarity {
     val inline = nlist.toLong * centers.head.length <= maxInlineLiterals
     val dists = centroidDists(col("cv"), centers, inline)
     val assigned = corpusF
-      .withColumn("cell",
-        (array_position(dists, array_min(dists)) - 1).cast("int"))
+      .withColumn("cell", nearestIdx(dists))
       .select(col("neighbor_id"), col("cv"), col("cell"))
     val probed = qF.withColumn("cell",
       explode(probeCells(col("qv"), centers, inline, nprobe)))
@@ -226,10 +262,7 @@ object Similarity {
               else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         cosineFor(queries.sparkSession)(col("qv"), col("cv")).as("cos"))
-    graft.ops.BestMatch.topKPerKey(scored, Seq(col("query_id")),
-        Seq(col("cos").desc, col("neighbor_id").asc), k)
-      .withColumnRenamed("__graft_rank", "rank")
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankedTopK(scored, col("cos").desc, "cos", k)
   }
 
   /** The nprobe nearest cells for a query vector, as an int array column.
@@ -266,9 +299,18 @@ object Similarity {
                     trainN: Int = 2048,
                     maxInlineLiterals: Int = MaxInlineLiterals): Unit = {
     val spark = corpus.sparkSession
+    // all three passes here are EAGER (headDim's modal-size aggregate,
+    // trainSample's collect, the partitioned cells write), so one
+    // persist shares the source scan + float→double transform across
+    // them instead of re-reading the corpus three times (r13 review;
+    // the lazy ivfTopK/pqTopK paths deliberately do NOT persist — they
+    // return unexecuted plans and a persist there would leak past the
+    // call). Released before returning.
     val corpusVec = corpus.select(col(corpusIdCol).as("neighbor_id"),
       toDouble(col(vecCol)).as("cv"))
-    val dim = headDim(corpus, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val dim = headDim(corpusVec, "cv")
     val corpusF = corpusVec.filter(wellFormed(col("cv"), dim))
     val sample = trainSample(corpusF, "cv", "neighbor_id", trainN)
     require(sample.nonEmpty,
@@ -292,13 +334,13 @@ object Similarity {
       .toDF("cell", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     corpusF
-      .withColumn("cell",
-        (array_position(dists, array_min(dists)) - 1).cast("int"))
+      .withColumn("cell", nearestIdx(dists))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     val out = stampFs.create(stamp, true)
     try out.write(s"$nlist,$seed,$trainN"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    } finally corpusVec.unpersist()
   }
 
   /** Probe a stored IVF index ([[writeIvfIndex]]): rank the stored
@@ -352,10 +394,7 @@ object Similarity {
               else lit(true))
       .select(col("query_id"), col("neighbor_id"),
         cosineFor(spark)(col("qv"), col("cv")).as("cos"))
-    graft.ops.BestMatch.topKPerKey(scored, Seq(col("query_id")),
-        Seq(col("cos").desc, col("neighbor_id").asc), k)
-      .withColumnRenamed("__graft_rank", "rank")
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankedTopK(scored, col("cos").desc, "cos", k)
   }
 
   /** Product-quantization approximate top-k (the faiss PQ/ADC shape —
@@ -431,7 +470,7 @@ object Similarity {
     val codeCols = (0 until m).map { j =>
       val s = slice(col("cv"), j * sub + 1, sub)
       val ds = centroidDists(s, codebooks(j), inline)
-      (array_position(ds, array_min(ds)) - 1).cast("int").as(s"__pqc$j")
+      nearestIdx(ds).as(s"__pqc$j")
     }
     val codes = corpusF.select(col("neighbor_id") +: codeCols: _*)
     // ADC tables: computed once per QUERY row, broadcast with it
@@ -449,10 +488,7 @@ object Similarity {
         if (excludeSelf) col("query_id") =!= col("neighbor_id")
         else lit(true))
       .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
-    graft.ops.BestMatch.topKPerKey(scored, Seq(col("query_id")),
-        Seq(col("adc").asc_nulls_last, col("neighbor_id").asc), k)
-      .withColumnRenamed("__graft_rank", "rank")
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("adc"))
+    rankedTopK(scored, col("adc").asc_nulls_last, "adc", k)
   }
 
   /** Squared L2 distance between two array columns (either may be a
@@ -492,7 +528,11 @@ object Similarity {
     * collect rather than NPE-ing inside it. */
   private def trainSample(vec: DataFrame, vecCol: String, idCol: String,
                           n: Int): Array[Array[Double]] =
-    vec.filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
+    // NaN elements excluded too (r13): a NaN point poisons every Lloyd
+    // centroid it touches (NaN arithmetic propagates), same class as the
+    // null-element exclusion
+    vec.filter(col(vecCol).isNotNull &&
+        !exists(col(vecCol), e => e.isNull || isnan(e)))
       // id tiebreak (nulls last): md5 alone has no order among duplicate
       // or null ids, so which tied row crosses the limit boundary would
       // be partition-dependent — breaking the documented same-seed ->
@@ -570,10 +610,7 @@ object Similarity {
       .join(broadcast(qv), "query_id").join(cv, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         cosineFor(queries.sparkSession)(col("qv"), col("cv")).as("cos"))
-    graft.ops.BestMatch.topKPerKey(exact, Seq(col("query_id")),
-        Seq(col("cos").desc, col("neighbor_id").asc), k)
-      .withColumnRenamed("__graft_rank", "rank")
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    rankedTopK(exact, col("cos").desc, "cos", k)
   }
 
   /** Per-label centroids as (label, pos, centroid) rows — the building

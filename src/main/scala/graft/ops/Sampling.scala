@@ -50,7 +50,14 @@ object Sampling {
     * keep-rate (with a floor so no stratum is wiped out) instead of a
     * hard cutoff. Pure per-row filter — no shuffle, codegen-friendly. */
   def importanceSample(df: DataFrame, idCol: String, rate: Column): DataFrame = {
-    val r = least(greatest(rate, lit(0.0)), lit(1.0))
+    // NaN rate -> 0.0, matching the null behavior (r13 review): Spark's
+    // NaN total order makes greatest(NaN, 0.0)=NaN and least(NaN, 1.0)
+    // =1.0, so the clamp alone INVERTS a broken quality signal into
+    // keep-at-full-rate for exactly the rows whose signal failed (0/0
+    // in a derived score). Dropping them matches null-rate rows.
+    val rd = rate.cast("double")
+    val r = least(greatest(when(isnan(rd), lit(0.0)).otherwise(rd),
+      lit(0.0)), lit(1.0))
     val cutHex = lpad(lower(conv(
       floor(r * 65536).cast("int").cast("string"), 10, 16)), 4, "0")
     df.filter(r >= 1.0 ||
@@ -72,12 +79,20 @@ object Sampling {
     * fixed-order double expression, portable bit-for-bit). */
   def interleaveKey(df: DataFrame, idCol: String, stratumCol: String,
                     weights: Map[String, Double],
-                    default: Double = 1.0): DataFrame = {
+                    default: Double = 1.0,
+                    tiebreak: Seq[Column] = Nil): DataFrame = {
     require((weights.values.toSeq :+ default).forall(_ > 0),
       "interleave weights must be positive")
     import org.apache.spark.sql.expressions.Window
+    // (md5(id), id) is a total order only when ids are unique within a
+    // stratum; duplicate (or null) ids tie completely and row_number's
+    // assignment among them is partition-dependent — the same
+    // determinism hole trainSample's tiebreak closed (r13 review).
+    // Callers whose ids can repeat pass deterministic payload columns
+    // as `tiebreak` to restore the no-RNG same-result-anywhere contract.
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy((Seq(md5(col(idCol).cast("string")), col(idCol)) ++
+        tiebreak): _*)
     val weight = weights.foldLeft(when(lit(false), lit(0.0))) {
       case (acc, (stratum, wt)) => acc.when(col(stratumCol) === stratum, wt)
     }.otherwise(lit(default))

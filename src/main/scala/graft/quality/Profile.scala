@@ -172,9 +172,15 @@ object Profile {
     // bucket without it), negative width inverts buckets silently —
     // fail at the call site like packBins does for its budget
     require(width > 0, s"histogram width must be > 0, got $width")
-    df.filter(qcol(c).isNotNull)
-      .groupBy(floor(qcol(c).cast("double") / lit(width)).cast("long")
-        .as("bucket"))
+    // NaN/Infinity excluded like nulls (r13 review): floor(NaN).toLong
+    // is 0, so NaN rows would silently merge into bucket 0
+    // (indistinguishable from real [0, width) values), and ±Infinity
+    // floors to Long.Max/MinValue nonsense outlier buckets — the same
+    // silent-corruption class the width guard above refuses.
+    val v = qcol(c).cast("double")
+    df.filter(v.isNotNull && !isnan(v) &&
+        v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity)
+      .groupBy(floor(v / lit(width)).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"))
   }
 }

@@ -1155,6 +1155,98 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(cool.values.map(_._1).sum - 1.0) < 1e-5)
   }
 
+  test("NaN vectors cannot poison top-k ranks or pair thresholds (r13)") {
+    // Spark's NaN total order puts NaN ABOVE every double: a NaN cosine
+    // would sort to rank 1 of every query under desc, and NaN >= t is
+    // TRUE in pair filters — a single failed-encoder vector (NaN, not
+    // null, is what those emit) corrupted every result. Pinned: NaN
+    // vectors are dropped everywhere a null vector already was.
+    val good = (0L until 20L).map(i =>
+      (i, Seq.tabulate(4)(d => (i + d + 1).toFloat)))
+    val bad = Seq((99L, Seq(Float.NaN, 1f, 2f, 3f)))
+    val df = (good ++ bad).toDF("vec_id", "embedding")
+    val topk = graft.llm.Similarity.bruteForceTopK(
+        df.filter(col("vec_id") < 3), df, "vec_id", "vec_id",
+        "embedding", 5)
+      .collect()
+    assert(topk.nonEmpty)
+    assert(!topk.exists(_.getLong(2) == 99L),
+      "the NaN vector must never appear as a neighbor")
+    assert(!topk.exists(r => r.getDouble(3).isNaN))
+    val pairs = graft.llm.Similarity.allPairsAbove(df, "vec_id",
+        "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists(p => p._1 == 99L || p._2 == 99L),
+      "NaN >= threshold must not emit spurious pairs")
+    val lsh = graft.llm.Similarity.lshPairsAbove(df, "vec_id",
+        "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!lsh.exists(p => p._1 == 99L || p._2 == 99L))
+    val ivf = graft.llm.Similarity.ivfTopK(df.filter(col("vec_id") < 3),
+        df, "vec_id", "vec_id", "embedding", 5)
+      .collect()
+    assert(!ivf.exists(_.getLong(2) == 99L))
+  }
+
+  test("mixture weights: a zero-mass stratum reports zeros, not a crash") {
+    // ANSI (Spark 4 default) turns the boost's division by p_natural=0
+    // into a DIVIDE_BY_ZERO task failure — one empty-content source
+    // killed the whole mixture. Pinned: zero-mass strata get
+    // p_natural/weight/boost 0.0 and the others are unaffected.
+    val df = Seq(("big", "a b c d e f g h"), ("big", "a b c d e f g h"),
+      ("empty", "")).toDF("source", "text")
+    // "" splits to one empty token; use a measure that is genuinely 0
+    val m = graft.llm.Mixture.mixtureWeights(df, "source",
+        when(length(col("text")) > 0,
+          graft.llm.Mixture.tokenCount(col("text"))).otherwise(lit(0L)),
+        alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(m("empty") === ((0L, 0.0, 0.0, 0.0)))
+    assert(m("big")._2 === 1.0 && m("big")._3 === 1.0)
+  }
+
+  test("importance sample: NaN rate drops the row like a null rate") {
+    import graft.ops.Sampling.importanceSample
+    val df = spark.range(1000).toDF("id")
+      .withColumn("rate",
+        when(col("id") % 2 === 0, lit(Double.NaN)).otherwise(lit(1.0)))
+    val kept = importanceSample(df, "id", col("rate"))
+      .collect().map(_.getLong(0))
+    // pre-fix the NaN rows clamped to 1.0 — keep-everything for exactly
+    // the rows whose quality signal broke
+    assert(kept.forall(_ % 2 === 1L), "NaN-rate rows must be dropped")
+    assert(kept.length === 500)
+  }
+
+  test("inverted index drops null-id rows instead of merging them") {
+    val df = Seq((java.lang.Long.valueOf(1L), "x y"),
+      (java.lang.Long.valueOf(2L), "x z"),
+      (null.asInstanceOf[java.lang.Long], "x q"))
+      .toDF("doc_id", "text")
+    val idx = graft.llm.Bm25.invertedIndex(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getString(3))).toMap
+    // the null-id doc contributes nothing: df counts 2 (not 3 via a
+    // phantom NULL doc), and no postings entry lacks its doc id
+    assert(idx("x")._1 === 2L)
+    assert(!idx.contains("q"))
+    assert(idx.values.forall(v =>
+      v._2.split(" ").forall(_.matches("-?\\d+:\\d+"))),
+      s"postings must all render doc:pos — got ${idx.values.map(_._2)}")
+  }
+
+  test("histogram excludes NaN and infinities like nulls") {
+    val df = Seq(0.5, 1.5, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity).toDF("v")
+    val h = graft.quality.Profile.histogram(df, "v", 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // NaN would silently merge into bucket 0 (floor(NaN).toLong == 0)
+    // and the infinities into Long.Max/MinValue nonsense buckets
+    assert(h === Map(0L -> 1L, 1L -> 1L))
+  }
+
   test("label centroids average per position in double") {
     val df = Seq((0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)),
       (1, Seq(10.0f, 20.0f))).toDF("label", "embedding")
