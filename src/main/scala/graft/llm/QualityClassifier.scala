@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * Training happens OFFLINE (the model is a few MB of bucket weights);
   * this module is the INFERENCE path, which is what has to run at
   * 100 TB. Its shape: tokens explode narrowly, the weight table joins as
-  * a BROADCAST (2^20 buckets × 8 bytes ≪ the 10 MB default threshold —
-  * far under any executor budget), and the per-document mean is one
+  * a BROADCAST (the 2^16-bucket cap × 8 bytes ≈ 0.5 MB ≪ the 10 MB
+  * default threshold — far under any executor budget), and the per-document mean is one
   * hash aggregate keyed by doc id — map-side combined, so the shuffle
   * carries one partial sum per (doc, partition), not one row per token.
   *
@@ -57,8 +57,18 @@ object QualityClassifier {
     // explode keeps them as one null-token row in the same single pass
     // (no second shuffle); count(tok) ignores that row, so they report
     // n_tokens=0, score 0, and fail any positive cutoff.
+    //
+    // Zero-length tokens are filtered BEFORE the explode (r13): split
+    // never yields an empty array for a non-null string — "" tokenizes
+    // to [""] and "   " to ["","","",""] — so without the filter a
+    // blank document scored md5("")'s bucket weight (with a learned
+    // table, whatever real tokens collide there) instead of 0, and the
+    // r12 degenerate-docs-fail-the-cutoff guarantee held only for NULL
+    // text. filter() maps null→null and all-empty→[], and
+    // explode_outer turns BOTH into the n_tokens=0 row.
     val toks = docs.select(col(idCol).as("id"),
-        explode_outer(TextFunctions.tokens(col(textCol))).as("tok"))
+        explode_outer(filter(TextFunctions.tokens(col(textCol)),
+          t => length(t) > 0)).as("tok"))
       .withColumn("bucket", bucket(col("tok"), k))
     toks
       .join(broadcast(weights.select(col("bucket"),

@@ -90,33 +90,54 @@ object TextFunctions {
   def qualityScore(text: Column): Column = round(qualityScoreRaw(text), 6)
 
   /** Language-ID by function-word evidence: score each candidate language
-    * by its marker-token hits, predict the arg-max (ties → "und"). An
-    * n-gram-frequency heuristic, not a model — adequate for routing. */
+    * by its marker-token hits, predict the arg-max. "und" means ZERO
+    * evidence (no profile scored a hit); a score TIE between profiles
+    * breaks deterministically to the lexicographically LAST language
+    * name (greatest() over (score, lang) structs falls through to the
+    * name field) — engine-portable, and honest about what a tie is: the
+    * evidence picked two languages equally, and any fixed rule is as
+    * right as another (r13: the doc used to claim ties → "und", which
+    * the expression never did). An n-gram-frequency heuristic, not a
+    * model — adequate for routing. */
   def langIdScore(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(lit): _*)))
 
   def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    // greatest() requires >= 2 children — a legitimate one-language
+    // routing call crashed at analysis time (r13)
+    require(profiles.nonEmpty, "langId needs at least one language profile")
     val toks = tokens(text)
     val scored = profiles.map { case (lang, markers) =>
       struct(langIdScore(toks, markers).as("s"), lit(lang).as("l"))
     }
-    val best = greatest(scored: _*)
+    val best = if (scored.size == 1) scored.head else greatest(scored: _*)
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
 
   /** 64-bit SimHash over tokens: per bit, majority vote of the tokens'
-    * xxhash64 bits. Token hashes are materialized once; the 64 bit-vote
-    * aggregates are unrolled driver-side (shift amounts must be static in
-    * the Scala API). All built-in expressions — per-row work, no shuffle. */
+    * xxhash64 bits. The 64 bit-vote aggregates are unrolled driver-side
+    * (shift amounts must be static in the Scala API). All built-in
+    * expressions — per-row work, no shuffle.
+    *
+    * The token-hash array is BOUND ONCE via the single-element-transform
+    * let-trick (same as [[wordNGrams]]): referenced directly, it would
+    * be an ordinary expression child of 64 separate ArrayAggregate
+    * nodes, each re-evaluating the transform + xxhash64 chain per row —
+    * HOFs are CodegenFallback, so that was a measured 64× token-hashing
+    * tax on the exported per-row API (r13; the relational
+    * Dedup.simhashPairs path never had it). */
   def simhash64(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    val bitVotes = (0 until 64).map { b =>
-      aggregate(hashes, lit(0L), (acc, h) =>
-        acc + (shiftright(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+    def votes(hs: Column): Column = {
+      val bitVotes = (0 until 64).map { b =>
+        aggregate(hs, lit(0L), (acc, h) =>
+          acc + (shiftright(h, b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)))
+      }
+      bitVotes.zipWithIndex.map { case (c, b) =>
+        when(c > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
     }
-    bitVotes.zipWithIndex.map { case (c, b) =>
-      when(c > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    element_at(transform(array(transform(toks, t => xxhash64(t))),
+      hs => votes(hs)), 1)
   }
 
   /** Rolling-hash document fingerprint (winnowing-lite): min xxhash64 over
@@ -186,7 +207,12 @@ object TextFunctions {
     require(overlap >= 0 && maxTokens > overlap,
       s"need maxTokens ($maxTokens) > overlap ($overlap) >= 0")
     val stride = maxTokens - overlap
-    df.withColumn("__toks", tokens(col(textCol)))
+    // null-text rows emit NO chunks (r13): null-skipping greatest/least
+    // used to conjure ONE chunk with chunk_text=NULL and — worse —
+    // n_tokens=maxTokens out of a null token count, so an empty document
+    // charged a full context window to any packer weighing on n_tokens.
+    df.filter(col(textCol).isNotNull)
+      .withColumn("__toks", tokens(col(textCol)))
       .withColumn("__n", size(col("__toks")))
       .withColumn("chunk_idx", explode(sequence(lit(0),
         greatest(lit(1),

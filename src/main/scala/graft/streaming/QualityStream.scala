@@ -29,7 +29,9 @@ object QualityStream {
   def gatedIngest(spark: SparkSession, srcDir: String, outDir: String,
                   quarantineDir: String, metricsDir: String,
                   checkpointDir: String,
-                  expectations: Seq[Expectation]): DataStreamWriter[Row] = {
+                  expectations: Seq[Expectation],
+                  schema: Option[org.apache.spark.sql.types.StructType] =
+                    None): DataStreamWriter[Row] = {
     // validate at CONSTRUCTION: an empty suite would otherwise start
     // fine and only hit Expectations.check's require hours later, when
     // the first nonempty micro-batch kills the running query from
@@ -38,7 +40,11 @@ object QualityStream {
       "gatedIngest needs at least one expectation — an empty suite " +
         "would pass every batch vacuously (and fails inside the gate " +
         "at the first nonempty batch, long after deploy)")
-    val schema = spark.read.parquet(srcDir).schema
+    // explicit schema removes the deploy-ordering dependency (r13): the
+    // inference read throws on a source dir the producer has not
+    // written to yet, so "start the gate, then the producer" — the
+    // normal streaming bring-up — could never construct the stream
+    val srcSchema = schema.getOrElse(spark.read.parquet(srcDir).schema)
     val gate: (Dataset[Row], Long) => Unit = (batch0, batchId) => {
       // one persist at entry: the gate otherwise scans the batch three
       // times (emptiness probe, expectations aggregate, routed write) —
@@ -49,16 +55,21 @@ object QualityStream {
           val report = Expectations.check(batch.toDF(), expectations)
             .withColumn("batch_id", lit(batchId))
             .persist()
-          val allPass = report.agg(min(col("pass"))).collect()(0).getBoolean(0)
-          report.write.mode("append").parquet(metricsDir)
-          batch.toDF().write.mode("overwrite")
-            .parquet((if (allPass) outDir else quarantineDir) +
-              s"/batch=$batchId")
-          report.unpersist()
+          // unpersist in ITS OWN finally (r13): a transient write
+          // failure used to leak one cached report per retry attempt
+          // for the life of the query
+          try {
+            val allPass =
+              report.agg(min(col("pass"))).collect()(0).getBoolean(0)
+            report.write.mode("append").parquet(metricsDir)
+            batch.toDF().write.mode("overwrite")
+              .parquet((if (allPass) outDir else quarantineDir) +
+                s"/batch=$batchId")
+          } finally report.unpersist()
         }
       } finally batch.unpersist()
     }
-    spark.readStream.schema(schema).parquet(srcDir)
+    spark.readStream.schema(srcSchema).parquet(srcDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch(gate)
