@@ -2445,7 +2445,7 @@ object SparkEntry {
 
     "q_rolling_range" ->
       """WITH d AS (SELECT user_id, date_trunc('day', ts) AS day,
-        |    sum(CAST(value AS DECIMAL(18,6))) AS dv,
+        |    sum(CAST(value AS DECIMAL(38,6))) AS dv,
         |    date_diff('day', DATE '1970-01-01', CAST(date_trunc('day', ts)
         |      AS DATE)) AS dayno
         |  FROM events GROUP BY 1, 2)

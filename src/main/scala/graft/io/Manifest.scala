@@ -57,7 +57,8 @@ object Manifest {
   /** Range read through the manifest: open only overlapping files, then
     * re-apply the exact predicate (bounds overlap is necessary, not
     * sufficient). Empty candidate set → empty frame with the source
-    * schema, no file opened.
+    * schema, derived from ONE manifest-known file's footer — never a
+    * full-table listing.
     *
     * Scale shape, stated honestly: any Spark scan holds its file list on
     * the driver (`InMemoryFileIndex` keeps a FileStatus per file), and
@@ -91,7 +92,19 @@ object Manifest {
       }
       .toSeq
     val base = scans.reduceOption(_.unionByName(_)).getOrElse {
-      val schema = spark.read.parquet(path).schema
+      // schema WITHOUT listing the whole table (r13): the zero-hit fast
+      // path used to build an InMemoryFileIndex over every file — a full
+      // object-store listing on exactly the query that should be the
+      // cheapest. The manifest already knows file paths; one known
+      // file's footer (basePath keeps partition columns, matching the
+      // pruned branch's schema) serves. Only a genuinely EMPTY manifest
+      // falls back to the full read.
+      val any = manifest.select(col("file")).limit(1).collect()
+      val schema =
+        if (any.nonEmpty)
+          spark.read.option("basePath", path)
+            .parquet(any(0).getString(0)).schema
+        else spark.read.parquet(path).schema
       spark.createDataFrame(spark.sparkContext
         .emptyRDD[org.apache.spark.sql.Row], schema)
     }

@@ -48,15 +48,24 @@ object Versioned {
     * readers resolving the stale pointer keep the previous snapshot, and
     * the next `write` allocates PAST the orphan (see write) — it becomes
     * a dead-but-safe slot until vacuumed. */
-  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    pointerVersion(spark, root).orElse(versions(spark, root).lastOption)
+
+  /** The pointer file's version alone (no directory listing), None when
+    * the pointer is missing — split out (r13) so write() can combine one
+    * pointer read with ONE listing instead of the pointer-missing path
+    * paying two full listStatus passes plus 2N _SUCCESS probes. */
+  private def pointerVersion(spark: SparkSession,
+                             root: String): Option[Long] = {
     val f = fs(spark, root)
     val ptr = new Path(root, Pointer)
-    if (f.exists(ptr)) {
+    if (!f.exists(ptr)) None
+    else {
       val in = f.open(ptr)
       try Some(new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
       finally in.close()
-    } else versions(spark, root).lastOption
+    }
   }
 
   /** Write a new immutable version and swing the pointer. Returns the
@@ -71,9 +80,11 @@ object Versioned {
     // versions() exposes it and a reader may pin it, so its slot must
     // never be reused. Uncommitted leftovers (no _SUCCESS) stay invisible
     // and ARE safely overwritten.
+    val committed = versions(spark, root).lastOption
     val v = math.max(
-      latestVersion(spark, root).map(_ + 1).getOrElse(0L),
-      versions(spark, root).lastOption.map(_ + 1).getOrElse(0L))
+      pointerVersion(spark, root).orElse(committed).map(_ + 1)
+        .getOrElse(0L),
+      committed.map(_ + 1).getOrElse(0L))
     df.write.mode("overwrite").parquet(dir(root, v))
     val tmp = new Path(root, s"$Pointer.tmp")
     val out = f.create(tmp, true)

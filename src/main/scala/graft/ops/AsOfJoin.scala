@@ -42,6 +42,15 @@ object AsOfJoin {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     require(toleranceSeconds.forall(_ >= 0), "tolerance must be >= 0")
+    // reserved internal names (r13): an input column literally named
+    // __graft_ts/__graft_key/... would be silently OVERWRITTEN by the
+    // withColumns below and returned corrupted (the final select reads
+    // it back by name) — refuse loudly instead
+    val reserved = (left.columns ++ right.columns)
+      .filter(_.startsWith("__graft_"))
+    require(reserved.isEmpty,
+      s"asofLeftJoin: input columns ${reserved.mkString(", ")} collide " +
+        "with reserved __graft_* internal names — rename them first")
     val leftCols = left.columns.toSeq
     // tolerance needs the matched right timestamp: ride it through the
     // carry window as one more (internal) payload column
@@ -59,7 +68,14 @@ object AsOfJoin {
         c -> n
       }.toMap
     }
-    val l = left
+    // NULL-key left rows can match nothing (the right side's null keys
+    // are filtered below), yet routed through the window they ALL land
+    // in the single NULL partition — one task sorts every null-key fact
+    // row, a straggler at clickstream null-id density (r13). They need
+    // no carry at all: route them AROUND the window and union them back
+    // null-padded at the end.
+    val lNullKey = left.filter(col(leftKey).isNull)
+    val l = left.filter(col(leftKey).isNotNull)
       .withColumn("__graft_key", col(leftKey))
       .withColumn("__graft_ts", col(leftTs))
       .withColumn("__graft_is_left", lit(1))
@@ -130,6 +146,14 @@ object AsOfJoin {
         payload.foldLeft(kept)((df, c) =>
           df.withColumn(outName(c), when(inTol, col(outName(c)))))
     }
-    toleranced.select((leftCols ++ payload.map(outName)).map(col): _*)
+    val outCols = leftCols ++ payload.map(outName)
+    val joined = toleranced.select(outCols.map(col): _*)
+    // the routed-around null-key rows, padded with typed null payloads —
+    // exactly what the window produced for them before (right null keys
+    // never matched), minus the straggler
+    val pStruct = pType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val padded = payload.foldLeft(lNullKey)((df, c) =>
+      df.withColumn(outName(c), lit(null).cast(pStruct(c).dataType)))
+    joined.unionByName(padded.select(outCols.map(col): _*))
   }
 }

@@ -13,7 +13,12 @@ import org.apache.spark.sql.expressions.Aggregator
   * usable from the typed API (`ds.select(OnlineStats.toColumn)`) or
   * registered untyped via `functions.udaf`. Results match the built-in
   * avg/var_pop to float tolerance (merge order differs, so not
-  * bit-exact — the built-ins use the same merge algebra).
+  * bit-exact — the built-ins use the same merge algebra) — EXCEPT on
+  * empty/all-null groups, a deliberate divergence (r13, documented
+  * honestly): the result struct is non-nullable per field, so n=0
+  * groups report (n=0, mean=0.0, variance=0.0) where avg/var_pop
+  * return SQL NULL. `n` is the authoritative "was there data" signal;
+  * consumers must check it before treating mean 0.0 as a statistic.
   */
 final case class StatsState(n: Long, mean: Double, m2: Double)
 final case class StatsResult(n: Long, mean: Double, variance: Double)

@@ -101,6 +101,21 @@ object TimeSeries {
     // dimension never saw) survives with a null attribute — silently
     // dropping it would undercount any rollup over the result (same
     // convention as AsOfJoin)
+    // output-name deconfliction (r13, the AsOfJoin `_right` convention
+    // this scaladoc already cites): facts that carry their own `attr` or
+    // `valid_from` — e.g. the output of a PREVIOUS scd2Lookup — used to
+    // come back with duplicate column names, failing the next select
+    // with AMBIGUOUS_REFERENCE. The fact column always survives
+    // untouched; the dimension's column takes the suffix.
+    val taken = scala.collection.mutable.Set(facts.columns: _*)
+    def out(c: String): String = {
+      var n = if (taken.contains(c)) c + "_right" else c
+      while (taken.contains(n)) n = n + "_"
+      taken += n
+      n
+    }
+    val attrOut = out("attr")
+    val vfOut = out("valid_from")
     f.join(d,
         col("f." + graft.Util.q(keyCol)) === col("d." + graft.Util.q(keyCol))
           && col("d.valid_from") <= col("f." + graft.Util.q(tsCol)) &&
@@ -108,7 +123,7 @@ object TimeSeries {
             col("f." + graft.Util.q(tsCol)) < col("d.valid_to")),
         "left")
       .select(f.columns.map(c => col("f." + graft.Util.q(c))) :+
-        col("d.attr") :+ col("d.valid_from"): _*)
+        col("d.attr").as(attrOut) :+ col("d.valid_from").as(vfOut): _*)
   }
 
   /** Calendar-anchored rolling sum: per key, the sum of `valueExpr` over
@@ -124,7 +139,12 @@ object TimeSeries {
     require(days >= 1, s"days=$days must be >= 1")
     val daily = events
       .groupBy(col(keyCol), date_trunc("day", col(tsCol)).as("day"))
-      .agg(sum(col(valueCol).cast("decimal(18,6)")).as("__dv"))
+      // decimal(38,6), not 18,6 (r13): the per-value cast at 18,6 made
+      // |value| >= 10^12 an ANSI CAST_OVERFLOW cliff (micro-unit money
+      // crosses it at $1.5M) — or a silent null-out with ANSI off. The
+      // wide cast rounds identically for in-range values, so oracle
+      // parity is unchanged.
+      .agg(sum(col(valueCol).cast("decimal(38,6)")).as("__dv"))
       .withColumn("__dayno", datediff(col("day"), lit("1970-01-01")))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__dayno"))
       .rangeBetween(-(days - 1).toLong, 0L)

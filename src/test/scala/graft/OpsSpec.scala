@@ -352,6 +352,40 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("AsOfJoin refuses reserved __graft_ input names (r13)") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // an input column literally named __graft_ts used to be silently
+    // overwritten by the internal withColumn and returned corrupted
+    val left = Seq((1L, 10L, ts("2024-01-05 00:00:00"), "mine"))
+      .toDF("eid", "k", "t", "__graft_ts")
+    val right = Seq((10L, ts("2024-01-01 00:00:00"), "a"))
+      .toDF("rk", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      ops.AsOfJoin.asofLeftJoin(left, right, "k", "rk", "t", "rt", Seq("v"))
+    }
+    assert(e.getMessage.contains("__graft_"))
+  }
+
+  test("scd2Lookup deconflicts attr/valid_from against fact columns (r13)") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val dim = Seq((10L, "gold", ts("2024-01-01 00:00:00"),
+        null.asInstanceOf[Timestamp]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val facts = Seq((1L, 10L, ts("2024-01-05 00:00:00"), "factattr"))
+      .toDF("eid", "k", "t", "attr") // fact carries its OWN attr
+    val out = ops.TimeSeries.scd2Lookup(facts, dim, "k", "t")
+    // re-looking-up a previous lookup's output used to emit duplicate
+    // column names and fail the next select with AMBIGUOUS_REFERENCE
+    assert(out.columns.count(_ == "attr") === 1)
+    assert(out.columns.contains("attr_right"))
+    val row = out.collect()(0)
+    assert(row.getString(out.columns.indexOf("attr")) === "factattr",
+      "the fact's own column must survive untouched")
+    assert(row.getString(out.columns.indexOf("attr_right")) === "gold")
+  }
+
   test("AsOfJoin auto-renames a payload column that collides with the left") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
