@@ -39,14 +39,27 @@ object Csv {
   def read(spark: SparkSession, path: String,
            inferSchema: Boolean = true,
            decompressDir: Option[String] = None): DataFrame = {
-    val (maxLen, anyCompressed) = dataFileStats(spark, path)
+    val (maxLen, maxPlainLen, anyCompressed) = dataFileStats(spark, path)
     if (maxLen > SplitThreshold && anyCompressed && decompressDir.nonEmpty)
       CsvSplit.readFiles(spark,
         CsvSplit.decompressToSplittable(spark, path, decompressDir.get),
         inferSchema)
     else if (maxLen > SplitThreshold && !anyCompressed)
       CsvSplit.read(spark, path, inferSchema)
-    else spark.read
+    else {
+      // mixed input, no staging dir (r13): a LARGE PLAIN file next to a
+      // compressed sibling used to serialize onto one stock-reader task
+      // SILENTLY — CsvSplit cannot take the directory (it would
+      // byte-split the compressed members into garbage), so the slow
+      // path is kept but now announces itself and the fix
+      if (maxPlainLen > SplitThreshold)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"Csv.read($path): a plain file above ${SplitThreshold} bytes " +
+            "shares the directory with compressed files and no " +
+            "decompressDir was given — the whole input stays on the " +
+            "one-task-per-file reader. Pass decompressDir to stage the " +
+            "compressed members and read everything splittable.")
+      spark.read
       .option("header", "true")
       .option("multiLine", "true")
       .option("escape", "\"")
@@ -57,6 +70,7 @@ object Csv {
       .option("nullValue", "NA")
       .option("inferSchema", inferSchema.toString)
       .csv(path)
+    }
   }
 
   private val CompressedExts =
@@ -68,14 +82,16 @@ object Csv {
     CompressedExts.exists(n.endsWith)
   }
 
-  /** (largest data-file size, any file compressed-by-extension) under
-    * `path`; (0, false) when unresolvable OR when the layout is nested
-    * (hive partitions etc.) — both cases stay on the stock reader, which
-    * has partition discovery and clearer errors. Hidden/metadata files
-    * (`_`/`.` prefixes) are excluded — the routing decision must be made
-    * only on files the reader will actually read. */
+  /** (largest data-file size, largest PLAIN data-file size, any file
+    * compressed-by-extension) under `path`; zeros/false when
+    * unresolvable OR when the layout is nested (hive partitions etc.) —
+    * both cases stay on the stock reader, which has partition discovery
+    * and clearer errors. Hidden/metadata files (`_`/`.` prefixes) are
+    * excluded — the routing decision must be made only on files the
+    * reader will actually read. The plain max (r13) feeds the
+    * big-plain-file-next-to-compressed-sibling warning in [[read]]. */
   private def dataFileStats(spark: SparkSession,
-                            path: String): (Long, Boolean) =
+                            path: String): (Long, Long, Boolean) =
     try {
       val p = new Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -85,15 +101,17 @@ object Csv {
       }
       if (children.exists(s => s.isDirectory &&
           !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))) (0L, false)
+          !s.getPath.getName.startsWith("."))) (0L, 0L, false)
       else {
         val data = children.filter(s => s.isFile &&
           !s.getPath.getName.startsWith("_") &&
           !s.getPath.getName.startsWith("."))
         (data.map(_.getLen).maxOption.getOrElse(0L),
+          data.filterNot(s => isCompressedName(s.getPath.getName))
+            .map(_.getLen).maxOption.getOrElse(0L),
           data.exists(s => isCompressedName(s.getPath.getName)))
       }
-    } catch { case _: java.io.IOException => (0L, false) }
+    } catch { case _: java.io.IOException => (0L, 0L, false) }
 
   /** All-strings read: matching-critical columns must keep R character
     * semantics (SURVEY.md §1.4 — `25-2`-style admin values). */
@@ -124,13 +142,25 @@ object Csv {
     val fs = new Path(tmp).getFileSystem(conf)
     val part = fs.globStatus(new Path(tmp, "part-*.csv"))(0).getPath
     val target = new Path(path)
-    if (fs.exists(target)) fs.delete(target, true)
-    // rename failure (e.g. missing parent dir on HDFS) returns FALSE, not
-    // an exception — unchecked, the tmp delete below would destroy the
-    // only copy of the checkpoint file silently
-    if (!fs.rename(part, target))
+    // overwrite-RENAME, not delete-then-rename (r13): a crash between
+    // those two steps left the contract path EMPTY — the previous
+    // checkpoint file deleted, the new one stranded under the tmp dir
+    // where nothing looks. FileContext.rename(OVERWRITE) swaps in one
+    // step (the Versioned pointer discipline); only a directory at the
+    // target — never expected for a file sink — still pre-deletes.
+    if (fs.exists(target) && fs.getFileStatus(target).isDirectory)
+      fs.delete(target, true)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      target.toUri, conf)
+    try fc.rename(part, target,
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch { case e: java.io.IOException =>
+      // missing parent dir, store fault, ... — unwrapped, the tmp delete
+      // below would destroy the only copy of the checkpoint file
       throw new java.io.IOException(
-        s"csv sink rename $part -> $target failed; data retained at $tmp")
+        s"csv sink rename $part -> $target failed; data retained at $tmp",
+        e)
+    }
     fs.delete(new Path(tmp), true)
   }
 }

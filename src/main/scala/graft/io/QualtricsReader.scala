@@ -30,11 +30,31 @@ object QualtricsReader {
     * varinfo-update.R:61). */
   def loadSurveyColumnInfo(spark: SparkSession, responseFile: String,
                            surveyYear: String): DataFrame = {
+    // single-file contract ENFORCED (r13): columnInfoFrom reads "the
+    // file's first data row" via limit(1), but over a multi-file
+    // directory/glob Spark's limit takes row 1 of an arbitrary
+    // partition while the schema comes from the listing-order first
+    // file — question texts silently attributed to the wrong variables.
+    // A Qualtrics export is one file; refuse anything else loudly.
+    val p = new org.apache.hadoop.fs.Path(responseFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val dataFiles = matched.flatMap { s =>
+      if (s.isDirectory) fs.listStatus(s.getPath).toSeq else Seq(s)
+    }.filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+      !s.getPath.getName.startsWith("."))
+    require(dataFiles.size <= 1,
+      s"loadSurveyColumnInfo expects ONE response export file, but " +
+        s"$responseFile resolves to ${dataFiles.size} files — the " +
+        "question-text row (row 1) is only well-defined for a single " +
+        "file; point at the export itself")
     val responses = Csv.readAsStrings(spark, responseFile)
     columnInfoFrom(responses, surveyYear)
   }
 
-  /** Same, from an already-loaded responses frame (row 1 = question text). */
+  /** Same, from an already-loaded responses frame (row 1 = question
+    * text; the caller owns the single-file guarantee —
+    * [[loadSurveyColumnInfo]] enforces it for path inputs). */
   def columnInfoFrom(responses: DataFrame, surveyYear: String): DataFrame = {
     val d = DynamicColumns(surveyYear)
     val names = responses.columns

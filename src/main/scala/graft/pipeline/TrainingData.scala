@@ -30,17 +30,32 @@ object TrainingData {
               jaccardThreshold: Double = 0.9,
               packBudget: Long = 256L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // redact BEFORE normalize (r13): normalizeText maps every char
+    // outside [a-z0-9 ] to a space, so redactPii applied AFTER it could
+    // never match an email (no '@' or '.' survives) and most formatted
+    // phone numbers broke into sub-7-digit runs — the PII pass was
+    // silently a near-no-op. Raw-text redaction fires for real (the
+    // q_text_clean registry query already ran this order); the
+    // placeholder tags then normalize to plain "email"/"number" tokens.
     val cleaned = docs.select(
       col(idCol), col(sourceCol),
-      TextFunctions.redactPii(TextFunctions.normalizeText(col(textCol)))
+      TextFunctions.normalizeText(TextFunctions.redactPii(col(textCol)))
         .as("clean_text"))
       .withColumn("n_tokens",
         size(TextFunctions.tokens(col("clean_text"))).cast("long"))
       .filter(col("n_tokens") >= minTokens)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // exact dedup: keep the minimum id per identical cleaned text
-    val keepers = cleaned.groupBy(col("clean_text"))
+    // exact dedup: keep the minimum id per identical cleaned text —
+    // keyed on xxhash64(clean_text), not the text itself (r13): a
+    // full-text group key ships every document's whole cleaned text
+    // through the exchange, i.e. the dedup shuffle carries the corpus.
+    // The 8-byte key cuts that payload by orders of magnitude with the
+    // same accepted-collision semantics as Dedup.exactDuplicates' md5
+    // key (a 64-bit collision inside one corpus is negligible, and the
+    // near-dup stage downstream would catch a colliding survivor pair
+    // anyway).
+    val keepers = cleaned.groupBy(xxhash64(col("clean_text")))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val exactDeduped = cleaned.join(keepers, Seq(idCol))

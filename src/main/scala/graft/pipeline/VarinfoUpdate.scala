@@ -62,10 +62,20 @@ object VarinfoUpdate {
       .drop("__graft_ci_id")
       .cache() // reused by stats, rescue join, and both sinks
 
-    val totalVars = columnInfo.count()
+    // totalVars reuses the kernel-selection count (r13: it IS
+    // columnInfo.count() — ciWithId adds only a row id — and the two
+    // used to run as two separate jobs). It includes the SENTINEL row,
+    // and the matched counts never do (count_distinct skips its NULL
+    // name) — deliberately: the reference's own stats count the
+    // sentinel in total_rows (nrow(column_info),
+    // varinfo-update.R:110) and a sentinel match never counts as
+    // matched there either (!is.na(qualtrics_col_name), :129), so a
+    // perfect run reports 1 unmatched on both engines.
+    val totalVars = rightRows
     // unmatched counts subtract DISTINCT matched variables, not matched
     // prior rows: a cumulative codebook has many rows per variable, and
     // row counts would drive "N unmatched (out of M)" negative
+    // (the reference's row arithmetic CAN — varinfo-update.R:113,130)
     val statsRow = fuzzyJoined.agg(
       count(when(col("string_distance") === 0 &&
         qcol(d.qualtricsColName).isNotNull, 1)).as("exact"),
@@ -82,18 +92,21 @@ object VarinfoUpdate {
     val joined = CoalesceJoin.coalesceLeftJoin(
       fuzzyJoined, columnInfo, cfg.joinColumnVar, d.qualtricsColName)
 
-    val totalMatched = joined
+    // release the stage cache before returning (the codebase-wide
+    // finishAndRelease convention): the checkpoint severs the outputs'
+    // lineage from the cached plan, so a service calling this per batch
+    // accumulates no persisted state. Checkpoint FIRST, then aggregate
+    // the stats from the checkpointed frame (r13): aggregating the lazy
+    // `joined` plan before materializing it executed the whole rescue
+    // join twice per call.
+    val joinedFinal = graft.Util.finishAndRelease(joined, fuzzyJoined)
+
+    val totalMatched = joinedFinal
       .agg(count_distinct(qcol(d.qualtricsColName))).collect()(0)
       .getLong(0)
     val stillUnmatched = totalVars - totalMatched
     val stats = MatchStats(totalVars, exact, fuzzy, unmatchedText,
       totalMatched, stillUnmatched)
-
-    // release the stage cache before returning (the codebase-wide
-    // finishAndRelease convention): the checkpoint severs the outputs'
-    // lineage from the cached plan, so a service calling this per batch
-    // accumulates no persisted state
-    val joinedFinal = graft.Util.finishAndRelease(joined, fuzzyJoined)
 
     // Unmatched new variables (J4) — null-safe keys like dplyr's
     // na_matches = "na", so the sentinel row (NULL name) is excluded when
