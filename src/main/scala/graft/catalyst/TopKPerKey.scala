@@ -19,15 +19,17 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * the shuffle, and merges heaps on the reduce side — the same
   * partial/final split Spark uses for hash aggregates, applied to top-k.
   * No partition-wide sort ever happens; memory is O(distinct keys × k)
-  * ROWS per task, resident with NO spill path — a strictly heavier bound
-  * than a hash aggregate's one fixed-size buffer per key (and Spark's
-  * object hash aggregate additionally falls back to sort when it grows).
-  * That resident set equals the operator's own retained output for the
-  * task, so the safe regime is exactly the one top-k exists for:
-  * k × keys ≪ input rows. For k large enough that the retained output
-  * stops fitting, the spillable window sort is the right plan —
-  * [[WindowTopKRule]] declines the rewrite above its cap for that
-  * reason.
+  * ROWS per task — and since r13 the PARTIAL side is hard-capped at
+  * [[TopKPerKeyExec.PartialBufferRows]] retained rows: past the budget
+  * it stops growing and passes rows through to the shuffle unaggregated
+  * (sound — the partial's contract is a superset of the global top-k),
+  * so a near-unique-key input degrades to a plain shuffle instead of an
+  * executor OOM. The FINAL side's resident set equals its own output —
+  * the operator's result — so the safe regime is exactly the one top-k
+  * exists for: k × keys ≪ input rows. For k large enough that the
+  * retained output stops fitting, the spillable window sort is the
+  * right plan — [[WindowTopKRule]] declines the rewrite above its cap
+  * for that reason.
   *
   * The stack demonstrates every extension tier: a resolved logical node
   * ([[TopKPerKeyNode]]), a planner strategy ([[TopKStrategy]]) that emits
@@ -57,9 +59,19 @@ case class TopKPerKeyNode(
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, rankAttr, child) =>
+      // float-key canonicalization at the one choke point every
+      // construction path goes through (r13): WindowTopKRule replaces
+      // the Window BEFORE NormalizeFloatingNumbers' batch on the
+      // injectOptimizerRule path (and that rule does not recognize this
+      // node), so without this a nested -0.0/0.0 or non-canonical-NaN
+      // partition key byte-compares as TWO groups with independent
+      // ranks. Normalizing here keeps the exec's key projection AND the
+      // ClusteredDistribution the exchange hashes on consistent.
+      val nKeys = keys.map(
+        org.apache.spark.sql.graft.GraftSql.normalizeFloats)
       val partial =
-        TopKPerKeyExec(keys, order, k, None, planLater(child))
-      TopKPerKeyExec(keys, order, k, Some(rankAttr), partial) :: Nil
+        TopKPerKeyExec(nKeys, order, k, None, planLater(child))
+      TopKPerKeyExec(nKeys, order, k, Some(rankAttr), partial) :: Nil
     case _ => Nil
   }
 }
@@ -102,6 +114,7 @@ case class TopKPerKeyExec(
     val sortOrder = order
     val limit = k
     val fin = isFinal
+    val budget = TopKPerKeyExec.PartialBufferRows
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       // buffered rows must own their memory: child rows are reused buffers
@@ -111,11 +124,28 @@ case class TopKPerKeyExec(
       // max-heap under ord: head = worst retained row, evicted first
       val heaps = new java.util.HashMap[
         UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
+      // PARTIAL-mode memory bound (r13): the resident set is O(keys × k)
+      // ROWS with no spill path, and nothing at plan time bounds the key
+      // cardinality — a near-unique-key dedup idiom rewritten here used
+      // to hold essentially the whole input partition on-heap where the
+      // window sort would have spilled. Past `budget` buffered rows the
+      // partial STOPS GROWING: rows that would need new memory pass
+      // straight through to the shuffle (emitting extra candidate rows
+      // is always sound — the partial's contract is a SUPERSET of each
+      // key's global top-k; the final exec re-heaps), while full heaps
+      // keep REPLACING (replacement frees what it drops, and an evicted
+      // row is locally dominated by k better rows of its key — provably
+      // not in the global top-k, safe to discard). Final mode takes no
+      // budget: its resident set equals its own output, the operator's
+      // result — if that doesn't fit a task, top-k was the wrong query
+      // shape regardless, and a pass-through there would break ranks.
+      var buffered = 0L
+      var passThrough: InternalRow = null
+      def offer(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
+          if (!fin && buffered >= budget) { passThrough = row; return }
           // initial capacity stays SMALL: PriorityQueue grows on demand,
           // and eagerly sizing to `limit` allocates a k-element array per
           // key — a row_number <= 50M filter rewritten here by
@@ -124,29 +154,59 @@ case class TopKPerKeyExec(
             math.min(limit, 16), ord.reverse)
           heaps.put(key.copy(), heap)
         }
-        if (heap.size < limit) heap.add(toUnsafe(row).copy())
-        else if (ord.compare(row, heap.peek()) < 0) {
+        if (heap.size < limit) {
+          if (!fin && buffered >= budget) { passThrough = row; return }
+          heap.add(toUnsafe(row).copy())
+          buffered += 1
+        } else if (ord.compare(row, heap.peek()) < 0) {
           heap.poll()
           heap.add(toUnsafe(row).copy())
         }
       }
       import scala.jdk.CollectionConverters._
       // consumers expect UnsafeRow (e.g. SparkPlan.getByteArrayRdd); the
-      // projection's reuse of its buffer honors the operator row contract
-      val outProj = UnsafeProjection.create(
+      // projection's reuse of its buffer honors the operator row
+      // contract. Final-mode-only machinery is LAZY (r13): the partial
+      // hot path never pays the projection codegen or the rank/joined
+      // allocations it cannot use.
+      lazy val outProj = UnsafeProjection.create(
         outputAttrs.map(_.asInstanceOf[Expression]), outputAttrs)
-      val rank = new GenericInternalRow(1)
-      val joined = new JoinedRow
-      heaps.values().iterator().asScala.flatMap { heap =>
-        // polls come worst-first (head of the reverse-ordered queue), so
-        // filling from the back yields ascending `ord` = rank order
-        val arr = new Array[InternalRow](heap.size)
-        var i = heap.size - 1
-        while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
-        if (!fin) arr.iterator
-        else arr.iterator.zipWithIndex.map { case (r, idx) =>
-          rank.setLong(0, (idx + 1).toLong)
-          outProj(joined(r, rank)): InternalRow
+      lazy val rank = new GenericInternalRow(1)
+      lazy val joined = new JoinedRow
+      def drained: Iterator[InternalRow] =
+        heaps.values().iterator().asScala.flatMap { heap =>
+          // polls come worst-first (head of the reverse-ordered queue), so
+          // filling from the back yields ascending `ord` = rank order
+          val arr = new Array[InternalRow](heap.size)
+          var i = heap.size - 1
+          while (i >= 0) { arr(i) = heap.poll(); i -= 1 }
+          if (!fin) arr.iterator
+          else arr.iterator.zipWithIndex.map { case (r, idx) =>
+            rank.setLong(0, (idx + 1).toLong)
+            outProj(joined(r, rank)): InternalRow
+          }
+        }
+      // two-phase iterator: drain the input (emitting pass-through rows
+      // as they occur — they are reused child buffers, serialized by the
+      // consumer before the next hasNext), then the surviving heaps
+      new Iterator[InternalRow] {
+        private var tail: Iterator[InternalRow] = null
+        override def hasNext: Boolean = {
+          if (passThrough != null) return true
+          while (tail == null && iter.hasNext) {
+            offer(iter.next())
+            if (passThrough != null) return true
+          }
+          if (tail == null) tail = drained
+          tail.hasNext
+        }
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          if (passThrough != null) {
+            val r = passThrough
+            passThrough = null
+            r
+          } else tail.next()
         }
       }
     }, preservesPartitioning = true)
@@ -154,4 +214,15 @@ case class TopKPerKeyExec(
 
   override protected def withNewChildInternal(newChild: SparkPlan)
       : TopKPerKeyExec = copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Partial-mode buffered-row cap (see the doExecute comment): past
+    * this many RETAINED rows per task the partial stops growing and
+    * passes new-memory rows through to the shuffle unaggregated —
+    * trading shuffle volume for a hard memory bound, the same
+    * fall-back-when-big philosophy as Spark's object-hash-aggregate
+    * sort fallback. At ~100 bytes/row the bound is ~100 MB of task
+    * heap; tests shrink it via reflection-free package access. */
+  @volatile private[graft] var PartialBufferRows: Long = 1L << 20
 }

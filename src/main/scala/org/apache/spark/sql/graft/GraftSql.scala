@@ -15,4 +15,17 @@ object GraftSql {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Canonicalize -0.0/NaN inside a grouping expression (float/double,
+    * including nested struct/array fields) — the normalization Spark's
+    * own NormalizeFloatingNumbers rule applies to Window partition keys.
+    * Graft's TopKPerKeyNode replaces the Window BEFORE that rule's batch
+    * runs on the injectOptimizerRule path, and the rule does not
+    * recognize the custom node, so the node's planner strategy applies
+    * the same normalization itself (r13) — otherwise SQL-equal float
+    * keys (struct<-0.0> vs struct<0.0>) would byte-compare as different
+    * groups. No-op for types that need no normalization. */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers
+      .normalize(e)
 }

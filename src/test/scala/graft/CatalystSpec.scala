@@ -157,6 +157,57 @@ class CatalystSpec extends SparkSpec {
     assert(out === Set((1L, 20.0, 1L), (1L, 10.0, 2L), (2L, 5.0, 1L)))
   }
 
+  test("native top-k canonicalizes float keys like the window plan (r13)") {
+    // WindowTopKRule replaces the Window BEFORE NormalizeFloatingNumbers'
+    // batch on the injectOptimizerRule path, and that rule does not
+    // recognize TopKPerKeyNode — so nested -0.0/0.0 keys used to
+    // byte-compare as TWO groups with independent ranks. The strategy
+    // now normalizes; both forms must agree.
+    val df = Seq((-0.0, 1L), (0.0, 2L), (1.5, 3L), (1.5, 4L))
+      .toDF("g0", "id")
+      .select(struct(col("g0")).as("g"), col("id"))
+    val native = graft.ops.BestMatch.topKPerKeyNative(df,
+        Seq("g"), Seq(("id", true)), 1)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    import org.apache.spark.sql.expressions.Window
+    val win = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("id").asc)))
+      .filter(col("rn") <= 1)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(win === Set(1L, 3L), "window treats -0.0 == 0.0: one group")
+    assert(native === win,
+      "native must canonicalize -0.0/0.0 struct keys into ONE group")
+  }
+
+  test("partial top-k budget: pass-through keeps results exact (r13)") {
+    // past the buffered-row budget the partial stops growing and passes
+    // rows through to the shuffle; the final exec re-heaps, so results
+    // must be identical — only memory/shuffle volume change. Shrink the
+    // budget so a 5k-row near-unique-key input crosses it immediately.
+    val saved = graft.catalyst.TopKPerKeyExec.PartialBufferRows
+    graft.catalyst.TopKPerKeyExec.PartialBufferRows = 64L
+    try {
+      val df = spark.range(5000)
+        .select(col("id"), (col("id") % 2500).as("key"),
+          (col("id") * 37 % 101).as("v"))
+      val native = graft.ops.BestMatch.topKPerKeyNative(df,
+          Seq("key"), Seq(("v", true), ("id", true)), 2)
+        .select(col("key"), col("id"), col("__graft_rank"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      import org.apache.spark.sql.expressions.Window
+      val win = df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("key"))
+            .orderBy(col("v").asc, col("id").asc)))
+        .filter(col("rn") <= 2)
+        .select(col("key"), col("id"), col("rn").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(native === win,
+        "budget pass-through must not change a single rank")
+    } finally graft.catalyst.TopKPerKeyExec.PartialBufferRows = saved
+  }
+
   test("native top-k equals window form on randomized data (20 trials)") {
     val rnd = new scala.util.Random(42)
     (1 to 20).foreach { _ =>
