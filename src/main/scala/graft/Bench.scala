@@ -187,64 +187,66 @@ object Bench {
           math.max(ShapeDriftBytesRatio * eb, ShapeDriftBytesFloor.toDouble)
     }
 
-  /** Committed per-query shuffle baseline: `name<TAB>bytes<TAB>rows`
-    * lines, '#' comments — except the load-bearing `# sf <basename>`
-    * header: shuffle volume scales with the data, so a table captured at
-    * sf0.1 must be IGNORED (empty map) when benching sf0.01, or every
-    * query would flag as drifted -90%. Missing/unreadable file or SF
-    * mismatch → empty map (shape-drift detection degrades to off,
-    * `bytes_expected_n: 0` says so in the output). */
-  def loadExpectedBytes(path: java.nio.file.Path,
-                        sfDir: String): Map[String, (Long, Long)] = {
-    if (!java.nio.file.Files.isReadable(path)) return Map.empty
+  /** Split a committed baseline table into its per-SF section and
+    * return the data lines under the `# sf <basename>` header matching
+    * `sfDir`'s basename. Baselines scale with the data, so lines from a
+    * different SF's section must never apply — pre-r14 the tables were
+    * single-section (one `# sf` header gated the WHOLE file), which
+    * meant the correctness-gate SF (sf0.01) ran with zero shape-drift
+    * protection (`bytes_expected_n: 0`) because only an sf0.1 section
+    * existed. Multi-section: every `# sf` header OPENS a section; a
+    * data line belongs to the most recent header; lines before any
+    * header belong to no section (ignored — refusing to guess beats
+    * misattributing a foreign SF's baseline). Unknown SF → empty. */
+  def sectionLines(path: java.nio.file.Path,
+                   sfDir: String): Vector[String] = {
+    if (!java.nio.file.Files.isReadable(path)) return Vector.empty
     val sfBase = new java.io.File(sfDir).getName
     val src = scala.io.Source.fromFile(path.toFile, "UTF-8")
     try {
-      val lines = src.getLines().map(_.trim).filter(_.nonEmpty).toVector
-      val tableSf = lines.collectFirst {
-        case l if l.startsWith("# sf ") => l.stripPrefix("# sf ").trim
+      var cur: String = null
+      val out = Vector.newBuilder[String]
+      src.getLines().map(_.trim).filter(_.nonEmpty).foreach { l =>
+        if (l.startsWith("# sf ")) cur = l.stripPrefix("# sf ").trim
+        else if (!l.startsWith("#") && cur == sfBase) out += l
       }
-      if (!tableSf.contains(sfBase)) Map.empty
-      else lines.filterNot(_.startsWith("#")).flatMap { l =>
-        l.split("\t") match {
-          case Array(name, b, r) =>
-            for (bv <- b.toLongOption; rv <- r.toLongOption)
-              yield name -> ((bv, rv))
-          case _ => None
-        }
-      }.toMap
+      out.result()
     } finally src.close()
   }
 
-  /** Committed per-query quiet-box baseline: `name<TAB>seconds` lines,
-    * '#' comments — except the `# sf <basename>` header, which must
-    * match the benched dir exactly like the byte table's (r13 review:
-    * this table previously applied to ANY SF, so a baseline regenerated
-    * from a non-sf0.1 bench.json would silently poison the wall gate —
-    * 10–50× too-small lines flag the whole registry suspect; inflated
-    * lines mute every trigger). Missing/unreadable file or SF mismatch
-    * → empty map (every trigger below degrades to the pre-r8
-    * disagreement-only behavior). */
+  /** Committed per-query shuffle baseline: `name<TAB>bytes<TAB>rows`
+    * lines under per-SF `# sf <basename>` section headers (see
+    * [[sectionLines]]). Missing/unreadable file or absent SF section →
+    * empty map (shape-drift detection degrades to off,
+    * `bytes_expected_n: 0` says so in the output). */
+  def loadExpectedBytes(path: java.nio.file.Path,
+                        sfDir: String): Map[String, (Long, Long)] =
+    sectionLines(path, sfDir).flatMap { l =>
+      l.split("\t") match {
+        case Array(name, b, r) =>
+          for (bv <- b.toLongOption; rv <- r.toLongOption)
+            yield name -> ((bv, rv))
+        case _ => None
+      }
+    }.toMap
+
+  /** Committed per-query quiet-box baseline: `name<TAB>seconds` lines
+    * under per-SF `# sf <basename>` section headers (see
+    * [[sectionLines]] — r13 review: this table previously applied to
+    * ANY SF, so a baseline regenerated from a non-sf0.1 bench.json
+    * would silently poison the wall gate; the per-SF sectioning keeps
+    * that fixed while allowing more than one SF to carry lines).
+    * Missing/unreadable file or absent SF section → empty map (every
+    * trigger below degrades to the pre-r8 disagreement-only
+    * behavior). */
   def loadExpected(path: java.nio.file.Path,
                    sfDir: String): Map[String, Double] =
-    if (!java.nio.file.Files.isReadable(path)) Map.empty
-    else {
-      val sfBase = new java.io.File(sfDir).getName
-      val src = scala.io.Source.fromFile(path.toFile, "UTF-8")
-      try {
-        val lines = src.getLines().map(_.trim).filter(_.nonEmpty).toVector
-        val tableSf = lines.collectFirst {
-          case l if l.startsWith("# sf ") => l.stripPrefix("# sf ").trim
-        }
-        if (!tableSf.contains(sfBase)) Map.empty
-        else lines.filterNot(_.startsWith("#")).flatMap { l =>
-          l.split("\t") match {
-            case Array(name, secs) => secs.toDoubleOption.map(name -> _)
-            case _ => None
-          }
-        }.toMap
-      } finally src.close()
-    }
+    sectionLines(path, sfDir).flatMap { l =>
+      l.split("\t") match {
+        case Array(name, secs) => secs.toDoubleOption.map(name -> _)
+        case _ => None
+      }
+    }.toMap
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

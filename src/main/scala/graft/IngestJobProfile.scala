@@ -40,6 +40,10 @@ object IngestJobProfile {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
     })
+    // with GRAFT_INGEST_PROF=1 the gates' phase timers read this counter
+    // and print per-PHASE job deltas (r14 — phase attribution for the
+    // job-economy pass, not just per-batch totals)
+    graft.streaming.IngestProf.jobCount = () => jobs.get
     def measured[T](label: String)(f: => T): T = {
       org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
       jobs.set(0); stages.set(0)

@@ -1280,6 +1280,24 @@ object SparkEntry {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // LLM: pathologically DENSE new-vs-corpus probe — every "new" doc is
+    // a one-token edit of a corpus doc, so true-pair multiplicity (the
+    // quantity the PPJoin positional filter bounds) dominates the
+    // candidate stage. Registry-grade on purpose (r14, VERDICT #6): the
+    // bench's shape-drift byte table carries this query's shuffle rows,
+    // so a kernel change that silently loses the positional filter shows
+    // up as candidate-row inflation in `shape_drift`, not as a slower
+    // wall someone has to adjudicate. Hash-checked against an exact
+    // Jaccard oracle.
+    "q_dedup_dense_probe" -> ((s, dir) => {
+      val docs = spread(table(s, dir, "documents"), "doc_id")
+        .select(col("doc_id"), col("text"))
+      val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzdense")).as("text"))
+      Dedup.jaccardNewVsCorpusPrefix(batch, docs, "doc_id", "text", 0.8)
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // Streaming similarity ingest gate, batch-replay form — documents
     // arrive as 3 micro-batches through the exactly-once gate: MinHash
     // near-dup + substring-saturation probes against BOTH stored indexes
@@ -2584,6 +2602,24 @@ object SparkEntry {
     // the probe is a cross-side join, not a self-explode):
     // tools/gen_incremental_oracle.py
     "q_dedup_incremental" -> resourceSql("q_dedup_incremental"),
+    // exact Jaccard truth for the dense planted probe: batch = documents
+    // with one appended never-colliding token, corpus = documents; the
+    // engine's prefix+positional kernel must return exactly the >= 0.8
+    // pairs (the planted self-pair for every doc with >= 4 distinct
+    // words, plus any organic cross-doc near-dups)
+    "q_dedup_dense_probe" ->
+      """WITH c AS (SELECT doc_id,
+        |    list_sort(list_distinct(string_split(text, ' '))) AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id + 1000000 AS doc_id,
+        |    list_sort(list_distinct(string_split(text || ' zzdense', ' '))) AS ws
+        |  FROM documents),
+        |p AS (SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+        |    len(list_intersect(b.ws, c.ws)) * 1.0 /
+        |      len(list_distinct(list_concat(b.ws, c.ws))) AS jac
+        |  FROM b, c)
+        |SELECT new_id, corpus_id, jac FROM p WHERE jac >= 0.8
+        |ORDER BY new_id, corpus_id""".stripMargin,
     // the whole 3-batch exactly-once gate in one statement
     // (tools/gen_ingest_oracle.py): bootstrap self-dedup + per-batch
     // near-dup/saturation probes + intra-batch components

@@ -114,9 +114,17 @@ object Util {
   def deleteRecursively(path: String): Unit = {
     import java.nio.file.{Files, Path}
     val p = Path.of(path)
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
+    if (Files.exists(p)) {
+      // Files.walk holds directory handles until closed; this helper
+      // runs once per query in Verify (136x) plus every fixture reset,
+      // so an unclosed stream leaks handles faster than GC reclaims
+      // them on a long sweep.
+      val walk = Files.walk(p)
+      try
+        walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   /** Live holds per (session, key) for [[withSessionConf]]: hold count

@@ -141,6 +141,16 @@ case class TopKPerKeyExec(
       // shape regardless, and a pass-through there would break ranks.
       var buffered = 0L
       var passThrough: InternalRow = null
+      // a NEW key retains more than its rows: the copied UnsafeRow key,
+      // the PriorityQueue object (+16-slot initial array), and the
+      // HashMap entry — ~250-300 bytes, i.e. ~3 row-equivalents at the
+      // ~100 B/row the budget is calibrated for. On near-unique-key
+      // input (every key holds 1 row) uncounted key overhead made real
+      // retained heap ~3-4x the budget's estimate, so each new key is
+      // CHARGED against the same budget its rows draw from (r14,
+      // ADVICE) — the cap is now a bound on retained bytes, not just
+      // heap rows.
+      val keyCharge = TopKPerKeyExec.PartialKeyChargeRows
       def offer(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
@@ -153,6 +163,7 @@ case class TopKPerKeyExec(
           heap = new java.util.PriorityQueue[InternalRow](
             math.min(limit, 16), ord.reverse)
           heaps.put(key.copy(), heap)
+          if (!fin) buffered += keyCharge
         }
         if (heap.size < limit) {
           if (!fin && buffered >= budget) { passThrough = row; return }
@@ -217,12 +228,20 @@ case class TopKPerKeyExec(
 }
 
 object TopKPerKeyExec {
-  /** Partial-mode buffered-row cap (see the doExecute comment): past
-    * this many RETAINED rows per task the partial stops growing and
+  /** Partial-mode retained-memory cap in ROW-EQUIVALENT units (see the
+    * doExecute comment): past this budget the partial stops growing and
     * passes new-memory rows through to the shuffle unaggregated —
     * trading shuffle volume for a hard memory bound, the same
     * fall-back-when-big philosophy as Spark's object-hash-aggregate
-    * sort fallback. At ~100 bytes/row the bound is ~100 MB of task
-    * heap; tests shrink it via reflection-free package access. */
+    * sort fallback. Each buffered row costs 1 unit and each DISTINCT
+    * KEY costs [[PartialKeyChargeRows]] units (key copy + heap object +
+    * map entry), so at ~100 bytes/unit the bound is ~100 MB of task
+    * heap even on near-unique-key input where per-key overhead
+    * dominates. Tests shrink it via reflection-free package access. */
   @volatile private[graft] var PartialBufferRows: Long = 1L << 20
+
+  /** Budget units charged per distinct key (see [[PartialBufferRows]]):
+    * copied UnsafeRow key + PriorityQueue with its 16-slot initial
+    * array + HashMap entry ≈ 250-300 bytes ≈ 3 row-equivalents. */
+  private[graft] val PartialKeyChargeRows: Long = 3L
 }

@@ -102,8 +102,18 @@ object Manifest {
       val any = manifest.select(col("file")).limit(1).collect()
       val schema =
         if (any.nonEmpty)
-          spark.read.option("basePath", path)
-            .parquet(any(0).getString(0)).schema
+          // the manifest entry can be stale (file compacted/vacuumed
+          // since it was written); the zero-candidate query must not be
+          // the one path that throws FileNotFound where the old
+          // full-listing read succeeded — fall back to listing on any
+          // read failure of the single-file probe (r14)
+          try
+            spark.read.option("basePath", path)
+              .parquet(any(0).getString(0)).schema
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              spark.read.parquet(path).schema
+          }
         else spark.read.parquet(path).schema
       spark.createDataFrame(spark.sparkContext
         .emptyRDD[org.apache.spark.sql.Row], schema)

@@ -47,15 +47,17 @@ object TrainingData {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // exact dedup: keep the minimum id per identical cleaned text —
-    // keyed on xxhash64(clean_text), not the text itself (r13): a
-    // full-text group key ships every document's whole cleaned text
-    // through the exchange, i.e. the dedup shuffle carries the corpus.
-    // The 8-byte key cuts that payload by orders of magnitude with the
-    // same accepted-collision semantics as Dedup.exactDuplicates' md5
-    // key (a 64-bit collision inside one corpus is negligible, and the
-    // near-dup stage downstream would catch a colliding survivor pair
-    // anyway).
-    val keepers = cleaned.groupBy(xxhash64(col("clean_text")))
+    // keyed on md5(clean_text), not the text itself: a full-text group
+    // key ships every document's whole cleaned text through the
+    // exchange, i.e. the dedup shuffle carries the corpus. The 128-bit
+    // key cuts that payload by orders of magnitude with the same
+    // collision semantics as Dedup.exactDuplicates' md5 key. A 64-bit
+    // key (xxhash64) is NOT enough here (r14): at billion-doc scale a
+    // birthday collision is a few-percent event, and a collision
+    // silently DROPS a document — the min-id keeper wins for both texts
+    // and the near-dup stage can only remove more docs, never restore
+    // one.
+    val keepers = cleaned.groupBy(md5(col("clean_text")))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val exactDeduped = cleaned.join(keepers, Seq(idCol))

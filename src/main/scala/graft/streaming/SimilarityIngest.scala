@@ -67,13 +67,29 @@ object SimilarityIngest {
 
   /** Phase timer, active only under GRAFT_INGEST_PROF=1 — prints
     * per-phase wall seconds so per-batch overhead stays measurable
-    * without an external profiler. */
+    * without an external profiler. When a dev profiler has plugged a
+    * job counter into [[IngestProf.jobCount]] (IngestJobProfile does),
+    * each phase also prints its Spark JOB delta — the 10k-batches/day
+    * driver-overhead term — with listener-bus drains on both sides so
+    * async job-start events attribute to the right phase. */
   private val prof = sys.env.get("GRAFT_INGEST_PROF").contains("1")
   private def timed[T](label: String)(f: => T): T =
     if (!prof) f else {
+      val jc = IngestProf.jobCount
+      def jobsNow(): Int = {
+        org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
+          org.apache.spark.graft.ListenerBridge
+            .waitUntilEmpty(s.sparkContext))
+        jc()
+      }
+      val j0 = jobsNow()
       val t0 = System.nanoTime()
       val r = f
-      println(f"[ingest-prof] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      val j1 = jobsNow()
+      if (j0 >= 0)
+        println(f"[ingest-prof] $label: $dt%.3f s jobs=${j1 - j0}")
+      else println(f"[ingest-prof] $label: $dt%.3f s")
       r
     }
 

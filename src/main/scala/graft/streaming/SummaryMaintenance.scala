@@ -27,11 +27,65 @@ object SummaryMaintenance {
 
   private val StampName = "_last_batch_id"
 
+  /** Commit-protocol selector, read from the session conf.
+    *
+    * STORE CONTRACT (r14, VERDICT #7 — stated once, here):
+    *  - `"swap"` (default) commits by two DIRECTORY renames
+    *    (`data`→`data.__graft_old`, `data.__graft_tmp`→`data`). It
+    *    requires renames that are cheap and all-or-nothing per
+    *    directory: true on HDFS and local/POSIX filesystems (metadata
+    *    ops). On S3-class object stores a directory "rename" is an
+    *    O(files) copy+delete — the swap window stretches from
+    *    microseconds to seconds ([[readableData]] waits it out) and a
+    *    crash mid-copy leaves a PARTIAL destination the repair path
+    *    cannot distinguish from a complete one. Do not use swap mode on
+    *    a store without atomic directory rename.
+    *  - `"pointer"` commits with ZERO renames: each batch writes a
+    *    fresh `data.v<batchId>` directory, then flips the one-line
+    *    `_current` pointer file with a single-object overwrite-create.
+    *    The only atomicity it needs is single-object PUT visibility
+    *    (readers see the old bytes or the new bytes, never a torn
+    *    object) — the guarantee S3-class stores actually make. On
+    *    POSIX/HDFS the overwrite-create truncate window is covered by
+    *    the reader's bounded retry. The previous version dir survives
+    *    one extra commit so in-flight readers finish their scan; a
+    *    reader is only at risk if it falls a FULL COMMIT CYCLE behind,
+    *    vs the swap's fixed [[SwapWaitMs]] window.
+    * A summaryDir's first commit picks its protocol; swap-mode commits
+    * refuse a dir that has a pointer (the pointer would keep naming a
+    * stale version while swap rewrites `data`). Pointer-mode commits
+    * accept legacy swap state (reads it as the current summary, then
+    * retires `data`/`data.__graft_old`) — migrate when no readers are
+    * mid-scan. */
+  private[graft] val CommitModeKey = "spark.graft.summary.commitMode"
+  private val PointerName = "_current"
+
   /** How long a reader waits out a mid-flight summary swap before falling
-    * back to the parked pre-swap dir (see [[readableData]]). Sized for an
+    * back to the parked pre-swap dir (see [[readableData]]), and the
+    * bound on pointer-read retries in pointer mode. Sized for an
     * object store's O(files) copy-"rename", not HDFS's metadata rename;
     * tests shrink it so the crashed-committer path doesn't poll 30 s. */
   @volatile private[graft] var SwapWaitMs: Long = 30000L
+
+  /** The `_current` pointer's content. `None` = no pointer (swap-mode
+    * state or before first commit); `Some(None)` = pointer present but
+    * momentarily unreadable (the overwrite-create truncate window on
+    * POSIX/HDFS, or a torn read) — retry; `Some(Some(name))` = resolved. */
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+                          ptr: org.apache.hadoop.fs.Path)
+      : Option[Option[String]] = {
+    if (!fs.exists(ptr)) return None
+    val name =
+      try {
+        val in = fs.open(ptr)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      } catch { case _: java.io.IOException => "" }
+    // a version-dir name is always "data.v<id>"; anything else is a
+    // torn/in-flight write, retried by the caller within SwapWaitMs
+    Some(if (name.startsWith("data.v")) Some(name) else None)
+  }
 
   /** Stamped batch id inside the live summary dir, -1 before first commit. */
   def lastBatchId(spark: SparkSession, summaryDir: String): Long = {
@@ -87,6 +141,37 @@ object SummaryMaintenance {
                            root: org.apache.hadoop.fs.Path)
       : Option[org.apache.hadoop.fs.Path] = {
     import org.apache.hadoop.fs.Path
+    val ptr = new Path(root, PointerName)
+    // pointer-committed state resolves through `_current` (see
+    // [[CommitModeKey]]): one atomic single-object read names the
+    // committed version dir — no swap window exists. Two transients are
+    // retried within the same bound the swap reader uses: a torn/
+    // truncated pointer (overwrite-create window on POSIX/HDFS) and a
+    // pointer naming a dir the next commit's GC already removed (the
+    // reader fell a full commit cycle behind — re-read lands on the new
+    // current). A pointer that never resolves is CORRUPT state, thrown,
+    // not silently read as "summary never existed".
+    if (readPointer(fs, ptr).isDefined) {
+      val deadline = System.currentTimeMillis() + SwapWaitMs
+      while (true) {
+        readPointer(fs, ptr) match {
+          case Some(Some(name)) =>
+            val d = new Path(root, name)
+            if (fs.exists(d)) return Some(d)
+          case None =>
+            // pointer vanished after being seen: never written by any
+            // committer path — treat as corrupt rather than guessing
+            throw new java.io.IOException(
+              s"summary pointer $ptr vanished mid-read")
+          case Some(None) => () // torn write window: retry
+        }
+        if (System.currentTimeMillis() >= deadline)
+          throw new java.io.IOException(s"summary pointer $ptr did not " +
+            s"resolve to a live version dir within $SwapWaitMs ms — " +
+            "corrupt or abandoned pointer-mode state")
+        Thread.sleep(50)
+      }
+    }
     val data = new Path(root, "data")
     val old = new Path(root, "data.__graft_old")
     val deadline = System.currentTimeMillis() + SwapWaitMs
@@ -117,10 +202,22 @@ object SummaryMaintenance {
     val fs = root.getFileSystem(conf)
     val data = new Path(root, "data")
     val old = new Path(root, "data.__graft_old")
+    val ptr = new Path(root, PointerName)
+    val pointerMode =
+      spark.conf.get(CommitModeKey, "swap").trim.equalsIgnoreCase("pointer")
+    // a pointer-committed dir must never take swap commits: the pointer
+    // would keep naming the pre-swap version while swap rewrites `data`,
+    // splitting readers (pointer-aware ones frozen in time) from the
+    // stream — fail loudly instead (see the CommitModeKey contract)
+    require(pointerMode || !fs.exists(ptr),
+      s"$summaryDir was committed in pointer mode (_current exists); " +
+        s"set $CommitModeKey=pointer for this summary or start a fresh dir")
     // crash repair: a previous swap that failed between its two renames
     // left the pre-swap state at `old` — restore it before deciding
-    // anything based on the stamp
-    if (!fs.exists(data) && fs.exists(old)) {
+    // anything based on the stamp. (Pointer mode has no such window: a
+    // crash before the flip leaves the pointer on the old version, and
+    // the orphan v-dir is overwritten by the replay.)
+    if (!pointerMode && !fs.exists(data) && fs.exists(old)) {
       if (!fs.rename(old, data))
         throw new java.io.IOException(s"summary repair $old -> $data failed")
     }
@@ -158,6 +255,36 @@ object SummaryMaintenance {
           sum(col("sum_value")).cast("decimal(38,6)").as("sum_value"))
       case None => delta
     }
+    if (pointerMode) {
+      // rename-free commit (see the CommitModeKey contract): write the
+      // merged summary to a batch-keyed version dir, stamp inside it,
+      // then flip the single-object pointer. The flip is the commit
+      // point; everything before it is replay-overwritten, everything
+      // after it is GC.
+      val vdir = new Path(root, s"data.v$batchId")
+      merged.write.mode("overwrite").parquet(vdir.toString)
+      val outStamp = fs.create(new Path(vdir, StampName), true)
+      try outStamp.write(batchId.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally outStamp.close()
+      val prev = readPointer(fs, ptr).flatten
+      val outPtr = fs.create(ptr, true)
+      try outPtr.write(vdir.getName
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally outPtr.close()
+      // GC: keep the new current AND the immediately-previous version
+      // (in-flight readers that resolved the pointer just before the
+      // flip finish their scan against it); drop older versions and any
+      // legacy swap-mode dirs (`data` fed this commit's merge, so the
+      // migration is complete the moment the pointer lands)
+      val keep = Set(vdir.getName) ++ prev
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if ((n.startsWith("data.v") && !keep.contains(n)) ||
+            n == "data" || n == "data.__graft_old" || n == "data.__graft_tmp")
+          fs.delete(st.getPath, true)
+      }
+    } else {
     val tmp = new Path(root, "data.__graft_tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)
     // stamp INSIDE the new dir so data + batch id swap in together
@@ -174,6 +301,7 @@ object SummaryMaintenance {
         (if (restored) "previous summary restored" else s"left at $old"))
     }
     fs.delete(old, true)
+    }
     }
   }
 

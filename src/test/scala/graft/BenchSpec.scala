@@ -152,6 +152,55 @@ class BenchSpec extends AnyFunSuite {
       "/root/testdata/sf0.1") === Map.empty)
   }
 
+  test("baselines are multi-section: each SF loads only its own lines " +
+      "(r14)") {
+    // one file, two '# sf' sections — each SF must see exactly its own
+    // section. Pre-r14 the single-header parse meant an sf0.01 bench ran
+    // with bytes_expected_n: 0, i.e. zero shape-drift protection on the
+    // correctness-gate SF.
+    val tmp = java.nio.file.Files.createTempFile("bench_multi", ".tsv")
+    java.nio.file.Files.write(tmp,
+      ("# comment before any section\n" +
+        "q_orphan\t9\t9\n" + // before any header: belongs to no SF
+        "# sf sf0.1\n" +
+        "q_alpha\t1000\t100\n" +
+        "# an interior comment must not end the section\n" +
+        "q_beta\t2000\t200\n" +
+        "# sf sf0.01\n" +
+        "q_alpha\t10\t1\n").getBytes("UTF-8"))
+    assert(Bench.loadExpectedBytes(tmp, "/root/testdata/sf0.1") ===
+      Map("q_alpha" -> ((1000L, 100L)), "q_beta" -> ((2000L, 200L))))
+    assert(Bench.loadExpectedBytes(tmp, "/root/testdata/sf0.01") ===
+      Map("q_alpha" -> ((10L, 1L))))
+    assert(Bench.loadExpectedBytes(tmp, "/root/testdata/sf1") ===
+      Map.empty)
+    java.nio.file.Files.delete(tmp)
+    // the wall table shares the section parser
+    val tmp2 = java.nio.file.Files.createTempFile("bench_multi2", ".tsv")
+    java.nio.file.Files.write(tmp2,
+      ("# sf sf0.1\nq_a\t1.5\n# sf sf0.01\nq_a\t0.2\nq_b\t0.3\n")
+        .getBytes("UTF-8"))
+    assert(Bench.loadExpected(tmp2, "/root/testdata/sf0.1") ===
+      Map("q_a" -> 1.5))
+    assert(Bench.loadExpected(tmp2, "/root/testdata/sf0.01") ===
+      Map("q_a" -> 0.2, "q_b" -> 0.3))
+    java.nio.file.Files.delete(tmp2)
+  }
+
+  test("committed byte baseline carries an sf0.01 section covering the " +
+      "registry (r14)") {
+    val path = java.nio.file.Paths.get("tools", "bench_bytes_expected.tsv")
+    assume(java.nio.file.Files.exists(path), "byte baseline not generated")
+    val m = Bench.loadExpectedBytes(path, "/root/testdata/sf0.01")
+    assert(m.nonEmpty,
+      "committed table must carry an '# sf sf0.01' section — the " +
+        "correctness-gate SF gets no shape-drift protection without it")
+    val registry = SparkEntry.queries.keySet
+    val orphans = m.keySet.diff(registry)
+    assert(orphans.isEmpty, s"sf0.01 byte lines for unknown queries: $orphans")
+    assert(m.size > 50, s"sf0.01 byte baseline has only ${m.size} entries")
+  }
+
   test("committed byte baseline covers the registry") {
     val path = java.nio.file.Paths.get("tools", "bench_bytes_expected.tsv")
     assume(java.nio.file.Files.exists(path), "byte baseline not generated")

@@ -437,6 +437,100 @@ class StreamingSpec extends SparkSpec {
     assert(summary() === expected, "repair must restore the pre-swap state")
   }
 
+  test("pointer-mode summary commit: rename-free, crash-convergent, " +
+      "GC'd, and fenced against swap-mode writers (r14)") {
+    // the conf-gated object-store path (VERDICT r13 #7): commit = write
+    // data.v<id> + flip the single-object _current pointer. No rename
+    // exists to be non-atomic; this spec simulates the store hazards the
+    // swap protocol is exposed to and shows the pointer protocol closes
+    // them.
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_sum_ptr").toString
+    val fs = new org.apache.hadoop.fs.Path(sumDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ls(): Set[String] = fs.listStatus(
+      new org.apache.hadoop.fs.Path(sumDir)).map(_.getPath.getName).toSet
+    def summary() = SummaryMaintenance.readSummary(spark, sumDir).get
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    def expectedUpTo(maxId: Long) = events.filter(col("event_id") < maxId)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    spark.conf.set(SummaryMaintenance.CommitModeKey, "pointer")
+    val savedWait = SummaryMaintenance.SwapWaitMs
+    SummaryMaintenance.SwapWaitMs = 500L
+    try {
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") < 3000), 0L, Seq("event_type"), "value")
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") >= 3000 && col("event_id") < 6000),
+        1L, Seq("event_type"), "value")
+      assert(summary() === expectedUpTo(6000))
+      assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 1L)
+      assert(ls().contains("_current"))
+      assert(!ls().contains("data"), "pointer mode must not create `data`")
+      // GC keeps current + previous only (in-flight readers of the
+      // previous version finish their scan before it goes)
+      assert(ls().filter(_.startsWith("data.v")) === Set("data.v0", "data.v1"))
+      // replay of the committed id: no-op
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") < 6000), 1L, Seq("event_type"), "value")
+      assert(summary() === expectedUpTo(6000), "replay must not double-count")
+      // crash window: batch 2's version dir fully written (stamp and
+      // all) but the pointer never flipped — readers MUST stay on v1
+      // (an uncommitted stamp must not leak into lastBatchId), and the
+      // checkpoint replay of batch 2 must converge
+      val batch2 = events.filter(col("event_id") >= 6000)
+      val orphan = new org.apache.hadoop.fs.Path(sumDir, "data.v2")
+      SummaryMaintenance.readSummary(spark, sumDir).get
+        .write.mode("overwrite").parquet(orphan.toString)
+      val stampOut = fs.create(
+        new org.apache.hadoop.fs.Path(orphan, "_last_batch_id"), true)
+      try stampOut.write("2".getBytes("UTF-8")) finally stampOut.close()
+      assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 1L,
+        "an unflipped version dir is NOT committed")
+      assert(summary() === expectedUpTo(6000))
+      SummaryMaintenance.applyBatch(spark, sumDir, batch2, 2L,
+        Seq("event_type"), "value")
+      assert(summary() === expectedUpTo(Long.MaxValue),
+        "replay over the orphan version dir must converge")
+      assert(ls().filter(_.startsWith("data.v")) === Set("data.v1", "data.v2"))
+      // swap-mode writers are fenced off pointer state
+      spark.conf.set(SummaryMaintenance.CommitModeKey, "swap")
+      intercept[IllegalArgumentException] {
+        SummaryMaintenance.applyBatch(spark, sumDir, batch2, 3L,
+          Seq("event_type"), "value")
+      }
+    } finally {
+      spark.conf.unset(SummaryMaintenance.CommitModeKey)
+      SummaryMaintenance.SwapWaitMs = savedWait
+    }
+    // migration: a swap-committed dir takes pointer commits and retires
+    // its data/old layout in the same commit
+    val migDir = java.nio.file.Files
+      .createTempDirectory("graft_sum_mig").toString
+    val migFs = new org.apache.hadoop.fs.Path(migDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    SummaryMaintenance.applyBatch(spark, migDir,
+      events.filter(col("event_id") < 6000), 0L, Seq("event_type"), "value")
+    assert(migFs.exists(new org.apache.hadoop.fs.Path(migDir, "data")))
+    spark.conf.set(SummaryMaintenance.CommitModeKey, "pointer")
+    try {
+      SummaryMaintenance.applyBatch(spark, migDir,
+        events.filter(col("event_id") >= 6000), 1L, Seq("event_type"), "value")
+      assert(!migFs.exists(new org.apache.hadoop.fs.Path(migDir, "data")),
+        "migration must retire the swap layout")
+      assert(SummaryMaintenance.readSummary(spark, migDir).get
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2))).toMap === expectedUpTo(Long.MaxValue))
+    } finally spark.conf.unset(SummaryMaintenance.CommitModeKey)
+  }
+
   test("flatMapGroupsWithState emits per-group anomalies") {
     val events = Seq(
       EventsStream.UserEvent(1L, 1L, "view", 1.0),
