@@ -34,9 +34,25 @@ object IngestJobProfile {
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
+    val jobSites =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[String]())
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit =
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        // GRAFT_JOBPROF_SITES=1: name every job so the economy pass can
+        // tell write actions from broadcast-exchange submits
+        val sites = sys.env.getOrElse("GRAFT_JOBPROF_SITES", "")
+        if (sites == "1" || sites == "2")
+          jobSites.add(
+            Option(e.properties.getProperty("callSite.short"))
+              .getOrElse(e.stageInfos.headOption.map(_.name)
+                .getOrElse("?")))
+        // sites=2: every job with its stage names — the job-to-plan map
+        if (sites == "2")
+          println(s"[job ${e.jobId}] " + e.stageInfos.map(si =>
+            si.name.takeWhile(_ != '\n')).mkString(" | "))
+      }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
     })
@@ -46,12 +62,18 @@ object IngestJobProfile {
     graft.streaming.IngestProf.jobCount = () => jobs.get
     def measured[T](label: String)(f: => T): T = {
       org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
-      jobs.set(0); stages.set(0)
+      jobs.set(0); stages.set(0); jobSites.clear()
       val t0 = System.nanoTime()
       val r = f
       org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
       println(f"[jobs] $label%-28s jobs=${jobs.get}%3d " +
         f"stages=${stages.get}%4d wall=${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      if (!jobSites.isEmpty) {
+        import scala.jdk.CollectionConverters._
+        jobSites.asScala.groupBy(identity).toSeq.sortBy(-_._2.size)
+          .foreach { case (site, n) =>
+            println(s"[jobsite] ${n.size}x $site") }
+      }
       r
     }
 

@@ -105,6 +105,18 @@ object Util {
     * no fence is bound. Call immediately before each destructive phase. */
   def fenceDestructive(): Unit = destructiveFence.value.foreach(_.apply())
 
+  /** Build side of a BATCH-vs-BATCH join inside a streaming gate: hint
+    * shuffle-hash instead of letting the planner broadcast it. Every
+    * broadcast exchange submits its own Spark job — measured 17 of the
+    * similarity gate's 24 steady-state jobs/batch (r14), pure driver
+    * overhead at 10k batches/day — while a 32-partition shuffle of two
+    * micro-batch-sized sides costs no extra job and no meaningful wall.
+    * ONLY for joins where BOTH sides are batch-sized: the corpus-probe
+    * joins (batch side vs stored index) must keep their broadcast shape
+    * or the corpus would shuffle per batch, breaking the O(batch)
+    * contract. */
+  def batchSide(df: DataFrame): DataFrame = df.hint("shuffle_hash")
+
   /** Recursive local-FS delete, tolerant of entries vanishing between
     * the walk and the delete (deleteIfExists) — shared by the fixture
     * resets in SparkEntry and Verify's stale-output clearing so the two

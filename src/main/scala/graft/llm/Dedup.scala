@@ -1181,7 +1181,29 @@ object Dedup {
     // advisory-size logic AQE applies, ~2M edge rows (~32 MB) per
     // partition, capped at the session default so planet-scale graphs keep
     // full parallelism.
-    val nEdges = edges.count()
+    // ONE job answers all three routing questions (r14, job economy):
+    // the zero-edge short-circuit, the small-graph union-find's INPUT,
+    // and the big-graph count for shuffle sizing. Each partition's
+    // partial carries its row count plus up to threshold+1 buffered
+    // rows; the buffer drops to None the moment the cap is crossed, so
+    // a planet-scale graph ships counts, not rows (a partial is never
+    // over ~16 MB by construction, and only partitions holding
+    // just-under-cap rows ship full buffers). Previously count() +
+    // collect() were two jobs per gate micro-batch on the same cached
+    // edge set — the gates run 10k batches/day, and their graphs are
+    // always below the threshold.
+    val edgeCap = localEdgeThreshold + 1
+    val (nEdges, smallEdges) = edges.rdd.treeAggregate(
+      (0L, Option(Vector.empty[org.apache.spark.sql.Row])))(
+      seqOp = { case ((n, buf), row) =>
+        (n + 1,
+          buf.flatMap(b => if (b.size >= edgeCap) None else Some(b :+ row)))
+      },
+      combOp = { case ((n1, b1), (n2, b2)) =>
+        (n1 + n2,
+          for (x <- b1; y <- b2 if x.size + y.size <= edgeCap)
+            yield x ++ y)
+      })
     // clean corpus: no pairs → no clustered ids; short-circuit before the
     // label build (whose sum-over-zero-rows convergence read would NPE)
     if (nEdges == 0) {
@@ -1226,8 +1248,14 @@ object Dedup {
           }
           r
         }
-        // union with the SMALLER id as root — the min-label contract
-        edges.collect().foreach { row =>
+        // union with the SMALLER id as root — the min-label contract.
+        // The edge rows were already buffered by the routing probe above
+        // (nEdges <= threshold < cap guarantees the buffer survived the
+        // merge), so no second collect job runs.
+        smallEdges.getOrElse(sys.error(
+          s"routing probe dropped its buffer at $nEdges <= " +
+            s"$localEdgeThreshold edges — cap arithmetic is broken"))
+          .foreach { row =>
           val (a, b) = (row.get(0), row.get(1))
           parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
           val (ra, rb) = (find(a), find(b))

@@ -347,9 +347,15 @@ object SubstringDedup {
     * side stays a semi-join probe, never aggregated or distinct-ed. */
   def duplicatedWindowStatsWithIntraFromWins(batchIds: DataFrame,
       wins: DataFrame, index: Option[DataFrame]): DataFrame = {
+    // every input here except `index` is batch-sized by contract
+    // (batchIds/wins ARE the micro-batch; owners/all/hit are aggregates
+    // of wins), so the batch-vs-batch joins take the gates'
+    // shuffle-hash hint (Util.batchSide — a broadcast exchange costs a
+    // whole Spark job each at 10k batches/day). The `index` semi-join
+    // is the one corpus-sized side and keeps its planner-chosen shape.
     val owners = wins.groupBy(col("whash"))
       .agg(min(col("doc_id")).as("__min_owner"))
-    val intraOcc = wins.join(owners, Seq("whash"))
+    val intraOcc = wins.join(graft.Util.batchSide(owners), Seq("whash"))
       .filter(col("__min_owner") < col("doc_id"))
       .select(col("doc_id"), col("pos"))
     // left_semi, not inner: appended indexes may hold duplicate hashes
@@ -363,8 +369,8 @@ object SubstringDedup {
     val hit = dupOcc.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_windows"))
     batchIds.select(col("doc_id")).distinct()
-      .join(all, Seq("doc_id"), "left")
-      .join(hit, Seq("doc_id"), "left")
+      .join(graft.Util.batchSide(all), Seq("doc_id"), "left")
+      .join(graft.Util.batchSide(hit), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_windows"), lit(0L)).as("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))

@@ -125,38 +125,50 @@ object EmbeddingIngest {
           if (!bootstrapped) {
             // first batch IS the corpus: self-dedup only
             val comps = Dedup.semanticDedupFromRows(rows, p.tau, p.bits)
-            val keep = pin(batch.join(
+            val keep = pin(batch.join(graft.Util.batchSide(
               comps.filter(col("id") =!= col("comp"))
-                .select(col("id").as("__graft_drop")),
+                .select(col("id").as("__graft_drop"))),
               batch(idCol) === col("__graft_drop"), "left_anti"))
-            val q = batch.join(keep.select(col(idCol).as("__graft_keep")),
+            val q = batch.join(graft.Util.batchSide(
+                keep.select(col(idCol).as("__graft_keep"))),
                 batch(idCol) === col("__graft_keep"), "left_anti")
               .withColumn("reason", lit("near_dup"))
             (keep, q)
           } else {
             // crash replay guard: prune this batch's own half-written
-            // index rows so the probe sees exactly the pre-batch corpus
-            val corpusCells = spark.read.parquet(s"$cellsDir/cells")
+            // index rows so the probe sees exactly the pre-batch corpus.
+            // Explicit schema (r14, job economy): the store holds exactly
+            // the (id, cell, v) slice of this pinned frame plus the batch
+            // partition column — inferring it from footers cost a Spark
+            // job per micro-batch
+            val corpusCells = spark.read
+              .schema(org.apache.spark.sql.types.StructType(
+                rows.select(col("id"), col("cell"), col("v")).schema
+                  .fields :+ org.apache.spark.sql.types.StructField(
+                    "batch", org.apache.spark.sql.types.LongType)))
+              .parquet(s"$cellsDir/cells")
               .filter(col("batch") =!= batchId)
             val near = pin(Dedup.semanticNewVsIndexFromRows(rows,
                 corpusCells, p.tau)
               .select(col("new_id").as("__graft_bad")).distinct())
-            val qIndex = batch.join(near,
+            val qIndex = batch.join(graft.Util.batchSide(near),
                 batch(idCol) === col("__graft_bad"))
               .drop("__graft_bad")
               .withColumn("reason", lit("near_dup"))
-            val a0 = pin(batch.join(near,
+            val a0 = pin(batch.join(graft.Util.batchSide(near),
               batch(idCol) === col("__graft_bad"), "left_anti"))
             // intra-batch self-dedup, scoped to the index-gate survivors'
             // slice of the pinned cell frame
             val comps = Dedup.semanticDedupFromRows(
-              rows.join(a0.select(col(idCol).as("id")), Seq("id"),
+              rows.join(graft.Util.batchSide(
+                a0.select(col(idCol).as("id"))), Seq("id"),
                 "left_semi"), p.tau, p.bits)
-            val keep = pin(a0.join(
+            val keep = pin(a0.join(graft.Util.batchSide(
               comps.filter(col("id") =!= col("comp"))
-                .select(col("id").as("__graft_drop")),
+                .select(col("id").as("__graft_drop"))),
               a0(idCol) === col("__graft_drop"), "left_anti"))
-            val qIntra = a0.join(keep.select(col(idCol).as("__graft_keep")),
+            val qIntra = a0.join(graft.Util.batchSide(
+                keep.select(col(idCol).as("__graft_keep"))),
                 a0(idCol) === col("__graft_keep"), "left_anti")
               .withColumn("reason", lit("near_dup"))
             (keep, qIndex.unionByName(qIntra))
@@ -171,7 +183,8 @@ object EmbeddingIngest {
           () => quar.write.mode("overwrite")
             .parquet(s"$stateDir/quarantine/batch=$batchId"),
           () => Dedup.putSemanticIndexBatchFromRows(
-            rows.join(acc.select(col(idCol).as("id")), Seq("id"),
+            rows.join(graft.Util.batchSide(
+              acc.select(col(idCol).as("id"))), Seq("id"),
               "left_semi"), cellsDir, batchId, p.bits)))
         BatchLedger.stamp(spark, stateDir, batchId)
       } finally {

@@ -282,10 +282,11 @@ object SimilarityIngest {
                 col("n_dup_windows") >=
                   col("n_windows") * lit(p.maxDupWindowRatio))
               .select(col("doc_id").as("__graft_bad")))
-            val qSat = batch.join(satB, batch(idCol) === col("__graft_bad"))
+            val qSat = batch.join(graft.Util.batchSide(satB),
+              batch(idCol) === col("__graft_bad"))
               .drop("__graft_bad")
               .withColumn("reason", lit("substring_dup"))
-            val b0 = pin(batch.join(satB,
+            val b0 = pin(batch.join(graft.Util.batchSide(satB),
               batch(idCol) === col("__graft_bad"), "left_anti"))
             // first batch IS the corpus: saturation survivors self-dedup
             // via MinHash components (no index exists to do it),
@@ -296,27 +297,44 @@ object SimilarityIngest {
             // re-reads the accepted set, which would otherwise re-run the
             // whole components pass
             val pairs = Dedup.minhashLshPairsFromSigs(sigDocs,
-              sigBuckets.join(b0.select(col(idCol).as("id")), Seq("id"),
+              sigBuckets.join(graft.Util.batchSide(
+                b0.select(col(idCol).as("id"))), Seq("id"),
                 "left_semi"), p.threshold)
             val a = timed("bootstrap-cc")(pin(Dedup.dedupedCorpus(b0, idCol, pairs)))
-            val qCc = b0.join(a.select(col(idCol).as("__graft_keep")),
+            val qCc = b0.join(graft.Util.batchSide(
+                a.select(col(idCol).as("__graft_keep"))),
                 b0(idCol) === col("__graft_keep"), "left_anti")
               .withColumn("reason", lit("near_dup"))
             (a, qSat.unionByName(qCc))
           } else {
             // replay guard: a crash BETWEEN the index writes and the stamp
             // left this batch's own entries in the indexes; prune them out
-            // by partition so the replay sees exactly the pre-batch corpus
-            val corpusDocs = spark.read.parquet(s"$minhashDir/docs")
+            // by partition so the replay sees exactly the pre-batch corpus.
+            // Explicit schemas (r14, job economy): the stores were written
+            // FROM frames shaped exactly like this batch's pinned feature
+            // frames, so their schemas are known — inferring them from
+            // footers cost one Spark job per store per micro-batch (3 of
+            // the gate's 15), and on an object store the footer reads are
+            // extra GETs besides. `batch` is the partition column.
+            def partitioned(s: org.apache.spark.sql.types.StructType) =
+              s.add("batch", org.apache.spark.sql.types.LongType)
+            val corpusDocs = spark.read.schema(partitioned(sigDocs.schema))
+              .parquet(s"$minhashDir/docs")
               .filter(col("batch") =!= batchId)
-            val corpusBuckets = spark.read.parquet(s"$minhashDir/buckets")
+            val corpusBuckets = spark.read
+              .schema(partitioned(sigBuckets.schema))
+              .parquet(s"$minhashDir/buckets")
               .filter(col("batch") =!= batchId)
             // a restart with a different windowK would probe k'-grams
             // against a k-gram index and find ZERO hits silently — the
             // stamp written with the index fails it loudly instead
             SubstringDedup.stampOrRequireWindowParams(spark, windowsDir,
               p.windowK)
-            val windowIdx = spark.read.parquet(windowsDir)
+            val windowIdx = spark.read
+              .schema(partitioned(org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("whash",
+                  org.apache.spark.sql.types.LongType)))))
+              .parquet(windowsDir)
               .filter(col("batch") =!= batchId)
             // BOTH gate probes are lazy over the pinned feature frames and
             // combine through one priority aggregation (near_dup outranks
@@ -345,10 +363,11 @@ object SimilarityIngest {
               .agg(min(struct(col("__graft_prio"), col("reason"))).as("__m"))
               .select(col("__graft_bad"), col("__m.reason").as("reason")))
             if (prof) timed("probe-mat")(bad.count())
-            val qIndex = batch.join(bad, batch(idCol) === col("__graft_bad"))
+            val qIndex = batch.join(graft.Util.batchSide(bad),
+              batch(idCol) === col("__graft_bad"))
               .drop("__graft_bad")
-            val a0 = pin(batch.join(bad, batch(idCol) === col("__graft_bad"),
-              "left_anti"))
+            val a0 = pin(batch.join(graft.Util.batchSide(bad),
+              batch(idCol) === col("__graft_bad"), "left_anti"))
             // INTRA-batch near-dups: the index gates only see the pre-batch
             // corpus, and duplicates typically arrive together — without
             // this pass, two near-identical fresh docs in one micro-batch
@@ -362,9 +381,11 @@ object SimilarityIngest {
             // table the verify join probes by candidate id, so the full
             // pinned frame serves as-is — no shingle-set shuffle
             val intraPairs = Dedup.minhashLshPairsFromSigs(sigDocs,
-              sigBuckets.join(a0Ids, Seq("id"), "left_semi"), p.threshold)
+              sigBuckets.join(graft.Util.batchSide(a0Ids), Seq("id"),
+                "left_semi"), p.threshold)
             val a = timed("intra-cc")(pin(Dedup.dedupedCorpus(a0, idCol, intraPairs)))
-            val qIntra = a0.join(a.select(col(idCol).as("__graft_keep")),
+            val qIntra = a0.join(graft.Util.batchSide(
+                a.select(col(idCol).as("__graft_keep"))),
                 a0(idCol) === col("__graft_keep"), "left_anti")
               .withColumn("reason", lit("near_dup"))
             (a, qIndex.unionByName(qIntra))
@@ -378,10 +399,12 @@ object SimilarityIngest {
         // writes slice the accepted rows out of the pinned feature frames
         // instead of recomputing signatures/windows from text.
         val accIds = acc.select(col(idCol).as("id"))
-        val accDocs = sigDocs.join(accIds, Seq("id"), "left_semi")
-        val accBuckets = sigBuckets.join(accIds, Seq("id"), "left_semi")
-        val accWins = wins.join(acc.select(col(idCol).as("doc_id")),
-          Seq("doc_id"), "left_semi")
+        val accDocs = sigDocs.join(graft.Util.batchSide(accIds),
+          Seq("id"), "left_semi")
+        val accBuckets = sigBuckets.join(graft.Util.batchSide(accIds),
+          Seq("id"), "left_semi")
+        val accWins = wins.join(graft.Util.batchSide(
+          acc.select(col(idCol).as("doc_id"))), Seq("doc_id"), "left_semi")
         timed("writes")(graft.Util.runConcurrently(Seq(
           () => acc.write.mode("overwrite")
             .parquet(s"$stateDir/accepted/batch=$batchId"),

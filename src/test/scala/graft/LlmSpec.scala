@@ -1370,6 +1370,29 @@ class LlmSpec extends SparkSpec {
     assert(got3.values.map(_._2).sum > 0, "cross-part dups should exist")
   }
 
+  test("read-only substring probe refuses an absent index and leaves NO " +
+      "phantom stamp (r14)") {
+    // r13 ADVICE: the probe used to route through the stamping helper,
+    // so a probe aimed at a not-yet-built path wrote `_params` at the
+    // PROBE's k — and a later appendWindowIndex at the intended k was
+    // refused by the probe's phantom stamp. The probe must fail loudly
+    // and leave the dir stamp-free.
+    import graft.llm.SubstringDedup
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_phantom").toString + "/idx"
+    val batch = docs.limit(5)
+    intercept[IllegalArgumentException] {
+      SubstringDedup.dedupSubstringsVsIndex(batch, "doc_id", "text", 12, path)
+        .collect()
+    }
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(path, "_params")),
+      "a failed read-only probe must not stamp the index path")
+    // the intended writer at a DIFFERENT k now proceeds unimpeded
+    SubstringDedup.writeWindowIndex(batch, "doc_id", "text", 8, path)
+    assert(SubstringDedup.dedupSubstringsVsIndex(
+      docs.limit(8), "doc_id", "text", 8, path).count() >= 0)
+  }
+
   test("substring dedup matches a naive driver-side span cut") {
     import graft.llm.SubstringDedup
     val k = 5
