@@ -1292,8 +1292,14 @@ object SparkEntry {
     "q_dedup_dense_probe" -> ((s, dir) => {
       val docs = spread(table(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("text"))
-      val batch = docs.select((col("doc_id") + 1000000L).as("doc_id"),
-        concat(col("text"), lit(" zzdense")).as("text"))
+      // batch = a fifth of the corpus, each doc a one-token edit of its
+      // source: 100% of the batch is a true near-dup, so candidate
+      // multiplicity — not batch size — dominates, which is the planted
+      // pathology. The corpus side stays FULL so the kernel runs its
+      // real new-vs-corpus shape at the benched SF.
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zzdense")).as("text"))
       Dedup.jaccardNewVsCorpusPrefix(batch, docs, "doc_id", "text", 0.8)
         .orderBy(col("new_id"), col("corpus_id"))
     }),
@@ -2613,7 +2619,7 @@ object SparkEntry {
         |  FROM documents),
         |b AS (SELECT doc_id + 1000000 AS doc_id,
         |    list_sort(list_distinct(string_split(text || ' zzdense', ' '))) AS ws
-        |  FROM documents),
+        |  FROM documents WHERE doc_id % 5 = 0),
         |p AS (SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
         |    len(list_intersect(b.ws, c.ws)) * 1.0 /
         |      len(list_distinct(list_concat(b.ws, c.ws))) AS jac
