@@ -316,9 +316,7 @@ object SubstringDedup {
     val idx = index.select(col("whash"))
     val all = wins.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"))
-    // left_semi, not inner: appended indexes may hold duplicate hashes,
-    // which an inner join would double-count
-    val hit = wins.join(idx, Seq("whash"), "left_semi")
+    val hit = occurrencesInIndex(wins, idx)
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
     batchIds.select(col("doc_id")).distinct()
       .join(all, Seq("doc_id"), "left")
@@ -358,10 +356,7 @@ object SubstringDedup {
     val intraOcc = wins.join(graft.Util.batchSide(owners), Seq("whash"))
       .filter(col("__min_owner") < col("doc_id"))
       .select(col("doc_id"), col("pos"))
-    // left_semi, not inner: appended indexes may hold duplicate hashes
-    val idxOcc = index.map(idx =>
-      wins.join(idx.select(col("whash")), Seq("whash"), "left_semi")
-        .select(col("doc_id"), col("pos")))
+    val idxOcc = index.map(idx => occurrencesInIndex(wins, idx))
     // an occurrence can be in BOTH sets — distinct before counting
     val dupOcc = idxOcc.fold(intraOcc)(intraOcc.unionByName(_)).distinct()
     val all = wins.groupBy(col("doc_id"))
@@ -399,9 +394,17 @@ object SubstringDedup {
     val wins = hashedWindows(batch, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idx = spark.read.parquet(indexPath).select(col("whash"))
-    val inCorpus = wins.join(idx, Seq("whash"), "left_semi")
-      .select(col("doc_id"), col("pos"))
-    val fresh = wins.join(idx, Seq("whash"), "left_anti")
+    // persisted: the probe result feeds BOTH the span cut (corpus-covered
+    // occurrences) and, inverted, the fresh set below — one index scan,
+    // not two
+    val inCorpus = occurrencesInIndex(wins, idx)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // anti against the BATCH-SIZED matched set, not the corpus: wins
+    // rows are unique per (doc_id, pos), so this is exactly the old
+    // whash left_anti vs the index — without its at-scale corpus
+    // shuffle (see occurrencesInIndex)
+    val fresh = wins.join(graft.Util.batchSide(inCorpus),
+      Seq("doc_id", "pos"), "left_anti")
     val freshDupes = fresh.groupBy(col("whash"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("doc_id"), col("pos"))).as("keep"))
@@ -414,6 +417,24 @@ object SubstringDedup {
     graft.Util.finishAndRelease(
       cutSpans(batch, idCol, textCol, k,
         inCorpus.unionByName(intraMarked)),
-      wins)
+      wins, inCorpus)
   }
+
+  /** (doc_id, pos) occurrences of `wins` whose hash exists in `idx` —
+    * the SEMANTICS of a left-semi probe with the PLAN of an inner join
+    * plus a batch-sized distinct (appended indexes hold duplicate
+    * hashes, so the raw inner join can multiply an occurrence; the
+    * distinct collapses it). Why not left_semi (r14): Spark can only
+    * BUILD the right side of a semi/anti hash join, and the right side
+    * here is the CORPUS index — past the broadcast threshold the probe
+    * degrades to a sort-merge join that shuffles and sorts the whole
+    * index per probe, and the gates run their micro-batches AQE-off, so
+    * nothing re-plans it at runtime. The inner form keeps the index a
+    * pure SCAN: the planner builds whichever side fits (in the gates'
+    * designed regime, the batch-sized `wins`), and the distinct touches
+    * batch-sized rows only. */
+  private def occurrencesInIndex(wins: DataFrame,
+                                 idx: DataFrame): DataFrame =
+    wins.join(idx.select(col("whash")), Seq("whash"))
+      .select(col("doc_id"), col("pos")).distinct()
 }
