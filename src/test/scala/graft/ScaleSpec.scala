@@ -47,6 +47,46 @@ class ScaleSpec extends SparkSpec {
     assert(plain.values.sum === 5025)
   }
 
+  test("window-index probes plan inner+distinct, never a semi join with " +
+      "the corpus on the build side (r14)") {
+    // Spark can only BUILD the right side of a semi/anti hash join; with
+    // the corpus index on the right, the old probe shape degraded past
+    // the broadcast threshold to a sort-merge join shuffling the whole
+    // index per probe. The fix keeps semi SEMANTICS via inner join +
+    // batch-sized distinct — this pin fails if anyone reverts the join
+    // type, which a correctness suite can never catch (the results are
+    // identical; only the 100 TB plan differs).
+    val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_probe_pin").toString
+    graft.llm.SubstringDedup.writeWindowIndex(docs, "doc_id", "text", 8,
+      idxDir)
+    val stats = graft.llm.SubstringDedup.duplicatedWindowStatsVsIndex(
+      docs, "doc_id", "text", 8, idxDir)
+    val optimized = stats.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("LeftSemi"),
+      s"probe reverted to a semi join (corpus = build side at scale):\n" +
+        optimized.take(2000))
+    assert(stats.count() === 50)
+  }
+
+  test("Util.batchSide forces a shuffle-hash join (no broadcast job) " +
+      "(r14)") {
+    // the gates' batch-vs-batch joins hint shuffle_hash so each
+    // materialized plan stops paying one Spark job per broadcast
+    // exchange; this pin fails if the hint stops reaching the planner
+    val a = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+    val b = spark.range(100).select(col("id"))
+    val hinted = a.join(Util.batchSide(b), Seq("id"), "left_semi")
+    hinted.collect()
+    val plan = hinted.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"batchSide hint must plan SHJ:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"batchSide hint must suppress the broadcast:\n$plan")
+  }
+
   test("partitioned parquet sink prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")
