@@ -43,9 +43,13 @@ object IngestJobProfile {
         // GRAFT_JOBPROF_SITES=1: name every job so the economy pass can
         // tell write actions from broadcast-exchange submits
         val sites = sys.env.getOrElse("GRAFT_JOBPROF_SITES", "")
+        // properties can be NULL on jobs submitted without local
+        // properties — an NPE here is swallowed by the bus but silently
+        // drops the job from the histogram
         if (sites == "1" || sites == "2")
           jobSites.add(
-            Option(e.properties.getProperty("callSite.short"))
+            Option(e.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
               .getOrElse(e.stageInfos.headOption.map(_.name)
                 .getOrElse("?")))
         // sites=2: every job with its stage names — the job-to-plan map

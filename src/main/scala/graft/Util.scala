@@ -117,6 +117,40 @@ object Util {
     * contract. */
   def batchSide(df: DataFrame): DataFrame = df.hint("shuffle_hash")
 
+  /** A stored index's on-disk schema: the frame schema it was written
+    * from plus the `batch=` partition column (shared by the gates'
+    * explicit-schema reads — one definition, so a store-schema change
+    * cannot drift between gates). */
+  def withBatchColumn(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    s.add("batch", org.apache.spark.sql.types.LongType)
+
+  /** Guard for the gates' explicit-schema index reads (r14 review): an
+    * explicit schema turns "this store has no `batch` partition layout"
+    * from a loud AnalysisException into silently-NULL `batch` values —
+    * and the gates' replay prune (`batch =!= id`) then drops EVERY
+    * index row, so a foreign or flat-layout store reads as an EMPTY
+    * corpus and the gate accepts all duplicates. Requires every
+    * non-hidden top-level entry of the store to be a `batch=` directory.
+    * One driver-side listing, no Spark job — the gates already list
+    * each store per batch for crash repair. */
+  def requireBatchLayout(fs: org.apache.hadoop.fs.FileSystem,
+                         path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) return
+    val foreign = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".") &&
+        !(st.isDirectory && n.startsWith("batch="))
+    }
+    require(foreign.isEmpty,
+      s"index store at $path is not batch-keyed (found " +
+        s"${foreign.map(_.getPath.getName).take(3).mkString(", ")}): " +
+        "the gate's partition-pruned read would silently treat it as an " +
+        "EMPTY corpus. Seed batch-keyed state (e.g. putCorpusIndexBatch/" +
+        "putWindowIndexBatch at id -1) instead of a flat-layout index.")
+  }
+
   /** Recursive local-FS delete, tolerant of entries vanishing between
     * the walk and the delete (deleteIfExists) — shared by the fixture
     * resets in SparkEntry and Verify's stale-output clearing so the two

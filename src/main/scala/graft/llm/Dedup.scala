@@ -608,6 +608,12 @@ object Dedup {
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_params")))
       writeIndexParams(spark, path, shingleN, numHashes, bands)
     else requireIndexParams(spark, path, shingleN, numHashes, bands)
+    // refuse a flat writeCorpusIndex layout (r14 review): a batch= dir
+    // written next to flat files makes the store unreadable as either
+    // layout, and the gates' partition-pruned reads would silently
+    // treat flat rows' batch column as NULL
+    graft.Util.requireBatchLayout(fs, s"$path/docs")
+    graft.Util.requireBatchLayout(fs, s"$path/buckets")
     docs.write.mode("overwrite").parquet(s"$path/docs/batch=$batchId")
     buckets.write.mode("overwrite").parquet(s"$path/buckets/batch=$batchId")
   }
@@ -1187,11 +1193,16 @@ object Dedup {
     // partial carries its row count plus up to threshold+1 buffered
     // rows; the buffer drops to None the moment the cap is crossed, so
     // a planet-scale graph ships counts, not rows (a partial is never
-    // over ~16 MB by construction, and only partitions holding
-    // just-under-cap rows ship full buffers). Previously count() +
-    // collect() were two jobs per gate micro-batch on the same cached
-    // edge set — the gates run 10k batches/day, and their graphs are
-    // always below the threshold.
+    // over ~16 MB by construction; the tree combine collapses partials
+    // on executors, so the driver receives exactly one). Previously
+    // count() + collect() were two jobs per gate micro-batch on the
+    // same cached edge set — the gates run 10k batches/day, and their
+    // graphs are always below the threshold. Known trade on the
+    // BIG-graph path: `.rdd` decodes every edge to an external Row
+    // where the old columnar count() read cache metadata — one decode
+    // pass over the edges, strictly smaller than any single round of
+    // the iterative loop it precedes (each round shuffles + rewrites
+    // the same edge set), so the small-graph job win is kept.
     val edgeCap = localEdgeThreshold + 1
     val (nEdges, smallEdges) = edges.rdd.treeAggregate(
       (0L, Option(Vector.empty[org.apache.spark.sql.Row])))(

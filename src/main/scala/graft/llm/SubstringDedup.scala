@@ -265,6 +265,12 @@ object SubstringDedup {
   def putWindowIndexBatchFromWins(wins: DataFrame, path: String,
                                   batchId: Long, k: Int): Unit = {
     stampOrRequireWindowParams(wins.sparkSession, path, k)
+    // refuse a flat [[writeWindowIndex]] layout (r14 review, the
+    // semantic store's existing guard): a batch= dir written next to
+    // flat files makes the dir unreadable as either layout
+    graft.Util.requireBatchLayout(
+      new org.apache.hadoop.fs.Path(path).getFileSystem(
+        wins.sparkSession.sparkContext.hadoopConfiguration), path)
     wins.select(col("whash")).distinct()
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
   }
@@ -316,7 +322,16 @@ object SubstringDedup {
     val idx = index.select(col("whash"))
     val all = wins.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"))
-    val hit = occurrencesInIndex(wins, idx)
+    // semi against the BATCH-SIZED matched set, not a count of the
+    // distinct set (r14 review): `all` counts wins ROWS, so if the
+    // batch carries duplicate (doc_id, pos) rows — duplicated source
+    // rows — a distinct-based hit count would halve the saturation
+    // ratio and let a 100%-covered doc pass the quarantine threshold.
+    // The semi preserves wins' multiplicity exactly like the pre-r14
+    // corpus semi did, while its right side is the batch-sized probe
+    // result, not the corpus.
+    val hit = wins.join(graft.Util.batchSide(occurrencesInIndex(wins, idx)),
+        Seq("doc_id", "pos"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
     batchIds.select(col("doc_id")).distinct()
       .join(all, Seq("doc_id"), "left")

@@ -47,8 +47,8 @@ object TrainingData {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // exact dedup: keep the minimum id per identical cleaned text —
-    // keyed on md5(clean_text), not the text itself: a full-text group
-    // key ships every document's whole cleaned text through the
+    // keyed on unhex(md5(clean_text)), not the text itself: a full-text
+    // group key ships every document's whole cleaned text through the
     // exchange, i.e. the dedup shuffle carries the corpus. The 128-bit
     // key cuts that payload by orders of magnitude with the same
     // collision semantics as Dedup.exactDuplicates' md5 key. A 64-bit
@@ -56,8 +56,10 @@ object TrainingData {
     // birthday collision is a few-percent event, and a collision
     // silently DROPS a document — the min-id keeper wins for both texts
     // and the near-dup stage can only remove more docs, never restore
-    // one.
-    val keepers = cleaned.groupBy(md5(col("clean_text")))
+    // one. unhex packs the key to its 16 raw bytes — md5()'s 32-char
+    // hex string would double the key payload on this hot exchange for
+    // the same 128 bits.
+    val keepers = cleaned.groupBy(unhex(md5(col("clean_text"))))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val exactDeduped = cleaned.join(keepers, Seq(idCol))

@@ -140,12 +140,13 @@ object EmbeddingIngest {
             // Explicit schema (r14, job economy): the store holds exactly
             // the (id, cell, v) slice of this pinned frame plus the batch
             // partition column — inferring it from footers cost a Spark
-            // job per micro-batch
+            // job per micro-batch. The layout guard keeps the explicit
+            // schema honest (r14 review: a flat store would read `batch`
+            // as all-NULL and the prune would silently EMPTY the corpus).
+            graft.Util.requireBatchLayout(fs, s"$cellsDir/cells")
             val corpusCells = spark.read
-              .schema(org.apache.spark.sql.types.StructType(
-                rows.select(col("id"), col("cell"), col("v")).schema
-                  .fields :+ org.apache.spark.sql.types.StructField(
-                    "batch", org.apache.spark.sql.types.LongType)))
+              .schema(graft.Util.withBatchColumn(
+                rows.select(col("id"), col("cell"), col("v")).schema))
               .parquet(s"$cellsDir/cells")
               .filter(col("batch") =!= batchId)
             val near = pin(Dedup.semanticNewVsIndexFromRows(rows,

@@ -76,10 +76,16 @@ object SimilarityIngest {
   private def timed[T](label: String)(f: => T): T =
     if (!prof) f else {
       val jc = IngestProf.jobCount
+      // drain the listener bus ONLY when a job counter is actually
+      // plugged (r14 review): wall-only profiling (GRAFT_INGEST_PROF=1
+      // without IngestJobProfile) must not stall on the shared async
+      // bus twice per phase just to read the default -1
+      val plugged = jc() >= 0
       def jobsNow(): Int = {
-        org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
-          org.apache.spark.graft.ListenerBridge
-            .waitUntilEmpty(s.sparkContext))
+        if (plugged)
+          org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
+            org.apache.spark.graft.ListenerBridge
+              .waitUntilEmpty(s.sparkContext))
         jc()
       }
       val j0 = jobsNow()
@@ -315,14 +321,21 @@ object SimilarityIngest {
             // frames, so their schemas are known — inferring them from
             // footers cost one Spark job per store per micro-batch (3 of
             // the gate's 15), and on an object store the footer reads are
-            // extra GETs besides. `batch` is the partition column.
-            def partitioned(s: org.apache.spark.sql.types.StructType) =
-              s.add("batch", org.apache.spark.sql.types.LongType)
-            val corpusDocs = spark.read.schema(partitioned(sigDocs.schema))
+            // extra GETs besides. `batch` is the partition column; the
+            // layout guard keeps the explicit schema honest (a flat/
+            // foreign store would otherwise read `batch` as all-NULL and
+            // the prune would silently EMPTY the corpus — r14 review).
+            val fsIdx = new Path(stateDir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            graft.Util.requireBatchLayout(fsIdx, s"$minhashDir/docs")
+            graft.Util.requireBatchLayout(fsIdx, s"$minhashDir/buckets")
+            graft.Util.requireBatchLayout(fsIdx, windowsDir)
+            val corpusDocs = spark.read
+              .schema(graft.Util.withBatchColumn(sigDocs.schema))
               .parquet(s"$minhashDir/docs")
               .filter(col("batch") =!= batchId)
             val corpusBuckets = spark.read
-              .schema(partitioned(sigBuckets.schema))
+              .schema(graft.Util.withBatchColumn(sigBuckets.schema))
               .parquet(s"$minhashDir/buckets")
               .filter(col("batch") =!= batchId)
             // a restart with a different windowK would probe k'-grams
@@ -331,9 +344,10 @@ object SimilarityIngest {
             SubstringDedup.stampOrRequireWindowParams(spark, windowsDir,
               p.windowK)
             val windowIdx = spark.read
-              .schema(partitioned(org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("whash",
-                  org.apache.spark.sql.types.LongType)))))
+              .schema(graft.Util.withBatchColumn(
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("whash",
+                    org.apache.spark.sql.types.LongType)))))
               .parquet(windowsDir)
               .filter(col("batch") =!= batchId)
             // BOTH gate probes are lazy over the pinned feature frames and

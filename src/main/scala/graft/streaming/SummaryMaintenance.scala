@@ -212,6 +212,32 @@ object SummaryMaintenance {
     require(pointerMode || !fs.exists(ptr),
       s"$summaryDir was committed in pointer mode (_current exists); " +
         s"set $CommitModeKey=pointer for this summary or start a fresh dir")
+    // pointer crash repair (r14 review): on POSIX/HDFS the flip's
+    // overwrite-create truncates `_current` before writing — a committer
+    // crash inside that window leaves a torn/empty pointer that readers
+    // (and lastBatchId below, hence every replay) refuse forever. The
+    // COMMITTER repairs what readers must not guess at: every stamped
+    // `data.v*` dir is a COMPLETE commit image (the stamp is written
+    // after the data), and the highest-stamped one is either the state
+    // the torn flip was publishing (whose replay then no-ops — its data
+    // is all there) or the previously-committed state (whose successor
+    // the replay recomputes identically) — both exactly-once-safe.
+    if (pointerMode && readPointer(fs, ptr) == Some(None)) {
+      val stamped = fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.matches("data\\.v\\d+"))
+        .filter(st => fs.exists(new Path(st.getPath, StampName)))
+        .map(_.getPath.getName)
+        .sortBy(n => n.stripPrefix("data.v").toLong)
+      require(stamped.nonEmpty,
+        s"summary pointer $ptr is torn/unreadable and no stamped " +
+          "data.v* version dir exists to repair from — pointer-mode " +
+          "state is corrupt; restore from a snapshot or start fresh")
+      val repairOut = fs.create(ptr, true)
+      try repairOut.write(stamped.last
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally repairOut.close()
+    }
     // crash repair: a previous swap that failed between its two renames
     // left the pre-swap state at `old` — restore it before deciding
     // anything based on the stamp. (Pointer mode has no such window: a

@@ -1393,6 +1393,29 @@ class LlmSpec extends SparkSpec {
       docs.limit(8), "doc_id", "text", 8, path).count() >= 0)
   }
 
+  test("saturation ratio is multiplicity-exact under duplicated batch " +
+      "rows (r14 review)") {
+    // the r14 inner+distinct probe rewrite must NOT change the stats
+    // contract: n_dup_windows counts wins ROWS (like n_windows), so a
+    // batch carrying the same (doc_id, text) row twice still reads a
+    // 1.0 saturation ratio for a fully-covered doc — a distinct-based
+    // count would halve it and let the doc pass the quarantine bar.
+    import graft.llm.SubstringDedup
+    val one = Seq((1L, "a b c d e f g h i j k l")).toDF("doc_id", "text")
+    val dup = one.unionAll(one)
+    val idx = SubstringDedup.hashedWindows(one, "doc_id", "text", 8)
+      .select(col("whash"))
+    val wins = SubstringDedup.hashedWindows(dup, "doc_id", "text", 8)
+    val stats = SubstringDedup.duplicatedWindowStatsFromWins(
+        dup.select(col("doc_id")), wins, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.length === 1)
+    val (_, n, dupN) = stats.head
+    assert(n === 10, s"12 tokens, k=8 -> 5 windows x2 rows; got $n")
+    assert(dupN === n,
+      s"fully covered doc must read ratio 1.0, got $dupN/$n")
+  }
+
   test("substring dedup matches a naive driver-side span cut") {
     import graft.llm.SubstringDedup
     val k = 5

@@ -531,6 +531,86 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset(SummaryMaintenance.CommitModeKey)
   }
 
+  test("pointer-mode summary commit repairs a torn pointer from the " +
+      "stamped version dirs (r14 review)") {
+    // on POSIX/HDFS the flip's overwrite-create truncates _current
+    // before writing; a crash in that window used to wedge the stream
+    // forever (every replay read the torn pointer and threw before any
+    // commit logic). The committer now repairs from the
+    // highest-stamped data.v* dir — a complete commit image by the
+    // stamp-after-data write order.
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_sum_torn").toString
+    val fs = new org.apache.hadoop.fs.Path(sumDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def summary() = SummaryMaintenance.readSummary(spark, sumDir).get
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    spark.conf.set(SummaryMaintenance.CommitModeKey, "pointer")
+    val savedWait = SummaryMaintenance.SwapWaitMs
+    SummaryMaintenance.SwapWaitMs = 300L
+    try {
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") < 5000), 0L, Seq("event_type"), "value")
+      val committed = summary()
+      // crash simulation: the flip truncated the pointer and died
+      val ptr = new org.apache.hadoop.fs.Path(sumDir, "_current")
+      fs.create(ptr, true).close() // zero-length = torn
+      // readers refuse honestly (they must not guess)...
+      intercept[java.io.IOException] {
+        SummaryMaintenance.readSummary(spark, sumDir)
+      }
+      // ...but the committer's replay repairs and then no-ops
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") < 5000), 0L, Seq("event_type"), "value")
+      assert(summary() === committed,
+        "repair must restore the committed view unchanged")
+      assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 0L)
+      // and the stream continues
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") >= 5000), 1L, Seq("event_type"), "value")
+      assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 1L)
+    } finally {
+      spark.conf.unset(SummaryMaintenance.CommitModeKey)
+      SummaryMaintenance.SwapWaitMs = savedWait
+    }
+  }
+
+  test("gate index reads refuse a flat-layout store instead of silently " +
+      "reading an empty corpus (r14 review)") {
+    // the explicit-schema reads treat `batch` as a partition column; on
+    // a flat store that column would read all-NULL and the replay prune
+    // would drop EVERY index row — the gate would then accept all
+    // duplicates. requireBatchLayout turns that into a loud refusal.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_flat").toString + "/idx"
+    val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")
+      .limit(20)
+    // a flat (non-batch-keyed) parquet dir
+    docs.select(xxhash64(col("text")).as("whash"))
+      .write.mode("overwrite").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    intercept[IllegalArgumentException] {
+      Util.requireBatchLayout(fs, dir)
+    }
+    // batch-keyed and absent layouts pass
+    Util.requireBatchLayout(fs, dir + "_absent")
+    val keyed = java.nio.file.Files
+      .createTempDirectory("graft_keyed").toString + "/idx"
+    docs.select(xxhash64(col("text")).as("whash"))
+      .write.mode("overwrite").parquet(s"$keyed/batch=0")
+    Util.requireBatchLayout(fs, keyed)
+    // the flat window-index writer also refuses to mix layouts
+    graft.llm.SubstringDedup.writeWindowIndex(docs, "doc_id", "text", 8, dir)
+    intercept[IllegalArgumentException] {
+      graft.llm.SubstringDedup.putWindowIndexBatch(
+        docs, "doc_id", "text", 8, dir, 0L)
+    }
+  }
+
   test("flatMapGroupsWithState emits per-group anomalies") {
     val events = Seq(
       EventsStream.UserEvent(1L, 1L, "view", 1.0),
