@@ -166,16 +166,27 @@ object IngestDedup {
               threshold)
             Dedup.dedupedCorpus(batch, idCol, pairs)
           } else {
-            // replay guard: prune this batch's own half-committed entries
-            val docs = spark.read.parquet(s"$indexPath/docs")
+            // replay guard: prune this batch's own half-committed
+            // entries. Explicit schemas + layout guard (r14, the
+            // SimilarityIngest treatment): footer inference cost a Spark
+            // job per store per batch, and on a flat/foreign store an
+            // explicit schema would read `batch` as all-NULL and the
+            // prune would silently EMPTY the corpus
+            graft.Util.requireBatchLayout(fs, s"$indexPath/docs")
+            graft.Util.requireBatchLayout(fs, s"$indexPath/buckets")
+            val docs = spark.read
+              .schema(graft.Util.withBatchColumn(sigDocs.schema))
+              .parquet(s"$indexPath/docs")
               .filter(col("batch") =!= batchId)
-            val buckets = spark.read.parquet(s"$indexPath/buckets")
+            val buckets = spark.read
+              .schema(graft.Util.withBatchColumn(sigBuckets.schema))
+              .parquet(s"$indexPath/buckets")
               .filter(col("batch") =!= batchId)
             val dups = Dedup.minhashLshProbeSigs(sigDocs, sigBuckets,
                 docs, buckets, threshold)
               .select(col("new_id").as("__graft_dup")).distinct()
-            val a0 = batch.join(dups, batch(idCol) === col("__graft_dup"),
-                "left_anti")
+            val a0 = batch.join(graft.Util.batchSide(dups),
+                batch(idCol) === col("__graft_dup"), "left_anti")
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             // intra-batch near-dups: the index only sees the pre-batch
             // corpus and duplicates typically arrive together. Only the
@@ -183,7 +194,8 @@ object IngestDedup {
             // space); the docs side is a candidate-probed lookup table
             val a0Ids = a0.select(col(idCol).as("id"))
             val intraPairs = Dedup.minhashLshPairsFromSigs(sigDocs,
-              sigBuckets.join(a0Ids, Seq("id"), "left_semi"), threshold)
+              sigBuckets.join(graft.Util.batchSide(a0Ids), Seq("id"),
+                "left_semi"), threshold)
             try Dedup.dedupedCorpus(a0, idCol, intraPairs)
               .localCheckpoint() // a0 unpersists below; sever the lineage
             finally a0.unpersist()
@@ -199,8 +211,10 @@ object IngestDedup {
             () => accP.write.mode("overwrite")
               .parquet(s"$outDir/batch=$batchId"),
             () => Dedup.putCorpusIndexBatchSigs(
-              sigDocs.join(accIds, Seq("id"), "left_semi"),
-              sigBuckets.join(accIds, Seq("id"), "left_semi"),
+              sigDocs.join(graft.Util.batchSide(accIds),
+                Seq("id"), "left_semi"),
+              sigBuckets.join(graft.Util.batchSide(accIds),
+                Seq("id"), "left_semi"),
               indexPath, batchId, shingleN, numHashes, bands)))
           BatchLedger.stamp(spark, indexPath, batchId)
         } finally accP.unpersist()
