@@ -136,13 +136,14 @@ object Util {
     * each store per batch for crash repair. */
   def requireBatchLayout(fs: org.apache.hadoop.fs.FileSystem,
                          path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) return
-    val foreign = fs.listStatus(p).filter { st =>
-      val n = st.getPath.getName
-      !n.startsWith("_") && !n.startsWith(".") &&
-        !(st.isDirectory && n.startsWith("batch="))
-    }
+    // delegates to the ONE definition of "batch-keyed entry"
+    // (io.Parquet.foreignEntries, matches batch=-?\d+): a laxer local
+    // check (any dir starting with "batch=") would admit a mangled
+    // `batch=abc` dir whose partition value parses NULL under the
+    // explicit LongType schema — silently dropped by the prune, i.e.
+    // exactly the hazard this guard exists to refuse (r14 review #2).
+    val foreign = graft.io.Parquet.foreignEntries(fs,
+      new org.apache.hadoop.fs.Path(path))
     require(foreign.isEmpty,
       s"index store at $path is not batch-keyed (found " +
         s"${foreign.map(_.getPath.getName).take(3).mkString(", ")}): " +

@@ -605,15 +605,20 @@ object Dedup {
     val spark = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_params")))
-      writeIndexParams(spark, path, shingleN, numHashes, bands)
-    else requireIndexParams(spark, path, shingleN, numHashes, bands)
     // refuse a flat writeCorpusIndex layout (r14 review): a batch= dir
     // written next to flat files makes the store unreadable as either
     // layout, and the gates' partition-pruned reads would silently
-    // treat flat rows' batch column as NULL
+    // treat flat rows' batch column as NULL. Ordering is load-bearing:
+    // the layout guard must run BEFORE the stamp block below — a torn
+    // flat rebuild (crashed between its two overwrites) is exactly the
+    // stamp-LESS state the commit-record protocol refuses, and writing
+    // a fresh _params first would re-legitimize that torn store for
+    // every later flat-path probe even though this put then throws.
     graft.Util.requireBatchLayout(fs, s"$path/docs")
     graft.Util.requireBatchLayout(fs, s"$path/buckets")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_params")))
+      writeIndexParams(spark, path, shingleN, numHashes, bands)
+    else requireIndexParams(spark, path, shingleN, numHashes, bands)
     docs.write.mode("overwrite").parquet(s"$path/docs/batch=$batchId")
     buckets.write.mode("overwrite").parquet(s"$path/buckets/batch=$batchId")
   }

@@ -264,13 +264,15 @@ object SubstringDedup {
     * the index identity (`_params`). */
   def putWindowIndexBatchFromWins(wins: DataFrame, path: String,
                                   batchId: Long, k: Int): Unit = {
-    stampOrRequireWindowParams(wins.sparkSession, path, k)
     // refuse a flat [[writeWindowIndex]] layout (r14 review, the
     // semantic store's existing guard): a batch= dir written next to
-    // flat files makes the dir unreadable as either layout
+    // flat files makes the dir unreadable as either layout. Guard
+    // BEFORE the stamp helper so no _params is ever written onto a
+    // refused layout (same ordering as putCorpusIndexBatchSigs).
     graft.Util.requireBatchLayout(
       new org.apache.hadoop.fs.Path(path).getFileSystem(
         wins.sparkSession.sparkContext.hadoopConfiguration), path)
+    stampOrRequireWindowParams(wins.sparkSession, path, k)
     wins.select(col("whash")).distinct()
       .write.mode("overwrite").parquet(s"$path/batch=$batchId")
   }
@@ -372,11 +374,21 @@ object SubstringDedup {
       .filter(col("__min_owner") < col("doc_id"))
       .select(col("doc_id"), col("pos"))
     val idxOcc = index.map(idx => occurrencesInIndex(wins, idx))
-    // an occurrence can be in BOTH sets — distinct before counting
+    // an occurrence can be in BOTH sets — distinct into one OCCURRENCE
+    // set first...
     val dupOcc = idxOcc.fold(intraOcc)(intraOcc.unionByName(_)).distinct()
     val all = wins.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"))
-    val hit = dupOcc.groupBy(col("doc_id"))
+    // ...then count wins ROWS against it, like `all` does (r14 review:
+    // counting the distinct set directly halves the saturation ratio
+    // when an at-least-once source delivers the same doc row twice in
+    // one batch — n_windows doubles, the distinct occurrence count
+    // doesn't, and a fully-covered doc slides under the quarantine
+    // bar). Same multiplicity contract as duplicatedWindowStatsFromWins;
+    // the semi's right side is the batch-sized dupOcc set.
+    val hit = wins.join(graft.Util.batchSide(dupOcc),
+        Seq("doc_id", "pos"), "left_semi")
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_windows"))
     batchIds.select(col("doc_id")).distinct()
       .join(graft.Util.batchSide(all), Seq("doc_id"), "left")

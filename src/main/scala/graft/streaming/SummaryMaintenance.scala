@@ -82,9 +82,12 @@ object SummaryMaintenance {
           java.nio.charset.StandardCharsets.UTF_8).trim
         finally in.close()
       } catch { case _: java.io.IOException => "" }
-    // a version-dir name is always "data.v<id>"; anything else is a
-    // torn/in-flight write, retried by the caller within SwapWaitMs
-    Some(if (name.startsWith("data.v")) Some(name) else None)
+    // a version-dir name is always exactly "data.v<digits>"; anything
+    // else is a torn/in-flight write, retried by the caller within
+    // SwapWaitMs. The FULL pattern matters (r14 review): a truncated
+    // flip can leave a PREFIX of the real name ("data.v1" from
+    // "data.v12") that a startsWith check would hand out as valid.
+    Some(if (name.matches("data\\.v\\d+")) Some(name) else None)
   }
 
   /** Stamped batch id inside the live summary dir, -1 before first commit. */
@@ -222,7 +225,18 @@ object SummaryMaintenance {
     // the torn flip was publishing (whose replay then no-ops — its data
     // is all there) or the previously-committed state (whose successor
     // the replay recomputes identically) — both exactly-once-safe.
-    if (pointerMode && readPointer(fs, ptr) == Some(None)) {
+    // two repairable shapes (r14 review): a TORN pointer (unparsable
+    // content — Some(None)), and a DANGLING one — a truncated flip can
+    // leave a valid-LOOKING prefix of the real name ("data.v1" from
+    // "data.v12") whose dir was GC'd commits ago. The committer is
+    // single-writer and GC always keeps the pointer's current target,
+    // so a resolved-but-missing dir can only mean a torn flip.
+    val pointerBroken = pointerMode && (readPointer(fs, ptr) match {
+      case Some(None) => true
+      case Some(Some(name)) => !fs.exists(new Path(root, name))
+      case None => false
+    })
+    if (pointerBroken) {
       val stamped = fs.listStatus(root).toSeq
         .filter(st => st.isDirectory &&
           st.getPath.getName.matches("data\\.v\\d+"))

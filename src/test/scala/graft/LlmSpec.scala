@@ -1414,6 +1414,16 @@ class LlmSpec extends SparkSpec {
     assert(n === 10, s"12 tokens, k=8 -> 5 windows x2 rows; got $n")
     assert(dupN === n,
       s"fully covered doc must read ratio 1.0, got $dupN/$n")
+    // the INTRA variant — the one the live similarity gate calls — must
+    // keep the identical contract (r14 review #1: its distinct-based
+    // count read 0.5 here)
+    val intra = SubstringDedup.duplicatedWindowStatsWithIntraFromWins(
+        dup.select(col("doc_id")), wins, Some(idx))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(intra.length === 1)
+    assert(intra.head._3 === intra.head._2,
+      s"gate variant must read ratio 1.0 too, got " +
+        s"${intra.head._3}/${intra.head._2}")
   }
 
   test("substring dedup matches a naive driver-side span cut") {

@@ -572,6 +572,19 @@ class StreamingSpec extends SparkSpec {
       SummaryMaintenance.applyBatch(spark, sumDir,
         events.filter(col("event_id") >= 5000), 1L, Seq("event_type"), "value")
       assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 1L)
+      // DANGLING variant (r14 review #2): a truncated flip can leave a
+      // valid-LOOKING prefix of the real name whose dir never existed
+      // ("data.v9" from a longer id) — the committer must repair that
+      // shape too, not only unparsable content
+      val out = fs.create(ptr, true)
+      try out.write("data.v9".getBytes("UTF-8")) finally out.close()
+      intercept[java.io.IOException] {
+        SummaryMaintenance.readSummary(spark, sumDir)
+      }
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") >= 5000), 1L, Seq("event_type"), "value")
+      assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 1L,
+        "dangling-pointer repair must land on the highest stamped version")
     } finally {
       spark.conf.unset(SummaryMaintenance.CommitModeKey)
       SummaryMaintenance.SwapWaitMs = savedWait
