@@ -62,7 +62,10 @@ object IngestJobProfile {
     })
     // with GRAFT_INGEST_PROF=1 the gates' phase timers read this counter
     // and print per-PHASE job deltas (r14 — phase attribution for the
-    // job-economy pass, not just per-batch totals)
+    // job-economy pass, not just per-batch totals). Unplugged in the
+    // finally below (r14 ADVICE): the hook is process-global, and a later
+    // gate run in the same JVM would otherwise read THIS run's stale
+    // listener and print misattributed per-phase deltas.
     graft.streaming.IngestProf.jobCount = () => jobs.get
     def measured[T](label: String)(f: => T): T = {
       org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
@@ -81,34 +84,48 @@ object IngestJobProfile {
       r
     }
 
-    // q_similarity_ingest's exact 3-batch replay
-    val docs = Util.table(spark, sfDir, "documents")
-      .select(col("doc_id"), col("text"))
-    val simState = java.nio.file.Files
-      .createTempDirectory("graft_jobprof_sim").toString
-    for (b <- 0L to 2L) {
-      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
-      measured(s"similarity batch $b") {
-        graft.streaming.SimilarityIngest.applyBatch(spark, simState,
-          batch, b, "doc_id", "text")
+    try {
+      // q_similarity_ingest's exact 3-batch replay
+      val docs = Util.table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      val simState = java.nio.file.Files
+        .createTempDirectory("graft_jobprof_sim").toString
+      for (b <- 0L to 2L) {
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        measured(s"similarity batch $b") {
+          graft.streaming.SimilarityIngest.applyBatch(spark, simState,
+            batch, b, "doc_id", "text")
+        }
       }
-    }
-    measured("similarity compact") {
-      graft.streaming.SimilarityIngest.compactIndexes(spark, simState)
-    }
+      measured("similarity compact") {
+        graft.streaming.SimilarityIngest.compactIndexes(spark, simState)
+      }
 
-    // q_embedding_ingest's 3-batch replay
-    val emb = Util.table(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val embState = java.nio.file.Files
-      .createTempDirectory("graft_jobprof_emb").toString
-    for (b <- 0L to 2L) {
-      val batch = emb.filter(pmod(col("vec_id"), lit(3)) === b)
-      measured(s"embedding batch $b") {
-        graft.streaming.EmbeddingIngest.applyBatch(spark, embState,
-          batch, b, "vec_id", "embedding")
+      // q_embedding_ingest's 3-batch replay
+      val emb = Util.table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val embState = java.nio.file.Files
+        .createTempDirectory("graft_jobprof_emb").toString
+      for (b <- 0L to 2L) {
+        val batch = emb.filter(pmod(col("vec_id"), lit(3)) === b)
+        measured(s"embedding batch $b") {
+          graft.streaming.EmbeddingIngest.applyBatch(spark, embState,
+            batch, b, "vec_id", "embedding")
+        }
       }
-    }
+
+      // IngestDedup (third gate) 3-batch replay (r15, VERDICT #1 — the
+      // sibling refactor landed in r14 with no jobs/batch number)
+      val dedupState = java.nio.file.Files
+        .createTempDirectory("graft_jobprof_dedup").toString
+      for (b <- 0L to 2L) {
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        measured(s"dedup batch $b") {
+          graft.streaming.IngestDedup.applyBatch(spark, batch, b,
+            s"$dedupState/index", s"$dedupState/out", "doc_id", "text")
+        }
+      }
+    } finally graft.streaming.IngestProf.jobCount = () => -1
     spark.stop()
   }
 }

@@ -41,6 +41,11 @@ object ScaleProbe14 {
     spark.sparkContext.setLogLevel("ERROR")
     graft.catalyst.GraftExtensions.install(spark)
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // r15: the shipped probe is size-gated (small indexes take the
+    // broadcast-semi arm — exactly the OLD shape this probe measures as
+    // its baseline). Force the gate shut so probe_inner measures the
+    // at-scale inner+distinct arm at every x.
+    spark.conf.set(graft.llm.SubstringDedup.SemiIndexBytesKey, "0")
 
     // the ScaleProbe13 seeded corpus family (md5-derived log-uniform
     // vocabulary, 10-100 words/doc) — regenerated here so the probes

@@ -1124,6 +1124,14 @@ object Dedup {
         "find near-zero candidates silently")
   }
 
+  /** Estimated-HEAP cap on the CC routing probe's per-partition edge-row
+    * buffer (boxed GenericRows, not their serialized bytes). 1M two-long
+    * edge rows estimate ~90 MB, so the default keeps the row threshold
+    * the binding bound for numeric ids; wide string ids trip this cap
+    * first and route to the distributed loop instead of transiently
+    * holding hundreds of MB per task (r14 ADVICE). Var for tests. */
+  @volatile private[graft] var LocalEdgeBufferBytes: Long = 128L << 20
+
   /** Connected components over near-duplicate pairs — turns pairwise
     * matches into dedup clusters whose representative (the component label)
     * is the minimum member id.
@@ -1195,30 +1203,58 @@ object Dedup {
     // ONE job answers all three routing questions (r14, job economy):
     // the zero-edge short-circuit, the small-graph union-find's INPUT,
     // and the big-graph count for shuffle sizing. Each partition's
-    // partial carries its row count plus up to threshold+1 buffered
-    // rows; the buffer drops to None the moment the cap is crossed, so
-    // a planet-scale graph ships counts, not rows (a partial is never
-    // over ~16 MB by construction; the tree combine collapses partials
-    // on executors, so the driver receives exactly one). Previously
-    // count() + collect() were two jobs per gate micro-batch on the
-    // same cached edge set — the gates run 10k batches/day, and their
-    // graphs are always below the threshold. Known trade on the
-    // BIG-graph path: `.rdd` decodes every edge to an external Row
-    // where the old columnar count() read cache metadata — one decode
-    // pass over the edges, strictly smaller than any single round of
-    // the iterative loop it precedes (each round shuffles + rewrites
-    // the same edge set), so the small-graph job win is kept.
+    // partial carries its row count plus a buffer of rows, bounded BOTH
+    // by threshold+1 rows AND by an estimated-heap-bytes cap (r14
+    // ADVICE: rows alone let a partition transiently hold ~100-300 MB
+    // of boxed Rows when edge ids are wide strings — the byte bound
+    // drops the buffer early on wide ids, since any single partition
+    // exceeding either cap already proves the graph is too big to
+    // union-find locally). A dropped buffer routes to the distributed
+    // loop even under the row threshold; counts always survive. The
+    // tree combine collapses partials on executors, so the driver
+    // receives exactly one. Previously count() + collect() were two
+    // jobs per gate micro-batch on the same cached edge set — the gates
+    // run 10k batches/day, and their graphs are always below the
+    // threshold. Known trade on the BIG-graph path: `.rdd` decodes
+    // every edge to an external Row where the old columnar count() read
+    // cache metadata — one decode pass over the edges, strictly smaller
+    // than any single round of the iterative loop it precedes (each
+    // round shuffles + rewrites the same edge set), so the small-graph
+    // job win is kept.
     val edgeCap = localEdgeThreshold + 1
+    val byteCap = LocalEdgeBufferBytes
+    // rough HEAP cost of one buffered GenericRow (object headers, field
+    // refs, boxing): what the executor actually holds, not the ~16 B
+    // its two ids serialize to
+    def rowCost(r: org.apache.spark.sql.Row): Long = {
+      var c = 40L
+      var i = 0
+      while (i < r.length) {
+        c += (r.get(i) match {
+          case s: String => 48L + 2L * s.length
+          case _ => 24L
+        })
+        i += 1
+      }
+      c
+    }
+    type Buf = (scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.Row], Long)
     val (nEdges, smallEdges) = edges.rdd.treeAggregate(
-      (0L, Option(Vector.empty[org.apache.spark.sql.Row])))(
+      (0L, Option((new scala.collection.mutable.ArrayBuffer[
+        org.apache.spark.sql.Row](1024), 0L)): Option[Buf]))(
       seqOp = { case ((n, buf), row) =>
-        (n + 1,
-          buf.flatMap(b => if (b.size >= edgeCap) None else Some(b :+ row)))
+        (n + 1, buf.flatMap { case (b, bytes) =>
+          val grown = bytes + rowCost(row)
+          if (b.size >= edgeCap || grown > byteCap) None
+          else { b += row; Some((b, grown)) }
+        })
       },
       combOp = { case ((n1, b1), (n2, b2)) =>
         (n1 + n2,
-          for (x <- b1; y <- b2 if x.size + y.size <= edgeCap)
-            yield x ++ y)
+          for ((xs, xb) <- b1; (ys, yb) <- b2
+               if xs.size + ys.size <= edgeCap && xb + yb <= byteCap)
+            yield { xs ++= ys; (xs, xb + yb): Buf })
       })
     // clean corpus: no pairs → no clustered ids; short-circuit before the
     // label build (whose sum-over-zero-rows convergence read would NPE)
@@ -1230,11 +1266,13 @@ object Dedup {
     // Small-graph fast path: below the (configurable, bounded) edge
     // threshold, a driver-side union-find beats the iterative loop, whose
     // per-round scheduling overhead dominates on graphs this size — the
-    // same two-regime design GraphFrames-style CC uses. 1M symmetrized
-    // edges ≈ 16 MB collected; set localEdgeThreshold = 0 to force the
-    // distributed loop. Only integral/string ids take the fast path (the
-    // min-label contract needs the id ordering; other types fall through).
-    if (nEdges <= localEdgeThreshold) {
+    // same two-regime design GraphFrames-style CC uses. Set
+    // localEdgeThreshold = 0 to force the distributed loop. Only
+    // integral/string ids take the fast path (the min-label contract
+    // needs the id ordering; other types fall through); so does a graph
+    // under the row threshold whose buffer was dropped by the BYTE cap
+    // (wide string ids) — the loop is always correct, just slower.
+    if (nEdges <= localEdgeThreshold && smallEdges.isDefined) {
       val srcField = edges.schema.fields(0)
       val isIntegral = srcField.dataType match {
         case org.apache.spark.sql.types.LongType |
@@ -1266,12 +1304,9 @@ object Dedup {
         }
         // union with the SMALLER id as root — the min-label contract.
         // The edge rows were already buffered by the routing probe above
-        // (nEdges <= threshold < cap guarantees the buffer survived the
-        // merge), so no second collect job runs.
-        smallEdges.getOrElse(sys.error(
-          s"routing probe dropped its buffer at $nEdges <= " +
-            s"$localEdgeThreshold edges — cap arithmetic is broken"))
-          .foreach { row =>
+        // (this branch requires the buffer survived the merge), so no
+        // second collect job runs.
+        smallEdges.get._1.foreach { row =>
           val (a, b) = (row.get(0), row.get(1))
           parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
           val (ra, rb) = (find(a), find(b))
@@ -1333,8 +1368,19 @@ object Dedup {
       // labels can be 2^62-scale hash ids: a raw long sum overflows
       // (ARITHMETIC_OVERFLOW under ANSI; silent wraparound — and a possible
       // false convergence — without). decimal(38,0) sums are exact.
-      var prevSum = labels.agg(sum(col("comp").cast("decimal(38,0)")))
-        .collect()(0).getDecimal(0)
+      // NUMERIC ids only: string labels have no order-homomorphic sum
+      // (and the decimal cast throws CAST_INVALID_INPUT under ANSI on the
+      // first non-numeric id — found in r15 when the byte-capped routing
+      // probe first sent a string graph down this loop); they take an
+      // exact changed-row join of the two materialized label tables
+      // per round instead.
+      val summableLabels = edges.schema.fields(0).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
+      var prevSum =
+        if (summableLabels)
+          labels.agg(sum(col("comp").cast("decimal(38,0)")))
+            .collect()(0).getDecimal(0)
+        else null
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
@@ -1352,10 +1398,19 @@ object Dedup {
           .join(byLabel, propagated("comp") === byLabel("lid"), "left")
           .select(col("id"),
             least(col("comp"), coalesce(col("lcomp"), col("comp"))).as("comp")))
-        val s = next.agg(sum(col("comp").cast("decimal(38,0)")))
-          .collect()(0).getDecimal(0)
-        converged = s == prevSum
-        prevSum = s
+        if (summableLabels) {
+          val s = next.agg(sum(col("comp").cast("decimal(38,0)")))
+            .collect()(0).getDecimal(0)
+          converged = s == prevSum
+          prevSum = s
+        } else {
+          // exact fixpoint test for non-numeric labels: did ANY node
+          // change this round? Both tables are freshly materialized,
+          // so this is one bounded join per round, not lineage growth.
+          converged = next.join(
+              labels.select(col("id"), col("comp").as("__prev")), Seq("id"))
+            .filter(col("comp") =!= col("__prev")).isEmpty
+        }
         labels = next
         iter += 1
       }

@@ -421,47 +421,108 @@ object SubstringDedup {
     val wins = hashedWindows(batch, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idx = spark.read.parquet(indexPath).select(col("whash"))
-    // persisted: the probe result feeds BOTH the span cut (corpus-covered
-    // occurrences) and, inverted, the fresh set below — one index scan,
-    // not two
-    val inCorpus = occurrencesInIndex(wins, idx)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // anti against the BATCH-SIZED matched set, not the corpus: wins
-    // rows are unique per (doc_id, pos), so this is exactly the old
-    // whash left_anti vs the index — without its at-scale corpus
-    // shuffle (see occurrencesInIndex)
-    val fresh = wins.join(graft.Util.batchSide(inCorpus),
-      Seq("doc_id", "pos"), "left_anti")
-    val freshDupes = fresh.groupBy(col("whash"))
-      .agg(count(lit(1)).as("cnt"),
-        min(struct(col("doc_id"), col("pos"))).as("keep"))
-      .filter(col("cnt") > 1)
-      .select(col("whash"), col("keep"))
-    val intraMarked = fresh.join(exchangeBarrier(freshDupes), "whash")
-      .filter(!(col("doc_id") === col("keep.doc_id") &&
-        col("pos") === col("keep.pos")))
-      .select(col("doc_id"), col("pos"))
-    graft.Util.finishAndRelease(
-      cutSpans(batch, idCol, textCol, k,
-        inCorpus.unionByName(intraMarked)),
-      wins, inCorpus)
+    // the tail shared by both size-gate arms: canonical-occurrence
+    // selection among the index-fresh windows, then the span cut
+    def cutAll(inCorpus: DataFrame, fresh: DataFrame,
+               alsoRelease: DataFrame*): DataFrame = {
+      val freshDupes = fresh.groupBy(col("whash"))
+        .agg(count(lit(1)).as("cnt"),
+          min(struct(col("doc_id"), col("pos"))).as("keep"))
+        .filter(col("cnt") > 1)
+        .select(col("whash"), col("keep"))
+      val intraMarked = fresh.join(exchangeBarrier(freshDupes), "whash")
+        .filter(!(col("doc_id") === col("keep.doc_id") &&
+          col("pos") === col("keep.pos")))
+        .select(col("doc_id"), col("pos"))
+      graft.Util.finishAndRelease(
+        cutSpans(batch, idCol, textCol, k,
+          inCorpus.unionByName(intraMarked)),
+        (wins +: alsoRelease): _*)
+    }
+    semiGatedIndex(idx) match {
+      case Some(b) =>
+        // small-index arm (r15, VERDICT #3): both probes go straight at
+        // the force-broadcast index — a map-side semi AND anti over the
+        // pinned wins, ZERO probe shuffles (the broadcast exchange is
+        // planned once and reused by both joins). This is the pre-r14
+        // toy-scale shape, now behind the explicit size gate instead of
+        // implicit planner luck; nothing here needs a second persist.
+        cutAll(
+          wins.join(b, Seq("whash"), "left_semi")
+            .select(col("doc_id"), col("pos")),
+          wins.join(b, Seq("whash"), "left_anti"))
+      case None =>
+        // at-scale arm: one probe result, persisted — it feeds BOTH the
+        // span cut (corpus-covered occurrences) and, inverted, the
+        // fresh set; the anti runs against the BATCH-SIZED matched set,
+        // not the corpus (see occurrencesInIndex — the old whash
+        // left_anti vs the index put the corpus on the build side)
+        val inCorpus = occurrencesInIndex(wins, idx)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cutAll(inCorpus,
+          wins.join(graft.Util.batchSide(inCorpus),
+            Seq("doc_id", "pos"), "left_anti"),
+          inCorpus)
+    }
   }
 
+  /** Index size (estimated on-disk bytes) at or under which
+    * [[occurrencesInIndex]] keeps the pre-r14 broadcast-semi probe
+    * shape. Must stay comfortably under a sane broadcast budget: the
+    * semi arm force-broadcasts the index. Session conf; default 8 MB. */
+  private[graft] val SemiIndexBytesKey =
+    "spark.graft.substring.semiIndexBytes"
+  private val SemiIndexBytesDefault = 8L << 20
+
   /** (doc_id, pos) occurrences of `wins` whose hash exists in `idx` —
-    * the SEMANTICS of a left-semi probe with the PLAN of an inner join
-    * plus a batch-sized distinct (appended indexes hold duplicate
-    * hashes, so the raw inner join can multiply an occurrence; the
-    * distinct collapses it). Why not left_semi (r14): Spark can only
-    * BUILD the right side of a semi/anti hash join, and the right side
-    * here is the CORPUS index — past the broadcast threshold the probe
-    * degrades to a sort-merge join that shuffles and sorts the whole
-    * index per probe, and the gates run their micro-batches AQE-off, so
-    * nothing re-plans it at runtime. The inner form keeps the index a
-    * pure SCAN: the planner builds whichever side fits (in the gates'
-    * designed regime, the batch-sized `wins`), and the distinct touches
-    * batch-sized rows only. */
+    * semi-probe SEMANTICS with a size-gated choice of plan (r15,
+    * VERDICT #3; consumers are multiplicity-insensitive — every use is
+    * the right side of a semi/anti or feeds a distinct/collect_set —
+    * so the two arms are interchangeable):
+    *
+    *  - index provably SMALL (its scan's size estimate — on-disk bytes
+    *    from the file listing the read already performed — at or under
+    *    [[SemiIndexBytesKey]]): the classic `left_semi` with the index
+    *    FORCE-broadcast. Zero shuffle, no distinct — the cheapest toy-
+    *    and steady-micro-batch-scale shape. The explicit size gate +
+    *    broadcast hint make the decision static and conf-driven, never
+    *    AQE's (the gates plan micro-batches AQE-off).
+    *  - otherwise: inner join + batch-sized distinct over (doc_id, pos)
+    *    (appended indexes hold duplicate hashes; the distinct collapses
+    *    the multiplied occurrences). Why not semi here (r14): Spark can
+    *    only BUILD the right side of a semi/anti hash join, and the
+    *    right side is the CORPUS index — past the broadcast threshold
+    *    the semi degrades to a sort-merge join that shuffles and sorts
+    *    the whole index per probe. The inner form keeps the index a
+    *    pure SCAN: the planner builds the batch-sized `wins`, and the
+    *    distinct touches batch-sized rows only. ScaleProbe14 measures
+    *    this arm exactly flat (971,572 shuffle rows) across a x1/x3/x10
+    *    index where the semi shape grows linearly.
+    *
+    * Both arms are pinned by ScaleSpec; results are hash-identical. */
+  /** The size gate itself: `Some(force-broadcast hash column)` when the
+    * index is provably under [[SemiIndexBytesKey]], `None` when it must
+    * be treated as corpus-sized. Driver-side plan stats only: for a
+    * (possibly partition-pruned) parquet index the estimate is the file
+    * listing's byte total — the listing the scan itself already did —
+    * so the gate costs no extra IO. An unknown/huge estimate lands in
+    * the scale-safe `None` arm. */
+  private def semiGatedIndex(idx: DataFrame): Option[DataFrame] = {
+    val hashes = idx.select(col("whash"))
+    val semiMax = BigInt(idx.sparkSession.conf
+      .get(SemiIndexBytesKey, SemiIndexBytesDefault.toString).trim.toLong)
+    val idxBytes = hashes.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (idxBytes <= semiMax) Some(broadcast(hashes)) else None
+  }
+
   private def occurrencesInIndex(wins: DataFrame,
                                  idx: DataFrame): DataFrame =
-    wins.join(idx.select(col("whash")), Seq("whash"))
-      .select(col("doc_id"), col("pos")).distinct()
+    semiGatedIndex(idx) match {
+      case Some(b) =>
+        wins.join(b, Seq("whash"), "left_semi")
+          .select(col("doc_id"), col("pos"))
+      case None =>
+        wins.join(idx.select(col("whash")), Seq("whash"))
+          .select(col("doc_id"), col("pos")).distinct()
+    }
 }

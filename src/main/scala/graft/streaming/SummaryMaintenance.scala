@@ -47,10 +47,11 @@ object SummaryMaintenance {
     *    (readers see the old bytes or the new bytes, never a torn
     *    object) — the guarantee S3-class stores actually make. On
     *    POSIX/HDFS the overwrite-create truncate window is covered by
-    *    the reader's bounded retry. The previous version dir survives
-    *    one extra commit so in-flight readers finish their scan; a
-    *    reader is only at risk if it falls a FULL COMMIT CYCLE behind,
-    *    vs the swap's fixed [[SwapWaitMs]] window.
+    *    the reader's bounded retry. Previous version dirs survive
+    *    [[RetainVersionsKey]] extra commits (default 1) so in-flight
+    *    readers finish their scan; a reader is only at risk if it falls
+    *    that many FULL COMMIT CYCLES behind, vs the swap's fixed
+    *    [[SwapWaitMs]] window.
     * A summaryDir's first commit picks its protocol; swap-mode commits
     * refuse a dir that has a pointer (the pointer would keep naming a
     * stale version while swap rewrites `data`). Pointer-mode commits
@@ -60,6 +61,18 @@ object SummaryMaintenance {
   private[graft] val CommitModeKey = "spark.graft.summary.commitMode"
   private val PointerName = "_current"
 
+  /** How many PREVIOUS pointer-mode versions GC retains besides the
+    * current one (default 1 = the r14 behavior: current + the
+    * immediately-previous version). On an object store a long analytical
+    * scan can outlive several commit cycles; raising this keeps the
+    * version a slow reader resolved alive for N commits instead of one.
+    * GC keeps the (N+1) highest-id `data.v*` dirs, so disk stays bounded
+    * at (retain+1) summary copies and replay is untouched (the stamp
+    * rides the CURRENT version only). Must be >= 1: an in-flight reader
+    * that resolved the pointer just before a flip needs the previous
+    * version to finish its scan. */
+  private[graft] val RetainVersionsKey = "spark.graft.summary.retainVersions"
+
   /** How long a reader waits out a mid-flight summary swap before falling
     * back to the parked pre-swap dir (see [[readableData]]), and the
     * bound on pointer-read retries in pointer mode. Sized for an
@@ -67,28 +80,52 @@ object SummaryMaintenance {
     * tests shrink it so the crashed-committer path doesn't poll 30 s. */
   @volatile private[graft] var SwapWaitMs: Long = 30000L
 
-  /** The `_current` pointer's content. `None` = no pointer (swap-mode
-    * state or before first commit); `Some(None)` = pointer present but
-    * momentarily unreadable (the overwrite-create truncate window on
-    * POSIX/HDFS, or a torn read) — retry; `Some(Some(name))` = resolved. */
+  /** One `_current` read, classified. [[NoPointer]] = no pointer file
+    * (swap-mode state or before first commit); [[TornPointer]] = pointer
+    * present but not (yet) a complete commit record — the
+    * overwrite-create truncate window on POSIX/HDFS, a torn read, or an
+    * IO fault (carried as `cause` so a PERSISTENT fault surfaces on the
+    * caller's deadline instead of masquerading as an endless torn
+    * write); [[ResolvedPointer]] = a complete, terminated record. */
+  private sealed trait PointerRead
+  private case object NoPointer extends PointerRead
+  private final case class TornPointer(cause: Option[java.io.IOException])
+      extends PointerRead
+  private final case class ResolvedPointer(name: String) extends PointerRead
+
   private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
-                          ptr: org.apache.hadoop.fs.Path)
-      : Option[Option[String]] = {
-    if (!fs.exists(ptr)) return None
-    val name =
+                          ptr: org.apache.hadoop.fs.Path): PointerRead = {
+    if (!fs.exists(ptr)) return NoPointer
+    val raw =
       try {
         val in = fs.open(ptr)
         try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim
+          java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
-      } catch { case _: java.io.IOException => "" }
-    // a version-dir name is always exactly "data.v<digits>"; anything
-    // else is a torn/in-flight write, retried by the caller within
-    // SwapWaitMs. The FULL pattern matters (r14 review): a truncated
-    // flip can leave a PREFIX of the real name ("data.v1" from
-    // "data.v12") that a startsWith check would hand out as valid.
-    Some(if (name.matches("data\\.v\\d+")) Some(name) else None)
+      } catch { case e: java.io.IOException => return TornPointer(Some(e)) }
+    // a COMPLETE pointer record is exactly "data.v<digits>\n" — the
+    // trailing terminator makes any truncated flip UNPARSABLE rather
+    // than merely unlikely (r14 ADVICE): without it, a crash mid-write
+    // can leave a valid-looking PREFIX of the real name ("data.v5"
+    // from "data.v50") whose dir may still be LIVE under retain-N GC,
+    // silently resolving readers to a stale version. Truncation can
+    // never manufacture the terminator, so a prefix is always
+    // classified torn and the committer repairs from the highest
+    // stamp. (An r14-era terminator-less pointer reads as torn too:
+    // the next applyBatch rewrites it in the terminated form — readers
+    // between upgrade and that first commit refuse rather than guess.)
+    raw match {
+      case PointerRecord(name) => ResolvedPointer(name)
+      case _ => TornPointer(None)
+    }
   }
+
+  private val PointerRecord = "(data\\.v\\d+)\n".r
+
+  /** A version-dir name as a complete pointer record (see
+    * [[readPointer]] for why the terminator is load-bearing). */
+  private def pointerRecord(name: String): Array[Byte] =
+    (name + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   /** Stamped batch id inside the live summary dir, -1 before first commit. */
   def lastBatchId(spark: SparkSession, summaryDir: String): Long = {
@@ -154,24 +191,33 @@ object SummaryMaintenance {
     // reader fell a full commit cycle behind — re-read lands on the new
     // current). A pointer that never resolves is CORRUPT state, thrown,
     // not silently read as "summary never existed".
-    if (readPointer(fs, ptr).isDefined) {
+    if (readPointer(fs, ptr) != NoPointer) {
       val deadline = System.currentTimeMillis() + SwapWaitMs
+      var lastCause: Option[java.io.IOException] = None
       while (true) {
         readPointer(fs, ptr) match {
-          case Some(Some(name)) =>
+          case ResolvedPointer(name) =>
             val d = new Path(root, name)
             if (fs.exists(d)) return Some(d)
-          case None =>
+          case NoPointer =>
             // pointer vanished after being seen: never written by any
             // committer path — treat as corrupt rather than guessing
             throw new java.io.IOException(
               s"summary pointer $ptr vanished mid-read")
-          case Some(None) => () // torn write window: retry
+          case TornPointer(cause) => // torn write window: retry
+            lastCause = cause.orElse(lastCause)
         }
-        if (System.currentTimeMillis() >= deadline)
-          throw new java.io.IOException(s"summary pointer $ptr did not " +
+        if (System.currentTimeMillis() >= deadline) {
+          // a persistent IO fault (permissions, connectivity) reads as
+          // torn on every retry; surface the REAL error as the cause
+          // instead of reporting only "corrupt or abandoned" (r14 ADVICE)
+          val e = new java.io.IOException(s"summary pointer $ptr did not " +
             s"resolve to a live version dir within $SwapWaitMs ms — " +
-            "corrupt or abandoned pointer-mode state")
+            "corrupt or abandoned pointer-mode state" +
+            lastCause.fold("")(c => s" (last read error: $c)"))
+          lastCause.foreach(e.initCause)
+          throw e
+        }
         Thread.sleep(50)
       }
     }
@@ -208,6 +254,15 @@ object SummaryMaintenance {
     val ptr = new Path(root, PointerName)
     val pointerMode =
       spark.conf.get(CommitModeKey, "swap").trim.equalsIgnoreCase("pointer")
+    // validate the GC depth BEFORE any write/repair work: a mis-set conf
+    // must not surface only after this batch's version dir is written
+    val retainVersions =
+      if (!pointerMode) 1
+      else spark.conf.get(RetainVersionsKey, "1").trim.toInt
+    require(retainVersions >= 1, s"$RetainVersionsKey must be >= 1 (got " +
+      s"$retainVersions): the immediately-previous version must survive " +
+      "one commit for readers that resolved the pointer just before the " +
+      "flip")
     // a pointer-committed dir must never take swap commits: the pointer
     // would keep naming the pre-swap version while swap rewrites `data`,
     // splitting readers (pointer-aware ones frozen in time) from the
@@ -225,16 +280,18 @@ object SummaryMaintenance {
     // the torn flip was publishing (whose replay then no-ops — its data
     // is all there) or the previously-committed state (whose successor
     // the replay recomputes identically) — both exactly-once-safe.
-    // two repairable shapes (r14 review): a TORN pointer (unparsable
-    // content — Some(None)), and a DANGLING one — a truncated flip can
-    // leave a valid-LOOKING prefix of the real name ("data.v1" from
-    // "data.v12") whose dir was GC'd commits ago. The committer is
-    // single-writer and GC always keeps the pointer's current target,
-    // so a resolved-but-missing dir can only mean a torn flip.
+    // two repairable shapes (r14 review): a TORN pointer (incomplete /
+    // unterminated content — every truncated flip lands here now that a
+    // complete record requires the trailing terminator, even when the
+    // truncation left a valid-looking prefix of a still-LIVE retained
+    // version), and a resolved-but-DANGLING one (a complete record whose
+    // dir is gone: external deletion, or GC racing a crashed flip). The
+    // committer is single-writer, so both unambiguously mean the last
+    // flip never completed — repair from the highest stamp.
     val pointerBroken = pointerMode && (readPointer(fs, ptr) match {
-      case Some(None) => true
-      case Some(Some(name)) => !fs.exists(new Path(root, name))
-      case None => false
+      case TornPointer(_) => true
+      case ResolvedPointer(name) => !fs.exists(new Path(root, name))
+      case NoPointer => false
     })
     if (pointerBroken) {
       val stamped = fs.listStatus(root).toSeq
@@ -248,8 +305,7 @@ object SummaryMaintenance {
           "data.v* version dir exists to repair from — pointer-mode " +
           "state is corrupt; restore from a snapshot or start fresh")
       val repairOut = fs.create(ptr, true)
-      try repairOut.write(stamped.last
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try repairOut.write(pointerRecord(stamped.last))
       finally repairOut.close()
     }
     // crash repair: a previous swap that failed between its two renames
@@ -307,17 +363,25 @@ object SummaryMaintenance {
       try outStamp.write(batchId.toString
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally outStamp.close()
-      val prev = readPointer(fs, ptr).flatten
       val outPtr = fs.create(ptr, true)
-      try outPtr.write(vdir.getName
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try outPtr.write(pointerRecord(vdir.getName))
       finally outPtr.close()
-      // GC: keep the new current AND the immediately-previous version
-      // (in-flight readers that resolved the pointer just before the
-      // flip finish their scan against it); drop older versions and any
-      // legacy swap-mode dirs (`data` fed this commit's merge, so the
-      // migration is complete the moment the pointer lands)
-      val keep = Set(vdir.getName) ++ prev
+      // GC: keep the new current plus the `retainVersions` highest-id
+      // previous versions (default 1 — in-flight readers that resolved
+      // the pointer just before the flip finish their scan against the
+      // previous one; raise it for object-store scans that outlive
+      // several commit cycles); drop older versions and any legacy
+      // swap-mode dirs (`data` fed this commit's merge, so the
+      // migration is complete the moment the pointer lands). Keeping by
+      // version ID is sound because ids are monotone (required above)
+      // and the only unstamped dir a crash can leave carries the
+      // CURRENT batch id, which the replay overwrites.
+      val keep = fs.listStatus(root).toSeq
+        .map(_.getPath.getName)
+        .filter(_.matches("data\\.v\\d+"))
+        .sortBy(n => -n.stripPrefix("data.v").toLong)
+        .take(retainVersions + 1)
+        .toSet
       fs.listStatus(root).foreach { st =>
         val n = st.getPath.getName
         if ((n.startsWith("data.v") && !keep.contains(n)) ||

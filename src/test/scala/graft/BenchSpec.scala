@@ -212,6 +212,21 @@ class BenchSpec extends AnyFunSuite {
     assert(m.size > 50, s"byte baseline has only ${m.size} entries")
   }
 
+  test("committed baseline carries an sf0.01 section covering the " +
+      "registry (r15, VERDICT #7)") {
+    // the 3x-line retry heuristic was inert at the correctness-gate SF
+    // while the wall table had only an sf0.1 section; the sf0.01
+    // section closes that (rows still carry the real signal there)
+    val path = java.nio.file.Paths.get("tools", "bench_expected.tsv")
+    assume(java.nio.file.Files.exists(path), "baseline not yet generated")
+    val m = Bench.loadExpected(path, "/root/testdata/sf0.01")
+    assert(m.nonEmpty, "committed table must carry '# sf sf0.01' and rows")
+    val registry = SparkEntry.queries.keySet
+    val orphans = m.keySet.diff(registry)
+    assert(orphans.isEmpty, s"sf0.01 lines for unknown queries: $orphans")
+    assert(m.size > 50, s"sf0.01 section has only ${m.size} entries")
+  }
+
   test("committed baseline covers the registry") {
     val path = java.nio.file.Paths.get("tools", "bench_expected.tsv")
     assume(java.nio.file.Files.exists(path), "baseline not yet generated")

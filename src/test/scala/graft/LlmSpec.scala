@@ -628,6 +628,23 @@ class LlmSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(sc === Map("a" -> "a", "b" -> "a", "c" -> "a",
       "x" -> "x", "y" -> "x"))
+    // WIDE string ids trip the routing probe's BYTE cap before the row
+    // threshold (r15, ADVICE: rows alone let a partition transiently
+    // hold hundreds of MB of boxed Rows); the dropped buffer must route
+    // to the distributed loop — same labels, no error — not fail the
+    // union-find's buffer expectation
+    val savedCap = Dedup.LocalEdgeBufferBytes
+    Dedup.LocalEdgeBufferBytes = 4096L
+    try {
+      val pad = "p" * 512
+      val wide = Seq((s"a$pad", s"b$pad"), (s"b$pad", s"c$pad"),
+        (s"x$pad", s"y$pad")).toDF("id_a", "id_b")
+      val wc = Dedup.connectedComponents(wide)
+        .collect().map(r => (r.getString(0), r.getString(1))).toMap
+      assert(wc === Map(s"a$pad" -> s"a$pad", s"b$pad" -> s"a$pad",
+        s"c$pad" -> s"a$pad", s"x$pad" -> s"x$pad", s"y$pad" -> s"x$pad"),
+        "byte-capped buffer must fall back to the distributed loop")
+    } finally Dedup.LocalEdgeBufferBytes = savedCap
   }
 
   test("text quality and fingerprint functions are deterministic and bounded") {

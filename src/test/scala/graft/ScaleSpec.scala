@@ -47,28 +47,150 @@ class ScaleSpec extends SparkSpec {
     assert(plain.values.sum === 5025)
   }
 
-  test("window-index probes plan inner+distinct, never a semi join with " +
-      "the corpus on the build side (r14)") {
+  test("window-index probes are size-gated: broadcast-semi under the " +
+      "explicit byte threshold, inner+distinct (no LeftSemi) past it " +
+      "(r14/r15)") {
     // Spark can only BUILD the right side of a semi/anti hash join; with
-    // the corpus index on the right, the old probe shape degraded past
-    // the broadcast threshold to a sort-merge join shuffling the whole
-    // index per probe. The fix keeps semi SEMANTICS via inner join +
-    // batch-sized distinct — this pin fails if anyone reverts the join
-    // type, which a correctness suite can never catch (the results are
+    // the corpus index on the right, the pre-r14 probe shape degraded
+    // past the broadcast threshold to a sort-merge join shuffling the
+    // whole index per probe. r14 rewrote the probe as inner join +
+    // batch-sized distinct (semi SEMANTICS, index stays a scan); r15
+    // restored the semi shape for indexes PROVABLY under an explicit
+    // size gate (SemiIndexBytesKey, never AQE), where the force-broadcast
+    // semi skips the distinct shuffle outright. This pin holds BOTH
+    // arms, which a correctness suite can never catch (the results are
     // identical; only the 100 TB plan differs).
+    // plan-pin through the LAZY gate building block (FromWins): the
+    // path-level public APIs localCheckpoint their result, so their
+    // optimizedPlan is a LogicalRDD that shows NO joins at all — the
+    // r14 pin asserted absence against that truncated plan, i.e. it was
+    // inert. The stats path also always carries a LEGITIMATE semi (the
+    // batch-sized hit join on doc_id/pos), so the pin matches the join
+    // LINE on the `whash` key specifically.
     val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")
       .limit(50)
     val idxDir = java.nio.file.Files
       .createTempDirectory("graft_probe_pin").toString
     graft.llm.SubstringDedup.writeWindowIndex(docs, "doc_id", "text", 8,
       idxDir)
-    val stats = graft.llm.SubstringDedup.duplicatedWindowStatsVsIndex(
-      docs, "doc_id", "text", 8, idxDir)
-    val optimized = stats.queryExecution.optimizedPlan.toString
-    assert(!optimized.contains("LeftSemi"),
-      s"probe reverted to a semi join (corpus = build side at scale):\n" +
-        optimized.take(2000))
-    assert(stats.count() === 50)
+    val wins = graft.llm.SubstringDedup.hashedWindows(
+      docs, "doc_id", "text", 8)
+    def run() = graft.llm.SubstringDedup.duplicatedWindowStatsFromWins(
+      docs.select(col("doc_id")), wins,
+      spark.read.parquet(idxDir))
+    def whashSemi(plan: String): Boolean = plan.linesIterator.exists(l =>
+      l.contains("LeftSemi") && l.contains("whash"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // SMALL arm: a KB-scale index sits under the default 8 MB gate →
+    // the probe is a semi join on whash with the index FORCE-broadcast
+    // (the gate proved it fits), whatever the session threshold says
+    val small = run()
+    assert(whashSemi(small.queryExecution.optimizedPlan.toString),
+      s"small index must take the semi arm:\n" +
+        small.queryExecution.optimizedPlan.toString.take(2000))
+    assert(small.queryExecution.executedPlan.toString.linesIterator.exists(
+        l => l.contains("BroadcastHashJoin") && l.contains("whash") &&
+          l.contains("LeftSemi")),
+      "the semi arm must force-broadcast the gated index")
+    val smallRows = rows(small)
+    // LARGE arm (threshold forced to 0 = every index is "too big"):
+    // inner + batch-sized distinct, the index side a pure scan — a semi
+    // would put the corpus on the only side Spark can build
+    spark.conf.set(graft.llm.SubstringDedup.SemiIndexBytesKey, "0")
+    try {
+      val big = run()
+      val bigOpt = big.queryExecution.optimizedPlan.toString
+      assert(!whashSemi(bigOpt),
+        s"past the size gate the probe must never put the corpus on a " +
+          s"semi build side:\n${bigOpt.take(2000)}")
+      assert(rows(big) === smallRows,
+        "the two probe arms must be result-identical")
+    } finally spark.conf.unset(graft.llm.SubstringDedup.SemiIndexBytesKey)
+    assert(smallRows.size === 50)
+  }
+
+  test("window-index probe shuffle rows stay FLAT as the index grows " +
+      "(ScaleProbe14's invariant as a standing drift pin, r15)") {
+    // the r14 scale find, pinned the q_dedup_dense_probe way: a fixed
+    // batch probed against a x1 and a x4 window index must shuffle the
+    // SAME rows (the inner+distinct arm ships batch-sized sets only; the
+    // index is a pure scan). A revert to the semi shape — or any plan
+    // that lets the index cross the wire — shows up as growth here, a
+    // test failure instead of a re-measurement. The semi replica at both
+    // scales self-validates the instrument: ITS rows must grow.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_flat_probe").toString
+    def word(i: org.apache.spark.sql.Column) = {
+      val u = conv(substring(md5(concat(col("doc_id"), lit("_"), i)),
+        1, 8), 16, 10).cast("double") / lit(4294967296.0)
+      concat(lit("w"), floor(exp(u * lit(math.log(8000.0)))).cast("long"))
+    }
+    def docsRange(lo: Long, hi: Long) = {
+      val nWords = (lit(10) + pmod(
+        conv(substring(md5(concat(lit("len"), col("id"))), 1, 8), 16, 10)
+          .cast("long"), lit(91))).cast("int")
+      spark.range(lo, hi)
+        .select(col("id").as("doc_id"), nWords.as("n_words"))
+        .select(col("doc_id"),
+          concat_ws(" ",
+            transform(sequence(lit(1), col("n_words")), i => word(i)))
+            .as("text"))
+    }
+    val k = 8
+    val batch = docsRange(10000L, 10400L)
+    Seq(1, 4).foreach { x =>
+      graft.llm.SubstringDedup.writeWindowIndex(
+        docsRange(0L, x * 1500L), "doc_id", "text", k, s"$root/windex_x$x")
+    }
+    val collector = new Bench.ShuffleByteCollector
+    spark.sparkContext.addSparkListener(collector)
+    def measuredRows(mk: => org.apache.spark.sql.DataFrame): Long = {
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      collector.reset()
+      mk.write.format("noop").mode("overwrite").save()
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      collector.totals._2
+    }
+    // the gates' regime: AQE off (static planner choice is the one that
+    // runs), inner arm forced (size gate shut), broadcast threshold
+    // pinned between the batch's windows and the x1 index — the 100 TB
+    // decision in miniature: the batch always fits the build side, the
+    // index never does
+    spark.conf.set(graft.llm.SubstringDedup.SemiIndexBytesKey, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+      (256L << 10).toString)
+    try {
+      graft.Util.withMicroBatchPlanning(Seq(spark)) {
+        def innerRows(x: Int): Long = measuredRows(
+          graft.llm.SubstringDedup.dedupSubstringsVsIndex(
+            batch, "doc_id", "text", k, s"$root/windex_x$x"))
+        def semiRows(x: Int): Long = measuredRows {
+          val wins = graft.llm.SubstringDedup.hashedWindows(
+            batch, "doc_id", "text", k)
+          val idxDf = spark.read.parquet(s"$root/windex_x$x")
+            .select(col("whash"))
+          wins.join(idxDf, Seq("whash"), "left_semi")
+            .select(col("doc_id"), col("pos"))
+            .unionByName(wins.join(idxDf, Seq("whash"), "left_anti")
+              .select(col("doc_id"), col("pos")))
+        }
+        val (i1, i4) = (innerRows(1), innerRows(4))
+        assert(i1 > 0L, "instrument must see the probe's shuffles")
+        assert(i1 === i4,
+          s"probe shuffle rows grew with corpus scale: x1=$i1 x4=$i4 — " +
+            "the index is crossing the wire per probe again")
+        val (s1, s4) = (semiRows(1), semiRows(4))
+        assert(s4 > s1 && s4 > i4,
+          s"self-check: the semi replica must degrade with index scale " +
+            s"(semi x1=$s1 x4=$s4 vs inner $i4) — if it does not, this " +
+            "pin is measuring nothing")
+      }
+    } finally {
+      spark.conf.unset(graft.llm.SubstringDedup.SemiIndexBytesKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sparkContext.removeSparkListener(collector)
+    }
   }
 
   test("Util.batchSide forces a shuffle-hash join (no broadcast job) " +
@@ -85,6 +207,46 @@ class ScaleSpec extends SparkSpec {
       s"batchSide hint must plan SHJ:\n$plan")
     assert(!plan.contains("BroadcastHashJoin"),
       s"batchSide hint must suppress the broadcast:\n$plan")
+  }
+
+  test("IngestDedup steady-state micro-batch stays within its job " +
+      "budget (r15, VERDICT #1)") {
+    // the third gate's job economy, measured at 10 jobs/batch by
+    // IngestJobProfile (PERF.md r15) after r14's sibling refactor
+    // (shuffle-hash batch joins, explicit-schema layout-guarded index
+    // reads). This pin is the behavioral form of the batchSide plan
+    // assert: a broadcast regression on any batch-vs-batch join, or a
+    // return to footer schema inference on a stored index, adds one
+    // Spark job per occurrence per micro-batch and trips the budget —
+    // at 10k batches/day those jobs are pure driver pressure.
+    import graft.streaming.IngestDedup
+    val docs = Util.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedup_budget").toString
+    def batch(b: Long) = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+    IngestDedup.applyBatch(spark, batch(0), 0L, s"$dir/idx", s"$dir/out",
+      "doc_id", "text")
+    IngestDedup.applyBatch(spark, batch(1), 1L, s"$dir/idx", s"$dir/out",
+      "doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val jl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+    spark.sparkContext.addSparkListener(jl)
+    try {
+      IngestDedup.applyBatch(spark, batch(2), 2L, s"$dir/idx", s"$dir/out",
+        "doc_id", "text")
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      assert(jobs.get() <= 12,
+        s"dedup gate steady-state batch ran ${jobs.get()} jobs " +
+          "(profiled budget 10 + headroom 2): a batch join regressed to " +
+          "broadcast or an index read regressed to schema inference")
+    } finally spark.sparkContext.removeSparkListener(jl)
   }
 
   test("partitioned parquet sink prunes partitions on read") {

@@ -591,6 +591,112 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("pointer-mode retain-N GC keeps lagging readers alive, and a " +
+      "truncated flip naming a RETAINED live version is torn, not " +
+      "served stale (r15, VERDICT #2/#6 + ADVICE)") {
+    // two hazards composed: (a) retainVersions > 1 keeps older version
+    // dirs LIVE, so a reader pinned two commits behind must still read
+    // its resolved dir; (b) precisely because old dirs stay live, a
+    // truncated `_current` flip can leave a valid-LOOKING prefix of the
+    // real name whose dir EXISTS ("data.v5" from "data.v50" with gapped
+    // backfill ids) — without the record terminator the pointer would
+    // resolve to a STALE version, lastBatchId would read 5, and the
+    // replay of batch 50 would rebuild from v5, silently dropping batch
+    // 10's contribution. The terminator makes every truncation torn.
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_sum_retain").toString
+    val root = new org.apache.hadoop.fs.Path(sumDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def vdirs(): Set[String] = fs.listStatus(root)
+      .map(_.getPath.getName).filter(_.startsWith("data.v")).toSet
+    def summary() = SummaryMaintenance.readSummary(spark, sumDir).get
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    def expectedUpTo(maxId: Long) = events.filter(col("event_id") < maxId)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    spark.conf.set(SummaryMaintenance.CommitModeKey, "pointer")
+    spark.conf.set(SummaryMaintenance.RetainVersionsKey, "2")
+    val savedWait = SummaryMaintenance.SwapWaitMs
+    SummaryMaintenance.SwapWaitMs = 300L
+    try {
+      // gapped backfill ids — applyBatch only requires monotone
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") < 2000), 5L, Seq("event_type"), "value")
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") >= 2000 && col("event_id") < 4000),
+        10L, Seq("event_type"), "value")
+      // a reader that resolved v5 before the second flip: its dir is
+      // RETAINED (retain 2), so its in-flight scan still completes
+      val laggard = spark.read.parquet(s"$sumDir/data.v5")
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") >= 4000), 50L, Seq("event_type"), "value")
+      // GC bounded at current + 2 retained, oldest dropped
+      assert(vdirs() === Set("data.v5", "data.v10", "data.v50"))
+      assert(laggard.filter(col("event_type").isNotNull).count() > 0,
+        "a reader two commits behind must still complete its scan")
+      assert(summary() === expectedUpTo(Long.MaxValue))
+      // crash simulation: the flip to "data.v50\n" truncated after
+      // "data.v5" — a COMPLETE-looking name whose dir is live and
+      // retained. Readers must refuse (torn), never serve v5.
+      val ptr = new org.apache.hadoop.fs.Path(sumDir, "_current")
+      val out = fs.create(ptr, true)
+      try out.write("data.v5".getBytes("UTF-8")) finally out.close()
+      intercept[java.io.IOException] {
+        SummaryMaintenance.readSummary(spark, sumDir)
+      }
+      // the committer's replay repairs FORWARD to the highest stamp
+      // (v50), then no-ops — batch 10's contribution survives
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") >= 4000), 50L, Seq("event_type"), "value")
+      assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 50L,
+        "repair must land on the highest stamped version, not the " +
+          "retained stale prefix")
+      assert(summary() === expectedUpTo(Long.MaxValue),
+        "no batch's contribution may be dropped by the repair")
+      // replay still exactly-once after repair
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") >= 4000), 50L, Seq("event_type"), "value")
+      assert(summary() === expectedUpTo(Long.MaxValue))
+    } finally {
+      spark.conf.unset(SummaryMaintenance.CommitModeKey)
+      spark.conf.unset(SummaryMaintenance.RetainVersionsKey)
+      SummaryMaintenance.SwapWaitMs = savedWait
+    }
+  }
+
+  test("a persistent pointer-read fault surfaces as the deadline " +
+      "error's CAUSE instead of masquerading as a torn write (r15, " +
+      "ADVICE)") {
+    // readPointer used to map every IOException to "torn" — a
+    // permissions/connectivity fault spun the reader for the full
+    // SwapWaitMs and then threw 'corrupt or abandoned' with the real
+    // error swallowed. Simulate a persistent fault by making `_current`
+    // a DIRECTORY: exists() is true, open() throws on every retry.
+    import graft.streaming.SummaryMaintenance
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_sum_fault").toString
+    val fs = new org.apache.hadoop.fs.Path(sumDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(sumDir, "_current"))
+    val savedWait = SummaryMaintenance.SwapWaitMs
+    SummaryMaintenance.SwapWaitMs = 200L
+    try {
+      val e = intercept[java.io.IOException] {
+        SummaryMaintenance.readSummary(spark, sumDir)
+      }
+      assert(e.getCause != null,
+        s"the persistent IO fault must ride along as the cause: $e")
+      assert(e.getMessage.contains("last read error"),
+        s"deadline message must name the underlying fault: ${e.getMessage}")
+    } finally SummaryMaintenance.SwapWaitMs = savedWait
+  }
+
   test("gate index reads refuse a flat-layout store instead of silently " +
       "reading an empty corpus (r14 review)") {
     // the explicit-schema reads treat `batch` as a partition column; on
