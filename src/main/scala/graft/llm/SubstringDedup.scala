@@ -324,16 +324,21 @@ object SubstringDedup {
     val idx = index.select(col("whash"))
     val all = wins.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_windows"))
-    // semi against the BATCH-SIZED matched set, not a count of the
-    // distinct set (r14 review): `all` counts wins ROWS, so if the
-    // batch carries duplicate (doc_id, pos) rows — duplicated source
-    // rows — a distinct-based hit count would halve the saturation
-    // ratio and let a 100%-covered doc pass the quarantine threshold.
-    // The semi preserves wins' multiplicity exactly like the pre-r14
-    // corpus semi did, while its right side is the batch-sized probe
-    // result, not the corpus.
-    val hit = wins.join(graft.Util.batchSide(occurrencesInIndex(wins, idx)),
-        Seq("doc_id", "pos"), "left_semi")
+    // the matched side counts wins ROWS, not a distinct set (r14
+    // review): `all` counts rows, so if the batch carries duplicate
+    // (doc_id, pos) rows — duplicated source rows — a distinct-based
+    // hit count would halve the saturation ratio and let a
+    // 100%-covered doc pass the quarantine threshold. Both size-gate
+    // arms preserve wins' multiplicity: under the gate ONE map-side
+    // semi against the force-broadcast index (r15 — the two extra
+    // batch shuffles of the matched-set roundtrip skipped); past it,
+    // a semi against the batch-sized probe result — never the corpus.
+    val hit = (semiGatedIndex(idx) match {
+        case Some(b) => wins.join(b, Seq("whash"), "left_semi")
+        case None => wins.join(
+          graft.Util.batchSide(occurrencesInIndex(wins, idx)),
+          Seq("doc_id", "pos"), "left_semi")
+      })
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
     batchIds.select(col("doc_id")).distinct()
       .join(all, Seq("doc_id"), "left")

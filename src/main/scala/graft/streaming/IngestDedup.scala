@@ -111,8 +111,9 @@ object IngestDedup {
     graft.Util.withMicroBatchPlanning(Seq(spark, batch0.sparkSession)) {
     BatchLedger.withGateLock(spark, indexPath) {
       // finish/roll back any interrupted compaction before probing
-      Seq(s"$indexPath/docs", s"$indexPath/buckets", outDir)
-        .foreach(p => graft.io.Parquet.repairBatchStore(spark, p))
+      IngestProf.timed("repair")(
+        Seq(s"$indexPath/docs", s"$indexPath/buckets", outDir)
+          .foreach(p => graft.io.Parquet.repairBatchStore(spark, p)))
       val fs = new Path(indexPath)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val docsDir = new Path(s"$indexPath/docs")
@@ -150,7 +151,7 @@ object IngestDedup {
       val sigBuckets = sigBuckets0
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (batch.isEmpty) return
+        if (IngestProf.timed("isEmpty")(batch.isEmpty)) return
         val accepted =
           if (!bootstrapped) {
             // first batch IS the corpus: self-dedup and index everything.
@@ -164,7 +165,8 @@ object IngestDedup {
                 "fresh directory")
             val pairs = Dedup.minhashLshPairsFromSigs(sigDocs, sigBuckets,
               threshold)
-            Dedup.dedupedCorpus(batch, idCol, pairs)
+            IngestProf.timed("bootstrap-cc")(
+              Dedup.dedupedCorpus(batch, idCol, pairs))
           } else {
             // replay guard: prune this batch's own half-committed
             // entries. Explicit schemas + layout guard (r14, the
@@ -196,8 +198,9 @@ object IngestDedup {
             val intraPairs = Dedup.minhashLshPairsFromSigs(sigDocs,
               sigBuckets.join(graft.Util.batchSide(a0Ids), Seq("id"),
                 "left_semi"), threshold)
-            try Dedup.dedupedCorpus(a0, idCol, intraPairs)
-              .localCheckpoint() // a0 unpersists below; sever the lineage
+            try IngestProf.timed("intra-cc")(
+              Dedup.dedupedCorpus(a0, idCol, intraPairs)
+                .localCheckpoint()) // a0 unpersists below; sever the lineage
             finally a0.unpersist()
           }
         val accP = accepted
@@ -207,7 +210,7 @@ object IngestDedup {
         // final state and nothing double-appends
         try {
           val accIds = accP.select(col(idCol).as("id"))
-          graft.Util.runConcurrently(Seq(
+          IngestProf.timed("writes")(graft.Util.runConcurrently(Seq(
             () => accP.write.mode("overwrite")
               .parquet(s"$outDir/batch=$batchId"),
             () => Dedup.putCorpusIndexBatchSigs(
@@ -215,8 +218,8 @@ object IngestDedup {
                 Seq("id"), "left_semi"),
               sigBuckets.join(graft.Util.batchSide(accIds),
                 Seq("id"), "left_semi"),
-              indexPath, batchId, shingleN, numHashes, bands)))
-          BatchLedger.stamp(spark, indexPath, batchId)
+              indexPath, batchId, shingleN, numHashes, bands))))
+          IngestProf.timed("stamp")(BatchLedger.stamp(spark, indexPath, batchId))
         } finally accP.unpersist()
       } finally {
         sigDocs.unpersist()

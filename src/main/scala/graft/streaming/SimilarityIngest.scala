@@ -71,33 +71,11 @@ object SimilarityIngest {
     * job counter into [[IngestProf.jobCount]] (IngestJobProfile does),
     * each phase also prints its Spark JOB delta — the 10k-batches/day
     * driver-overhead term — with listener-bus drains on both sides so
-    * async job-start events attribute to the right phase. */
-  private val prof = sys.env.get("GRAFT_INGEST_PROF").contains("1")
+    * async job-start events attribute to the right phase. Shared with
+    * the sibling gates since r15 ([[IngestProf.timed]]). */
+  private val prof = IngestProf.enabled
   private def timed[T](label: String)(f: => T): T =
-    if (!prof) f else {
-      val jc = IngestProf.jobCount
-      // drain the listener bus ONLY when a job counter is actually
-      // plugged (r14 review): wall-only profiling (GRAFT_INGEST_PROF=1
-      // without IngestJobProfile) must not stall on the shared async
-      // bus twice per phase just to read the default -1
-      val plugged = jc() >= 0
-      def jobsNow(): Int = {
-        if (plugged)
-          org.apache.spark.sql.SparkSession.getActiveSession.foreach(s =>
-            org.apache.spark.graft.ListenerBridge
-              .waitUntilEmpty(s.sparkContext))
-        jc()
-      }
-      val j0 = jobsNow()
-      val t0 = System.nanoTime()
-      val r = f
-      val dt = (System.nanoTime() - t0) / 1e9
-      val j1 = jobsNow()
-      if (j0 >= 0)
-        println(f"[ingest-prof] $label: $dt%.3f s jobs=${j1 - j0}")
-      else println(f"[ingest-prof] $label: $dt%.3f s")
-      r
-    }
+    IngestProf.timed(label)(f)
 
   // The commit ledger is append-only marker files (see [[BatchLedger]]):
   // `_committed/batch-<id>`, created empty as the LAST write of a batch.

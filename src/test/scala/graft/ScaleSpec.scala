@@ -229,24 +229,46 @@ class ScaleSpec extends SparkSpec {
       "doc_id", "text")
     IngestDedup.applyBatch(spark, batch(1), 1L, s"$dir/idx", s"$dir/out",
       "doc_id", "text")
-    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    // count ONLY this gate call's jobs, keyed by job group: the spec
+    // session is shared across suites, and an unrelated suite's async
+    // work (a still-draining stream tick, a late listener event) landing
+    // inside the measurement window must not fail the pin. The group
+    // propagates to the gate's concurrent-write threads (created inside
+    // the call) and to broadcast-exchange submissions (thread-locals are
+    // captured by SQLExecution), so the gate's own jobs all carry it.
+    val group = "graft_dedup_budget_pin"
+    val sites = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
     val jl = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        val p = Option(e.properties)
+        if (p.exists(_.getProperty("spark.jobGroup.id") == group))
+          sites.add(p.flatMap(q => Option(q.getProperty("callSite.short")))
+            .getOrElse(e.stageInfos.headOption.map(_.name).getOrElse("?")))
+        ()
       }
     }
     org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
     spark.sparkContext.addSparkListener(jl)
     try {
+      spark.sparkContext.setJobGroup(group, "dedup gate job-budget pin")
       IngestDedup.applyBatch(spark, batch(2), 2L, s"$dir/idx", s"$dir/out",
         "doc_id", "text")
       org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
-      assert(jobs.get() <= 12,
-        s"dedup gate steady-state batch ran ${jobs.get()} jobs " +
+      val n = sites.size()
+      assert(n <= 12,
+        s"dedup gate steady-state batch ran $n jobs " +
           "(profiled budget 10 + headroom 2): a batch join regressed to " +
-          "broadcast or an index read regressed to schema inference")
-    } finally spark.sparkContext.removeSparkListener(jl)
+          "broadcast or an index read regressed to schema inference. " +
+          s"Job sites: ${java.util.List.copyOf(sites)}")
+      assert(n >= 5, s"only $n jobs carried the test's job group — the " +
+        "group is no longer propagating to the gate's jobs, so this pin " +
+        "is measuring nothing")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(jl)
+    }
   }
 
   test("partitioned parquet sink prunes partitions on read") {
