@@ -73,6 +73,79 @@ object SummaryMaintenance {
     * version to finish its scan. */
   private[graft] val RetainVersionsKey = "spark.graft.summary.retainVersions"
 
+  /** Bucketed pointer-mode commits (the scale form of the summary — the
+    * plain modes rewrite the WHOLE summary every batch, the small-files
+    * compromise called out above). With `spark.graft.summary.buckets`
+    * = N > 0 (pointer mode only), the summary is hash-partitioned into N
+    * buckets by key, and a commit writes ONLY the buckets the batch's
+    * delta touches:
+    *
+    *   - `part.v<id>/bucket=<b>/` — the touched buckets' merged data,
+    *     one dir per commit (batch-keyed, overwrite-idempotent);
+    *   - `manifest.v<id>` — one small text file mapping EVERY live
+    *     bucket to the `part.v*` dir that last wrote it (untouched
+    *     buckets keep their old mapping), terminated by a trailing
+    *     `#end` line so a torn write is unparsable — the same
+    *     truncation defense as the pointer record;
+    *   - `_current` — flipped to `manifest.v<id>\n` as the commit point.
+    *
+    * Per-batch cost is O(delta + touched buckets), not O(summary):
+    * at large key cardinality with localized updates, untouched buckets
+    * are never read, never rewritten, and never re-shuffled. Write
+    * order (data → manifest → flip) makes a `#end`-complete manifest a
+    * complete commit image, so the torn-pointer repair picks the
+    * highest valid manifest exactly like plain mode picks the highest
+    * stamp. GC keeps the [[RetainVersionsKey]]+1 newest manifests and
+    * every `part.v*` dir any KEPT manifest references — a lagging
+    * reader's resolved manifest keeps its data alive by construction.
+    * N is state identity (`_buckets` stamp): commits validate it once
+    * data exists. Readers need NO conf — they detect the mode from the
+    * pointer's record shape. Plain <-> bucketed migration is refused
+    * loudly; start a fresh summaryDir (or backfill through the bucketed
+    * path) to re-shard. */
+  private[graft] val BucketsKey = "spark.graft.summary.buckets"
+  private val ManifestEnd = "#end"
+
+  /** Parse a manifest file: (bucket -> part-dir name). Returns None when
+    * the content is incomplete (no trailing `#end` line) — for the
+    * repair path, which must skip torn manifests. */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           mf: org.apache.hadoop.fs.Path)
+      : Option[Map[Int, String]] = {
+    val raw =
+      try {
+        val in = fs.open(mf)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: java.io.IOException => return None }
+    val lines = raw.split("\n", -1).toSeq
+    // a complete manifest is entries, then #end, then the final "\n"'s
+    // empty remainder; anything else is torn
+    if (lines.length < 2 || lines.last.nonEmpty ||
+        lines(lines.length - 2) != ManifestEnd) return None
+    val entries = lines.dropRight(2).map { l =>
+      val i = l.indexOf('\t')
+      if (i <= 0) return None
+      val b = l.substring(0, i)
+      val d = l.substring(i + 1)
+      if (!b.forall(_.isDigit) || !d.matches("part\\.v\\d+")) return None
+      b.toInt -> d
+    }
+    Some(entries.toMap)
+  }
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            mf: org.apache.hadoop.fs.Path,
+                            mapping: Map[Int, String]): Unit = {
+    val body = mapping.toSeq.sortBy(_._1)
+      .map { case (b, d) => s"$b\t$d" }
+      .:+(ManifestEnd).mkString("", "\n", "\n")
+    val out = fs.create(mf, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** How long a reader waits out a mid-flight summary swap before falling
     * back to the parked pre-swap dir (see [[readableData]]), and the
     * bound on pointer-read retries in pointer mode. Sized for an
@@ -120,20 +193,29 @@ object SummaryMaintenance {
     }
   }
 
-  private val PointerRecord = "(data\\.v\\d+)\n".r
+  // two commit-image shapes share the pointer protocol: a full summary
+  // copy (`data.v<id>` dir, plain pointer mode) and a bucket MANIFEST
+  // (`manifest.v<id>` file, bucketed mode — see [[BucketsKey]]). Readers
+  // auto-detect from the resolved name; writers fence the modes apart.
+  private val PointerRecord = "((?:data|manifest)\\.v\\d+)\n".r
 
   /** A version-dir name as a complete pointer record (see
     * [[readPointer]] for why the terminator is load-bearing). */
   private def pointerRecord(name: String): Array[Byte] =
     (name + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
-  /** Stamped batch id inside the live summary dir, -1 before first commit. */
+  /** Stamped batch id of the live summary, -1 before first commit. In
+    * bucketed mode the commit id IS the resolved manifest's version (the
+    * manifest is the commit image); in the plain modes it is the
+    * `_last_batch_id` stamp inside the resolved dir. */
   def lastBatchId(spark: SparkSession, summaryDir: String): Long = {
     import org.apache.hadoop.fs.Path
     val root = new Path(summaryDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     readableData(fs, root) match {
       case None => -1L
+      case Some(d) if d.getName.startsWith("manifest.v") =>
+        d.getName.stripPrefix("manifest.v").toLong
       case Some(d) =>
         val stamp = new Path(d, StampName)
         if (!fs.exists(stamp)) -1L
@@ -147,12 +229,30 @@ object SummaryMaintenance {
   }
 
   /** Read the current summary (empty-schema-safe: returns None before the
-    * first commit). */
+    * first commit — and, in bucketed mode, while no bucket holds data:
+    * a zero-bucket manifest has no files to carry a schema). Readers
+    * detect the commit mode from the resolved pointer record and need no
+    * conf. */
   def readSummary(spark: SparkSession, summaryDir: String): Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(summaryDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readableData(fs, root).map(d => spark.read.parquet(d.toString))
+    readableData(fs, root).flatMap { d =>
+      if (!d.getName.startsWith("manifest.v"))
+        Some(spark.read.parquet(d.toString))
+      else {
+        // a REFERENCED manifest is complete by write order (data →
+        // manifest → flip); a torn one here is corrupt state, not a
+        // transient — same honesty rule as the pointer itself
+        val mapping = readManifest(fs, d).getOrElse(
+          throw new java.io.IOException(s"summary manifest $d is torn/" +
+            "incomplete — bucketed pointer-mode state is corrupt"))
+        if (mapping.isEmpty) None
+        else Some(spark.read.parquet(mapping.toSeq.sortBy(_._1).map {
+          case (b, dir) => new Path(new Path(root, dir), s"bucket=$b").toString
+        }: _*))
+      }
+    }
   }
 
   /** The concrete dir a reader should load: `data`, or — when a commit's
@@ -270,6 +370,26 @@ object SummaryMaintenance {
     require(pointerMode || !fs.exists(ptr),
       s"$summaryDir was committed in pointer mode (_current exists); " +
         s"set $CommitModeKey=pointer for this summary or start a fresh dir")
+    val buckets = spark.conf.get(BucketsKey, "0").trim.toInt
+    require(buckets >= 0 && buckets <= (1 << 20),
+      s"$BucketsKey must be in [0, 2^20], got $buckets")
+    require(buckets == 0 || pointerMode,
+      s"$BucketsKey requires $CommitModeKey=pointer (the manifest commit " +
+        "point is the pointer flip); swap mode has no bucketed form")
+    // mode fence BEFORE any repair: a bucketed dir must never take plain
+    // commits (the plain repair/GC would treat its manifests as torn
+    // state), and vice versa — each mode refuses the other's artifacts
+    val hasManifests = fs.exists(root) && fs.listStatus(root)
+      .exists(_.getPath.getName.startsWith("manifest.v"))
+    require(buckets > 0 || !hasManifests,
+      s"$summaryDir is a BUCKETED pointer-mode summary (manifest.v* " +
+        s"present); set $BucketsKey to its bucket count (the _buckets " +
+        "stamp) or start a fresh dir")
+    if (buckets > 0) {
+      applyBatchBucketed(spark, summaryDir, batch, batchId, keyCols,
+        valueCol, buckets, retainVersions)
+      return
+    }
     // pointer crash repair (r14 review): on POSIX/HDFS the flip's
     // overwrite-create truncates `_current` before writing — a committer
     // crash inside that window leaves a torn/empty pointer that readers
@@ -406,6 +526,154 @@ object SummaryMaintenance {
     }
     fs.delete(old, true)
     }
+    }
+  }
+
+  /** Bucketed pointer-mode commit (see [[BucketsKey]]): merge the batch
+    * into ONLY the hash buckets its delta touches, publish through a
+    * manifest, flip the pointer. Reached via [[applyBatch]] when the
+    * conf is set; same replay contract. */
+  private def applyBatchBucketed(spark: SparkSession, summaryDir: String,
+                                 batch: DataFrame, batchId: Long,
+                                 keyCols: Seq[String], valueCol: String,
+                                 buckets: Int, retainVersions: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(summaryDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(root, PointerName)
+    def ls(): Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+    // the inverse of applyBatch's mode fence: plain summary state (full
+    // version dirs or swap layout) cannot be merged bucket-wise — its
+    // data was never sharded, so "the buckets the delta touches" is not
+    // defined over it. Refuse; re-shard by backfilling a fresh dir.
+    require(!ls().exists(n => n == "data" || n == "data.__graft_old" ||
+        n.matches("data\\.v\\d+")),
+      s"$summaryDir holds a non-bucketed summary; set $BucketsKey=0 for " +
+        "it, or re-shard by backfilling a fresh summaryDir through the " +
+        "bucketed path")
+    // bucket count is state identity (the windowK discipline): committed
+    // manifests pin it; a stamp with no manifest behind it is a crashed
+    // never-visible first attempt and the conf owns N
+    val bstamp = new Path(root, "_buckets")
+    val anyManifest = ls().exists(_.startsWith("manifest.v"))
+    if (fs.exists(bstamp)) {
+      val in = fs.open(bstamp)
+      val stored = try new String(org.apache.commons.io.IOUtils
+        .toByteArray(in), java.nio.charset.StandardCharsets.UTF_8)
+        .trim.toInt finally in.close()
+      require(!anyManifest || stored == buckets,
+        s"summary at $summaryDir was bucketed with N=$stored but " +
+          s"$BucketsKey=$buckets — keys would hash to different buckets " +
+          "and merges would silently split them; re-sharding requires a " +
+          "rebuild into a fresh summaryDir")
+      if (!anyManifest && stored != buckets) {
+        val out = fs.create(bstamp, true)
+        try out.write(buckets.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    } else {
+      val out = fs.create(bstamp, true)
+      try out.write(buckets.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // torn/dangling pointer repair, manifest form: every COMPLETE
+    // (#end-terminated) manifest is a complete commit image by the
+    // data → manifest → flip write order — pick the highest, exactly
+    // the plain mode's highest-stamp rule
+    val pointerBroken = readPointer(fs, ptr) match {
+      case TornPointer(_) => true
+      case ResolvedPointer(name) => !fs.exists(new Path(root, name))
+      case NoPointer => false
+    }
+    if (pointerBroken) {
+      val complete = ls().filter(_.matches("manifest\\.v\\d+"))
+        .filter(n => readManifest(fs, new Path(root, n)).isDefined)
+        .sortBy(_.stripPrefix("manifest.v").toLong)
+      require(complete.nonEmpty,
+        s"summary pointer $ptr is torn/unreadable and no complete " +
+          "manifest.v* exists to repair from — bucketed pointer-mode " +
+          "state is corrupt; restore from a snapshot or start fresh")
+      val repairOut = fs.create(ptr, true)
+      try repairOut.write(pointerRecord(complete.last))
+      finally repairOut.close()
+    }
+    val last = lastBatchId(spark, summaryDir)
+    require(batchId >= last,
+      s"batch id $batchId regressed below the committed stamp $last at " +
+        s"$summaryDir: the summary was built by a different checkpoint " +
+        "lineage. Start a fresh summaryDir (or restore the original " +
+        "checkpoint) instead of silently dropping batches.")
+    if (batchId == last) return // replay of the committed batch: no-op
+    graft.Util.withMicroBatchPlanning(Seq(spark, batch.sparkSession)) {
+      // bucket = a pure function of the KEY VALUES, recomputable on both
+      // the stored and delta sides — never persisted state
+      def bucketOf: org.apache.spark.sql.Column =
+        pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong)).cast("int")
+      val delta = batch.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n_events"),
+          sum(col(valueCol).cast("decimal(18,6)"))
+            .cast("decimal(38,6)").as("sum_value"))
+        .withColumn("bucket", bucketOf)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // the touched set is delta-sized and bounded by N — the one
+        // driver-side collect, O(buckets) at worst
+        val touched = delta.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val curMapping: Map[Int, String] =
+          if (last < 0) Map.empty
+          else readManifest(fs, new Path(root, s"manifest.v$last"))
+            .getOrElse(throw new java.io.IOException(
+              s"committed manifest manifest.v$last at $summaryDir is " +
+                "torn/incomplete — bucketed state is corrupt"))
+        val newMapping =
+          if (touched.isEmpty) curMapping // empty batch: id still advances
+          else {
+            // merge ONLY the touched buckets: the stored side is the
+            // touched buckets' leaf dirs (a key lives in exactly one
+            // bucket, so untouched buckets cannot hold any delta key);
+            // untouched buckets are never read, never rewritten — the
+            // O(delta + touched) contract
+            val curPaths = touched.toSeq.sorted.flatMap(b =>
+              curMapping.get(b).map(d =>
+                new Path(new Path(root, d), s"bucket=$b").toString))
+            val merged =
+              if (curPaths.isEmpty) delta
+              else spark.read.parquet(curPaths: _*)
+                .withColumn("bucket", bucketOf)
+                .unionByName(delta)
+                .groupBy((keyCols.map(col) :+ col("bucket")): _*)
+                .agg(sum(col("n_events")).as("n_events"),
+                  sum(col("sum_value")).cast("decimal(38,6)")
+                    .as("sum_value"))
+            merged.write.mode("overwrite").partitionBy("bucket")
+              .parquet(new Path(root, s"part.v$batchId").toString)
+            curMapping ++ touched.map(b => b -> s"part.v$batchId")
+          }
+        writeManifest(fs, new Path(root, s"manifest.v$batchId"), newMapping)
+        val outPtr = fs.create(ptr, true)
+        try outPtr.write(pointerRecord(s"manifest.v$batchId"))
+        finally outPtr.close()
+        // GC: keep the (retain+1) newest manifests and every part dir a
+        // KEPT manifest references — a lagging reader's resolved
+        // manifest keeps its whole closure alive by construction
+        val keptIds = ls().filter(_.matches("manifest\\.v\\d+"))
+          .map(_.stripPrefix("manifest.v").toLong)
+          .sorted(Ordering.Long.reverse).take(retainVersions + 1).toSet
+        val keptNames = keptIds.map(i => s"manifest.v$i")
+        val referenced = keptIds.flatMap(i =>
+          readManifest(fs, new Path(root, s"manifest.v$i"))
+            .getOrElse(Map.empty).values)
+        ls().foreach { n =>
+          if ((n.startsWith("manifest.v") && !keptNames.contains(n)) ||
+              (n.startsWith("part.v") && !referenced.contains(n)))
+            fs.delete(new Path(root, n), true)
+        }
+      } finally delta.unpersist()
     }
   }
 

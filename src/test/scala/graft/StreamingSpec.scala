@@ -466,11 +466,11 @@ class StreamingSpec extends SparkSpec {
     SummaryMaintenance.SwapWaitMs = 500L
     try {
       SummaryMaintenance.applyBatch(spark, sumDir,
-        events.filter(col("event_id") < 3000), 0L, Seq("event_type"), "value")
+        events.filter(col("event_id") < 300), 0L, Seq("event_type"), "value")
       SummaryMaintenance.applyBatch(spark, sumDir,
-        events.filter(col("event_id") >= 3000 && col("event_id") < 6000),
+        events.filter(col("event_id") >= 300 && col("event_id") < 600),
         1L, Seq("event_type"), "value")
-      assert(summary() === expectedUpTo(6000))
+      assert(summary() === expectedUpTo(600))
       assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 1L)
       assert(ls().contains("_current"))
       assert(!ls().contains("data"), "pointer mode must not create `data`")
@@ -479,13 +479,13 @@ class StreamingSpec extends SparkSpec {
       assert(ls().filter(_.startsWith("data.v")) === Set("data.v0", "data.v1"))
       // replay of the committed id: no-op
       SummaryMaintenance.applyBatch(spark, sumDir,
-        events.filter(col("event_id") < 6000), 1L, Seq("event_type"), "value")
-      assert(summary() === expectedUpTo(6000), "replay must not double-count")
+        events.filter(col("event_id") < 600), 1L, Seq("event_type"), "value")
+      assert(summary() === expectedUpTo(600), "replay must not double-count")
       // crash window: batch 2's version dir fully written (stamp and
       // all) but the pointer never flipped — readers MUST stay on v1
       // (an uncommitted stamp must not leak into lastBatchId), and the
       // checkpoint replay of batch 2 must converge
-      val batch2 = events.filter(col("event_id") >= 6000)
+      val batch2 = events.filter(col("event_id") >= 600)
       val orphan = new org.apache.hadoop.fs.Path(sumDir, "data.v2")
       SummaryMaintenance.readSummary(spark, sumDir).get
         .write.mode("overwrite").parquet(orphan.toString)
@@ -494,7 +494,7 @@ class StreamingSpec extends SparkSpec {
       try stampOut.write("2".getBytes("UTF-8")) finally stampOut.close()
       assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 1L,
         "an unflipped version dir is NOT committed")
-      assert(summary() === expectedUpTo(6000))
+      assert(summary() === expectedUpTo(600))
       SummaryMaintenance.applyBatch(spark, sumDir, batch2, 2L,
         Seq("event_type"), "value")
       assert(summary() === expectedUpTo(Long.MaxValue),
@@ -517,12 +517,12 @@ class StreamingSpec extends SparkSpec {
     val migFs = new org.apache.hadoop.fs.Path(migDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     SummaryMaintenance.applyBatch(spark, migDir,
-      events.filter(col("event_id") < 6000), 0L, Seq("event_type"), "value")
+      events.filter(col("event_id") < 600), 0L, Seq("event_type"), "value")
     assert(migFs.exists(new org.apache.hadoop.fs.Path(migDir, "data")))
     spark.conf.set(SummaryMaintenance.CommitModeKey, "pointer")
     try {
       SummaryMaintenance.applyBatch(spark, migDir,
-        events.filter(col("event_id") >= 6000), 1L, Seq("event_type"), "value")
+        events.filter(col("event_id") >= 600), 1L, Seq("event_type"), "value")
       assert(!migFs.exists(new org.apache.hadoop.fs.Path(migDir, "data")),
         "migration must retire the swap layout")
       assert(SummaryMaintenance.readSummary(spark, migDir).get
@@ -553,7 +553,7 @@ class StreamingSpec extends SparkSpec {
     SummaryMaintenance.SwapWaitMs = 300L
     try {
       SummaryMaintenance.applyBatch(spark, sumDir,
-        events.filter(col("event_id") < 5000), 0L, Seq("event_type"), "value")
+        events.filter(col("event_id") < 500), 0L, Seq("event_type"), "value")
       val committed = summary()
       // crash simulation: the flip truncated the pointer and died
       val ptr = new org.apache.hadoop.fs.Path(sumDir, "_current")
@@ -564,13 +564,13 @@ class StreamingSpec extends SparkSpec {
       }
       // ...but the committer's replay repairs and then no-ops
       SummaryMaintenance.applyBatch(spark, sumDir,
-        events.filter(col("event_id") < 5000), 0L, Seq("event_type"), "value")
+        events.filter(col("event_id") < 500), 0L, Seq("event_type"), "value")
       assert(summary() === committed,
         "repair must restore the committed view unchanged")
       assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 0L)
       // and the stream continues
       SummaryMaintenance.applyBatch(spark, sumDir,
-        events.filter(col("event_id") >= 5000), 1L, Seq("event_type"), "value")
+        events.filter(col("event_id") >= 500), 1L, Seq("event_type"), "value")
       assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 1L)
       // DANGLING variant (r14 review #2): a truncated flip can leave a
       // valid-LOOKING prefix of the real name whose dir never existed
@@ -582,7 +582,7 @@ class StreamingSpec extends SparkSpec {
         SummaryMaintenance.readSummary(spark, sumDir)
       }
       SummaryMaintenance.applyBatch(spark, sumDir,
-        events.filter(col("event_id") >= 5000), 1L, Seq("event_type"), "value")
+        events.filter(col("event_id") >= 500), 1L, Seq("event_type"), "value")
       assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 1L,
         "dangling-pointer repair must land on the highest stamped version")
     } finally {
@@ -627,15 +627,15 @@ class StreamingSpec extends SparkSpec {
     try {
       // gapped backfill ids — applyBatch only requires monotone
       SummaryMaintenance.applyBatch(spark, sumDir,
-        events.filter(col("event_id") < 2000), 5L, Seq("event_type"), "value")
+        events.filter(col("event_id") < 200), 5L, Seq("event_type"), "value")
       SummaryMaintenance.applyBatch(spark, sumDir,
-        events.filter(col("event_id") >= 2000 && col("event_id") < 4000),
+        events.filter(col("event_id") >= 200 && col("event_id") < 400),
         10L, Seq("event_type"), "value")
       // a reader that resolved v5 before the second flip: its dir is
       // RETAINED (retain 2), so its in-flight scan still completes
       val laggard = spark.read.parquet(s"$sumDir/data.v5")
       SummaryMaintenance.applyBatch(spark, sumDir,
-        events.filter(col("event_id") >= 4000), 50L, Seq("event_type"), "value")
+        events.filter(col("event_id") >= 400), 50L, Seq("event_type"), "value")
       // GC bounded at current + 2 retained, oldest dropped
       assert(vdirs() === Set("data.v5", "data.v10", "data.v50"))
       assert(laggard.filter(col("event_type").isNotNull).count() > 0,
@@ -653,7 +653,7 @@ class StreamingSpec extends SparkSpec {
       // the committer's replay repairs FORWARD to the highest stamp
       // (v50), then no-ops — batch 10's contribution survives
       SummaryMaintenance.applyBatch(spark, sumDir,
-        events.filter(col("event_id") >= 4000), 50L, Seq("event_type"), "value")
+        events.filter(col("event_id") >= 400), 50L, Seq("event_type"), "value")
       assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 50L,
         "repair must land on the highest stamped version, not the " +
           "retained stale prefix")
@@ -661,11 +661,146 @@ class StreamingSpec extends SparkSpec {
         "no batch's contribution may be dropped by the repair")
       // replay still exactly-once after repair
       SummaryMaintenance.applyBatch(spark, sumDir,
-        events.filter(col("event_id") >= 4000), 50L, Seq("event_type"), "value")
+        events.filter(col("event_id") >= 400), 50L, Seq("event_type"), "value")
       assert(summary() === expectedUpTo(Long.MaxValue))
     } finally {
       spark.conf.unset(SummaryMaintenance.CommitModeKey)
       spark.conf.unset(SummaryMaintenance.RetainVersionsKey)
+      SummaryMaintenance.SwapWaitMs = savedWait
+    }
+  }
+
+  test("bucketed summary commits touch only the delta's buckets, " +
+      "publish through a manifest, and stay crash-convergent (r15)") {
+    // the scale form of the summary: plain pointer mode rewrites the
+    // WHOLE summary per batch; with spark.graft.summary.buckets = N the
+    // commit reads and writes ONLY the hash buckets the delta touches,
+    // and untouched buckets keep their OLD part.v* mapping — per-batch
+    // cost O(delta + touched), not O(summary).
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_sum_bucket").toString
+    val root = new org.apache.hadoop.fs.Path(sumDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ls(): Set[String] = fs.listStatus(root)
+      .map(_.getPath.getName).toSet
+    def summary() = SummaryMaintenance.readSummary(spark, sumDir).get
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    def expected(f: org.apache.spark.sql.DataFrame) = f
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    def manifest(id: Long): Map[Int, String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(sumDir, s"manifest.v$id"))
+      val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      raw.split("\n").toSeq.takeWhile(_ != "#end")
+        .map { l => val p = l.split("\t"); p(0).toInt -> p(1) }.toMap
+    }
+    spark.conf.set(SummaryMaintenance.CommitModeKey, "pointer")
+    spark.conf.set(SummaryMaintenance.BucketsKey, "8")
+    val savedWait = SummaryMaintenance.SwapWaitMs
+    SummaryMaintenance.SwapWaitMs = 300L
+    try {
+      // batch 0: broad (all event types -> many buckets)
+      val b0 = events.filter(col("event_id") < 500)
+      SummaryMaintenance.applyBatch(spark, sumDir, b0, 0L,
+        Seq("event_type"), "value")
+      assert(summary() === expected(b0))
+      assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 0L)
+      val m0 = manifest(0L)
+      assert(m0.values.toSet === Set("part.v0"))
+      // batch 1: ONE event type -> its bucket only; every other bucket's
+      // mapping must still point at part.v0 (untouched data not rewritten)
+      val oneType = events.select(col("event_type")).distinct()
+        .orderBy(col("event_type")).limit(1)
+        .collect()(0).getString(0)
+      val b1 = events.filter(col("event_id") >= 500 &&
+        col("event_type") === oneType)
+      SummaryMaintenance.applyBatch(spark, sumDir, b1, 1L,
+        Seq("event_type"), "value")
+      val m1 = manifest(1L)
+      assert(m1.values.toSet === Set("part.v0", "part.v1"),
+        s"only the touched bucket may move to part.v1: $m1")
+      assert(m1.count(_._2 == "part.v1") === 1,
+        s"a single-key delta touches exactly one bucket: $m1")
+      assert(m1.filter(_._2 == "part.v0") ===
+        m0.filter(kv => m1.get(kv._1).contains("part.v0")),
+        "untouched buckets must keep their old mapping unchanged")
+      val full = events.filter(col("event_id") < 500 ||
+        (col("event_id") >= 500 && col("event_type") === oneType))
+      assert(summary() === expected(full))
+      // replay of the committed id: no-op
+      SummaryMaintenance.applyBatch(spark, sumDir, b1, 1L,
+        Seq("event_type"), "value")
+      assert(summary() === expected(full), "replay must not double-count")
+      // crash window: part + manifest for batch 2 fully written but the
+      // flip never happened — readers stay on v1, replay converges
+      val b2 = events.filter(col("event_id") >= 500 &&
+        col("event_type") =!= oneType)
+      val ptr = new org.apache.hadoop.fs.Path(sumDir, "_current")
+      val saved = {
+        val in = fs.open(ptr)
+        try in.readAllBytes() finally in.close()
+      }
+      SummaryMaintenance.applyBatch(spark, sumDir, b2, 2L,
+        Seq("event_type"), "value")
+      // roll the pointer back to v1 to simulate the pre-flip crash
+      // (part.v2/manifest.v2 exist, flip "never happened")
+      val out = fs.create(ptr, true)
+      try out.write(saved) finally out.close()
+      assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 1L,
+        "an unflipped manifest is NOT committed")
+      assert(summary() === expected(full))
+      SummaryMaintenance.applyBatch(spark, sumDir, b2, 2L,
+        Seq("event_type"), "value")
+      assert(summary() === expected(events),
+        "replay over the orphan part/manifest must converge")
+      // torn flip: truncated pointer repaired from the highest COMPLETE
+      // manifest, then the stream continues
+      fs.create(ptr, true).close() // zero-length = torn
+      intercept[java.io.IOException] {
+        SummaryMaintenance.readSummary(spark, sumDir)
+      }
+      SummaryMaintenance.applyBatch(spark, sumDir, b2, 2L,
+        Seq("event_type"), "value")
+      assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 2L)
+      assert(summary() === expected(events))
+      // GC bounded: retain 1 -> manifests v1+v2 only; part dirs still
+      // referenced by a kept manifest survive, orphans are gone
+      val names = ls()
+      assert(names.filter(_.startsWith("manifest.v")) ===
+        Set("manifest.v1", "manifest.v2"), s"GC must bound manifests: $names")
+      val referenced = Set(1L, 2L).flatMap(manifest(_).values)
+      assert(names.filter(_.startsWith("part.v")) === referenced,
+        s"kept manifests' closure must survive GC exactly: $names")
+      // mode fences: plain pointer mode refuses the bucketed dir, a
+      // different N refuses the stamped one
+      spark.conf.unset(SummaryMaintenance.BucketsKey)
+      intercept[IllegalArgumentException] {
+        SummaryMaintenance.applyBatch(spark, sumDir, b2, 3L,
+          Seq("event_type"), "value")
+      }
+      spark.conf.set(SummaryMaintenance.BucketsKey, "16")
+      intercept[IllegalArgumentException] {
+        SummaryMaintenance.applyBatch(spark, sumDir, b2, 3L,
+          Seq("event_type"), "value")
+      }
+      // empty batch: the id still advances (a manifest with the same
+      // mapping commits), no part dir is written, data unchanged
+      spark.conf.set(SummaryMaintenance.BucketsKey, "8")
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(lit(false)), 3L, Seq("event_type"), "value")
+      assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 3L)
+      assert(summary() === expected(events))
+      assert(!ls().contains("part.v3"),
+        "an empty batch must not write a part dir")
+    } finally {
+      spark.conf.unset(SummaryMaintenance.CommitModeKey)
+      spark.conf.unset(SummaryMaintenance.BucketsKey)
       SummaryMaintenance.SwapWaitMs = savedWait
     }
   }
