@@ -125,6 +125,34 @@ object IngestJobProfile {
             s"$dedupState/index", s"$dedupState/out", "doc_id", "text")
         }
       }
+      // SummaryMaintenance commit economy (r16, VERDICT #5): jobs per
+      // foreachBatch commit for each commit mode — maintained views run
+      // in the same 10k-batches/day regime as the three gates, and
+      // nothing else stops a footer-inference or broadcast job creeping
+      // into the commit path
+      val events = Util.table(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      def evBatch(b: Long) = events.filter(pmod(col("event_id"), lit(3)) === b)
+      import graft.streaming.SummaryMaintenance
+      for ((mode, buckets) <- Seq(("swap", 0), ("pointer", 0), ("pointer", 16))) {
+        val label = if (buckets > 0) "bucketed" else mode
+        val sumState = java.nio.file.Files
+          .createTempDirectory(s"graft_jobprof_sum_$label").toString
+        spark.conf.set(SummaryMaintenance.CommitModeKey, mode)
+        if (buckets > 0)
+          spark.conf.set(SummaryMaintenance.BucketsKey, buckets.toString)
+        try {
+          for (b <- 0L to 2L) {
+            measured(s"summary $label batch $b") {
+              SummaryMaintenance.applyBatch(spark, sumState,
+                evBatch(b), b, Seq("user_id"), "value")
+            }
+          }
+        } finally {
+          spark.conf.unset(SummaryMaintenance.CommitModeKey)
+          spark.conf.unset(SummaryMaintenance.BucketsKey)
+        }
+      }
     } finally graft.streaming.IngestProf.jobCount = () => -1
     spark.stop()
   }

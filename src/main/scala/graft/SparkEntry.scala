@@ -1104,6 +1104,64 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming: the SCALE form of the materialized view under the same
+    // hash gate (r16, VERDICT #1 — the pointer/bucketed commit modes
+    // previously had only spec coverage, no CORRECTNESS row). Pointer
+    // mode + 16 hash buckets, keyed on user_id (~thousands of keys, so
+    // the buckets genuinely shard): four micro-batches where batch 2 is
+    // deliberately NARROW (a user_id slice) so the final manifest mixes
+    // part versions — untouched buckets must still read from their old
+    // part dirs — plus a replay of batch 1 (idempotent no-op) and a
+    // TORN pointer flip before batch 3 (the repair must re-publish the
+    // highest #end-complete manifest before merging). The oracle
+    // replays the whole ledger as one grouped aggregate: the merge is
+    // associative, so replay + torn-flip repair + bucket routing must
+    // change NOTHING or the hash fails.
+    "q_summary_bucketed" -> ((s, dir) => {
+      import graft.streaming.SummaryMaintenance
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val state = scratchPath("q_sumbucket", dir)
+      deleteRecursively(state)
+      def part(b: Long) = ev.filter(pmod(col("event_id"), lit(3)) === b)
+      graft.Util.withSessionConf(s, SummaryMaintenance.CommitModeKey,
+          "pointer") {
+        graft.Util.withSessionConf(s, SummaryMaintenance.BucketsKey, "16") {
+          val batches = Seq(
+            0L -> part(0L),
+            1L -> part(1L),
+            2L -> part(2L).filter(col("user_id") < 50),
+            3L -> part(2L).filter(col("user_id") >= 50))
+          for ((id, b) <- batches) {
+            SummaryMaintenance.applyBatch(s, state, b, id,
+              Seq("user_id"), "value")
+            if (id == 1L) {
+              // same-run replay of the committed batch: must no-op
+              SummaryMaintenance.applyBatch(s, state, b, 1L,
+                Seq("user_id"), "value")
+            }
+            if (id == 2L) {
+              // crash mid-flip: _current truncated to a prefix of the
+              // record — unparsable by construction (no terminator),
+              // repaired by batch 3's commit from the highest complete
+              // manifest
+              val root = new org.apache.hadoop.fs.Path(state)
+              val fs = root.getFileSystem(
+                s.sparkContext.hadoopConfiguration)
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(root, "_current"), true)
+              try out.write("manifest.v".getBytes("UTF-8"))
+              finally out.close()
+            }
+          }
+          SummaryMaintenance.readSummary(s, state).get
+            .select(col("user_id"), col("n_events"),
+              col("sum_value").cast("double").as("sum_value"))
+            .orderBy(col("user_id"))
+        }
+      }
+    }),
+
     // LLM: model-based quality filter (fastText/DCLM-shaped linear
     // classifier inference over hashed token features; deterministic
     // stand-in weights so the oracle replays the whole score)
@@ -2754,6 +2812,17 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
         |    AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The bucketed twin: the 4-batch pointer/bucketed ledger (narrow
+    // batch, replay, torn flip + repair) collapses to the same grouped
+    // aggregate — bucket routing is pure partitioning by key, so the
+    // manifest-resolved union of part dirs must hold exactly the
+    // whole-table merge or the hash fails.
+    "q_summary_bucketed" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+        |    AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // The full 3-batch exactly-once gate replayed in one statement: per
     // batch, an index probe against the accumulated accepted set, then a

@@ -184,14 +184,49 @@ object SummaryMaintenance {
     // silently resolving readers to a stale version. Truncation can
     // never manufacture the terminator, so a prefix is always
     // classified torn and the committer repairs from the highest
-    // stamp. (An r14-era terminator-less pointer reads as torn too:
-    // the next applyBatch rewrites it in the terminated form — readers
-    // between upgrade and that first commit refuse rather than guess.)
+    // stamp.
     raw match {
       case PointerRecord(name) => ResolvedPointer(name)
+      case LegacyPointerRecord(name) =>
+        // an r14-era committer wrote the bare name with NO terminator —
+        // indistinguishable, as bytes, from a truncated modern flip. A
+        // blanket "torn" here turns a rolling upgrade into an OUTAGE for
+        // reader-only processes (they spin the full SwapWaitMs and throw
+        // until some committer runs applyBatch once — r15 ADVICE), so
+        // accept the legacy shape under the ONE condition truncation
+        // cannot fake: the named dir must be the HIGHEST-stamped live
+        // `data.v*` version. Truncating "data.v50\n" can yield the
+        // prefix "data.v5", but data.v50's dir — written and stamped
+        // BEFORE the flip — always exists and outranks it, so a
+        // truncated prefix never passes; and a truncation that kept the
+        // FULL name resolves to exactly the version the committer's own
+        // repair would re-publish. Bucketed manifests have no legacy
+        // form (the mode was born after the terminator): data.v only.
+        val root = ptr.getParent
+        val highestStamped =
+          try {
+            if (!fs.exists(root)) None
+            else fs.listStatus(root).toSeq
+              .filter(st => st.isDirectory &&
+                st.getPath.getName.matches("data\\.v\\d+"))
+              .filter(st => fs.exists(
+                new org.apache.hadoop.fs.Path(st.getPath, StampName)))
+              .map(_.getPath.getName)
+              .sortBy(n => n.stripPrefix("data.v").toLong)
+              .lastOption
+          } catch {
+            case e: java.io.IOException => return TornPointer(Some(e))
+          }
+        if (highestStamped.contains(name)) ResolvedPointer(name)
+        else TornPointer(None)
       case _ => TornPointer(None)
     }
   }
+
+  /** Pre-terminator (r14-binary) pointer record: the bare version-dir
+    * name, no trailing newline. See [[readPointer]] for the guarded
+    * one-time acceptance. */
+  private val LegacyPointerRecord = "(data\\.v\\d+)".r
 
   // two commit-image shapes share the pointer protocol: a full summary
   // copy (`data.v<id>` dir, plain pointer mode) and a bucket MANIFEST
@@ -650,8 +685,19 @@ object SummaryMaintenance {
                 .agg(sum(col("n_events")).as("n_events"),
                   sum(col("sum_value")).cast("decimal(38,6)")
                     .as("sum_value"))
+            // clear any crashed earlier attempt's dir FIRST: under
+            // spark.sql.sources.partitionOverwriteMode=dynamic an
+            // "overwrite" keeps partition leaves the new write doesn't
+            // touch, so a replay whose touched set differs (e.g. after
+            // the `!anyManifest` bucket-count re-stamp) would leave
+            // stale old-N leaves inside the commit image (r15 ADVICE).
+            // Unreferenced-by-manifest so reads stay correct, but a
+            // commit image should be exactly what the manifest says —
+            // delete-then-write makes that true under ANY session conf.
+            val partDir = new Path(root, s"part.v$batchId")
+            if (fs.exists(partDir)) fs.delete(partDir, true)
             merged.write.mode("overwrite").partitionBy("bucket")
-              .parquet(new Path(root, s"part.v$batchId").toString)
+              .parquet(partDir.toString)
             curMapping ++ touched.map(b => b -> s"part.v$batchId")
           }
         writeManifest(fs, new Path(root, s"manifest.v$batchId"), newMapping)
@@ -665,9 +711,24 @@ object SummaryMaintenance {
           .map(_.stripPrefix("manifest.v").toLong)
           .sorted(Ordering.Long.reverse).take(retainVersions + 1).toSet
         val keptNames = keptIds.map(i => s"manifest.v$i")
+        // a KEPT manifest that cannot be read/parsed must ABORT the GC
+        // pass, not read as "references nothing" (r15 ADVICE): kept
+        // manifests are complete by the write order, so a None here is
+        // an IO fault or external corruption — and treating it as empty
+        // would delete its entire part.v* closure (including the parts
+        // just committed, if re-reading the new manifest transiently
+        // fails): silent, unrecoverable loss of retained summary data.
+        // The commit itself already landed (the flip is the commit
+        // point); a replay no-ops and the NEXT successful commit's GC
+        // collects what this pass left behind — same throw-on-torn
+        // honesty as readSummary.
         val referenced = keptIds.flatMap(i =>
           readManifest(fs, new Path(root, s"manifest.v$i"))
-            .getOrElse(Map.empty).values)
+            .getOrElse(throw new java.io.IOException(
+              s"kept manifest manifest.v$i at $summaryDir could not be " +
+                "read/parsed during GC — aborting deletion (treating it " +
+                "as empty would delete every part.v* dir it references)"))
+            .values)
         ls().foreach { n =>
           if ((n.startsWith("manifest.v") && !keptNames.contains(n)) ||
               (n.startsWith("part.v") && !referenced.contains(n)))

@@ -767,4 +767,134 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rules4 === BpeTrain.mergesLocal(wordTable, 4))
   }
+
+  test("bucketed summary commit shuffle rows stay FLAT as total key " +
+      "cardinality grows; the plain mode must degrade (r16, VERDICT #4)") {
+    // the O(delta + touched buckets) claim as a standing drift pin, the
+    // ScaleProbe14 shape: a FIXED delta committed against summaries of
+    // x1/x3/x10 total cardinality must shuffle the SAME rows — growth
+    // lives entirely in buckets the delta never touches, so the merge
+    // reads exactly the touched leaves' fixed content. The plain pointer
+    // mode replica at the same scales self-validates the instrument: its
+    // merge unions the WHOLE summary, so ITS rows must grow, or this pin
+    // is measuring nothing. Keys added for growth are filtered to hash
+    // OUTSIDE the delta's bucket set with the commit's own bucket
+    // expression — the untouched-growth regime of a 100 TB view with
+    // localized updates, in miniature.
+    import graft.streaming.SummaryMaintenance
+    val N = 64
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c), lit(N.toLong)).cast("int")
+    val fixedKeys = spark.range(0L, 10L).select(col("id").as("k"))
+    val b0 = fixedKeys.select(bucketOf(col("k")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    def corpus(x: Int) = spark.range(1000L, 1000L + x * 5000L)
+      .select(col("id").as("k"))
+      .filter(!bucketOf(col("k")).isin(b0.toSeq: _*))
+      .unionByName(fixedKeys)
+      .select(col("k"), pmod(col("k"), lit(97)).cast("double").as("v"))
+    val delta = fixedKeys.select(col("k"), lit(1.0).as("v"))
+    val collector = new Bench.ShuffleByteCollector
+    spark.sparkContext.addSparkListener(collector)
+    def commitRows(buckets: Int, x: Int): Long = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_sum_scale_b${buckets}_x$x").toString
+      graft.Util.withSessionConf(spark,
+          SummaryMaintenance.CommitModeKey, "pointer") {
+        graft.Util.withSessionConf(spark,
+            SummaryMaintenance.BucketsKey, buckets.toString) {
+          SummaryMaintenance.applyBatch(spark, dir, corpus(x), 0L,
+            Seq("k"), "v")
+          org.apache.spark.graft.ListenerBridge
+            .waitUntilEmpty(spark.sparkContext)
+          collector.reset()
+          SummaryMaintenance.applyBatch(spark, dir, delta, 1L,
+            Seq("k"), "v")
+          org.apache.spark.graft.ListenerBridge
+            .waitUntilEmpty(spark.sparkContext)
+          collector.totals._2
+        }
+      }
+    }
+    try {
+      val bucketed = Seq(1, 3, 10).map(x => x -> commitRows(N, x))
+      val plain = Seq(1, 10).map(x => x -> commitRows(0, x))
+      info(s"bucketed delta-commit shuffle rows: $bucketed; plain: $plain")
+      assert(bucketed.head._2 > 0L,
+        "instrument must see the commit's shuffles")
+      assert(bucketed.map(_._2).distinct.size === 1,
+        s"bucketed commit shuffle rows grew with TOTAL cardinality: " +
+          s"$bucketed — untouched buckets are crossing the wire again")
+      assert(plain(1)._2 > 2L * plain(0)._2 &&
+          plain(1)._2 > 2L * bucketed.last._2,
+        s"self-check: the plain replica must degrade with cardinality " +
+          s"(plain=$plain vs bucketed=$bucketed) — if it does not, this " +
+          "pin is measuring nothing")
+    } finally spark.sparkContext.removeSparkListener(collector)
+  }
+
+  test("summary commit modes stay within their job budgets: swap 2, " +
+      "pointer 2, bucketed 3 jobs/commit (r16, VERDICT #5)") {
+    // maintained views run foreachBatch in the same 10k-batches/day
+    // regime as the three ingest gates (pinned 12/8/10); measured by
+    // IngestJobProfile at sf0.01 (PERF.md r16): swap 2, pointer 2,
+    // bucketed 3 jobs per steady-state commit. The pin (one job of
+    // slack each) is the behavioral guard against a broadcast exchange
+    // or footer-inference job creeping into the commit path — each such
+    // regression adds >= 1 job per micro-batch, pure driver pressure at
+    // scale. Job-group-scoped: the spec session is shared across
+    // suites, and async work from another suite landing in the window
+    // must not fail the pin.
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    def evBatch(b: Long) = events.filter(pmod(col("event_id"), lit(3)) === b)
+    val group = "graft_summary_budget_pin"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val jl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (Option(e.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group))
+          jobs.incrementAndGet()
+        ()
+      }
+    }
+    org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+    spark.sparkContext.addSparkListener(jl)
+    try {
+      for ((mode, buckets, budget) <- Seq(("swap", 0, 3), ("pointer", 0, 3),
+          ("pointer", 16, 4))) {
+        val label = if (buckets > 0) "bucketed" else mode
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft_sum_budget_$label").toString
+        graft.Util.withSessionConf(spark,
+            SummaryMaintenance.CommitModeKey, mode) {
+          graft.Util.withSessionConf(spark,
+              SummaryMaintenance.BucketsKey, buckets.toString) {
+            // two setup commits so the measured third is steady-state
+            // (merge path, GC path, and manifest chain all warm)
+            SummaryMaintenance.applyBatch(spark, dir, evBatch(0L), 0L,
+              Seq("user_id"), "value")
+            SummaryMaintenance.applyBatch(spark, dir, evBatch(1L), 1L,
+              Seq("user_id"), "value")
+            org.apache.spark.graft.ListenerBridge
+              .waitUntilEmpty(spark.sparkContext)
+            jobs.set(0)
+            spark.sparkContext.setJobGroup(group, s"summary $label budget")
+            try SummaryMaintenance.applyBatch(spark, dir, evBatch(2L), 2L,
+              Seq("user_id"), "value")
+            finally spark.sparkContext.clearJobGroup()
+            org.apache.spark.graft.ListenerBridge
+              .waitUntilEmpty(spark.sparkContext)
+            val n = jobs.get
+            assert(n <= budget,
+              s"summary $label commit spent $n jobs (budget $budget) — " +
+                "a broadcast or footer-inference job crept into the " +
+                "commit path")
+          }
+        }
+      }
+    } finally spark.sparkContext.removeSparkListener(jl)
+  }
 }

@@ -805,6 +805,234 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("a legacy terminator-less pointer reads only as the highest " +
+      "stamped version; a truncated prefix of a gapped backfill id " +
+      "never resolves stale (r16, ADVICE + gapped-id pin)") {
+    // two scenarios share the byte shape "data.v<digits>" with no
+    // terminator: an r14-binary committer's flip (legitimate committed
+    // state — blanket-refusing it turns a rolling upgrade into a reader
+    // outage until the first post-upgrade commit), and a TRUNCATED
+    // modern flip whose prefix names a version retain-N GC kept alive
+    // (the r14 ADVICE stale-resolve hazard, sharpest under gapped
+    // backfill ids: commits at 5/10/50, truncation of "data.v50\n" to
+    // "data.v5"). The discriminator is the highest stamp: the full name
+    // always outranks any prefix of itself because its dir is written
+    // and stamped BEFORE the flip.
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_sum_legacy").toString
+    val root = new org.apache.hadoop.fs.Path(sumDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(sumDir, "_current")
+    def setPointer(bytes: String): Unit = {
+      val out = fs.create(ptr, true)
+      try out.write(bytes.getBytes("UTF-8")) finally out.close()
+    }
+    def summary() = SummaryMaintenance.readSummary(spark, sumDir).get
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    def expectedUpTo(maxId: Long) = events.filter(col("event_id") < maxId)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    spark.conf.set(SummaryMaintenance.CommitModeKey, "pointer")
+    spark.conf.set(SummaryMaintenance.RetainVersionsKey, "2")
+    val savedWait = SummaryMaintenance.SwapWaitMs
+    SummaryMaintenance.SwapWaitMs = 400L
+    try {
+      // gapped backfill ids — batch ids need only be monotone; event_id
+      // splits stay inside sf0.001's 0..999 range so no batch is empty
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") < 300), 5L, Seq("event_type"), "value")
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") >= 300 && col("event_id") < 600),
+        10L, Seq("event_type"), "value")
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") >= 600), 50L,
+        Seq("event_type"), "value")
+      // retain 2 -> all three gapped versions are live: the prefix
+      // hazard below is real, not hypothetical
+      assert(fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.startsWith("data.v")).toSet ===
+        Set("data.v5", "data.v10", "data.v50"))
+      // LEGACY: the bare highest-stamped name (an r14 flip, or a
+      // truncation that lost only the terminator) resolves immediately
+      setPointer("data.v50")
+      assert(summary() === expectedUpTo(Long.MaxValue),
+        "a reader-only process must read a pre-terminator summary " +
+          "without waiting for a post-upgrade commit")
+      // TRUNCATED PREFIX: "data.v5" is a live, stamped dir — but not
+      // the highest — so it must classify torn, never resolve stale
+      setPointer("data.v5")
+      val thrown = intercept[java.io.IOException] { summary() }
+      assert(thrown.getMessage.contains("did not resolve"),
+        s"truncated-prefix pointer must time out as torn: $thrown")
+      // the committer's replay repairs the torn pointer from the
+      // highest stamp and rewrites it in the TERMINATED form
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") >= 600), 50L,
+        Seq("event_type"), "value")
+      val raw = {
+        val in = fs.open(ptr)
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      }
+      assert(raw === "data.v50\n",
+        s"repair must re-publish the highest stamp, terminated: '$raw'")
+      assert(summary() === expectedUpTo(Long.MaxValue))
+    } finally {
+      spark.conf.unset(SummaryMaintenance.CommitModeKey)
+      spark.conf.unset(SummaryMaintenance.RetainVersionsKey)
+      SummaryMaintenance.SwapWaitMs = savedWait
+    }
+  }
+
+  test("bucketed GC aborts loudly when a KEPT manifest is unreadable " +
+      "instead of deleting its part closure (r16, ADVICE)") {
+    // kept manifests are complete by the write order, so a failed read
+    // during GC is an IO fault or external corruption — and the old
+    // getOrElse(Map.empty) treated exactly that case as "references no
+    // part dirs", deleting committed, retained summary data on a single
+    // transient fault. The GC must now throw; the commit itself (the
+    // pointer flip) has already landed, so a replay no-ops and the next
+    // healthy commit's GC collects what the aborted pass left behind.
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_sum_gcabort").toString
+    val root = new org.apache.hadoop.fs.Path(sumDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ls(): Set[String] = fs.listStatus(root)
+      .map(_.getPath.getName).toSet
+    def summary() = SummaryMaintenance.readSummary(spark, sumDir).get
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    def expected(f: org.apache.spark.sql.DataFrame) = f
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    spark.conf.set(SummaryMaintenance.CommitModeKey, "pointer")
+    spark.conf.set(SummaryMaintenance.BucketsKey, "4")
+    // retain 2 so manifest.v0 is KEPT at batch 2's GC while being
+    // neither the current merge input (that's v1) nor the just-written
+    // manifest — the one kept manifest whose read happens ONLY in GC
+    spark.conf.set(SummaryMaintenance.RetainVersionsKey, "2")
+    try {
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") < 300), 0L, Seq("event_type"), "value")
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") >= 300 && col("event_id") < 600),
+        1L, Seq("event_type"), "value")
+      val mf0 = new org.apache.hadoop.fs.Path(sumDir, "manifest.v0")
+      val saved = {
+        val in = fs.open(mf0)
+        try in.readAllBytes() finally in.close()
+      }
+      // corrupt the retained manifest: strip the #end terminator — the
+      // same read result a transient IO fault produces (None)
+      val out = fs.create(mf0, true)
+      try out.write("0\tpart.v0\n".getBytes("UTF-8")) finally out.close()
+      val preParts = ls().filter(_.startsWith("part.v"))
+      val thrown = intercept[java.io.IOException] {
+        SummaryMaintenance.applyBatch(spark, sumDir,
+          events.filter(col("event_id") >= 600), 2L,
+          Seq("event_type"), "value")
+      }
+      assert(thrown.getMessage.contains("kept manifest"),
+        s"GC must name the unreadable kept manifest: $thrown")
+      // the abort deleted NOTHING (batch 2's own part.v2 was added
+      // before the flip; every pre-existing part survives)...
+      assert(preParts.subsetOf(ls().filter(_.startsWith("part.v"))),
+        s"an aborted GC pass must not delete any part dir: had " +
+          s"$preParts, now ${ls().filter(_.startsWith("part.v"))}")
+      // ...and the commit itself landed before the abort (flip = commit
+      // point): readers see batch 2, replays no-op
+      assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 2L)
+      assert(summary() === expected(events))
+      // restore the manifest; the next commit's GC collects normally
+      val restore = fs.create(mf0, true)
+      try restore.write(saved) finally restore.close()
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(lit(false)), 3L, Seq("event_type"), "value")
+      val names = ls()
+      assert(names.filter(_.startsWith("manifest.v")) ===
+        Set("manifest.v1", "manifest.v2", "manifest.v3"),
+        s"the healthy GC must re-bound the manifests: $names")
+      assert(summary() === expected(events))
+    } finally {
+      spark.conf.unset(SummaryMaintenance.CommitModeKey)
+      spark.conf.unset(SummaryMaintenance.BucketsKey)
+      spark.conf.unset(SummaryMaintenance.RetainVersionsKey)
+    }
+  }
+
+  test("a bucketed part dir is a clean commit image under dynamic " +
+      "partitionOverwriteMode: crashed-attempt leaves are cleared " +
+      "(r16, ADVICE)") {
+    // under partitionOverwriteMode=dynamic an "overwrite" keeps
+    // partition leaves the new write doesn't touch — a replay after a
+    // crashed first attempt (whose touched set can differ, e.g. via the
+    // never-visible-first-attempt bucket re-stamp) would leave stale
+    // leaves inside part.v<id>. Unreferenced by the manifest, so reads
+    // stayed correct — but the commit image must be exactly what the
+    // manifest says under ANY session conf: the commit deletes the
+    // target part dir before writing.
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_sum_dynow").toString
+    val root = new org.apache.hadoop.fs.Path(sumDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.conf.set(SummaryMaintenance.CommitModeKey, "pointer")
+    spark.conf.set(SummaryMaintenance.BucketsKey, "4")
+    val savedMode =
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") < 500), 0L, Seq("event_type"), "value")
+      // a crashed first attempt of batch 1 left a leaf in a bucket the
+      // replay's touched set won't include (stale bucket numbering)
+      events.filter(col("event_id") < 10)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)"))
+            .cast("decimal(38,6)").as("sum_value"))
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(sumDir,
+          "part.v1/bucket=999").toString)
+      SummaryMaintenance.applyBatch(spark, sumDir,
+        events.filter(col("event_id") >= 500), 1L, Seq("event_type"), "value")
+      val leaves = fs.listStatus(
+        new org.apache.hadoop.fs.Path(sumDir, "part.v1"))
+        .map(_.getPath.getName).filter(_.startsWith("bucket=")).toSet
+      assert(!leaves.contains("bucket=999"),
+        s"the crashed attempt's stale leaf must be cleared: $leaves")
+      // and the leaves are exactly the buckets the manifest maps to v1
+      val in = fs.open(new org.apache.hadoop.fs.Path(sumDir, "manifest.v1"))
+      val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val mappedToV1 = raw.split("\n").toSeq.takeWhile(_ != "#end")
+        .map { l => val p = l.split("\t"); p(0).toInt -> p(1) }
+        .filter(_._2 == "part.v1").map(kv => s"bucket=${kv._1}").toSet
+      assert(leaves === mappedToV1,
+        s"commit image must be exactly the manifest's v1 buckets: " +
+          s"$leaves vs $mappedToV1")
+    } finally {
+      spark.conf.unset(SummaryMaintenance.CommitModeKey)
+      spark.conf.unset(SummaryMaintenance.BucketsKey)
+      savedMode match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   test("a persistent pointer-read fault surfaces as the deadline " +
       "error's CAUSE instead of masquerading as a torn write (r15, " +
       "ADVICE)") {
