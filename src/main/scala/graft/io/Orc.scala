@@ -19,7 +19,10 @@ object Orc {
 
   /** Hive-partitioned sink: one directory level per partition column —
     * equality predicates on those columns prune whole directories before
-    * any file is opened. */
+    * any file is opened. File alignment is the caller's choice, same
+    * contract as [[Parquet.writePartitioned]]: pre-repartition by the
+    * partition columns for ~one file per value, or write wide for
+    * parallel throughput. */
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").option("compression", "zstd")

@@ -9,6 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Parquet {
 
+  /** NOTE on file alignment: this writes task-parallel — every task
+    * emits one file per partition value it sees, so a wide upstream
+    * (N tasks) over K partition values can create N×K files. That is
+    * the right trade when partitions are large (parallel write
+    * throughput) and the wrong one when they are small (footer storms
+    * on read — see SummaryMaintenance's bucketed commit, which
+    * repartitions by the partition column first). Callers own the
+    * choice: pre-`repartition(partitionCols)` the frame for ~one file
+    * per partition value, or pass it wide for parallel writes. */
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String],
                        compression: String = "zstd"): Unit =

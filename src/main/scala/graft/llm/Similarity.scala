@@ -335,6 +335,16 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     corpusF
       .withColumn("cell", nearestIdx(dists))
+      // align files with cells before the dynamic-partition write
+      // (r16, the q_summary_bucketed lesson): unaligned, every corpus
+      // task writes one file per cell it sees — tasks × nlist small
+      // files per build, and every probe's cell scan pays that footer
+      // count. One corpus-sized shuffle at BUILD time (the "build
+      // once, probe many" side of the trade) caps the layout at
+      // ~one file per cell; probe-side results are unaffected (cell
+      // contents are a set — the probe's top-k orders by distance
+      // with deterministic id tie-breaks).
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     val out = stampFs.create(stamp, true)
     try out.write(s"$nlist,$seed,$trainN"
