@@ -499,11 +499,19 @@ object SummaryMaintenance {
       .agg(count(lit(1)).as("n_events"),
         sum(col(valueCol).cast("decimal(18,6)"))
           .cast("decimal(38,6)").as("sum_value"))
-    val merged = readSummary(spark, summaryDir) match {
-      case Some(cur) => cur.unionByName(delta)
-        .groupBy(keyCols.map(col): _*)
-        .agg(sum(col("n_events")).as("n_events"),
-          sum(col("sum_value")).cast("decimal(38,6)").as("sum_value"))
+    // the COMMITTER reads the stored summary with the schema it itself
+    // writes (= the delta's: this very merge produced every stored
+    // file), skipping parquet footer inference — measured at one driver
+    // JOB per commit (IngestJobProfile r16), i.e. half the steady-state
+    // commit's job count at 10k batches/day. External readers keep the
+    // inferring readSummary: they don't know the key types.
+    val merged = readableData(fs, root) match {
+      case Some(d) =>
+        spark.read.schema(delta.schema).parquet(d.toString)
+          .unionByName(delta)
+          .groupBy(keyCols.map(col): _*)
+          .agg(sum(col("n_events")).as("n_events"),
+            sum(col("sum_value")).cast("decimal(38,6)").as("sum_value"))
       case None => delta
     }
     if (pointerMode) {
@@ -676,9 +684,16 @@ object SummaryMaintenance {
             val curPaths = touched.toSeq.sorted.flatMap(b =>
               curMapping.get(b).map(d =>
                 new Path(new Path(root, d), s"bucket=$b").toString))
+            // explicit schema on the stored-leaf read (= the delta's
+            // minus the partitionBy-stripped bucket column — this merge
+            // wrote every leaf): skips footer inference, one driver job
+            // per commit saved (IngestJobProfile r16), the same
+            // discipline as the gates' stored-index reads
+            val leafSchema = org.apache.spark.sql.types.StructType(
+              delta.schema.filterNot(_.name == "bucket"))
             val merged =
               if (curPaths.isEmpty) delta
-              else spark.read.parquet(curPaths: _*)
+              else spark.read.schema(leafSchema).parquet(curPaths: _*)
                 .withColumn("bucket", bucketOf)
                 .unionByName(delta)
                 .groupBy((keyCols.map(col) :+ col("bucket")): _*)

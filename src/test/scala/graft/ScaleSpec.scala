@@ -833,18 +833,21 @@ class ScaleSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(collector)
   }
 
-  test("summary commit modes stay within their job budgets: swap 2, " +
-      "pointer 2, bucketed 3 jobs/commit (r16, VERDICT #5)") {
+  test("summary commit modes stay within their job budgets: swap 1, " +
+      "pointer 1, bucketed 2 jobs/commit (r16, VERDICT #5)") {
     // maintained views run foreachBatch in the same 10k-batches/day
     // regime as the three ingest gates (pinned 12/8/10); measured by
-    // IngestJobProfile at sf0.01 (PERF.md r16): swap 2, pointer 2,
-    // bucketed 3 jobs per steady-state commit. The pin (one job of
-    // slack each) is the behavioral guard against a broadcast exchange
-    // or footer-inference job creeping into the commit path — each such
-    // regression adds >= 1 job per micro-batch, pure driver pressure at
-    // scale. Job-group-scoped: the spec session is shared across
-    // suites, and async work from another suite landing in the window
-    // must not fail the pin.
+    // IngestJobProfile at sf0.01 (PERF.md r16): swap 1, pointer 1,
+    // bucketed 2 jobs per steady-state commit, after the committer's
+    // stored-summary reads went explicit-schema (the first profile
+    // read 2/2/3 — the extra job everywhere was parquet footer
+    // inference on the summary the committer itself wrote). The pin
+    // (one job of slack each) is the behavioral guard against a
+    // broadcast exchange or footer-inference job creeping back into
+    // the commit path — each such regression adds >= 1 job per
+    // micro-batch, pure driver pressure at scale. Job-group-scoped:
+    // the spec session is shared across suites, and async work from
+    // another suite landing in the window must not fail the pin.
     import graft.streaming.SummaryMaintenance
     val events = Util.table(spark, "/root/testdata/sf0.001", "events")
       .select(col("event_id"), col("user_id"), col("value"))
@@ -863,8 +866,8 @@ class ScaleSpec extends SparkSpec {
     org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
     spark.sparkContext.addSparkListener(jl)
     try {
-      for ((mode, buckets, budget) <- Seq(("swap", 0, 3), ("pointer", 0, 3),
-          ("pointer", 16, 4))) {
+      for ((mode, buckets, budget) <- Seq(("swap", 0, 2), ("pointer", 0, 2),
+          ("pointer", 16, 3))) {
         val label = if (buckets > 0) "bucketed" else mode
         val dir = java.nio.file.Files
           .createTempDirectory(s"graft_sum_budget_$label").toString
