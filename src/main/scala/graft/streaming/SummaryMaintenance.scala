@@ -765,6 +765,97 @@ object SummaryMaintenance {
     }
   }
 
+  /** One-shot re-shard of an EXISTING summary (any commit mode) into a
+    * FRESH bucketed pointer-mode summaryDir — the migration path both
+    * mode fences point at ("re-shard by backfilling a fresh
+    * summaryDir"), packaged so nobody hand-rolls it wrong. Run it with
+    * the maintaining stream STOPPED; afterwards restart the stream
+    * against `toDir` with `commitMode=pointer` and `buckets=N` and the
+    * SAME checkpoint: the source's committed batch id is carried over
+    * as the new dir's commit id, so the next micro-batch (id = stamp+1)
+    * merges and any replay of the old id no-ops — the exactly-once
+    * lineage continues unbroken.
+    *
+    * Rows are routed, never re-aggregated: the source summary's rows
+    * are already (key, n_events, sum_value) and a key lives in exactly
+    * one bucket, so the re-shard is a pure partitioning (feeding them
+    * back through applyBatch would re-COUNT summary rows as events).
+    * Commit shape is the bucketed protocol's own: part.v<id> (aligned,
+    * one file per non-empty bucket) → `_buckets` stamp → manifest.v<id>
+    * (`#end`-terminated) → `_current` flip. A crash anywhere before
+    * the flip leaves an unresolvable toDir that a RERUN overwrites
+    * (every artifact is id-keyed + overwrite); a toDir whose pointer
+    * already resolves is refused loudly — the re-shard happened. */
+  def reshardToBuckets(spark: SparkSession, fromDir: String, toDir: String,
+                       keyCols: Seq[String], buckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(buckets >= 1 && buckets <= (1 << 20),
+      s"reshard bucket count must be in [1, 2^20], got $buckets")
+    val toRoot = new Path(toDir)
+    val fs = toRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(new Path(fromDir) != toRoot,
+      "reshard requires a FRESH destination dir, not an in-place rewrite")
+    // refuse a destination that already holds a COMMITTED summary (its
+    // pointer resolves); pre-flip wreckage from a crashed earlier
+    // attempt is fine — everything below is overwrite-idempotent
+    readPointer(fs, new Path(toRoot, PointerName)) match {
+      case ResolvedPointer(name) if fs.exists(new Path(toRoot, name)) =>
+        throw new IllegalArgumentException(
+          s"$toDir already holds a committed summary ($name) — reshard " +
+            "writes only fresh dirs; point the stream at it or pick " +
+            "another destination")
+      case _ => ()
+    }
+    val id = lastBatchId(spark, fromDir)
+    require(id >= 0L,
+      s"$fromDir has no committed summary to re-shard")
+    val curOpt = readSummary(spark, fromDir)
+    if (curOpt.isEmpty) {
+      // a committed-but-EMPTY bucketed source (its manifest maps no
+      // buckets): the re-shard is just the empty commit image at the
+      // carried-over id — stamp, empty manifest, flip
+      val bout = fs.create(new Path(toRoot, "_buckets"), true)
+      try bout.write(buckets.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally bout.close()
+      writeManifest(fs, new Path(toRoot, s"manifest.v$id"), Map.empty)
+      val pout = fs.create(new Path(toRoot, PointerName), true)
+      try pout.write(pointerRecord(s"manifest.v$id"))
+      finally pout.close()
+      return
+    }
+    val cur = curOpt.get
+    keyCols.foreach(k => require(cur.columns.contains(k),
+      s"reshard key '$k' is not a column of the summary at $fromDir " +
+        s"(${cur.columns.mkString(", ")})"))
+    graft.Util.withMicroBatchPlanning(Seq(spark, cur.sparkSession)) {
+      val bucketed = cur.withColumn("bucket",
+        pmod(xxhash64(keyCols.map(col): _*), lit(buckets.toLong))
+          .cast("int"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val partDir = new Path(toRoot, s"part.v$id")
+        if (fs.exists(partDir)) fs.delete(partDir, true)
+        bucketed.repartition(col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(partDir.toString)
+        // manifest maps only NON-EMPTY buckets (same contract as the
+        // incremental commit: a mapped leaf must exist to be read)
+        val present = bucketed.select(col("bucket")).distinct()
+          .collect().map(_.getInt(0))
+        val bout = fs.create(new Path(toRoot, "_buckets"), true)
+        try bout.write(buckets.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally bout.close()
+        writeManifest(fs, new Path(toRoot, s"manifest.v$id"),
+          present.map(b => b -> s"part.v$id").toMap)
+        val pout = fs.create(new Path(toRoot, PointerName), true)
+        try pout.write(pointerRecord(s"manifest.v$id"))
+        finally pout.close()
+      } finally bucketed.unpersist()
+    }
+  }
+
   /** The maintained view as a streaming query: parquet file source →
     * foreachBatch(applyBatch). Start with `.trigger(AvailableNow)` for
     * bounded backfills or continuously on a live directory; the WAL

@@ -1033,6 +1033,100 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("reshardToBuckets migrates a summary into a fresh bucketed dir, " +
+      "preserves the checkpoint lineage, and is crash-rerunnable (r16)") {
+    // the migration path both mode fences point at, packaged: re-shard
+    // an existing summary (any mode) into a fresh bucketed dir carrying
+    // the committed batch id over, so the SAME stream checkpoint
+    // continues against the new dir — next id merges, old id no-ops.
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    def mkDir(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_reshard_$tag").toString
+    def summary(dir: String) = SummaryMaintenance.readSummary(spark, dir)
+      .get.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    def expectedUpTo(maxId: Long) = events.filter(col("event_id") < maxId)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    // source: a SWAP-mode summary (the migration-hostile starting mode)
+    val src = mkDir("src")
+    SummaryMaintenance.applyBatch(spark, src,
+      events.filter(col("event_id") < 300), 0L, Seq("event_type"), "value")
+    SummaryMaintenance.applyBatch(spark, src,
+      events.filter(col("event_id") >= 300 && col("event_id") < 600),
+      1L, Seq("event_type"), "value")
+    val dst = mkDir("dst")
+    SummaryMaintenance.reshardToBuckets(spark, src, dst,
+      Seq("event_type"), 8)
+    assert(SummaryMaintenance.lastBatchId(spark, dst) === 1L,
+      "the source's committed id must carry over (lineage continuity)")
+    assert(summary(dst) === expectedUpTo(600))
+    assert(summary(dst) === summary(src), "re-shard must not change data")
+    // the same checkpoint continues: replay of the old id no-ops, the
+    // next id merges — under the bucketed confs
+    spark.conf.set(SummaryMaintenance.CommitModeKey, "pointer")
+    spark.conf.set(SummaryMaintenance.BucketsKey, "8")
+    try {
+      SummaryMaintenance.applyBatch(spark, dst,
+        events.filter(col("event_id") >= 300 && col("event_id") < 600),
+        1L, Seq("event_type"), "value")
+      assert(summary(dst) === expectedUpTo(600), "old-id replay must no-op")
+      SummaryMaintenance.applyBatch(spark, dst,
+        events.filter(col("event_id") >= 600), 2L,
+        Seq("event_type"), "value")
+      assert(summary(dst) === expectedUpTo(Long.MaxValue))
+      // a committed destination refuses a second re-shard
+      intercept[IllegalArgumentException] {
+        SummaryMaintenance.reshardToBuckets(spark, src, dst,
+          Seq("event_type"), 8)
+      }
+    } finally {
+      spark.conf.unset(SummaryMaintenance.CommitModeKey)
+      spark.conf.unset(SummaryMaintenance.BucketsKey)
+    }
+    // crashed flip: destination left with pre-flip wreckage + torn
+    // pointer — a RERUN overwrites and converges
+    val dst2 = mkDir("dst2")
+    SummaryMaintenance.reshardToBuckets(spark, src, dst2,
+      Seq("event_type"), 8)
+    val fs = new org.apache.hadoop.fs.Path(dst2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new org.apache.hadoop.fs.Path(dst2, "_current")
+    val out = fs.create(ptr, true)
+    try out.write("manifest.v".getBytes("UTF-8")) finally out.close()
+    SummaryMaintenance.reshardToBuckets(spark, src, dst2,
+      Seq("event_type"), 8)
+    assert(summary(dst2) === expectedUpTo(600))
+    // bucketed -> bucketed with a DIFFERENT N (the case the _buckets
+    // fence refuses in place)
+    val dst3 = mkDir("dst3")
+    SummaryMaintenance.reshardToBuckets(spark, dst, dst3,
+      Seq("event_type"), 16)
+    assert(SummaryMaintenance.lastBatchId(spark, dst3) === 2L)
+    assert(summary(dst3) === expectedUpTo(Long.MaxValue))
+    // committed-but-EMPTY bucketed source (zero-bucket manifest): the
+    // re-shard is the empty commit image at the carried-over id
+    val esrc = mkDir("esrc")
+    spark.conf.set(SummaryMaintenance.CommitModeKey, "pointer")
+    spark.conf.set(SummaryMaintenance.BucketsKey, "4")
+    try SummaryMaintenance.applyBatch(spark, esrc,
+      events.filter(lit(false)), 0L, Seq("event_type"), "value")
+    finally {
+      spark.conf.unset(SummaryMaintenance.CommitModeKey)
+      spark.conf.unset(SummaryMaintenance.BucketsKey)
+    }
+    val edst = mkDir("edst")
+    SummaryMaintenance.reshardToBuckets(spark, esrc, edst,
+      Seq("event_type"), 8)
+    assert(SummaryMaintenance.lastBatchId(spark, edst) === 0L)
+    assert(SummaryMaintenance.readSummary(spark, edst).isEmpty,
+      "an empty source re-shards to an empty (zero-bucket) summary")
+  }
+
   test("a persistent pointer-read fault surfaces as the deadline " +
       "error's CAUSE instead of masquerading as a torn write (r15, " +
       "ADVICE)") {
