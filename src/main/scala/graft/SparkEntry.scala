@@ -1162,6 +1162,46 @@ object SparkEntry {
       }
     }),
 
+    // Streaming: the checkpoint-preserving MIGRATION between commit
+    // protocols under the hash gate (r16): two batches land in default
+    // swap mode, reshardToBuckets routes the summary into a fresh
+    // 8-bucket pointer-mode dir carrying the committed id, the
+    // PRE-reshard batch is replayed against the new dir (must no-op —
+    // lineage continuity is the whole point), and two more batches
+    // merge bucketed. The oracle is the whole-ledger aggregate: if the
+    // re-shard re-aggregated rows, dropped a bucket, or broke the
+    // stamp carry-over, the hash fails.
+    "q_summary_reshard" -> ((s, dir) => {
+      import graft.streaming.SummaryMaintenance
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val plain = scratchPath("q_sumreshard_src", dir)
+      val shard = scratchPath("q_sumreshard_dst", dir)
+      deleteRecursively(plain)
+      deleteRecursively(shard)
+      def part(b: Long) = ev.filter(pmod(col("event_id"), lit(4)) === b)
+      for (b <- 0L to 1L)
+        SummaryMaintenance.applyBatch(s, plain, part(b), b,
+          Seq("user_id"), "value")
+      SummaryMaintenance.reshardToBuckets(s, plain, shard,
+        Seq("user_id"), 8)
+      graft.Util.withSessionConf(s, SummaryMaintenance.CommitModeKey,
+          "pointer") {
+        graft.Util.withSessionConf(s, SummaryMaintenance.BucketsKey, "8") {
+          // the checkpoint's replay of the pre-reshard batch: no-op
+          SummaryMaintenance.applyBatch(s, shard, part(1L), 1L,
+            Seq("user_id"), "value")
+          for (b <- 2L to 3L)
+            SummaryMaintenance.applyBatch(s, shard, part(b), b,
+              Seq("user_id"), "value")
+          SummaryMaintenance.readSummary(s, shard).get
+            .select(col("user_id"), col("n_events"),
+              col("sum_value").cast("double").as("sum_value"))
+            .orderBy(col("user_id"))
+        }
+      }
+    }),
+
     // LLM: model-based quality filter (fastText/DCLM-shaped linear
     // classifier inference over hashed token features; deterministic
     // stand-in weights so the oracle replays the whole score)
@@ -2819,6 +2859,16 @@ object SparkEntry {
     // manifest-resolved union of part dirs must hold exactly the
     // whole-table merge or the hash fails.
     "q_summary_bucketed" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+        |    AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The migration twin: swap-mode batches + re-shard + replayed batch
+    // + bucketed batches still collapse to the one whole-table
+    // aggregate — the re-shard routes rows and carries the stamp, so it
+    // must be invisible to the merged result.
+    "q_summary_reshard" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
         |    AS DOUBLE) AS sum_value

@@ -247,19 +247,26 @@ object SummaryMaintenance {
     import org.apache.hadoop.fs.Path
     val root = new Path(summaryDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readableData(fs, root) match {
-      case None => -1L
-      case Some(d) if d.getName.startsWith("manifest.v") =>
-        d.getName.stripPrefix("manifest.v").toLong
-      case Some(d) =>
-        val stamp = new Path(d, StampName)
-        if (!fs.exists(stamp)) -1L
-        else {
-          val in = fs.open(stamp)
-          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-          finally in.close()
-        }
+    readableData(fs, root).fold(-1L)(resolvedId(fs, _))
+  }
+
+  /** Committed batch id of an already-RESOLVED version (dir or
+    * manifest), so callers that need both the id and the data derive
+    * them from ONE resolution (see [[reshardToBuckets]]). */
+  private def resolvedId(fs: org.apache.hadoop.fs.FileSystem,
+                         d: org.apache.hadoop.fs.Path): Long = {
+    import org.apache.hadoop.fs.Path
+    if (d.getName.startsWith("manifest.v"))
+      d.getName.stripPrefix("manifest.v").toLong
+    else {
+      val stamp = new Path(d, StampName)
+      if (!fs.exists(stamp)) -1L
+      else {
+        val in = fs.open(stamp)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
     }
   }
 
@@ -272,21 +279,31 @@ object SummaryMaintenance {
     import org.apache.hadoop.fs.Path
     val root = new Path(summaryDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    readableData(fs, root).flatMap { d =>
-      if (!d.getName.startsWith("manifest.v"))
-        Some(spark.read.parquet(d.toString))
-      else {
-        // a REFERENCED manifest is complete by write order (data →
-        // manifest → flip); a torn one here is corrupt state, not a
-        // transient — same honesty rule as the pointer itself
-        val mapping = readManifest(fs, d).getOrElse(
-          throw new java.io.IOException(s"summary manifest $d is torn/" +
-            "incomplete — bucketed pointer-mode state is corrupt"))
-        if (mapping.isEmpty) None
-        else Some(spark.read.parquet(mapping.toSeq.sortBy(_._1).map {
-          case (b, dir) => new Path(new Path(root, dir), s"bucket=$b").toString
-        }: _*))
-      }
+    readableData(fs, root).flatMap(resolvedSummary(spark, fs, root, _))
+  }
+
+  /** The summary frame of an already-RESOLVED version (dir or
+    * manifest) — the read half of [[readSummary]], shared with callers
+    * that must pair the data with [[resolvedId]] from one resolution. */
+  private def resolvedSummary(spark: SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path,
+                              d: org.apache.hadoop.fs.Path)
+      : Option[DataFrame] = {
+    import org.apache.hadoop.fs.Path
+    if (!d.getName.startsWith("manifest.v"))
+      Some(spark.read.parquet(d.toString))
+    else {
+      // a REFERENCED manifest is complete by write order (data →
+      // manifest → flip); a torn one here is corrupt state, not a
+      // transient — same honesty rule as the pointer itself
+      val mapping = readManifest(fs, d).getOrElse(
+        throw new java.io.IOException(s"summary manifest $d is torn/" +
+          "incomplete — bucketed pointer-mode state is corrupt"))
+      if (mapping.isEmpty) None
+      else Some(spark.read.parquet(mapping.toSeq.sortBy(_._1).map {
+        case (b, dir) => new Path(new Path(root, dir), s"bucket=$b").toString
+      }: _*))
     }
   }
 
@@ -806,10 +823,22 @@ object SummaryMaintenance {
             "another destination")
       case _ => ()
     }
-    val id = lastBatchId(spark, fromDir)
+    // resolve the source ONCE and derive BOTH the carried-over id and
+    // the data from that single resolution: separate lastBatchId +
+    // readSummary calls re-resolve the pointer, and a commit landing
+    // between them would pair stamp N with version N+1's data — the
+    // checkpoint replay of batch N+1 would then double-merge. The
+    // contract says run with the stream stopped; the snapshot is
+    // consistent even if someone doesn't.
+    val fromRoot = new Path(fromDir)
+    val fromFs = fromRoot.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val resolved = readableData(fromFs, fromRoot)
+    val id = resolved.fold(-1L)(resolvedId(fromFs, _))
     require(id >= 0L,
       s"$fromDir has no committed summary to re-shard")
-    val curOpt = readSummary(spark, fromDir)
+    val curOpt = resolved.flatMap(
+      resolvedSummary(spark, fromFs, fromRoot, _))
     if (curOpt.isEmpty) {
       // a committed-but-EMPTY bucketed source (its manifest maps no
       // buckets): the re-shard is just the empty commit image at the
