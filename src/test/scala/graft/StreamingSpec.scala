@@ -1033,6 +1033,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("a batch whose key TYPE differs from the stored summary fails " +
+      "LOUDLY and leaves the committed summary untouched (r16)") {
+    // the explicit-schema merge read (committer reads its own store
+    // with the delta's schema) makes a key-type change between batches
+    // a parquet type error at merge time. That is the pin-worthy
+    // behavior: the OLD inferring path union-coerced mismatched key
+    // types to a common type (long 5 and string "5" silently merging —
+    // or splitting — keys), which is a wrong answer, not an error. A
+    // foreachBatch stream can't hit this (its schema is fixed at
+    // readStream); only direct applyBatch callers can, and they must
+    // hear about it.
+    import graft.streaming.SummaryMaintenance
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sum_typefence").toString
+    SummaryMaintenance.applyBatch(spark,
+      dir, Seq((5L, 1.0), (6L, 2.0)).toDF("k", "v"), 0L, Seq("k"), "v")
+    val before = SummaryMaintenance.readSummary(spark, dir).get
+      .collect().map(r => (r.get(0), r.getLong(1))).toSet
+    intercept[Throwable] {
+      SummaryMaintenance.applyBatch(spark,
+        dir, Seq(("5", 3.0), ("7", 4.0)).toDF("k", "v"), 1L, Seq("k"), "v")
+    }
+    assert(SummaryMaintenance.lastBatchId(spark, dir) === 0L,
+      "a failed merge must not advance the commit")
+    assert(SummaryMaintenance.readSummary(spark, dir).get
+      .collect().map(r => (r.get(0), r.getLong(1))).toSet === before,
+      "a failed merge must leave the committed summary untouched")
+  }
+
   test("reshardToBuckets migrates a summary into a fresh bucketed dir, " +
       "preserves the checkpoint lineage, and is crash-rerunnable (r16)") {
     // the migration path both mode fences point at, packaged: re-shard
