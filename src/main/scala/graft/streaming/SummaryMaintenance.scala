@@ -823,6 +823,18 @@ object SummaryMaintenance {
             "another destination")
       case _ => ()
     }
+    // ...and one holding PLAIN-layout state (swap dirs have no pointer,
+    // so the check above cannot see them — including the source itself
+    // passed as destination through a non-identical path): writing
+    // manifests alongside `data`/`data.v*` would leave a dir BOTH mode
+    // fences refuse, a wedge instead of an error
+    if (fs.exists(toRoot) && fs.listStatus(toRoot).exists { st =>
+        val n = st.getPath.getName
+        n == "data" || n == "data.__graft_old" || n.matches("data\\.v\\d+")
+      })
+      throw new IllegalArgumentException(
+        s"$toDir holds a plain-mode summary layout — reshard writes " +
+          "only fresh dirs; it cannot re-shard in place")
     // resolve the source ONCE and derive BOTH the carried-over id and
     // the data from that single resolution: separate lastBatchId +
     // readSummary calls re-resolve the pointer, and a commit landing

@@ -1114,6 +1114,13 @@ class StreamingSpec extends SparkSpec {
         SummaryMaintenance.reshardToBuckets(spark, src, dst,
           Seq("event_type"), 8)
       }
+      // a plain-layout destination (incl. the source itself — swap
+      // dirs have no pointer for the committed-check to see) is
+      // refused instead of wedged with mixed-mode artifacts
+      intercept[IllegalArgumentException] {
+        SummaryMaintenance.reshardToBuckets(spark, src, src,
+          Seq("event_type"), 8)
+      }
     } finally {
       spark.conf.unset(SummaryMaintenance.CommitModeKey)
       spark.conf.unset(SummaryMaintenance.BucketsKey)
