@@ -1104,6 +1104,92 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Streaming: the object-store DEFAULT commit mode under the hash
+    // gate (r17, VERDICT #1 — swap is gated by q_summary_maintenance
+    // and pointer+bucketed by q_summary_bucketed, but the UN-bucketed
+    // pointer arm — the first mode real object-store users run — had
+    // only spec coverage). Four micro-batches at retainVersions=2 (a
+    // deeper-than-default retain-N GC cycle: versions beyond the three
+    // newest are collected while the batches land), with a same-run
+    // replay of batch 1 and a TORN pointer flip after batch 2 (the
+    // truncated record is unparsable by construction — no terminator —
+    // and batch 3's commit must repair from the highest stamped
+    // data.v* dir before merging). The oracle replays the whole ledger
+    // as one grouped aggregate: replay + torn-flip repair + GC must
+    // change NOTHING or the hash fails.
+    "q_summary_pointer" -> ((s, dir) => {
+      import graft.streaming.SummaryMaintenance
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val state = scratchPath("q_sumpointer", dir)
+      deleteRecursively(state)
+      def batch(b: Long) = ev.filter(pmod(col("event_id"), lit(4)) === b)
+      graft.Util.withSessionConf(s, SummaryMaintenance.CommitModeKey,
+          "pointer") {
+        graft.Util.withSessionConf(s,
+            SummaryMaintenance.RetainVersionsKey, "2") {
+          for (b <- 0L to 3L) {
+            SummaryMaintenance.applyBatch(s, state, batch(b), b,
+              Seq("event_type"), "value")
+            if (b == 1L) {
+              // same-run replay of the committed batch: must no-op
+              SummaryMaintenance.applyBatch(s, state, batch(1L), 1L,
+                Seq("event_type"), "value")
+            }
+            if (b == 2L) {
+              // crash mid-flip: _current truncated to a terminator-less
+              // prefix of the record ("data.v" — not even a legacy
+              // shape, which requires digits naming the highest stamp)
+              val root = new org.apache.hadoop.fs.Path(state)
+              val fs = root.getFileSystem(
+                s.sparkContext.hadoopConfiguration)
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(root, "_current"), true)
+              try out.write("data.v".getBytes("UTF-8"))
+              finally out.close()
+            }
+          }
+          SummaryMaintenance.readSummary(s, state).get
+            .select(col("event_type"), col("n_events"),
+              col("sum_value").cast("double").as("sum_value"))
+            .orderBy(col("event_type"))
+        }
+      }
+    }),
+
+    // Streaming: the O(one-bucket) keyed SERVING path under the hash
+    // gate (r17, VERDICT #3): build a 16-bucket pointer-mode summary
+    // over user_id, then serve ten keys through readSummaryKey — each
+    // lookup resolves the manifest, recomputes the key's bucket
+    // DRIVER-side from the _schema stamp (zero jobs), and scans ONLY
+    // that bucket's mapped leaf (the one-leaf files-read pin lives in
+    // ScaleSpec). The oracle is the whole-ledger aggregate filtered to
+    // the served keys: bucket pruning must be invisible to the result.
+    "q_summary_lookup" -> ((s, dir) => {
+      import graft.streaming.SummaryMaintenance
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val state = scratchPath("q_sumlookup", dir)
+      deleteRecursively(state)
+      graft.Util.withSessionConf(s, SummaryMaintenance.CommitModeKey,
+          "pointer") {
+        graft.Util.withSessionConf(s, SummaryMaintenance.BucketsKey,
+            "16") {
+          for (b <- 0L to 2L)
+            SummaryMaintenance.applyBatch(s, state,
+              ev.filter(pmod(col("event_id"), lit(3)) === b), b,
+              Seq("user_id"), "value")
+          (0L to 9L).map(k =>
+              SummaryMaintenance.readSummaryKey(s, state,
+                Seq("user_id"), Seq(k)))
+            .reduce(_ unionByName _)
+            .select(col("user_id"), col("n_events"),
+              col("sum_value").cast("double").as("sum_value"))
+            .orderBy(col("user_id"))
+        }
+      }
+    }),
+
     // Streaming: the SCALE form of the materialized view under the same
     // hash gate (r16, VERDICT #1 — the pointer/bucketed commit modes
     // previously had only spec coverage, no CORRECTNESS row). Pointer
@@ -1305,6 +1391,23 @@ object SparkEntry {
       val emb = spread(table(s, dir, "embeddings"), "vec_id")
       Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LLM: the PQ deployment users actually serve (r17, VERDICT #8 —
+    // the raw ADC scan above was gated, the rerank composition was
+    // not): ADC shortlist of 20, then EXACT cosine on only those 20
+    // rows per query, top-5 — approximation error shrinks to
+    // shortlist-recall error while the exact math never touches the
+    // corpus. Hash-checked end to end: the oracle replays the seeded
+    // quantizer, the ADC shortlist, AND the exact-cosine rerank in
+    // Spark's own op order (tools/gen_ann_oracle.py).
+    "q_embed_ann_pq_rerank" -> ((s, dir) => {
+      val emb = spread(table(s, dir, "embeddings"), "vec_id")
+      Similarity.pqTopKReranked(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", k = 5, shortlist = 20)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
@@ -2743,6 +2846,7 @@ object SparkEntry {
     "q_embed_ann_ivf" -> resourceSql("q_embed_ann_ivf"),
     "q_embed_ann_ivf_index" -> resourceSql("q_embed_ann_ivf"),
     "q_embed_ann_pq" -> resourceSql("q_embed_ann_pq"),
+    "q_embed_ann_pq_rerank" -> resourceSql("q_embed_ann_pq_rerank"),
     // LSH buckets + exact-order cosine verify; the 4x8x64 seed-42
     // gaussian plane constants come from the JVM itself
     // (tools/gen_lsh_oracle.py — StrictMath.log is fdlibm, off-by-an-ulp
@@ -2852,6 +2956,25 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
         |    AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The pointer-mode twin: the 4-batch rename-free ledger (replay,
+    // torn flip + repair, retain-2 GC) collapses to the same grouped
+    // aggregate — the pointer protocol must be invisible to the data.
+    "q_summary_pointer" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+        |    AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // The keyed-lookup twin: ten one-bucket reads must union to exactly
+    // the whole-ledger aggregate filtered to those keys — bucket
+    // routing and leaf pruning invisible to the served rows.
+    "q_summary_lookup" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+        |    AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id BETWEEN 0 AND 9
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // The bucketed twin: the 4-batch pointer/bucketed ledger (narrow
     // batch, replay, torn flip + repair) collapses to the same grouped

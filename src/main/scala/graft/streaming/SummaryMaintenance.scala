@@ -106,6 +106,100 @@ object SummaryMaintenance {
   private[graft] val BucketsKey = "spark.graft.summary.buckets"
   private val ManifestEnd = "#end"
 
+  /** Key/value schema contract sidecar (`_schema`, r17 — ADVICE): the
+    * explicit-schema merge reads (plain merge and bucketed leaf reads)
+    * silently yield all-NULL columns when a delta's key NAME differs
+    * from the stored files (parquet returns nulls for schema columns
+    * absent from the footer), so a caller that renames keyCols between
+    * batches would merge the entire stored summary under a null key —
+    * silent corruption where the old inferring path failed loudly. The
+    * sidecar persists the merge schema (field names + types as
+    * StructType JSON) at first commit; every later commit must match it
+    * exactly or fail with the commit untouched — the name-change twin
+    * of the type fence the explicit read already provides. Legacy
+    * summaries (pre-sidecar data with no stamp) are verified once
+    * against the stored footer, then stamped. */
+  private val SchemaName = "_schema"
+
+  /** Order-sensitive (name, type) signature — nullability and metadata
+    * excluded: they vary with upstream filters without changing which
+    * key a row merges under. */
+  private def schemaSig(schema: org.apache.spark.sql.types.StructType)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    schema.fields.toSeq.map(f => (f.name, f.dataType))
+
+  /** None when missing OR unreadable/unparsable: a torn stamp write is
+    * repaired by the next commit's re-validate-and-stamp (the legacy
+    * path), never trusted. */
+  private def readSchemaStamp(fs: org.apache.hadoop.fs.FileSystem,
+                              root: org.apache.hadoop.fs.Path)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val p = new org.apache.hadoop.fs.Path(root, SchemaName)
+    try {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val raw = try new String(org.apache.commons.io.IOUtils
+        .toByteArray(in), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      org.apache.spark.sql.types.DataType.fromJson(raw) match {
+        case s: org.apache.spark.sql.types.StructType => Some(s)
+        case _ => None
+      }
+    } catch { case _: java.io.IOException | _: RuntimeException => None }
+  }
+
+  private def writeSchemaStamp(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path,
+                               schema: org.apache.spark.sql.types.StructType)
+      : Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, SchemaName), true)
+    try out.write(schema.json
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Enforce the sidecar contract for one commit. `storedPaths` names
+    * the committed summary's data (empty before first commit): with a
+    * stamp AND data, mismatch fails loudly pre-write; a stamp with no
+    * data behind it is a crashed never-visible first attempt and the
+    * delta owns the schema (the `_buckets` rule); no stamp with data is
+    * a legacy summary — verified once against the stored footer (one
+    * inference read, one-time per summary), then stamped. */
+  private def validateSchemaStamp(spark: SparkSession,
+                                  fs: org.apache.hadoop.fs.FileSystem,
+                                  root: org.apache.hadoop.fs.Path,
+                                  mergeSchema: org.apache.spark.sql.types.StructType,
+                                  storedPaths: Seq[String]): Unit = {
+    val want = schemaSig(mergeSchema)
+    readSchemaStamp(fs, root) match {
+      case Some(stored) if storedPaths.nonEmpty =>
+        require(schemaSig(stored) == want,
+          s"batch schema ${want.map { case (n, t) => s"$n:${t.simpleString}" }
+            .mkString("(", ", ", ")")} does not match the summary's " +
+            s"committed schema ${schemaSig(stored)
+              .map { case (n, t) => s"$n:${t.simpleString}" }
+              .mkString("(", ", ", ")")} at $root — a renamed key column " +
+            "would merge the whole stored summary under NULL keys. Keep " +
+            "the maintaining keyCols/valueCol stable, or start a fresh " +
+            "summaryDir for the new schema.")
+      case Some(stored) =>
+        if (schemaSig(stored) != want) writeSchemaStamp(fs, root, mergeSchema)
+      case None =>
+        if (storedPaths.nonEmpty) {
+          val inferred = spark.read.parquet(storedPaths: _*).schema
+          require(schemaSig(inferred) == want,
+            s"batch schema ${want.map { case (n, t) => s"$n:${t.simpleString}" }
+              .mkString("(", ", ", ")")} does not match the stored " +
+              s"summary's footer schema ${schemaSig(inferred)
+                .map { case (n, t) => s"$n:${t.simpleString}" }
+                .mkString("(", ", ", ")")} at $root (legacy summary, no " +
+              s"$SchemaName stamp) — refusing the merge; a renamed key " +
+              "column would merge the stored summary under NULL keys.")
+        }
+        writeSchemaStamp(fs, root, mergeSchema)
+    }
+  }
+
   /** Parse a manifest file: (bucket -> part-dir name). Returns None when
     * the content is incomplete (no trailing `#end` line) — for the
     * repair path, which must skip torn manifests. */
@@ -129,7 +223,7 @@ object SummaryMaintenance {
       if (i <= 0) return None
       val b = l.substring(0, i)
       val d = l.substring(i + 1)
-      if (!b.forall(_.isDigit) || !d.matches("part\\.v\\d+")) return None
+      if (!b.forall(_.isDigit) || !d.matches("part\\.[vc]\\d+")) return None
       b.toInt -> d
     }
     Some(entries.toMap)
@@ -141,10 +235,34 @@ object SummaryMaintenance {
     val body = mapping.toSeq.sortBy(_._1)
       .map { case (b, d) => s"$b\t$d" }
       .:+(ManifestEnd).mkString("", "\n", "\n")
-    val out = fs.create(mf, true)
+    // temp-write + rename (r17): a crash mid-write must never leave a
+    // TORN file under a real manifest name. The `#end` terminator
+    // already makes torn content unreadable, but GC's throw-on-
+    // unreadable-KEPT-manifest honesty (r15 ADVICE) relies on kept
+    // manifests being COMPLETE — a compaction that crashed between
+    // creating manifest.c<id> and finishing the bytes would otherwise
+    // leave a same-id torn manifest that GC cannot distinguish from an
+    // IO fault on live state. The `.__tmp` name matches no manifest
+    // regex (invisible to readers, repair, and retention) and GC's
+    // not-kept clause sweeps strays.
+    val tmp = new org.apache.hadoop.fs.Path(
+      mf.getParent, mf.getName + ".__tmp")
+    val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(mf)) fs.delete(mf, false)
+    if (!fs.rename(tmp, mf))
+      throw new java.io.IOException(s"manifest publish $tmp -> $mf failed")
   }
+
+  /** Total order over manifest names: by id, with the compaction image
+    * (`manifest.c<id>`, see [[compactSummary]]) AFTER the commit image
+    * (`manifest.v<id>`) at the same id — the compaction folded that
+    * commit's state, so it is the newer equivalent image. */
+  private def manifestRank(name: String): (Long, Int) =
+    if (name.startsWith("manifest.c"))
+      (name.stripPrefix("manifest.c").toLong, 1)
+    else (name.stripPrefix("manifest.v").toLong, 0)
 
   /** How long a reader waits out a mid-flight summary swap before falling
     * back to the parked pre-swap dir (see [[readableData]]), and the
@@ -152,6 +270,12 @@ object SummaryMaintenance {
     * object store's O(files) copy-"rename", not HDFS's metadata rename;
     * tests shrink it so the crashed-committer path doesn't poll 30 s. */
   @volatile private[graft] var SwapWaitMs: Long = 30000L
+
+  /** Test seam: runs inside [[reshardToBuckets]] immediately before the
+    * pre-flip source re-resolution, so a spec can land a commit on the
+    * source in exactly the window the live-source guard exists for.
+    * Production value is a no-op. */
+  @volatile private[graft] var ReshardPreFlipHook: () => Unit = () => ()
 
   /** One `_current` read, classified. [[NoPointer]] = no pointer file
     * (swap-mode state or before first commit); [[TornPointer]] = pointer
@@ -230,9 +354,11 @@ object SummaryMaintenance {
 
   // two commit-image shapes share the pointer protocol: a full summary
   // copy (`data.v<id>` dir, plain pointer mode) and a bucket MANIFEST
-  // (`manifest.v<id>` file, bucketed mode — see [[BucketsKey]]). Readers
-  // auto-detect from the resolved name; writers fence the modes apart.
-  private val PointerRecord = "((?:data|manifest)\\.v\\d+)\n".r
+  // (`manifest.v<id>` file — or `manifest.c<id>`, the same-id
+  // compaction image, see [[compactSummary]] — bucketed mode, see
+  // [[BucketsKey]]). Readers auto-detect from the resolved name;
+  // writers fence the modes apart.
+  private val PointerRecord = "((?:data\\.v|manifest\\.[vc])\\d+)\n".r
 
   /** A version-dir name as a complete pointer record (see
     * [[readPointer]] for why the terminator is load-bearing). */
@@ -256,8 +382,8 @@ object SummaryMaintenance {
   private def resolvedId(fs: org.apache.hadoop.fs.FileSystem,
                          d: org.apache.hadoop.fs.Path): Long = {
     import org.apache.hadoop.fs.Path
-    if (d.getName.startsWith("manifest.v"))
-      d.getName.stripPrefix("manifest.v").toLong
+    if (d.getName.startsWith("manifest."))
+      manifestRank(d.getName)._1
     else {
       val stamp = new Path(d, StampName)
       if (!fs.exists(stamp)) -1L
@@ -291,7 +417,7 @@ object SummaryMaintenance {
                               d: org.apache.hadoop.fs.Path)
       : Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
-    if (!d.getName.startsWith("manifest.v"))
+    if (!d.getName.startsWith("manifest."))
       Some(spark.read.parquet(d.toString))
     else {
       // a REFERENCED manifest is complete by write order (data →
@@ -432,7 +558,7 @@ object SummaryMaintenance {
     // commits (the plain repair/GC would treat its manifests as torn
     // state), and vice versa — each mode refuses the other's artifacts
     val hasManifests = fs.exists(root) && fs.listStatus(root)
-      .exists(_.getPath.getName.startsWith("manifest.v"))
+      .exists(_.getPath.getName.startsWith("manifest."))
     require(buckets > 0 || !hasManifests,
       s"$summaryDir is a BUCKETED pointer-mode summary (manifest.v* " +
         s"present); set $BucketsKey to its bucket count (the _buckets " +
@@ -522,7 +648,14 @@ object SummaryMaintenance {
     // JOB per commit (IngestJobProfile r16), i.e. half the steady-state
     // commit's job count at 10k batches/day. External readers keep the
     // inferring readSummary: they don't know the key types.
-    val merged = readableData(fs, root) match {
+    val stored = readableData(fs, root)
+    // ...which makes the sidecar check below load-bearing: the explicit
+    // read returns NULLs, not errors, for renamed columns (see
+    // [[SchemaName]]). Steady state this is filesystem-only (no jobs —
+    // the pinned commit budgets are untouched).
+    validateSchemaStamp(spark, fs, root, delta.schema,
+      stored.map(_.toString).toSeq)
+    val merged = stored match {
       case Some(d) =>
         spark.read.schema(delta.schema).parquet(d.toString)
           .unionByName(delta)
@@ -617,7 +750,7 @@ object SummaryMaintenance {
     // manifests pin it; a stamp with no manifest behind it is a crashed
     // never-visible first attempt and the conf owns N
     val bstamp = new Path(root, "_buckets")
-    val anyManifest = ls().exists(_.startsWith("manifest.v"))
+    val anyManifest = ls().exists(_.startsWith("manifest."))
     if (fs.exists(bstamp)) {
       val in = fs.open(bstamp)
       val stored = try new String(org.apache.commons.io.IOUtils
@@ -647,12 +780,23 @@ object SummaryMaintenance {
     val pointerBroken = readPointer(fs, ptr) match {
       case TornPointer(_) => true
       case ResolvedPointer(name) => !fs.exists(new Path(root, name))
-      case NoPointer => false
+      case NoPointer =>
+        // a MISSING pointer with complete manifests behind it is NOT
+        // pre-first-commit (r16 ADVICE): it is a reshard/compaction
+        // that crashed between writing its manifest and the flip, or an
+        // externally deleted pointer. Treating it as empty would merge
+        // the replayed batch against an EMPTY mapping and overwrite
+        // this id's part/manifest — silently discarding the entire
+        // existing summary. Repairing to the highest complete manifest
+        // is sound by the data → manifest → flip write order, and the
+        // normal crashed-FIRST-commit replay then no-ops identically.
+        ls().exists(n => n.matches("manifest\\.[vc]\\d+") &&
+          readManifest(fs, new Path(root, n)).isDefined)
     }
     if (pointerBroken) {
-      val complete = ls().filter(_.matches("manifest\\.v\\d+"))
+      val complete = ls().filter(_.matches("manifest\\.[vc]\\d+"))
         .filter(n => readManifest(fs, new Path(root, n)).isDefined)
-        .sortBy(_.stripPrefix("manifest.v").toLong)
+        .sortBy(manifestRank)
       require(complete.nonEmpty,
         s"summary pointer $ptr is torn/unreadable and no complete " +
           "manifest.v* exists to repair from — bucketed pointer-mode " +
@@ -661,7 +805,14 @@ object SummaryMaintenance {
       try repairOut.write(pointerRecord(complete.last))
       finally repairOut.close()
     }
-    val last = lastBatchId(spark, summaryDir)
+    // ONE pointer resolution feeds both the replay decision and the
+    // current mapping (the reshard's resolvedId/resolvedSummary
+    // discipline) — and it is the only correct source for the mapping
+    // now that a compaction image (manifest.c<id>) can be the current
+    // version: constructing "manifest.v$last" by name would read the
+    // superseded commit image.
+    val resolvedV = readableData(fs, root)
+    val last = resolvedV.fold(-1L)(resolvedId(fs, _))
     require(batchId >= last,
       s"batch id $batchId regressed below the committed stamp $last at " +
         s"$summaryDir: the summary was built by a different checkpoint " +
@@ -686,10 +837,19 @@ object SummaryMaintenance {
           .collect().map(_.getInt(0)).toSet
         val curMapping: Map[Int, String] =
           if (last < 0) Map.empty
-          else readManifest(fs, new Path(root, s"manifest.v$last"))
+          else readManifest(fs, resolvedV.get)
             .getOrElse(throw new java.io.IOException(
-              s"committed manifest manifest.v$last at $summaryDir is " +
-                "torn/incomplete — bucketed state is corrupt"))
+              s"committed manifest ${resolvedV.get.getName} at " +
+                s"$summaryDir is torn/incomplete — bucketed state is " +
+                "corrupt"))
+        // leaf schema = the delta's minus the partitionBy-stripped
+        // bucket column (this merge wrote every leaf)
+        val leafSchema = org.apache.spark.sql.types.StructType(
+          delta.schema.filterNot(_.name == "bucket"))
+        // name-rename fence (see [[SchemaName]]) — before any write
+        validateSchemaStamp(spark, fs, root, leafSchema,
+          curMapping.headOption.map { case (b, d) =>
+            new Path(new Path(root, d), s"bucket=$b").toString }.toSeq)
         val newMapping =
           if (touched.isEmpty) curMapping // empty batch: id still advances
           else {
@@ -701,13 +861,10 @@ object SummaryMaintenance {
             val curPaths = touched.toSeq.sorted.flatMap(b =>
               curMapping.get(b).map(d =>
                 new Path(new Path(root, d), s"bucket=$b").toString))
-            // explicit schema on the stored-leaf read (= the delta's
-            // minus the partitionBy-stripped bucket column — this merge
-            // wrote every leaf): skips footer inference, one driver job
-            // per commit saved (IngestJobProfile r16), the same
-            // discipline as the gates' stored-index reads
-            val leafSchema = org.apache.spark.sql.types.StructType(
-              delta.schema.filterNot(_.name == "bucket"))
+            // explicit schema on the stored-leaf read: skips footer
+            // inference, one driver job per commit saved
+            // (IngestJobProfile r16), the same discipline as the
+            // gates' stored-index reads
             val merged =
               if (curPaths.isEmpty) delta
               else spark.read.schema(leafSchema).parquet(curPaths: _*)
@@ -748,37 +905,54 @@ object SummaryMaintenance {
         val outPtr = fs.create(ptr, true)
         try outPtr.write(pointerRecord(s"manifest.v$batchId"))
         finally outPtr.close()
-        // GC: keep the (retain+1) newest manifests and every part dir a
-        // KEPT manifest references — a lagging reader's resolved
-        // manifest keeps its whole closure alive by construction
-        val keptIds = ls().filter(_.matches("manifest\\.v\\d+"))
-          .map(_.stripPrefix("manifest.v").toLong)
-          .sorted(Ordering.Long.reverse).take(retainVersions + 1).toSet
-        val keptNames = keptIds.map(i => s"manifest.v$i")
-        // a KEPT manifest that cannot be read/parsed must ABORT the GC
-        // pass, not read as "references nothing" (r15 ADVICE): kept
-        // manifests are complete by the write order, so a None here is
-        // an IO fault or external corruption — and treating it as empty
-        // would delete its entire part.v* closure (including the parts
-        // just committed, if re-reading the new manifest transiently
-        // fails): silent, unrecoverable loss of retained summary data.
-        // The commit itself already landed (the flip is the commit
-        // point); a replay no-ops and the NEXT successful commit's GC
-        // collects what this pass left behind — same throw-on-torn
-        // honesty as readSummary.
-        val referenced = keptIds.flatMap(i =>
-          readManifest(fs, new Path(root, s"manifest.v$i"))
-            .getOrElse(throw new java.io.IOException(
-              s"kept manifest manifest.v$i at $summaryDir could not be " +
-                "read/parsed during GC — aborting deletion (treating it " +
-                "as empty would delete every part.v* dir it references)"))
-            .values)
-        ls().foreach { n =>
-          if ((n.startsWith("manifest.v") && !keptNames.contains(n)) ||
-              (n.startsWith("part.v") && !referenced.contains(n)))
-            fs.delete(new Path(root, n), true)
-        }
+        gcBucketed(fs, root, retainVersions)
       } finally delta.unpersist()
+    }
+  }
+
+  /** Bucketed-mode GC, shared by the incremental commit and
+    * [[compactSummary]]: keep the manifests of the (retain+1) newest
+    * DISTINCT ids and every part dir a KEPT manifest references — a
+    * lagging reader's resolved manifest keeps its whole closure alive
+    * by construction. Retention counts distinct IDS, not files: a
+    * compaction image (`manifest.c<id>`) shares its id with the commit
+    * image it folded, and both stay alive while the id is recent so
+    * readers mid-scan on either lineage finish — the pair ages out
+    * together as ids advance.
+    *
+    * A KEPT manifest that cannot be read/parsed ABORTS the pass, never
+    * reads as "references nothing" (r15 ADVICE): kept manifests are
+    * complete by the write order (and since r17 the temp+rename publish
+    * makes even a crashed writer unable to leave a torn file under a
+    * real manifest name), so a None here is an IO fault or external
+    * corruption — and treating it as empty would delete its entire
+    * part closure. The caller's commit already landed (the flip is the
+    * commit point); a replay no-ops and the NEXT successful pass
+    * collects what this one left behind. */
+  private def gcBucketed(fs: org.apache.hadoop.fs.FileSystem,
+                         root: org.apache.hadoop.fs.Path,
+                         retainVersions: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    def ls(): Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.map(_.getPath.getName)
+    val manifests = ls().filter(_.matches("manifest\\.[vc]\\d+"))
+    val keptIds = manifests.map(manifestRank(_)._1).distinct
+      .sorted(Ordering.Long.reverse).take(retainVersions + 1).toSet
+    val keptNames = manifests
+      .filter(n => keptIds.contains(manifestRank(n)._1)).toSet
+    val referenced = keptNames.flatMap(n =>
+      readManifest(fs, new Path(root, n))
+        .getOrElse(throw new java.io.IOException(
+          s"kept manifest $n at $root could not be read/parsed during " +
+            "GC — aborting deletion (treating it as empty would delete " +
+            "every part dir it references)"))
+        .values)
+    ls().foreach { n =>
+      // the manifest clause also sweeps `.__tmp` publish strays
+      if ((n.startsWith("manifest.") && !keptNames.contains(n)) ||
+          (n.startsWith("part.") && !referenced.contains(n)))
+        fs.delete(new Path(root, n), true)
     }
   }
 
@@ -802,7 +976,16 @@ object SummaryMaintenance {
     * (`#end`-terminated) → `_current` flip. A crash anywhere before
     * the flip leaves an unresolvable toDir that a RERUN overwrites
     * (every artifact is id-keyed + overwrite); a toDir whose pointer
-    * already resolves is refused loudly — the re-shard happened. */
+    * already resolves is refused loudly — the re-shard happened.
+    *
+    * The stopped-stream contract is additionally ENFORCED, not just
+    * documented (r17, VERDICT): immediately before the destination
+    * flip the source pointer is re-resolved, and a committed id that
+    * advanced past the carried snapshot id fails the re-shard loudly
+    * with the destination left pre-flip (rerunnable). Without the
+    * check, a live maintaining stream's post-snapshot commit would be
+    * silently STRANDED: the new dir carries stamp N while the stream's
+    * checkpoint already committed N+1, so N+1 never replays. */
   def reshardToBuckets(spark: SparkSession, fromDir: String, toDir: String,
                        keyCols: Seq[String], buckets: Int): Unit = {
     import org.apache.hadoop.fs.Path
@@ -849,6 +1032,46 @@ object SummaryMaintenance {
     val id = resolved.fold(-1L)(resolvedId(fromFs, _))
     require(id >= 0L,
       s"$fromDir has no committed summary to re-shard")
+    // ...and refuse a destination whose pointer file EXISTS (torn —
+    // resolvable was refused above) alongside a COMPLETE manifest at a
+    // DIFFERENT id (r16 ADVICE): that is a real bucketed summary that
+    // crashed mid-flip, and overwriting its `_buckets` stamp and
+    // manifest lineage would regress a live summary's published state,
+    // mixing two lineages in one dir. The pointer-file condition is
+    // what keeps reruns alive: a crashed or ABORTED prior re-shard is
+    // always pre-flip (no pointer file), and may legitimately carry an
+    // OLD id when the abort was the live-source guard itself (the
+    // source advanced, so the rerun's carried id moved past the
+    // wreckage); such pre-flip leftovers age out under the next
+    // commits' GC.
+    if (fs.exists(new Path(toRoot, PointerName)) && fs.exists(toRoot)) {
+      val alien = fs.listStatus(toRoot).toSeq.map(_.getPath.getName)
+        .filter(_.matches("manifest\\.[vc]\\d+"))
+        .filter(n => readManifest(fs, new Path(toRoot, n)).isDefined)
+        .filter(n => manifestRank(n)._1 != id)
+      if (alien.nonEmpty)
+        throw new IllegalArgumentException(
+          s"$toDir holds committed-shape bucketed state at other ids " +
+            s"(${alien.sorted.mkString(", ")} vs carried id $id) — " +
+            "likely a real summary with a torn pointer; repair it by " +
+            "running its maintaining stream (or applyBatch) once, or " +
+            "pick a fresh destination")
+    }
+    /** The enforced half of the stopped-stream contract (see Scaladoc):
+      * called just before each `_current` flip. */
+    def requireSourceQuiescent(): Unit = {
+      ReshardPreFlipHook()
+      val nowId = readableData(fromFs, fromRoot).fold(-1L)(
+        resolvedId(fromFs, _))
+      if (nowId != id)
+        throw new IllegalStateException(
+          s"source $fromDir advanced from the snapshot's committed id " +
+            s"$id to $nowId during the re-shard — a maintaining stream " +
+            "is LIVE against it, and its post-snapshot commits would be " +
+            "silently stranded behind the carried stamp. Stop the " +
+            "stream and re-run; the destination was left pre-flip and " +
+            "the re-shard is rerunnable.")
+    }
     val curOpt = resolved.flatMap(
       resolvedSummary(spark, fromFs, fromRoot, _))
     if (curOpt.isEmpty) {
@@ -859,7 +1082,12 @@ object SummaryMaintenance {
       try bout.write(buckets.toString
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally bout.close()
+      // carry the schema contract when the source has one (an empty
+      // manifest carries no files to derive it from)
+      readSchemaStamp(fromFs, fromRoot)
+        .foreach(writeSchemaStamp(fs, toRoot, _))
       writeManifest(fs, new Path(toRoot, s"manifest.v$id"), Map.empty)
+      requireSourceQuiescent()
       val pout = fs.create(new Path(toRoot, PointerName), true)
       try pout.write(pointerRecord(s"manifest.v$id"))
       finally pout.close()
@@ -888,12 +1116,193 @@ object SummaryMaintenance {
         try bout.write(buckets.toString
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally bout.close()
+        // schema contract: carry the source's stamp, or derive it from
+        // the resolved summary itself (its columns ARE the contract)
+        writeSchemaStamp(fs, toRoot,
+          readSchemaStamp(fromFs, fromRoot).getOrElse(cur.schema))
         writeManifest(fs, new Path(toRoot, s"manifest.v$id"),
           present.map(b => b -> s"part.v$id").toMap)
+        requireSourceQuiescent()
         val pout = fs.create(new Path(toRoot, PointerName), true)
         try pout.write(pointerRecord(s"manifest.v$id"))
         finally pout.close()
       } finally bucketed.unpersist()
+    }
+  }
+
+  /** Test seam: runs inside [[compactSummary]] after the compaction
+    * image (part + manifest) is durable and before the `_current` flip
+    * — the crash window whose repair the specs pin. */
+  @volatile private[graft] var CompactPreFlipHook: () => Unit = () => ()
+
+  /** Live-image compaction for a BUCKETED summary (r17, VERDICT): fold
+    * the CURRENT manifest's whole part-dir closure into ONE fresh
+    * `part.c<id>` dir and republish it as `manifest.c<id>` at the SAME
+    * committed id — pure re-layout, no data or id change, so the
+    * replay contract is untouched (a replay of batch `id` still
+    * no-ops; batch `id+1` merges against the compacted mapping).
+    *
+    * Why it exists: the incremental commit only rewrites TOUCHED
+    * buckets, so a long-untouched bucket pins its ancient `part.v` dir
+    * alive — and GC keeps whole referenced dirs, so that dir's OTHER
+    * (long superseded) bucket leaves stay on disk too. Under
+    * adversarial touch patterns disk is O(touch-history), not
+    * O(summary). Compacting bounds it at O(retained images): run it on
+    * a cadence (every N commits) from the maintaining process — it is
+    * a WRITER and lives under the same single-writer contract as
+    * applyBatch.
+    *
+    * Crash safety is the commit protocol's own: write order data →
+    * manifest → flip, every artifact id-keyed and rerun-overwritten. A
+    * crash before the flip leaves the pointer on `manifest.v<id>`
+    * (nothing published; a rerun — or the torn-pointer repair, which
+    * ranks the complete `manifest.c<id>` above `manifest.v<id>` —
+    * converges); a crash after the flip is a completed compaction and
+    * GC ages the superseded images out. Rerun on an already-compacted
+    * id is a no-op, as is a single-part-dir closure (nothing to fold).
+    * Plain-mode summaries are refused: every plain commit already
+    * rewrites its full image. */
+  def compactSummary(spark: SparkSession, summaryDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val root = new Path(summaryDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ptr = new Path(root, PointerName)
+    val resolved = readableData(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$summaryDir has no committed summary to compact"))
+    require(resolved.getName.startsWith("manifest."),
+      s"$summaryDir is a plain-mode summary — every commit already " +
+        "rewrites its whole image; compaction applies to bucketed " +
+        "summaries only")
+    val id = resolvedId(fs, resolved)
+    if (resolved.getName == s"manifest.c$id") return // already compacted
+    val retainVersions =
+      spark.conf.get(RetainVersionsKey, "1").trim.toInt
+    require(retainVersions >= 1, s"$RetainVersionsKey must be >= 1")
+    val mapping = readManifest(fs, resolved).getOrElse(
+      throw new java.io.IOException(s"summary manifest $resolved is " +
+        "torn/incomplete — bucketed pointer-mode state is corrupt"))
+    if (mapping.isEmpty || mapping.values.toSet.size <= 1) {
+      // single-dir closure: already one image; still GC so a crashed
+      // earlier compaction's pre-flip wreckage gets swept
+      gcBucketed(fs, root, retainVersions)
+      return
+    }
+    graft.Util.withMicroBatchPlanning(Seq(spark)) {
+      // read the live image GROUPED BY part dir so the `bucket`
+      // partition column rides along via basePath: values are
+      // preserved VERBATIM (compaction needs no key knowledge — it is
+      // re-layout, never re-hashing), and only the referenced leaves
+      // of each dir are listed, skipping superseded ones. Schema from
+      // the sidecar when present (no footer inference on the serving
+      // store), else inferred once.
+      val stampSchema = readSchemaStamp(fs, root)
+      val image = mapping.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (dirName, entries) =>
+          val base = new Path(root, dirName)
+          val leaves = entries.map(_._1).sorted
+            .map(b => new Path(base, s"bucket=$b").toString)
+          val rd = spark.read.option("basePath", base.toString)
+          stampSchema.fold(rd)(s => rd.schema(StructType(
+            s.fields :+ StructField("bucket", IntegerType))))
+            .parquet(leaves: _*)
+        }.reduce(_ unionByName _)
+      val partDir = new Path(root, s"part.c$id")
+      if (fs.exists(partDir)) fs.delete(partDir, true) // crashed rerun
+      image.repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(partDir.toString)
+      writeManifest(fs, new Path(root, s"manifest.c$id"),
+        mapping.keys.map(b => b -> s"part.c$id").toMap)
+      CompactPreFlipHook()
+      val pout = fs.create(ptr, true)
+      try pout.write(pointerRecord(s"manifest.c$id"))
+      finally pout.close()
+      gcBucketed(fs, root, retainVersions)
+    }
+  }
+
+  /** O(one-bucket) keyed lookup — the serving path the bucketed layout
+    * exists for (r17, VERDICT): resolve the manifest, recompute the
+    * key's bucket DRIVER-SIDE with the commit's own hash expression
+    * (`pmod(xxhash64(keys), N)` evaluated on literals — zero jobs), and
+    * scan ONLY that bucket's mapped leaf. Readers that union the full
+    * manifest closure ([[readSummary]]) pay O(summary) per lookup; this
+    * pays O(summary / buckets). On a PLAIN summary it degrades to a
+    * filtered full read (no sharding exists to exploit).
+    *
+    * `keyCols` must be the same columns IN THE SAME ORDER the
+    * maintaining `applyBatch` used — the bucket hash folds them in
+    * order. Values are cast to the summary's stamped key types before
+    * hashing (an Int lookup against a Long key column must hash the
+    * Long). Returns the matching summary rows (0 or 1 per key tuple);
+    * null-safe equality so a null-keyed row is findable. */
+  def readSummaryKey(spark: SparkSession, summaryDir: String,
+                     keyCols: Seq[String], keyValues: Seq[Any]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    require(keyCols.nonEmpty && keyCols.length == keyValues.length,
+      s"keyCols (${keyCols.length}) and keyValues (${keyValues.length}) " +
+        "must align one-to-one")
+    val root = new Path(summaryDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resolved = readableData(fs, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"$summaryDir has no committed summary"))
+    val stampSchema = readSchemaStamp(fs, root)
+    def keyFilter(df: DataFrame): DataFrame =
+      keyCols.zip(keyValues).foldLeft(df) { case (d, (k, v)) =>
+        d.filter(col(k) <=> lit(v).cast(d.schema(k).dataType)) }
+    if (!resolved.getName.startsWith("manifest."))
+      return keyFilter(stampSchema.fold(spark.read)(spark.read.schema)
+        .parquet(resolved.toString))
+    val mapping = readManifest(fs, resolved).getOrElse(
+      throw new java.io.IOException(s"summary manifest $resolved is " +
+        "torn/incomplete — bucketed pointer-mode state is corrupt"))
+    val bstamp = new Path(root, "_buckets")
+    require(fs.exists(bstamp),
+      s"$summaryDir has bucketed state but no _buckets stamp — corrupt")
+    val n = {
+      val in = fs.open(bstamp)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+    }
+    // leaf schema: the sidecar, else one mapped leaf's footer (legacy)
+    val leafSchema = stampSchema.orElse(mapping.headOption.map {
+      case (b, d) => spark.read.parquet(
+        new Path(new Path(root, d), s"bucket=$b").toString).schema
+    }).getOrElse(throw new IllegalStateException(
+      s"$summaryDir is an EMPTY bucketed summary with no $SchemaName " +
+        "stamp — no schema exists to type an empty result; commit a " +
+        "batch (which stamps the schema) first"))
+    keyCols.foreach(k => require(leafSchema.fieldNames.contains(k),
+      s"key '$k' is not a column of the summary at $summaryDir " +
+        s"(${leafSchema.fieldNames.mkString(", ")})"))
+    // the bucket, computed on the driver with the SAME Catalyst
+    // expression the commits evaluate on columns — interpreted eval on
+    // literals, bit-identical hash, zero Spark jobs
+    val exprs = keyCols.zip(keyValues).map { case (k, v) =>
+      val want = leafSchema(k).dataType
+      val raw = Literal(v)
+      if (raw.dataType == want) raw
+      else Literal.create(Cast(raw, want,
+        Option(spark.sessionState.conf.sessionLocalTimeZone))
+        .eval(InternalRow.empty), want)
+    }
+    val h = new XxHash64(exprs).eval(InternalRow.empty)
+      .asInstanceOf[Long]
+    val bucket = (((h % n) + n) % n).toInt
+    mapping.get(bucket) match {
+      case None => // no key hashed into this bucket yet: typed empty
+        keyFilter(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          leafSchema))
+      case Some(dirName) =>
+        keyFilter(spark.read.schema(leafSchema).parquet(
+          new Path(new Path(root, dirName), s"bucket=$bucket").toString))
     }
   }
 

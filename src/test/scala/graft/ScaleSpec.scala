@@ -900,4 +900,82 @@ class ScaleSpec extends SparkSpec {
       }
     } finally spark.sparkContext.removeSparkListener(jl)
   }
+
+  test("readSummaryKey scans exactly ONE bucket leaf and plans with " +
+      "zero driver jobs (r17, VERDICT #3)") {
+    // the serving path the bucketed layout exists for: the key's bucket
+    // is recomputed driver-side from the _schema stamp (no jobs, no
+    // footer inference) and only that bucket's mapped leaf is read —
+    // O(summary / buckets) per lookup where readSummary pays
+    // O(summary). The pin is the files-read count (the PartitionFilters
+    // analog for the manifest layout): every input file of the lookup
+    // plan lives under one bucket=<b> leaf of one part dir.
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sum_lookup_pin").toString
+    graft.Util.withSessionConf(spark,
+        SummaryMaintenance.CommitModeKey, "pointer") {
+      graft.Util.withSessionConf(spark,
+          SummaryMaintenance.BucketsKey, "16") {
+        for (b <- 0L to 2L)
+          SummaryMaintenance.applyBatch(spark, dir,
+            events.filter(pmod(col("event_id"), lit(3)) === b), b,
+            Seq("user_id"), "value")
+      }
+    }
+    val fullFiles = SummaryMaintenance.readSummary(spark, dir).get
+      .inputFiles.toSet
+    def leafOf(f: String): String =
+      f.substring(0, f.lastIndexOf('/')) // .../part.vX/bucket=B
+    assert(fullFiles.map(leafOf).size > 4,
+      s"fixture too small to prove pruning: ${fullFiles.map(leafOf)}")
+    val k = SummaryMaintenance.readSummary(spark, dir).get
+      .select(col("user_id")).orderBy(col("user_id")).limit(1)
+      .collect()(0).getLong(0)
+    // plan the lookup under a job group: building it must spend ZERO
+    // jobs (the schema stamp replaces footer inference; the bucket is
+    // evaluated on the driver, not via a Spark action)
+    val group = "graft_summary_lookup_pin"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val jl = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (Option(e.properties)
+            .exists(_.getProperty("spark.jobGroup.id") == group))
+          jobs.incrementAndGet()
+        ()
+      }
+    }
+    org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+    spark.sparkContext.addSparkListener(jl)
+    val lookup =
+      try {
+        spark.sparkContext.setJobGroup(group, "summary keyed lookup plan")
+        try SummaryMaintenance.readSummaryKey(spark, dir,
+          Seq("user_id"), Seq(k))
+        finally spark.sparkContext.clearJobGroup()
+      } finally {
+        org.apache.spark.graft.ListenerBridge
+          .waitUntilEmpty(spark.sparkContext)
+        spark.sparkContext.removeSparkListener(jl)
+      }
+    assert(jobs.get === 0,
+      s"planning the lookup spent ${jobs.get} jobs — footer inference " +
+        "or a driver-side action crept into the serving path")
+    val lookupLeaves = lookup.inputFiles.toSet.map(leafOf)
+    assert(lookupLeaves.size === 1,
+      s"the keyed lookup must scan exactly one bucket leaf, got " +
+        s"$lookupLeaves (full closure: ${fullFiles.map(leafOf)})")
+    assert(lookupLeaves.subsetOf(fullFiles.map(leafOf)),
+      "the scanned leaf must belong to the live manifest closure")
+    // and it returns the same row the full read filters to
+    val viaFull = SummaryMaintenance.readSummary(spark, dir).get
+      .filter(col("user_id") === k).collect()
+    val viaKey = lookup.collect()
+    assert(viaKey.length === 1 &&
+      viaKey(0).toSeq === viaFull(0).toSeq,
+      "the one-leaf lookup must serve the same row as the full read")
+  }
 }

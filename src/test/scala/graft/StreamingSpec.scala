@@ -1063,6 +1063,386 @@ class StreamingSpec extends SparkSpec {
       "a failed merge must leave the committed summary untouched")
   }
 
+  test("a batch whose key NAME differs from the stored summary fails " +
+      "LOUDLY via the _schema sidecar, plain and bucketed (r17, ADVICE)") {
+    // the name-change twin of the type fence above: the explicit-schema
+    // merge read returns NULLs (not errors) for a renamed column —
+    // parquet yields null for schema columns absent from the footer —
+    // so without the sidecar a renamed keyCol would merge the ENTIRE
+    // stored summary under one null key. Pin: loud failure, commit
+    // untouched, in both commit layouts, and for a LEGACY dir whose
+    // stamp is missing (verified once against the footer, then stamped).
+    import graft.streaming.SummaryMaintenance
+    import spark.implicits._
+    def pinned(dirTag: String, bucketed: Boolean): Unit = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_sum_rename_$dirTag").toString
+      def run(body: => Unit): Unit =
+        if (!bucketed) body
+        else Util.withSessionConf(spark,
+            SummaryMaintenance.CommitModeKey, "pointer") {
+          Util.withSessionConf(spark, SummaryMaintenance.BucketsKey, "4") {
+            body
+          }
+        }
+      run {
+        SummaryMaintenance.applyBatch(spark, dir,
+          Seq((5L, 1.0), (6L, 2.0)).toDF("k", "v"), 0L, Seq("k"), "v")
+        val before = SummaryMaintenance.readSummary(spark, dir).get
+          .collect().map(r => (r.get(0), r.getLong(1))).toSet
+        val e = intercept[IllegalArgumentException] {
+          SummaryMaintenance.applyBatch(spark, dir,
+            Seq((5L, 3.0), (7L, 4.0)).toDF("kk", "v"), 1L, Seq("kk"), "v")
+        }
+        assert(e.getMessage.contains("schema"),
+          s"the failure must name the schema contract: ${e.getMessage}")
+        assert(SummaryMaintenance.lastBatchId(spark, dir) === 0L)
+        assert(SummaryMaintenance.readSummary(spark, dir).get
+          .collect().map(r => (r.get(0), r.getLong(1))).toSet === before)
+        // legacy dir: stamp deleted — the fence must still hold (one
+        // footer verification), and a MATCHING batch re-stamps + merges
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dir, "_schema"), false)
+        intercept[IllegalArgumentException] {
+          SummaryMaintenance.applyBatch(spark, dir,
+            Seq((5L, 3.0), (7L, 4.0)).toDF("kk", "v"), 1L, Seq("kk"), "v")
+        }
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_schema")),
+          "a failed legacy verification must not stamp the WRONG schema")
+        SummaryMaintenance.applyBatch(spark, dir,
+          Seq((5L, 3.0), (7L, 4.0)).toDF("k", "v"), 1L, Seq("k"), "v")
+        assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_schema")),
+          "a matching batch against a legacy dir must re-stamp")
+        assert(SummaryMaintenance.readSummary(spark, dir).get
+          .collect().map(r => (r.get(0), r.getLong(1))).toSet ===
+          Set((5L, 2L), (6L, 1L), (7L, 1L)))
+      }
+    }
+    pinned("plain", bucketed = false)
+    pinned("bucketed", bucketed = true)
+  }
+
+  test("a missing pointer with complete manifests behind it repairs to " +
+      "the highest manifest instead of reading as pre-first-commit " +
+      "(r17, ADVICE)") {
+    // the crashed-reshard shape: manifest.v<id> durable, `_current`
+    // never written (or externally deleted). Treating it as empty would
+    // merge the replayed batch against an EMPTY mapping and overwrite
+    // this id's part/manifest — silently discarding the whole summary.
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_sum_noptr_src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_sum_noptr_dst").toString
+    SummaryMaintenance.applyBatch(spark, src,
+      events.filter(col("event_id") < 600), 0L, Seq("event_type"), "value")
+    SummaryMaintenance.reshardToBuckets(spark, src, dst,
+      Seq("event_type"), 4)
+    val expected = SummaryMaintenance.readSummary(spark, dst).get
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    // simulate the crash-before-flip: delete the pointer outright
+    val fs = new org.apache.hadoop.fs.Path(dst)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dst, "_current"), false)
+    Util.withSessionConf(spark, SummaryMaintenance.CommitModeKey,
+        "pointer") {
+      Util.withSessionConf(spark, SummaryMaintenance.BucketsKey, "4") {
+        // the stream starts against dst and REPLAYS the pre-reshard id:
+        // with the repair this no-ops; without it the batch would merge
+        // against an empty mapping (losing every key outside it)
+        SummaryMaintenance.applyBatch(spark, dst,
+          events.filter(col("event_id") < 600), 0L,
+          Seq("event_type"), "value")
+        assert(SummaryMaintenance.readSummary(spark, dst).get
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getDecimal(2))).toMap === expected,
+          "the replay against repaired state must no-op, not overwrite")
+        assert(SummaryMaintenance.lastBatchId(spark, dst) === 0L)
+        // and the lineage continues
+        SummaryMaintenance.applyBatch(spark, dst,
+          events.filter(col("event_id") >= 600), 1L,
+          Seq("event_type"), "value")
+        val full = events.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).as("s"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getDecimal(2))).toMap
+        assert(SummaryMaintenance.readSummary(spark, dst).get
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getDecimal(2))).toMap === full)
+      }
+    }
+  }
+
+  test("reshardToBuckets fails loudly when the source advances during " +
+      "the re-shard, leaving the destination pre-flip (r17, VERDICT)") {
+    // the stopped-stream contract, enforced: a live maintaining stream
+    // that commits after the snapshot would otherwise have that commit
+    // silently stranded (new dir stamped N, checkpoint already at N+1 —
+    // N+1 never replays).
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_reshard_live_src").toString
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft_reshard_live_dst").toString
+    SummaryMaintenance.applyBatch(spark, src,
+      events.filter(col("event_id") < 400), 0L, Seq("event_type"), "value")
+    // the "live stream": lands batch 1 on the source inside the
+    // pre-flip window
+    SummaryMaintenance.ReshardPreFlipHook = () =>
+      SummaryMaintenance.applyBatch(spark, src,
+        events.filter(col("event_id") >= 400 && col("event_id") < 800),
+        1L, Seq("event_type"), "value")
+    try {
+      val e = intercept[IllegalStateException] {
+        SummaryMaintenance.reshardToBuckets(spark, src, dst,
+          Seq("event_type"), 4)
+      }
+      assert(e.getMessage.contains("advanced"),
+        s"must name the live-source hazard: ${e.getMessage}")
+    } finally SummaryMaintenance.ReshardPreFlipHook = () => ()
+    // destination left pre-flip: unresolvable, and a RERUN (stream now
+    // quiet) converges on the advanced id
+    assert(SummaryMaintenance.lastBatchId(spark, dst) === -1L,
+      "the failed re-shard must not have published a pointer")
+    SummaryMaintenance.reshardToBuckets(spark, src, dst,
+      Seq("event_type"), 4)
+    assert(SummaryMaintenance.lastBatchId(spark, dst) === 1L)
+    assert(SummaryMaintenance.readSummary(spark, dst).get
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2))).toMap ===
+      SummaryMaintenance.readSummary(spark, src).get
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2))).toMap)
+  }
+
+  test("reshardToBuckets refuses a destination holding committed-shape " +
+      "manifests at another id — a torn-pointer real summary (r17, " +
+      "ADVICE)") {
+    // a REAL bucketed summary whose pointer is torn (crash mid-flip)
+    // passes the resolvable-pointer guard; overwriting its _buckets
+    // stamp and manifest lineage would regress its published state.
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val vic = java.nio.file.Files
+      .createTempDirectory("graft_reshard_victim").toString
+    Util.withSessionConf(spark, SummaryMaintenance.CommitModeKey,
+        "pointer") {
+      Util.withSessionConf(spark, SummaryMaintenance.BucketsKey, "4") {
+        for (b <- 0L to 2L)
+          SummaryMaintenance.applyBatch(spark, vic,
+            events.filter(pmod(col("event_id"), lit(3)) === b), b,
+            Seq("event_type"), "value")
+      }
+    }
+    val committed = SummaryMaintenance.readSummary(spark, vic).get
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    // tear the victim's pointer (crash mid-flip)
+    val fs = new org.apache.hadoop.fs.Path(vic)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(vic, "_current"), true)
+    try out.write("manifest.v".getBytes("UTF-8")) finally out.close()
+    // a re-shard from an UNRELATED source (committed id 0) must refuse
+    // the victim as destination rather than mixing lineages into it
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_reshard_alien_src").toString
+    SummaryMaintenance.applyBatch(spark, src,
+      events.filter(col("event_id") < 300), 0L, Seq("event_type"), "value")
+    val e = intercept[IllegalArgumentException] {
+      SummaryMaintenance.reshardToBuckets(spark, src, vic,
+        Seq("event_type"), 8)
+    }
+    assert(e.getMessage.contains("other ids"),
+      s"must name the foreign-lineage hazard: ${e.getMessage}")
+    // the victim repairs through its own commit path, state intact
+    Util.withSessionConf(spark, SummaryMaintenance.CommitModeKey,
+        "pointer") {
+      Util.withSessionConf(spark, SummaryMaintenance.BucketsKey, "4") {
+        SummaryMaintenance.applyBatch(spark, vic,
+          events.filter(lit(false)), 3L, Seq("event_type"), "value")
+      }
+    }
+    assert(SummaryMaintenance.readSummary(spark, vic).get
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap === committed,
+      "the torn-pointer victim must survive with its lineage intact")
+  }
+
+  test("compactSummary folds the live image into one part dir, changes " +
+      "nothing, survives its crash window, and bounds disk (r17, VERDICT)") {
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_sum_compact").toString
+    val root = new org.apache.hadoop.fs.Path(sumDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ls(): Set[String] =
+      fs.listStatus(root).map(_.getPath.getName).toSet
+    def summary() = SummaryMaintenance.readSummary(spark, sumDir).get
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    val oneType = events.select(col("event_type")).distinct()
+      .orderBy(col("event_type")).limit(1).collect()(0).getString(0)
+    Util.withSessionConf(spark, SummaryMaintenance.CommitModeKey,
+        "pointer") {
+      Util.withSessionConf(spark, SummaryMaintenance.BucketsKey, "8") {
+        // adversarial touch pattern: batch 0 is broad, batches 1-3
+        // touch ONE key's bucket — part.v0 stays pinned by the
+        // untouched buckets while part.v1/v2 leaves are superseded
+        SummaryMaintenance.applyBatch(spark, sumDir,
+          events.filter(col("event_id") < 500), 0L,
+          Seq("event_type"), "value")
+        for (b <- 1L to 3L)
+          SummaryMaintenance.applyBatch(spark, sumDir,
+            events.filter(col("event_id") >= 400 + b * 100 &&
+              col("event_id") < 500 + b * 100 &&
+              col("event_type") === oneType), b,
+            Seq("event_type"), "value")
+        val before = summary()
+        val partsBefore = ls().filter(_.startsWith("part."))
+        assert(partsBefore.size >= 3,
+          s"the touch pattern must leave a multi-dir closure: $partsBefore")
+        // crash window: image + manifest durable, flip never happens
+        SummaryMaintenance.CompactPreFlipHook =
+          () => throw new RuntimeException("simulated pre-flip crash")
+        try intercept[RuntimeException] {
+          SummaryMaintenance.compactSummary(spark, sumDir)
+        } finally SummaryMaintenance.CompactPreFlipHook = () => ()
+        assert(summary() === before,
+          "a pre-flip crash publishes nothing")
+        assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 3L)
+        // the torn-pointer repair ranks the complete manifest.c3 above
+        // manifest.v3 — tear the pointer and let the NEXT COMMIT repair
+        // through the crashed compaction image (both are the same data)
+        fs.create(new org.apache.hadoop.fs.Path(sumDir, "_current"), true)
+          .close()
+        SummaryMaintenance.applyBatch(spark, sumDir,
+          events.filter(lit(false)), 4L, Seq("event_type"), "value")
+        assert(summary() === before, "repair through the crashed " +
+          "compaction image must not change data")
+        // rebuild a multi-dir closure on top of the repaired image
+        // (events span ids 0-999 at sf0.001 — stay inside the data)
+        SummaryMaintenance.applyBatch(spark, sumDir,
+          events.filter(col("event_id") >= 800 && col("event_id") < 850 &&
+            col("event_type") === oneType), 5L, Seq("event_type"), "value")
+        SummaryMaintenance.applyBatch(spark, sumDir,
+          events.filter(col("event_id") >= 850 && col("event_id") < 900 &&
+            col("event_type") === oneType), 6L, Seq("event_type"), "value")
+        val mid = summary()
+        assert(ls().filter(_.startsWith("part.")).size >= 3,
+          s"the rebuilt closure must span several part dirs: ${ls()}")
+        // now compact the live image for real
+        SummaryMaintenance.compactSummary(spark, sumDir)
+        assert(summary() === mid, "compaction is pure re-layout")
+        assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 6L,
+          "compaction must not mint a new batch id")
+        assert(ls().contains("part.c6") && ls().contains("manifest.c6"),
+          s"the compaction image is published at the committed id: ${ls()}")
+        // replay still no-ops against the compacted image
+        SummaryMaintenance.applyBatch(spark, sumDir,
+          events.filter(lit(false)), 6L, Seq("event_type"), "value")
+        assert(summary() === mid)
+        // rerun is a no-op (already compacted at this id)
+        val snapshot = ls()
+        SummaryMaintenance.compactSummary(spark, sumDir)
+        assert(ls() === snapshot, "rerun on a compacted id must no-op")
+        // disk bound: two more commits age the pre-compaction lineage
+        // out entirely — O(retained images), not O(touch-history)
+        SummaryMaintenance.applyBatch(spark, sumDir,
+          events.filter(col("event_id") >= 900 && col("event_id") < 950 &&
+            col("event_type") === oneType), 7L, Seq("event_type"), "value")
+        SummaryMaintenance.applyBatch(spark, sumDir,
+          events.filter(col("event_id") >= 950 &&
+            col("event_type") === oneType), 8L, Seq("event_type"), "value")
+        val names = ls()
+        assert(!names.exists(n => n.startsWith("part.v") &&
+            n.stripPrefix("part.v").toLong <= 6L),
+          s"pre-compaction part dirs must age out: $names")
+        assert(names.count(_.startsWith("part.c")) === 1,
+          s"exactly the compaction image survives: $names")
+        val full = events.filter(col("event_id") < 500 ||
+            (col("event_id") >= 500 && col("event_type") === oneType))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,6)")).as("s"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getDecimal(2))).toMap
+        assert(summary() === full)
+      }
+    }
+    // plain-mode summaries are refused (every commit already rewrites
+    // its whole image — nothing to compact)
+    val plain = java.nio.file.Files
+      .createTempDirectory("graft_sum_compact_plain").toString
+    SummaryMaintenance.applyBatch(spark, plain,
+      events.filter(col("event_id") < 100), 0L,
+      Seq("event_type"), "value")
+    intercept[IllegalArgumentException] {
+      SummaryMaintenance.compactSummary(spark, plain)
+    }
+  }
+
+  test("readSummaryKey returns exactly the keyed row from one bucket " +
+      "leaf, plain summaries degrade to a filtered read (r17, VERDICT)") {
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_sum_lookup").toString
+    Util.withSessionConf(spark, SummaryMaintenance.CommitModeKey,
+        "pointer") {
+      Util.withSessionConf(spark, SummaryMaintenance.BucketsKey, "16") {
+        for (b <- 0L to 1L)
+          SummaryMaintenance.applyBatch(spark, sumDir,
+            events.filter(pmod(col("event_id"), lit(2)) === b), b,
+            Seq("user_id"), "value")
+      }
+    }
+    val all = SummaryMaintenance.readSummary(spark, sumDir).get
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    // every present key resolves through its single bucket; the values
+    // match the full read exactly
+    val keys = all.keySet.take(5)
+    for (k <- keys) {
+      val got = SummaryMaintenance.readSummaryKey(spark, sumDir,
+        Seq("user_id"), Seq(k))
+      val rows = got.collect()
+      assert(rows.length === 1, s"key $k must resolve to one row")
+      assert(rows(0).getLong(0) === k)
+      assert((rows(0).getLong(1), rows(0).getDecimal(2)) === all(k))
+      // an Int literal for the Long key column must hash identically
+      // (the cast-to-stamped-type rule)
+      assert(SummaryMaintenance.readSummaryKey(spark, sumDir,
+        Seq("user_id"), Seq(k.toInt)).count() === 1L)
+    }
+    // an absent key returns zero rows with the summary schema
+    val absent = SummaryMaintenance.readSummaryKey(spark, sumDir,
+      Seq("user_id"), Seq(-12345L))
+    assert(absent.count() === 0L)
+    assert(absent.columns.toSeq ===
+      Seq("user_id", "n_events", "sum_value"))
+    // a plain summary serves the same lookup as a filtered full read
+    val plainDir = java.nio.file.Files
+      .createTempDirectory("graft_sum_lookup_plain").toString
+    SummaryMaintenance.applyBatch(spark, plainDir, events, 0L,
+      Seq("user_id"), "value")
+    val k0 = keys.head
+    val plainRow = SummaryMaintenance.readSummaryKey(spark, plainDir,
+      Seq("user_id"), Seq(k0)).collect()
+    assert(plainRow.length === 1 && plainRow(0).getLong(0) === k0)
+    // a misspelled key column is refused loudly
+    val e = intercept[IllegalArgumentException] {
+      SummaryMaintenance.readSummaryKey(spark, sumDir,
+        Seq("userid"), Seq(k0)).collect()
+    }
+    assert(e.getMessage.contains("not a column"))
+  }
+
   test("reshardToBuckets migrates a summary into a fresh bucketed dir, " +
       "preserves the checkpoint lineage, and is crash-rerunnable (r16)") {
     // the migration path both mode fences point at, packaged: re-shard

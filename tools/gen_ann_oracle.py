@@ -37,6 +37,7 @@ import hashlib
 DIM = 64
 NLIST, NPROBE, IVF_K = 16, 4, 5
 M, KSUB, PQ_K = 8, 16, 5
+RERANK_SHORTLIST, RERANK_K = 20, 5
 SEED, TRAIN_N, ITERS = 42, 2048, 5
 SUB = DIM // M
 MULT, INC, MASK48 = 0x5DEECE66D, 0xB, (1 << 48) - 1
@@ -310,7 +311,10 @@ ORDER BY query_id, rank"""
     return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + final
 
 
-def gen_pq_sql():
+def pq_scored_ctes():
+    """Shared PQ pipeline through the per-candidate ADC CTE `scored`
+    (query_id, neighbor_id, adc) — the base of both the raw shortlist
+    (q_embed_ann_pq) and the exact-cosine rerank."""
     ctes = common_ctes()
     ctes += pq_lloyd_ctes()
     lut_cols = ", ".join(
@@ -345,6 +349,11 @@ def gen_pq_sql():
   FROM qlut q, codes n
   WHERE n.vec_id <> q.vec_id)""",
     ]
+    return ctes
+
+
+def gen_pq_sql():
+    ctes = pq_scored_ctes()
     final = f"""SELECT query_id,
   CAST(row_number() OVER (PARTITION BY query_id
     ORDER BY adc ASC, neighbor_id) AS BIGINT) AS rank,
@@ -355,15 +364,56 @@ ORDER BY query_id, rank"""
     return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + final
 
 
+def gen_pq_rerank_sql():
+    """pqTopKReranked: ADC shortlist of RERANK_SHORTLIST (same ranking
+    as the raw query, larger k), then EXACT cosine over only those rows
+    in Spark's own op order and precision — dot/(sqrt(aa)*sqrt(bb)) on
+    the DOUBLE vectors with ascending left-fold sums, 0.0 on zero norms
+    (the IVF oracle's `scored` discipline) — top-RERANK_K by
+    (cos DESC, neighbor_id)."""
+    ctes = pq_scored_ctes()
+    ctes += [
+        f"""short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id
+        ORDER BY adc ASC, neighbor_id) AS rn
+    FROM scored)
+  WHERE rn <= {RERANK_SHORTLIST})""",
+        f"""rescored AS (
+  SELECT query_id, neighbor_id,
+    CASE WHEN nn = 0 THEN 0.0 ELSE ab / nn END AS cos
+  FROM (
+    SELECT s.query_id, s.neighbor_id,
+      {dot_sql('cq.v', 'cn.v')} AS ab,
+      sqrt({dot_sql('cq.v', 'cq.v')}) * sqrt({dot_sql('cn.v', 'cn.v')})
+        AS nn
+    FROM short s
+    JOIN emb cq ON cq.vec_id = s.query_id
+    JOIN emb cn ON cn.vec_id = s.neighbor_id) t)""",
+    ]
+    final = f"""SELECT query_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+    ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank,
+  neighbor_id
+FROM rescored
+QUALIFY rank <= {RERANK_K}
+ORDER BY query_id, rank"""
+    return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + final
+
+
 def main():
     import sys, duckdb, pandas as pd, time
     sf = sys.argv[1] if len(sys.argv) > 1 else "sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     ivf_sql = gen_ivf_sql()
     pq_sql = gen_pq_sql()
+    pq_rerank_sql = gen_pq_rerank_sql()
     open("/tmp/ann_ivf_oracle.sql", "w").write(ivf_sql)
     open("/tmp/ann_pq_oracle.sql", "w").write(pq_sql)
-    print("sql chars: ivf", len(ivf_sql), "pq", len(pq_sql))
+    open("/tmp/ann_pq_rerank_oracle.sql", "w").write(pq_rerank_sql)
+    print("sql chars: ivf", len(ivf_sql), "pq", len(pq_sql),
+          "pq_rerank", len(pq_rerank_sql))
 
     con = duckdb.connect()
     con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
@@ -386,7 +436,8 @@ def main():
 
     for name, sql in [("q_embed_ann_ivf", ivf_sql),
                       ("q_embed_ann_ivf_index", ivf_sql),
-                      ("q_embed_ann_pq", pq_sql)]:
+                      ("q_embed_ann_pq", pq_sql),
+                      ("q_embed_ann_pq_rerank", pq_rerank_sql)]:
         t0 = time.time()
         got = con.execute(sql).df()
         try:
