@@ -1336,6 +1336,9 @@ class StreamingSpec extends SparkSpec {
         val mid = summary()
         assert(ls().filter(_.startsWith("part.")).size >= 3,
           s"the rebuilt closure must span several part dirs: ${ls()}")
+        // exercise the legacy (stamp-less) image read too: compaction
+        // must fall back to footer inference and next commits re-stamp
+        fs.delete(new org.apache.hadoop.fs.Path(sumDir, "_schema"), false)
         // now compact the live image for real
         SummaryMaintenance.compactSummary(spark, sumDir)
         assert(summary() === mid, "compaction is pure re-layout")
@@ -1420,6 +1423,17 @@ class StreamingSpec extends SparkSpec {
       assert(SummaryMaintenance.readSummaryKey(spark, sumDir,
         Seq("user_id"), Seq(k.toInt)).count() === 1L)
     }
+    // legacy dir (pre-sidecar): with _schema deleted the lookup falls
+    // back to one leaf's footer for the key types and still serves
+    val fsL = new org.apache.hadoop.fs.Path(sumDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsL.delete(new org.apache.hadoop.fs.Path(sumDir, "_schema"), false)
+    val legacyRow = SummaryMaintenance.readSummaryKey(spark, sumDir,
+      Seq("user_id"), Seq(keys.head)).collect()
+    assert(legacyRow.length === 1 &&
+      (legacyRow(0).getLong(1), legacyRow(0).getDecimal(2)) ===
+        all(keys.head),
+      "a stamp-less legacy summary must still serve keyed lookups")
     // an absent key returns zero rows with the summary schema
     val absent = SummaryMaintenance.readSummaryKey(spark, sumDir,
       Seq("user_id"), Seq(-12345L))
