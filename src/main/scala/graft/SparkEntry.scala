@@ -1179,10 +1179,15 @@ object SparkEntry {
             SummaryMaintenance.applyBatch(s, state,
               ev.filter(pmod(col("event_id"), lit(3)) === b), b,
               Seq("user_id"), "value")
-          (0L to 9L).map(k =>
+          // both serving APIs under one gate: five point lookups, then
+          // the other five through the batched form (grouped by bucket,
+          // each distinct leaf scanned once)
+          (0L to 4L).map(k =>
               SummaryMaintenance.readSummaryKey(s, state,
                 Seq("user_id"), Seq(k)))
             .reduce(_ unionByName _)
+            .unionByName(SummaryMaintenance.readSummaryKeys(s, state,
+              Seq("user_id"), (5L to 9L).map(Seq(_))))
             .select(col("user_id"), col("n_events"),
               col("sum_value").cast("double").as("sum_value"))
             .orderBy(col("user_id"))

@@ -106,6 +106,21 @@ object SummaryMaintenance {
   private[graft] val BucketsKey = "spark.graft.summary.buckets"
   private val ManifestEnd = "#end"
 
+  /** Compaction cadence for [[maintain]]ed BUCKETED summaries (r17):
+    * with `spark.graft.summary.compactEvery` = N > 0, the maintaining
+    * stream runs [[compactSummary]] after every commit whose batch id
+    * is a positive multiple of N — the operational form of the disk
+    * bound (O(retained images), not O(touch-history)) so nobody has to
+    * remember to run it by hand. Default 0 = off (the pre-r17
+    * behavior). Requires bucketed commits: the plain modes rewrite
+    * their whole image every batch, so the cadence is refused loudly
+    * there rather than failing on the Nth batch. Exactly-once is
+    * untouched — compaction re-publishes the SAME committed id, so a
+    * crash between the commit and its compaction replays the batch as
+    * a no-op and re-triggers the compaction, which is itself
+    * crash-rerunnable. */
+  private[graft] val CompactEveryKey = "spark.graft.summary.compactEvery"
+
   /** Key/value schema contract sidecar (`_schema`, r17 — ADVICE): the
     * explicit-schema merge reads (plain merge and bucketed leaf reads)
     * silently yield all-NULL columns when a delta's key NAME differs
@@ -417,8 +432,14 @@ object SummaryMaintenance {
                               d: org.apache.hadoop.fs.Path)
       : Option[DataFrame] = {
     import org.apache.hadoop.fs.Path
+    // external readers ride the `_schema` stamp when present (r17):
+    // the stamp is validated against every commit, so it IS the stored
+    // schema — passing it explicitly skips parquet footer inference,
+    // one driver job per read, the committer's own r16 economy applied
+    // to the serving side. Legacy dirs (no stamp) keep inferring.
+    val rd = readSchemaStamp(fs, root).fold(spark.read)(spark.read.schema)
     if (!d.getName.startsWith("manifest."))
-      Some(spark.read.parquet(d.toString))
+      Some(rd.parquet(d.toString))
     else {
       // a REFERENCED manifest is complete by write order (data →
       // manifest → flip); a torn one here is corrupt state, not a
@@ -427,7 +448,7 @@ object SummaryMaintenance {
         throw new java.io.IOException(s"summary manifest $d is torn/" +
           "incomplete — bucketed pointer-mode state is corrupt"))
       if (mapping.isEmpty) None
-      else Some(spark.read.parquet(mapping.toSeq.sortBy(_._1).map {
+      else Some(rd.parquet(mapping.toSeq.sortBy(_._1).map {
         case (b, dir) => new Path(new Path(root, dir), s"bucket=$b").toString
       }: _*))
     }
@@ -1239,25 +1260,44 @@ object SummaryMaintenance {
     * Long). Returns the matching summary rows (0 or 1 per key tuple);
     * null-safe equality so a null-keyed row is findable. */
   def readSummaryKey(spark: SparkSession, summaryDir: String,
-                     keyCols: Seq[String], keyValues: Seq[Any]): DataFrame = {
+                     keyCols: Seq[String], keyValues: Seq[Any]): DataFrame =
+    readSummaryKeys(spark, summaryDir, keyCols, Seq(keyValues))
+
+  /** Batched form of [[readSummaryKey]] — the real serving shape: cast
+    * each tuple to the stamped key types, group the tuples by bucket,
+    * scan each DISTINCT bucket's mapped leaf once, and filter to the
+    * requested tuples. k lookups cost min(k, buckets) leaf scans in ONE
+    * DataFrame (one downstream action) instead of k separate plans.
+    * Same contracts as the singular form: keyCols in the maintaining
+    * order, driver-side bucket hash (zero jobs), null-safe equality. */
+  def readSummaryKeys(spark: SparkSession, summaryDir: String,
+                      keyCols: Seq[String],
+                      keyTuples: Seq[Seq[Any]]): DataFrame = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
-    require(keyCols.nonEmpty && keyCols.length == keyValues.length,
-      s"keyCols (${keyCols.length}) and keyValues (${keyValues.length}) " +
-        "must align one-to-one")
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    keyTuples.foreach(t => require(t.length == keyCols.length,
+      s"every key tuple must have ${keyCols.length} values (keyCols " +
+        s"${keyCols.mkString(", ")}); got ${t.length}"))
     val root = new Path(summaryDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val resolved = readableData(fs, root).getOrElse(
       throw new IllegalArgumentException(
         s"$summaryDir has no committed summary"))
     val stampSchema = readSchemaStamp(fs, root)
-    def keyFilter(df: DataFrame): DataFrame =
-      keyCols.zip(keyValues).foldLeft(df) { case (d, (k, v)) =>
-        d.filter(col(k) <=> lit(v).cast(d.schema(k).dataType)) }
-    if (!resolved.getName.startsWith("manifest."))
-      return keyFilter(stampSchema.fold(spark.read)(spark.read.schema)
-        .parquet(resolved.toString))
+    def tupleFilter(schema: org.apache.spark.sql.types.StructType,
+                    tuples: Seq[Seq[Any]]): org.apache.spark.sql.Column =
+      tuples.map(t => keyCols.zip(t).map { case (k, v) =>
+          col(k) <=> lit(v).cast(schema(k).dataType)
+        }.reduce(_ && _)).reduce(_ || _)
+    if (!resolved.getName.startsWith("manifest.")) {
+      // plain image: one filtered full read (no sharding to exploit)
+      val df = stampSchema.fold(spark.read)(spark.read.schema)
+        .parquet(resolved.toString)
+      return if (keyTuples.isEmpty) df.limit(0)
+      else df.filter(tupleFilter(df.schema, keyTuples))
+    }
     val mapping = readManifest(fs, resolved).getOrElse(
       throw new java.io.IOException(s"summary manifest $resolved is " +
         "torn/incomplete — bucketed pointer-mode state is corrupt"))
@@ -1281,29 +1321,37 @@ object SummaryMaintenance {
     keyCols.foreach(k => require(leafSchema.fieldNames.contains(k),
       s"key '$k' is not a column of the summary at $summaryDir " +
         s"(${leafSchema.fieldNames.mkString(", ")})"))
-    // the bucket, computed on the driver with the SAME Catalyst
-    // expression the commits evaluate on columns — interpreted eval on
-    // literals, bit-identical hash, zero Spark jobs
-    val exprs = keyCols.zip(keyValues).map { case (k, v) =>
-      val want = leafSchema(k).dataType
-      val raw = Literal(v)
-      if (raw.dataType == want) raw
-      else Literal.create(Cast(raw, want,
-        Option(spark.sessionState.conf.sessionLocalTimeZone))
-        .eval(InternalRow.empty), want)
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], leafSchema)
+    if (keyTuples.isEmpty) return empty
+    // each tuple's bucket, computed on the driver with the SAME
+    // Catalyst expression the commits evaluate on columns — interpreted
+    // eval on literals, bit-identical hash, zero Spark jobs. Values are
+    // cast to the STAMPED types first (an Int probe against a Long key
+    // column must hash the Long).
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    def bucketOf(t: Seq[Any]): Int = {
+      val exprs = keyCols.zip(t).map { case (k, v) =>
+        val want = leafSchema(k).dataType
+        val raw = Literal(v)
+        if (raw.dataType == want) raw
+        else Literal.create(Cast(raw, want, tz).eval(InternalRow.empty),
+          want)
+      }
+      val h = new XxHash64(exprs).eval(InternalRow.empty)
+        .asInstanceOf[Long]
+      (((h % n) + n) % n).toInt
     }
-    val h = new XxHash64(exprs).eval(InternalRow.empty)
-      .asInstanceOf[Long]
-    val bucket = (((h % n) + n) % n).toInt
-    mapping.get(bucket) match {
-      case None => // no key hashed into this bucket yet: typed empty
-        keyFilter(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          leafSchema))
-      case Some(dirName) =>
-        keyFilter(spark.read.schema(leafSchema).parquet(
-          new Path(new Path(root, dirName), s"bucket=$bucket").toString))
+    val byBucket = keyTuples.map(t => bucketOf(t) -> t)
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val scans = byBucket.flatMap { case (bucket, tuples) =>
+      mapping.get(bucket).map { dirName =>
+        spark.read.schema(leafSchema).parquet(
+          new Path(new Path(root, dirName), s"bucket=$bucket").toString)
+          .filter(tupleFilter(leafSchema, tuples))
+      } // unmapped bucket: no key ever hashed there — nothing to scan
     }
+    if (scans.isEmpty) empty else scans.reduce(_ unionByName _)
   }
 
   /** The maintained view as a streaming query: parquet file source →
@@ -1320,6 +1368,16 @@ object SummaryMaintenance {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, id: Long) =>
         applyBatch(spark, summaryDir, b, id, keyCols, valueCol)
+        // conf read PER BATCH (sessions mutate): see [[CompactEveryKey]]
+        val every = spark.conf.get(CompactEveryKey, "0").trim.toInt
+        require(every >= 0, s"$CompactEveryKey must be >= 0, got $every")
+        if (every > 0) {
+          require(spark.conf.get(BucketsKey, "0").trim.toInt > 0,
+            s"$CompactEveryKey requires bucketed commits ($BucketsKey > " +
+              "0): the plain modes rewrite their whole image every " +
+              "batch — there is nothing to compact")
+          if (id > 0 && id % every == 0) compactSummary(spark, summaryDir)
+        }
       }
   }
 }

@@ -953,9 +953,13 @@ class ScaleSpec extends SparkSpec {
     val lookup =
       try {
         spark.sparkContext.setJobGroup(group, "summary keyed lookup plan")
-        try SummaryMaintenance.readSummaryKey(spark, dir,
-          Seq("user_id"), Seq(k))
-        finally spark.sparkContext.clearJobGroup()
+        try {
+          // the stamped full read must also plan job-free (r17: external
+          // readSummary rides the _schema stamp, no footer inference)
+          SummaryMaintenance.readSummary(spark, dir).get
+          SummaryMaintenance.readSummaryKey(spark, dir,
+            Seq("user_id"), Seq(k))
+        } finally spark.sparkContext.clearJobGroup()
       } finally {
         org.apache.spark.graft.ListenerBridge
           .waitUntilEmpty(spark.sparkContext)

@@ -1390,6 +1390,86 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("maintain() runs the compaction cadence: compactEvery=2 folds " +
+      "the image from inside the stream (r17)") {
+    // the operational form of the disk bound — the maintaining stream
+    // itself compacts on a batch-id cadence, no manual step to forget.
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_sum_cadence_src").toString
+    val sumDir = java.nio.file.Files
+      .createTempDirectory("graft_sum_cadence_out").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_sum_cadence_chk").toString
+    def runOnce(): Unit = {
+      val q = SummaryMaintenance.maintain(spark, src, sumDir, chk,
+          Seq("user_id"), "value")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    // disjoint covering batches with LOCALIZED user slices (so the
+    // commit at id 2 still maps untouched buckets to older part dirs —
+    // a broad batch would touch every bucket and leave nothing to fold)
+    val batches = Seq(
+      events.filter(col("event_id") < 250),
+      events.filter(col("event_id") >= 250 && col("user_id") < 4),
+      events.filter(col("event_id") >= 250 &&
+        col("user_id") >= 4 && col("user_id") < 8),
+      events.filter(col("event_id") >= 250 && col("user_id") >= 8))
+    Util.withSessionConf(spark, SummaryMaintenance.CommitModeKey,
+        "pointer") {
+      Util.withSessionConf(spark, SummaryMaintenance.BucketsKey, "16") {
+        Util.withSessionConf(spark,
+            SummaryMaintenance.CompactEveryKey, "2") {
+          // four appended files -> four sequential batch ids across
+          // AvailableNow restarts; the cadence fires at id 2
+          for (b <- batches) {
+            b.coalesce(1).write.mode("append").parquet(src)
+            runOnce()
+          }
+        }
+      }
+    }
+    val fs = new org.apache.hadoop.fs.Path(sumDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(sumDir))
+      .map(_.getPath.getName).toSet
+    assert(names.contains("part.c2") && names.contains("manifest.c2"),
+      s"the cadence must have compacted at batch id 2: $names")
+    val expected = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    assert(SummaryMaintenance.readSummary(spark, sumDir).get
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap === expected,
+      "in-stream compaction must not change the maintained data")
+    // the cadence on a PLAIN summary is refused at the first batch
+    // instead of failing on the Nth
+    val src2 = java.nio.file.Files
+      .createTempDirectory("graft_sum_cadence_src2").toString
+    val bad = java.nio.file.Files
+      .createTempDirectory("graft_sum_cadence_bad").toString
+    val chk2 = java.nio.file.Files
+      .createTempDirectory("graft_sum_cadence_chk2").toString
+    events.filter(col("event_id") < 100).coalesce(1)
+      .write.mode("append").parquet(src2)
+    Util.withSessionConf(spark,
+        SummaryMaintenance.CompactEveryKey, "2") {
+      val q = SummaryMaintenance.maintain(spark, src2, bad, chk2,
+          Seq("user_id"), "value")
+        .trigger(Trigger.AvailableNow()).start()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(120000)
+      }
+      assert(e.getMessage.contains("compactEvery") ||
+        Option(e.getCause).exists(_.getMessage.contains("compactEvery")),
+        s"the refusal must name the cadence conf: $e")
+    }
+  }
+
   test("readSummaryKey returns exactly the keyed row from one bucket " +
       "leaf, plain summaries degrade to a filtered read (r17, VERDICT)") {
     import graft.streaming.SummaryMaintenance
@@ -1423,6 +1503,22 @@ class StreamingSpec extends SparkSpec {
       assert(SummaryMaintenance.readSummaryKey(spark, sumDir,
         Seq("user_id"), Seq(k.toInt)).count() === 1L)
     }
+    // the batched form groups tuples by bucket, scans each distinct
+    // leaf once, and returns exactly the union of the point lookups
+    val batch = SummaryMaintenance.readSummaryKeys(spark, sumDir,
+      Seq("user_id"), (keys.toSeq :+ -777L).map(Seq(_)))
+    assert(batch.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap ===
+      keys.map(k => k -> all(k)).toMap,
+      "batched lookup must serve exactly the present keys")
+    val batchLeaves = batch.inputFiles.toSet
+      .map((f: String) => f.substring(0, f.lastIndexOf('/')))
+    assert(batchLeaves.size <= keys.size + 1,
+      s"batched lookup must scan at most one leaf per distinct bucket: " +
+        s"$batchLeaves")
+    assert(SummaryMaintenance.readSummaryKeys(spark, sumDir,
+      Seq("user_id"), Seq.empty).count() === 0L,
+      "an empty tuple list is an empty typed result")
     // legacy dir (pre-sidecar): with _schema deleted the lookup falls
     // back to one leaf's footer for the key types and still serves
     val fsL = new org.apache.hadoop.fs.Path(sumDir)
