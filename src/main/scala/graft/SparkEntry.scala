@@ -118,6 +118,23 @@ object SparkEntry {
     path
   }
 
+  /** Session-scoped fixture for `q_embed_ann_pq_index` — the
+    * [[ivfIndexFixture]] discipline: the stored codes+codebooks are the
+    * operator's INPUT ("build once, probe many"), so the build runs
+    * once per (JVM, sfDir) and every run measures the ADC probe. */
+  private val pqIndexBuilt = scala.collection.mutable.Set.empty[String]
+  private def pqIndexFixture(s: SparkSession, dir: String): String = {
+    val path = scratchPath("q_pqidx", dir)
+    pqIndexBuilt.synchronized {
+      if (!pqIndexBuilt.contains(path)) {
+        val emb = spread(table(s, dir, "embeddings"), "vec_id")
+        Similarity.writePqIndex(emb, "vec_id", "embedding", path)
+        pqIndexBuilt += path
+      }
+    }
+    path
+  }
+
   /** Session-scoped fixture for `q_dedup_incremental_exact` — same
     * discipline as [[ivfIndexFixture]]: the stored exact-prefix corpus
     * index is the operator's INPUT ("prep once and stored", the shape the
@@ -1253,6 +1270,56 @@ object SparkEntry {
       }
     }),
 
+    // Streaming: live-image COMPACTION under the hash gate (r17): four
+    // bucketed batches where 1-3 touch only ONE key's bucket (leaving a
+    // multi-part-dir closure with superseded leaves), compactSummary
+    // folds the closure into one part.c image at the committed id, the
+    // compacted id is REPLAYED (must no-op against the compaction
+    // image), and two more batches merge on top of it. The oracle is
+    // the whole-ledger aggregate: compaction is pure re-layout, so it
+    // must be invisible to the data or the hash fails.
+    "q_summary_compact" -> ((s, dir) => {
+      import graft.streaming.SummaryMaintenance
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val state = scratchPath("q_sumcompact", dir)
+      deleteRecursively(state)
+      val oneType = ev.select(col("event_type")).orderBy(col("event_type"))
+        .limit(1).collect()(0).getString(0)
+      graft.Util.withSessionConf(s, SummaryMaintenance.CommitModeKey,
+          "pointer") {
+        graft.Util.withSessionConf(s, SummaryMaintenance.BucketsKey,
+            "16") {
+          // disjoint covering batches; 1-2 are localized to one key so
+          // the closure at id 2 spans part dirs (something to fold)
+          val batches = Seq(
+            0L -> ev.filter(pmod(col("event_id"), lit(2)) === 0),
+            1L -> ev.filter(pmod(col("event_id"), lit(2)) === 1 &&
+              pmod(col("event_id"), lit(8)) < 3 &&
+              col("event_type") === oneType),
+            2L -> ev.filter(pmod(col("event_id"), lit(2)) === 1 &&
+              pmod(col("event_id"), lit(8)) >= 3 &&
+              col("event_type") === oneType),
+            3L -> ev.filter(pmod(col("event_id"), lit(2)) === 1 &&
+              col("event_type") =!= oneType))
+          for ((id, b) <- batches) {
+            SummaryMaintenance.applyBatch(s, state, b, id,
+              Seq("event_type"), "value")
+            if (id == 2L) {
+              SummaryMaintenance.compactSummary(s, state)
+              // checkpoint replay of the compacted id: must no-op
+              SummaryMaintenance.applyBatch(s, state, b, 2L,
+                Seq("event_type"), "value")
+            }
+          }
+          SummaryMaintenance.readSummary(s, state).get
+            .select(col("event_type"), col("n_events"),
+              col("sum_value").cast("double").as("sum_value"))
+            .orderBy(col("event_type"))
+        }
+      }
+    }),
+
     // Streaming: the checkpoint-preserving MIGRATION between commit
     // protocols under the hash gate (r16): two batches land in default
     // swap mode, reshardToBuckets routes the summary into a fresh
@@ -1396,6 +1463,21 @@ object SparkEntry {
       val emb = spread(table(s, dir, "embeddings"), "vec_id")
       Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb,
           "vec_id", "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LLM: the same ADC scan against a PERSISTED index (r17 — the
+    // artifact pqTopK's Scaladoc promises: codebooks + 32-bit codes on
+    // disk, probes never touch the raw vectors). Result-identical to
+    // the in-memory path (shared encode/lookup expressions, LlmSpec
+    // parity pin), so it shares q_embed_ann_pq's replayed oracle.
+    "q_embed_ann_pq_index" -> ((s, dir) => {
+      val emb = spread(table(s, dir, "embeddings"), "vec_id")
+      val idx = pqIndexFixture(s, dir)
+      Similarity.pqTopKVsIndex(emb.filter(col("vec_id") < 10), idx,
+          "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"))
         .orderBy(col("query_id"), col("rank"))
@@ -2851,6 +2933,7 @@ object SparkEntry {
     "q_embed_ann_ivf" -> resourceSql("q_embed_ann_ivf"),
     "q_embed_ann_ivf_index" -> resourceSql("q_embed_ann_ivf"),
     "q_embed_ann_pq" -> resourceSql("q_embed_ann_pq"),
+    "q_embed_ann_pq_index" -> resourceSql("q_embed_ann_pq"),
     "q_embed_ann_pq_rerank" -> resourceSql("q_embed_ann_pq_rerank"),
     // LSH buckets + exact-order cosine verify; the 4x8x64 seed-42
     // gaussian plane constants come from the JVM itself
@@ -2980,6 +3063,15 @@ object SparkEntry {
         |    AS DOUBLE) AS sum_value
         |FROM events WHERE user_id BETWEEN 0 AND 9
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The compaction twin: localized batches + a mid-sequence live-image
+    // fold + a replay of the compacted id still collapse to the one
+    // whole-table aggregate — compaction must be invisible to the data.
+    "q_summary_compact" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+        |    AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // The bucketed twin: the 4-batch pointer/bucketed ledger (narrow
     // batch, replay, torn flip + repair) collapses to the same grouped

@@ -476,28 +476,149 @@ object Similarity {
     // two-regime literal folding (see MaxInlineLiterals): total codebook
     // payload across the m subspaces is ksub × dim doubles
     val inline = ksub.toLong * dim <= maxInlineLiterals
-    // encode: argmin over the ksub centroid distances per subspace
-    val codeCols = (0 until m).map { j =>
-      val s = slice(col("cv"), j * sub + 1, sub)
-      val ds = centroidDists(s, codebooks(j), inline)
-      nearestIdx(ds).as(s"__pqc$j")
-    }
-    val codes = corpusF.select(col("neighbor_id") +: codeCols: _*)
-    // ADC tables: computed once per QUERY row, broadcast with it
-    val lutCols = (0 until m).map { j =>
-      val s = slice(col("qv"), j * sub + 1, sub)
-      centroidDists(s, codebooks(j), inline).as(s"__pql$j")
-    }
-    val q = qF.select(col("query_id") +: col("qv") +: lutCols: _*)
-    // per-candidate cost: m element_at lookups + adds
-    val adc = (0 until m)
-      .map(j => element_at(col(s"__pql$j"), col(s"__pqc$j") + 1))
-      .reduce(_ + _)
+    val codes = corpusF.select(
+      col("neighbor_id") +: pqCodeCols(codebooks, sub, inline): _*)
+    val q = qF.select(
+      col("query_id") +: col("qv") +: pqLutCols(codebooks, sub, inline): _*)
     val scored = codes
       .join(broadcast(q),
         if (excludeSelf) col("query_id") =!= col("neighbor_id")
         else lit(true))
-      .select(col("query_id"), col("neighbor_id"), adc.as("adc"))
+      .select(col("query_id"), col("neighbor_id"), pqAdc(m).as("adc"))
+    rankedTopK(scored, col("adc").asc_nulls_last, "adc", k)
+  }
+
+  /** Per-subspace ENCODE columns (`__pqc0..`): argmin over each
+    * codebook's centroid distances on the `cv` column. ONE definition
+    * shared by the in-memory path and the persisted-index build — the
+    * [[nearestIdx]] discipline: stored codes probed under a
+    * differently-built encoder return silently wrong neighbors. */
+  private def pqCodeCols(codebooks: IndexedSeq[Array[Array[Double]]],
+                         sub: Int, inline: Boolean): Seq[Column] =
+    codebooks.indices.map { j =>
+      nearestIdx(centroidDists(slice(col("cv"), j * sub + 1, sub),
+        codebooks(j), inline)).as(s"__pqc$j")
+    }
+
+  /** Per-subspace ADC LOOKUP-TABLE columns (`__pql0..`) on the `qv`
+    * column — the per-query half of the shared encode/lookup pair. */
+  private def pqLutCols(codebooks: IndexedSeq[Array[Array[Double]]],
+                        sub: Int, inline: Boolean): Seq[Column] =
+    codebooks.indices.map { j =>
+      centroidDists(slice(col("qv"), j * sub + 1, sub),
+        codebooks(j), inline).as(s"__pql$j")
+    }
+
+  /** The per-candidate ADC: m table lookups + adds, left-associated
+    * (the oracle replays this exact fold order). */
+  private def pqAdc(m: Int): Column = (0 until m)
+    .map(j => element_at(col(s"__pql$j"), col(s"__pqc$j") + 1))
+    .reduce(_ + _)
+
+  /** Persist a PQ index — the artifact [[pqTopK]]'s Scaladoc promises:
+    * the trained per-subspace codebooks (`<path>/codebooks`: j, cell,
+    * center — m × ksub small rows) plus the corpus ENCODED to m small
+    * codes (`<path>/codes`: neighbor_id + m ints ≈ m·log2(ksub) bits a
+    * vector, 64× smaller than the raw floats here). Build once (the
+    * corpus-sized encode pass), probe many times against the codes —
+    * the probe never touches the raw vectors. Training is the same
+    * deterministic sample + driver Lloyd as [[pqTopK]] (same seed →
+    * same codebooks → probe results identical to the in-memory path;
+    * LlmSpec pins the parity). `_params` is the commit record, the
+    * [[writeIvfIndex]] torn-rebuild defense: deleted before the first
+    * write, recreated last — codes encoded under OLD codebooks probed
+    * via NEW lookup tables are silently wrong, so a stamp-less layout
+    * is refused by [[pqTopKVsIndex]]. */
+  def writePqIndex(corpus: DataFrame, corpusIdCol: String, vecCol: String,
+                   path: String, m: Int = 8, ksub: Int = 16,
+                   seed: Long = 42L, trainN: Int = 2048,
+                   maxInlineLiterals: Int = MaxInlineLiterals): Unit = {
+    val spark = corpus.sparkSession
+    // eager passes share the scan via one persist (the writeIvfIndex
+    // rationale); released before returning
+    val corpusVec = corpus.select(col(corpusIdCol).as("neighbor_id"),
+      toDouble(col(vecCol)).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = headDim(corpusVec, "cv")
+      require(dim > 0 && dim % m == 0,
+        s"cannot build a PQ index at $path: corpus dim $dim is not a " +
+          s"positive multiple of m=$m")
+      val sub = dim / m
+      val corpusF = corpusVec.filter(wellFormed(col("cv"), dim))
+      val sample = trainSample(corpusF, "cv", "neighbor_id", trainN)
+      require(sample.nonEmpty,
+        s"cannot build a PQ index over an empty corpus at $path")
+      val codebooks: IndexedSeq[Array[Array[Double]]] =
+        (0 until m).map { j =>
+          localLloyd(sample.map(v => java.util.Arrays.copyOfRange(
+            v, j * sub, (j + 1) * sub)), ksub, iters = 5, seed = seed + j)
+        }
+      val inline = ksub.toLong * dim <= maxInlineLiterals
+      import spark.implicits._
+      val stamp = new org.apache.hadoop.fs.Path(s"$path/_params")
+      val stampFs =
+        stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      stampFs.delete(stamp, false)
+      codebooks.zipWithIndex
+        .flatMap { case (cb, j) =>
+          cb.zipWithIndex.map { case (c, cell) => (j, cell, c.toSeq) } }
+        .toDF("j", "cell", "center")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      corpusF.select(
+          col("neighbor_id") +: pqCodeCols(codebooks, sub, inline): _*)
+        .write.mode("overwrite").parquet(s"$path/codes")
+      val out = stampFs.create(stamp, true)
+      try out.write(s"$m,$ksub,$seed,$trainN"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } finally corpusVec.unpersist()
+  }
+
+  /** Probe a stored PQ index ([[writePqIndex]]): rebuild the per-query
+    * ADC lookup tables from the STORED codebooks (m × ksub rows, one
+    * bounded collect) and scan only the codes parquet — the raw
+    * vectors are never read. Same output contract as [[pqTopK]] and
+    * identical results for the same (m, ksub, seed, trainN): the
+    * quantizer is deterministic and the encode/lookup expressions are
+    * one shared definition. */
+  def pqTopKVsIndex(queries: DataFrame, indexPath: String,
+                    queryIdCol: String, vecCol: String, k: Int,
+                    excludeSelf: Boolean = true,
+                    maxInlineLiterals: Int = MaxInlineLiterals)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    val stamp = new org.apache.hadoop.fs.Path(s"$indexPath/_params")
+    require(stamp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(stamp),
+      s"PQ index at $indexPath has no _params stamp — the stamp is " +
+        "writePqIndex's commit record (written after both tables), so " +
+        "its absence means a crashed/torn rebuild (codes encoded under " +
+        "different codebooks return silently wrong neighbors) or a " +
+        "foreign layout; rebuild with writePqIndex")
+    val codebooks: IndexedSeq[Array[Array[Double]]] =
+      spark.read.parquet(s"$indexPath/codebooks")
+        .collect().map(r =>
+          (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (_, rows) => rows.sortBy(_._2).map(_._3) }
+        .toIndexedSeq
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val dim = m * sub
+    val ksub = codebooks.head.length
+    val inline = ksub.toLong * dim <= maxInlineLiterals
+    val qF = queries.select(col(queryIdCol).as("query_id"),
+        toDouble(col(vecCol)).as("qv"))
+      .filter(wellFormed(col("qv"), dim))
+    val q = qF.select(
+      col("query_id") +: col("qv") +: pqLutCols(codebooks, sub, inline): _*)
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val scored = codes
+      .join(broadcast(q),
+        if (excludeSelf) col("query_id") =!= col("neighbor_id")
+        else lit(true))
+      .select(col("query_id"), col("neighbor_id"), pqAdc(m).as("adc"))
     rankedTopK(scored, col("adc").asc_nulls_last, "adc", k)
   }
 

@@ -1343,7 +1343,8 @@ object SummaryMaintenance {
       (((h % n) + n) % n).toInt
     }
     val byBucket = keyTuples.map(t => bucketOf(t) -> t)
-      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, ts) => b -> ts.map(_._2) }
     val scans = byBucket.flatMap { case (bucket, tuples) =>
       mapping.get(bucket).map { dirName =>
         spark.read.schema(leafSchema).parquet(

@@ -1764,6 +1764,43 @@ class LlmSpec extends SparkSpec {
       s"expected cell-partition pruning in:\n${plan.take(2000)}")
   }
 
+  test("stored PQ index: probe == in-memory pqTopK, torn layout refused " +
+      "(r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    val queries = embs.filter(col("vec_id") < 10)
+    Similarity.writePqIndex(embs, "vec_id", "embedding", dir,
+      m = 8, ksub = 16, seed = 42L)
+    val viaIndex = Similarity.pqTopKVsIndex(queries, dir, "vec_id",
+      "embedding", k = 5)
+    val inMemory = Similarity.pqTopK(queries, embs, "vec_id", "vec_id",
+      "embedding", k = 5, m = 8, ksub = 16, seed = 42L)
+    // same deterministic quantizer + ONE shared encode/lookup
+    // definition -> identical shortlists and ranks
+    val a = viaIndex.select(col("query_id"), col("rank").cast("long"),
+        col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = inMemory.select(col("query_id"), col("rank").cast("long"),
+        col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    // the CANDIDATE side must scan the stored CODES, never the raw
+    // corpus vectors (the query side legitimately reads its own table)
+    val files = viaIndex.inputFiles.toSeq
+    assert(files.exists(_.contains(s"$dir/codes")),
+      s"probe must read the stored codes: $files")
+    assert(files.forall(f => f.contains(dir) || f.contains("embeddings")),
+      s"probe must not read any corpus table beyond the queries: $files")
+    // a stamp-less (torn/foreign) layout is refused loudly
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_params"), false)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopKVsIndex(queries, dir, "vec_id", "embedding", k = 5)
+    }
+    assert(e.getMessage.contains("_params"))
+  }
+
   test("quality classifier scores a tiny corpus exactly, absent buckets weigh 0") {
     import graft.llm.QualityClassifier
     val docs = Seq((1L, "aa bb"), (2L, "aa aa aa"), (3L, "zz"))
