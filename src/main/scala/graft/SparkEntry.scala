@@ -1270,6 +1270,41 @@ object SparkEntry {
       }
     }),
 
+    // Streaming: COMPOSITE-key maintenance + serving under the hash
+    // gate (r17): the bucket hash folds (event_type, user_id) IN ORDER
+    // on both the commit and serving sides, and the merge groups on
+    // both columns — three batches, then ten multi-key tuples served
+    // through the batched lookup (each tuple cast to its stamped type,
+    // routed to its one bucket leaf). The oracle filters the
+    // whole-ledger two-column aggregate to the served tuples: a
+    // key-order or hash-order slip returns the wrong (or no) rows.
+    "q_summary_multikey" -> ((s, dir) => {
+      import graft.streaming.SummaryMaintenance
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          col("value"))
+      val state = scratchPath("q_summultikey", dir)
+      deleteRecursively(state)
+      graft.Util.withSessionConf(s, SummaryMaintenance.CommitModeKey,
+          "pointer") {
+        graft.Util.withSessionConf(s, SummaryMaintenance.BucketsKey,
+            "16") {
+          for (b <- 0L to 2L)
+            SummaryMaintenance.applyBatch(s, state,
+              ev.filter(pmod(col("event_id"), lit(3)) === b), b,
+              Seq("event_type", "user_id"), "value")
+          val tuples = for {
+            t <- Seq("click", "error"); u <- 0L to 4L
+          } yield Seq(t, u)
+          SummaryMaintenance.readSummaryKeys(s, state,
+              Seq("event_type", "user_id"), tuples)
+            .select(col("event_type"), col("user_id"), col("n_events"),
+              col("sum_value").cast("double").as("sum_value"))
+            .orderBy(col("event_type"), col("user_id"))
+        }
+      }
+    }),
+
     // Streaming: live-image COMPACTION under the hash gate (r17): four
     // bucketed batches where 1-3 touch only ONE key's bucket (leaving a
     // multi-part-dir closure with superseded leaves), compactSummary
@@ -3063,6 +3098,20 @@ object SparkEntry {
         |    AS DOUBLE) AS sum_value
         |FROM events WHERE user_id BETWEEN 0 AND 9
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The composite-key twin: ten (event_type, user_id) tuples served
+    // from their bucket leaves must equal the two-column whole-ledger
+    // aggregate filtered to those tuples.
+    "q_summary_multikey" ->
+      """SELECT event_type, user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+        |    AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type IN ('click', 'error')
+        |  AND user_id BETWEEN 0 AND 4
+        |GROUP BY event_type, user_id
+        |ORDER BY event_type, user_id""".stripMargin,
 
     // The compaction twin: localized batches + a mid-sequence live-image
     // fold + a replay of the compacted id still collapse to the one

@@ -1336,11 +1336,16 @@ class StreamingSpec extends SparkSpec {
         val mid = summary()
         assert(ls().filter(_.startsWith("part.")).size >= 3,
           s"the rebuilt closure must span several part dirs: ${ls()}")
+        val bytesBefore = fs.getContentSummary(root).getLength
+        val partsAtPeak = ls().count(_.startsWith("part."))
         // exercise the legacy (stamp-less) image read too: compaction
         // must fall back to footer inference and next commits re-stamp
         fs.delete(new org.apache.hadoop.fs.Path(sumDir, "_schema"), false)
         // now compact the live image for real
         SummaryMaintenance.compactSummary(spark, sumDir)
+        info(s"disk: pre-compaction $bytesBefore B / $partsAtPeak part " +
+          s"dirs -> post-compaction ${fs.getContentSummary(root).getLength} " +
+          s"B / ${ls().count(_.startsWith("part."))} part dirs")
         assert(summary() === mid, "compaction is pure re-layout")
         assert(SummaryMaintenance.lastBatchId(spark, sumDir) === 6L,
           "compaction must not mint a new batch id")
@@ -1368,6 +1373,9 @@ class StreamingSpec extends SparkSpec {
           s"pre-compaction part dirs must age out: $names")
         assert(names.count(_.startsWith("part.c")) === 1,
           s"exactly the compaction image survives: $names")
+        info(s"disk: post-aging ${fs.getContentSummary(root).getLength} " +
+          s"B / ${names.count(_.startsWith("part."))} part dirs " +
+          "(pre-compaction lineage fully reclaimed)")
         val full = events.filter(col("event_id") < 500 ||
             (col("event_id") >= 500 && col("event_type") === oneType))
           .groupBy("event_type")
