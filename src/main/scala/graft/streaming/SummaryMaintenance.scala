@@ -1205,8 +1205,11 @@ object SummaryMaintenance {
       throw new java.io.IOException(s"summary manifest $resolved is " +
         "torn/incomplete — bucketed pointer-mode state is corrupt"))
     if (mapping.isEmpty || mapping.values.toSet.size <= 1) {
-      // single-dir closure: already one image; still GC so a crashed
-      // earlier compaction's pre-flip wreckage gets swept
+      // single-dir closure: already one image; still GC so publish
+      // strays and any OLDER-id crashed-compaction wreckage get swept
+      // (a complete manifest.c at the CURRENT id is deliberately kept —
+      // it is a valid commit image the torn-pointer repair may publish,
+      // and it ages out as ids advance)
       gcBucketed(fs, root, retainVersions)
       return
     }
