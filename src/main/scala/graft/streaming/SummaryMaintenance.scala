@@ -1298,6 +1298,9 @@ object SummaryMaintenance {
       // plain image: one filtered full read (no sharding to exploit)
       val df = stampSchema.fold(spark.read)(spark.read.schema)
         .parquet(resolved.toString)
+      keyCols.foreach(k => require(df.schema.fieldNames.contains(k),
+        s"key '$k' is not a column of the summary at $summaryDir " +
+          s"(${df.schema.fieldNames.mkString(", ")})"))
       return if (keyTuples.isEmpty) df.limit(0)
       else df.filter(tupleFilter(df.schema, keyTuples))
     }
@@ -1321,9 +1324,25 @@ object SummaryMaintenance {
       s"$summaryDir is an EMPTY bucketed summary with no $SchemaName " +
         "stamp — no schema exists to type an empty result; commit a " +
         "batch (which stamps the schema) first"))
-    keyCols.foreach(k => require(leafSchema.fieldNames.contains(k),
-      s"key '$k' is not a column of the summary at $summaryDir " +
-        s"(${leafSchema.fieldNames.mkString(", ")})"))
+    // key-ORDER fence (r17 review wave): the bucket hash folds the key
+    // columns in the maintaining order, so a reordered or PARTIAL
+    // composite key list hashes to the wrong bucket and returns
+    // silently empty/missing rows — the worst failure shape. The
+    // summary's schema pins that order: applyBatch's merge always
+    // produces keyCols-in-order ++ (n_events, sum_value), and the
+    // _schema stamp (or the legacy footer, same writer) preserves it.
+    // The plain path above deliberately stays membership-checked via
+    // tupleFilter: with no hash there is no order to get wrong, and a
+    // plain summary legitimately serves subset-key filters.
+    val maintainedKeys = leafSchema.fieldNames.dropRight(2).toSeq
+    require(keyCols == maintainedKeys,
+      s"keyCols ${keyCols.mkString("(", ", ", ")")} must be the " +
+        s"maintaining key columns IN ORDER ${maintainedKeys
+          .mkString("(", ", ", ")")} for the bucketed summary at " +
+        s"$summaryDir — the bucket hash folds them in that order, so a " +
+        "reordered or partial key list routes to the wrong bucket and " +
+        "returns silently empty results. Pass the full maintaining key " +
+        "list, or read through readSummary and filter.")
     def empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], leafSchema)
     if (keyTuples.isEmpty) return empty

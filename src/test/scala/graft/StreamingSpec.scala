@@ -1553,12 +1553,47 @@ class StreamingSpec extends SparkSpec {
     val plainRow = SummaryMaintenance.readSummaryKey(spark, plainDir,
       Seq("user_id"), Seq(k0)).collect()
     assert(plainRow.length === 1 && plainRow(0).getLong(0) === k0)
-    // a misspelled key column is refused loudly
+    // a misspelled key column is refused loudly — by the key-order
+    // fence on the bucketed path, by the membership check on the plain
+    // path (where subset/reorder filters are legitimate: no hash)
     val e = intercept[IllegalArgumentException] {
       SummaryMaintenance.readSummaryKey(spark, sumDir,
         Seq("userid"), Seq(k0)).collect()
     }
-    assert(e.getMessage.contains("not a column"))
+    assert(e.getMessage.contains("IN ORDER"))
+    val ePlain = intercept[IllegalArgumentException] {
+      SummaryMaintenance.readSummaryKey(spark, plainDir,
+        Seq("userid"), Seq(k0)).collect()
+    }
+    assert(ePlain.getMessage.contains("not a column"))
+    // composite keys: a REORDERED or PARTIAL key list would hash to the
+    // wrong bucket and return silently empty rows — the fence makes
+    // both fail loudly instead (r17 review wave)
+    val multiDir = java.nio.file.Files
+      .createTempDirectory("graft_sum_lookup_multi").toString
+    Util.withSessionConf(spark, SummaryMaintenance.CommitModeKey,
+        "pointer") {
+      Util.withSessionConf(spark, SummaryMaintenance.BucketsKey, "16") {
+        SummaryMaintenance.applyBatch(spark, multiDir, events, 0L,
+          Seq("event_type", "user_id"), "value")
+      }
+    }
+    val one = SummaryMaintenance.readSummary(spark, multiDir).get
+      .limit(1).collect()(0)
+    val (t0, u0) = (one.getString(0), one.getLong(1))
+    assert(SummaryMaintenance.readSummaryKey(spark, multiDir,
+      Seq("event_type", "user_id"), Seq(t0, u0)).count() === 1L,
+      "the maintaining order must serve the row")
+    val eReorder = intercept[IllegalArgumentException] {
+      SummaryMaintenance.readSummaryKey(spark, multiDir,
+        Seq("user_id", "event_type"), Seq(u0, t0)).collect()
+    }
+    assert(eReorder.getMessage.contains("IN ORDER"))
+    val eSubset = intercept[IllegalArgumentException] {
+      SummaryMaintenance.readSummaryKey(spark, multiDir,
+        Seq("event_type"), Seq(t0)).collect()
+    }
+    assert(eSubset.getMessage.contains("IN ORDER"))
   }
 
   test("reshardToBuckets migrates a summary into a fresh bucketed dir, " +
