@@ -1395,6 +1395,60 @@ object SparkEntry {
       }
     }),
 
+    // Streaming: SCHEMA EVOLUTION through the migration path under the
+    // hash gate (r17): the _schema sidecar deliberately fences a
+    // renamed key column at commit time, so the legitimate rename path
+    // is reshardToBuckets' renameCols arm — data and stamp renamed
+    // together into a fresh dir at the carried id. Two swap-mode
+    // batches keyed by event_type, migrate with event_type→category
+    // into 8 buckets, replay the pre-migration batch RENAMED (must
+    // no-op), merge two more renamed batches, and serve five keys
+    // through the batched lookup under the NEW name. The oracle is the
+    // whole-ledger aggregate aliased to the new name: the rename must
+    // be invisible to the data or the hash fails.
+    "q_summary_evolve" -> ((s, dir) => {
+      import graft.streaming.SummaryMaintenance
+      val ev = table(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val plain = scratchPath("q_sumevolve_src", dir)
+      val shard = scratchPath("q_sumevolve_dst", dir)
+      deleteRecursively(plain)
+      deleteRecursively(shard)
+      def part(b: Long) = ev.filter(pmod(col("event_id"), lit(4)) === b)
+      def renamedPart(b: Long) =
+        part(b).withColumnRenamed("event_type", "category")
+      for (b <- 0L to 1L)
+        SummaryMaintenance.applyBatch(s, plain, part(b), b,
+          Seq("event_type"), "value")
+      SummaryMaintenance.reshardToBuckets(s, plain, shard,
+        Seq("category"), 8, Map("event_type" -> "category"))
+      graft.Util.withSessionConf(s, SummaryMaintenance.CommitModeKey,
+          "pointer") {
+        graft.Util.withSessionConf(s, SummaryMaintenance.BucketsKey, "8") {
+          // the checkpoint's replay of the pre-migration batch arrives
+          // RENAMED (the restarted stream maintains the new key): no-op
+          SummaryMaintenance.applyBatch(s, shard, renamedPart(1L), 1L,
+            Seq("category"), "value")
+          for (b <- 2L to 3L)
+            SummaryMaintenance.applyBatch(s, shard, renamedPart(b), b,
+              Seq("category"), "value")
+          // serve part of the ledger through the keyed path under the
+          // new name, the rest through the full read — both must agree
+          // with the oracle's single aggregate
+          val keys = SummaryMaintenance.readSummary(s, shard).get
+            .select(col("category")).orderBy(col("category")).limit(2)
+            .collect().map(_.getString(0)).toSeq
+          SummaryMaintenance.readSummaryKeys(s, shard, Seq("category"),
+              keys.map(Seq(_)))
+            .unionByName(SummaryMaintenance.readSummary(s, shard).get
+              .filter(!col("category").isin(keys: _*)))
+            .select(col("category"), col("n_events"),
+              col("sum_value").cast("double").as("sum_value"))
+            .orderBy(col("category"))
+        }
+      }
+    }),
+
     // LLM: model-based quality filter (fastText/DCLM-shaped linear
     // classifier inference over hashed token features; deterministic
     // stand-in weights so the oracle replays the whole score)
@@ -3142,6 +3196,18 @@ object SparkEntry {
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
         |    AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // The schema-evolution twin: the key column is RENAMED by the
+    // migration (data + _schema stamp together), renamed batches merge
+    // on top, and part of the result is served through the keyed
+    // lookup — all of it must still collapse to the whole-table
+    // aggregate under the new name.
+    "q_summary_evolve" ->
+      """SELECT event_type AS category,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6))
+        |    AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY category""".stripMargin,
 
     // The full 3-batch exactly-once gate replayed in one statement: per
     // batch, an index probe against the accumulated accepted set, then a

@@ -1006,12 +1006,54 @@ object SummaryMaintenance {
     * with the destination left pre-flip (rerunnable). Without the
     * check, a live maintaining stream's post-snapshot commit would be
     * silently STRANDED: the new dir carries stamp N while the stream's
-    * checkpoint already committed N+1, so N+1 never replays. */
+    * checkpoint already committed N+1, so N+1 never replays.
+    *
+    * `renameCols` (old → new, r17) is the SCHEMA-EVOLUTION arm of the
+    * migration: the `_schema` sidecar deliberately fails a renamed key
+    * column at commit time (a rename under the explicit-schema merge
+    * read would merge the stored summary under NULL keys), which left
+    * "start a fresh dir" — abandoning history — as the only legitimate
+    * rename path. Instead, the migration applies the renames to the
+    * resolved image while routing it: `keyCols` names the
+    * POST-rename keys (what the restarted stream will maintain with,
+    * feeding it renamed batches), the carried `_schema` stamp is
+    * renamed with the data, and the bucket hash folds the same VALUES
+    * under the new names. The protocol columns (`n_events`,
+    * `sum_value`) are the merge contract and cannot be renamed. */
   def reshardToBuckets(spark: SparkSession, fromDir: String, toDir: String,
-                       keyCols: Seq[String], buckets: Int): Unit = {
+                       keyCols: Seq[String], buckets: Int,
+                       renameCols: Map[String, String] = Map.empty): Unit = {
     import org.apache.hadoop.fs.Path
     require(buckets >= 1 && buckets <= (1 << 20),
       s"reshard bucket count must be in [1, 2^20], got $buckets")
+    // rename plumbing (see Scaladoc): structural checks up front —
+    // source-column existence is checked against the resolved image
+    // (or the carried stamp) below, where the names are known
+    val protocolCols = Seq("n_events", "sum_value")
+    renameCols.foreach { case (from, to) =>
+      require(from != to, s"rename '$from' -> '$to' is a no-op entry")
+      require(!protocolCols.contains(from) && !protocolCols.contains(to),
+        s"rename '$from' -> '$to' touches a protocol column " +
+          s"(${protocolCols.mkString(", ")} are the merge contract " +
+          "applyBatch writes; only key columns can evolve)")
+    }
+    require(renameCols.values.toSeq.distinct.size == renameCols.size,
+      s"rename targets collide: ${renameCols.values.mkString(", ")}")
+    /** Apply `renameCols` to a schema, loudly refusing absent sources
+      * (simultaneous application, so swaps are well-defined). */
+    def renamedSchema(s: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.StructType = {
+      renameCols.keys.foreach(k => require(s.fieldNames.contains(k),
+        s"rename source '$k' is not a column of the summary schema " +
+          s"(${s.fieldNames.mkString(", ")})"))
+      renameCols.values.foreach(v =>
+        require(!s.fieldNames.contains(v) || renameCols.contains(v),
+          s"rename target '$v' already exists in the summary schema " +
+            s"(${s.fieldNames.mkString(", ")}) and is not itself " +
+            "renamed away"))
+      org.apache.spark.sql.types.StructType(s.fields.map(f =>
+        f.copy(name = renameCols.getOrElse(f.name, f.name))))
+    }
     val toRoot = new Path(toDir)
     val fs = toRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(new Path(fromDir) != toRoot,
@@ -1104,9 +1146,10 @@ object SummaryMaintenance {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally bout.close()
       // carry the schema contract when the source has one (an empty
-      // manifest carries no files to derive it from)
+      // manifest carries no files to derive it from) — renamed, so the
+      // restarted stream's first renamed batch matches the fence
       readSchemaStamp(fromFs, fromRoot)
-        .foreach(writeSchemaStamp(fs, toRoot, _))
+        .foreach(s => writeSchemaStamp(fs, toRoot, renamedSchema(s)))
       writeManifest(fs, new Path(toRoot, s"manifest.v$id"), Map.empty)
       requireSourceQuiescent()
       val pout = fs.create(new Path(toRoot, PointerName), true)
@@ -1114,9 +1157,17 @@ object SummaryMaintenance {
       finally pout.close()
       return
     }
-    val cur = curOpt.get
+    // evolve the image while routing it: renames validated against (and
+    // applied to) the RESOLVED columns; keyCols names the POST-rename
+    // keys the restarted stream will maintain with
+    val cur = {
+      val raw = curOpt.get
+      if (renameCols.isEmpty) raw
+      else { renamedSchema(raw.schema); raw.withColumnsRenamed(renameCols) }
+    }
     keyCols.foreach(k => require(cur.columns.contains(k),
-      s"reshard key '$k' is not a column of the summary at $fromDir " +
+      s"reshard key '$k' is not a column of the ${
+        if (renameCols.isEmpty) "" else "renamed "}summary at $fromDir " +
         s"(${cur.columns.mkString(", ")})"))
     graft.Util.withMicroBatchPlanning(Seq(spark, cur.sparkSession)) {
       val bucketed = cur.withColumn("bucket",
@@ -1137,10 +1188,12 @@ object SummaryMaintenance {
         try bout.write(buckets.toString
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally bout.close()
-        // schema contract: carry the source's stamp, or derive it from
-        // the resolved summary itself (its columns ARE the contract)
+        // schema contract: carry the source's stamp (renamed with the
+        // data), or derive it from the resolved-and-renamed summary
+        // itself (its columns ARE the contract)
         writeSchemaStamp(fs, toRoot,
-          readSchemaStamp(fromFs, fromRoot).getOrElse(cur.schema))
+          readSchemaStamp(fromFs, fromRoot).map(renamedSchema)
+            .getOrElse(cur.schema))
         writeManifest(fs, new Path(toRoot, s"manifest.v$id"),
           present.map(b => b -> s"part.v$id").toMap)
         requireSourceQuiescent()

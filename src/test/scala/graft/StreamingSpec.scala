@@ -1697,6 +1697,87 @@ class StreamingSpec extends SparkSpec {
       "an empty source re-shards to an empty (zero-bucket) summary")
   }
 
+  test("reshardToBuckets renameCols evolves key names with the data: " +
+      "stamp travels renamed, old-name batches stay fenced, lookups " +
+      "serve the new name (r17)") {
+    // the schema-evolution arm of the migration: the _schema fence
+    // deliberately refuses a renamed key at commit time, so the ONLY
+    // legitimate rename path is migrating into a fresh dir — this test
+    // pins that the migration renames data + stamp together and the
+    // fence then points the right way (new name accepted, old fenced)
+    import graft.streaming.SummaryMaintenance
+    val events = Util.table(spark, "/root/testdata/sf0.001", "events")
+    def mkDir(tag: String) = java.nio.file.Files
+      .createTempDirectory(s"graft_evolve_$tag").toString
+    val src = mkDir("src")
+    SummaryMaintenance.applyBatch(spark, src,
+      events.filter(col("event_id") < 500), 0L, Seq("event_type"), "value")
+    val dst = mkDir("dst")
+    SummaryMaintenance.reshardToBuckets(spark, src, dst,
+      Seq("category"), 8, Map("event_type" -> "category"))
+    val evolved = SummaryMaintenance.readSummary(spark, dst).get
+    assert(evolved.columns.toSeq ===
+      Seq("category", "n_events", "sum_value"),
+      "the migrated summary must carry the renamed key column")
+    val got = evolved.collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getDecimal(2))).toMap
+    val want = events.filter(col("event_id") < 500).groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+    assert(got === want, "rename must not change the data")
+    assert(SummaryMaintenance.lastBatchId(spark, dst) === 0L,
+      "the committed id must carry over (lineage continuity)")
+    spark.conf.set(SummaryMaintenance.CommitModeKey, "pointer")
+    spark.conf.set(SummaryMaintenance.BucketsKey, "8")
+    try {
+      // the restarted stream feeds RENAMED batches under the NEW key:
+      // replay of the carried id no-ops, the next id merges
+      def renamedBatch(c: org.apache.spark.sql.Column) = events.filter(c)
+        .withColumnRenamed("event_type", "category")
+      SummaryMaintenance.applyBatch(spark, dst,
+        renamedBatch(col("event_id") < 500), 0L, Seq("category"), "value")
+      assert(SummaryMaintenance.readSummary(spark, dst).get
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2))).toMap === got,
+        "replay of the pre-migration id must no-op")
+      SummaryMaintenance.applyBatch(spark, dst,
+        renamedBatch(col("event_id") >= 500), 1L, Seq("category"), "value")
+      // an OLD-name batch is exactly what the sidecar fence exists
+      // for — fails loudly with the commit untouched
+      val eOld = intercept[IllegalArgumentException] {
+        SummaryMaintenance.applyBatch(spark, dst,
+          events.filter(col("event_id") >= 500), 2L,
+          Seq("event_type"), "value")
+      }
+      assert(eOld.getMessage.contains("committed schema"))
+      // keyed serving under the new name routes through the renamed
+      // stamp (same VALUES, same buckets)
+      val k = got.keySet.head
+      val row = SummaryMaintenance.readSummaryKey(spark, dst,
+        Seq("category"), Seq(k)).collect()
+      assert(row.length === 1 && row(0).getString(0) === k)
+    } finally {
+      spark.conf.unset(SummaryMaintenance.CommitModeKey)
+      spark.conf.unset(SummaryMaintenance.BucketsKey)
+    }
+    // validations: protocol columns, absent sources, and no-op entries
+    // are refused before anything is written
+    intercept[IllegalArgumentException] {
+      SummaryMaintenance.reshardToBuckets(spark, src, mkDir("p"),
+        Seq("event_type"), 8, Map("n_events" -> "cnt"))
+    }
+    intercept[IllegalArgumentException] {
+      SummaryMaintenance.reshardToBuckets(spark, src, mkDir("a"),
+        Seq("nope2"), 8, Map("nope" -> "nope2"))
+    }
+    intercept[IllegalArgumentException] {
+      SummaryMaintenance.reshardToBuckets(spark, src, mkDir("n"),
+        Seq("event_type"), 8, Map("event_type" -> "event_type"))
+    }
+  }
+
   test("a persistent pointer-read fault surfaces as the deadline " +
       "error's CAUSE instead of masquerading as a torn write (r15, " +
       "ADVICE)") {
