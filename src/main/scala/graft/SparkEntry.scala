@@ -1864,7 +1864,14 @@ object SparkEntry {
     // row PROVES the real arm ran on every doc.
     "q_multimodal_resize_real" -> ((s, dir) => {
       import s.implicits._
-      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      // spread BEFORE the per-row codec work (r17, guide §2): the
+      // single-row-group scan plus javax.imageio encode/decode/resize
+      // otherwise runs as ONE task (measured 2×~2 s single-task stages —
+      // the orderBy's range-bounds sampling re-executes the fused map);
+      // the row-local pixel math is partition-independent, so results
+      // are bit-identical
+      val media = spread(table(s, dir, "documents").select(col("doc_id")),
+          "doc_id").as[Long]
         .mapPartitions(_.map { d =>
           val w = (d % 13 + 4).toInt
           val h = (d % 9 + 3).toInt
@@ -1896,7 +1903,11 @@ object SparkEntry {
     // branch decoded every payload.
     "q_audio_windows_real" -> ((s, dir) => {
       import s.implicits._
-      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      // spread before the per-row WAV build/decode — same single-task
+      // reasoning as q_multimodal_resize_real above; row-local, so
+      // results are bit-identical
+      val media = spread(table(s, dir, "documents").select(col("doc_id")),
+          "doc_id").as[Long]
         .mapPartitions(_.map { d =>
           (d, Multimodal.syntheticWav(d, (d % 37 + 20).toInt))
         })

@@ -64,9 +64,22 @@ object Util {
     * full parallelism for everything downstream; apply it only where the
     * downstream map work dwarfs the shuffle (at production scale sources
     * arrive multi-partition and this becomes a no-op choice the caller
-    * skips). Hash partitioning keeps results deterministic. */
+    * skips). Hash partitioning keeps results deterministic.
+    *
+    * The partition count is EXPLICIT (r17, guide §2.5/§7.2): a bare
+    * `repartition(col)` is a REPARTITION_BY_COL shuffle, which AQE's
+    * partition coalescing folds back to ONE partition whenever the
+    * shuffled bytes are small — exactly the corpus shape spread exists
+    * for — so every downstream compute-heavy stage (bounded-DP verify,
+    * PQ encode, image decode) ran on one core regardless of the spread
+    * (measured: q_similarity_blocked_full's 3.3 s single-task verify).
+    * AQE coalesces by BYTES and cannot see per-row compute cost; pinning
+    * the count (REPARTITION_BY_NUM is never coalesced) keeps the stage
+    * at full parallelism. defaultParallelism = the session's core count,
+    * so the driver's lower-core bench runs scale the same way. */
   def spread(df: DataFrame, key: String): DataFrame =
-    df.repartition(qcol(key))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism,
+      qcol(key))
 
   /** Scope a library-internal persist to the call: run `result` eagerly
     * (`localCheckpoint` materializes it and truncates lineage, so the
@@ -255,14 +268,38 @@ object Util {
     * stored indexes through — toggling only the outer session would
     * silently leave the batch-rooted plans (the bulk of the gate) on
     * AQE (r13 review). Callers pass the outer session AND
-    * `batch.sparkSession`; duplicates are collapsed. */
+    * `batch.sparkSession`; duplicates are collapsed.
+    *
+    * r17 (task economy, guide §2.2/§6 small-task analog): the same scope
+    * also pins `spark.sql.shuffle.partitions` to
+    * `spark.graft.ingest.shufflePartitions` (default 8). With AQE off,
+    * every micro-batch shuffle otherwise runs at the SESSION's partition
+    * count — sized for interactive corpus queries, not for O(batch)
+    * commit work — and each stage pays its fixed per-task cost
+    * (scheduling, codegen/task setup, one parquet writer + committer
+    * rename per task on write stages) on mostly-empty partitions:
+    * measured 32-48-task stages moving tens of KB, ~60-70% of summary
+    * commit wall at sf0.1. A batch is micro-batch-sized BY CONTRACT
+    * (the gates' O(batch) probes, the summary's O(delta+touched) merge),
+    * so a small fixed parallelism is right at every deployment scale;
+    * bulk backfills through the batch path opt out with
+    * `spark.graft.ingest.adaptive=true` exactly as for AQE (they keep
+    * the session's AQE + partition sizing). Results are unaffected:
+    * every gate/summary aggregate is partition-count-invariant and
+    * hash-gated by the driver's oracle. */
   def withMicroBatchPlanning[T](
       sessions: Seq[org.apache.spark.sql.SparkSession])(f: => T): T = {
     val distinct = sessions.distinct.filterNot(s =>
       s.conf.getOption("spark.graft.ingest.adaptive")
         .exists(_.trim.equalsIgnoreCase("true")))
     distinct.foldLeft(() => f) { (g, s) =>
-      () => withSessionConf(s, "spark.sql.adaptive.enabled", "false")(g())
+      val parts = s.conf
+        .getOption("spark.graft.ingest.shufflePartitions")
+        .map(_.trim).filter(v => v.nonEmpty && v.forall(_.isDigit))
+        .getOrElse("8")
+      () => withSessionConf(s, "spark.sql.adaptive.enabled", "false") {
+        withSessionConf(s, "spark.sql.shuffle.partitions", parts)(g())
+      }
     }()
   }
 

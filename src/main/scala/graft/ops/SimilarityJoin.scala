@@ -26,6 +26,39 @@ object SimilarityJoin {
   def lengthBand(l: Column, r: Column, maxDist: Int): Column =
     abs(length(l) - length(r)) <= maxDist
 
+  /** Packed character-class count signature (r17, guide §1.2 "per-task
+    * work"): 8 disjoint character classes, each counted with a saturating
+    * 8-bit field, packed into one LONG per row. Computed ONCE per row
+    * (O(len) — 8 codegen regexp passes), it buys a per-PAIR filter that
+    * is ~two orders of magnitude cheaper than the bounded-DP verify:
+    * every unit edit changes at most two class counts by 1 each, so
+    *   L1(classCounts(a), classCounts(b)) <= 2 · lev(a, b),
+    * and saturation only shrinks per-class deltas (|min(x,255) −
+    * min(y,255)| <= |x − y|), keeping the bound sound. A candidate pair
+    * with [[sigDistance]] > 2·maxDist therefore provably has
+    * lev > maxDist and is dropped BEFORE the DP ever runs; no true pair
+    * is ever lost (PropertySpec pins the bound on random pairs). The
+    * classes are fixed literal ranges (last one catches everything
+    * outside [a-z], including uppercase/digits/space), so the filter is
+    * alphabet-agnostic. */
+  private val SigClasses = Seq(
+    "[a-d]", "[e-h]", "[i-l]", "[m-p]", "[q-t]", "[u-x]", "[y-z]", "[^a-z]")
+
+  def classCountSignature(c: Column): Column =
+    SigClasses.zipWithIndex.map { case (cls, i) =>
+      shiftleft(least(regexp_count(c, lit(cls)), lit(255)).cast("long"),
+        8 * i)
+    }.reduce(_ + _)
+
+  /** L1 distance between two packed signatures — a sound lower bound on
+    * 2·lev (see [[classCountSignature]]). Pure shift/mask arithmetic:
+    * ~50 codegen ops per pair vs the DP's O(d·len) with allocation. */
+  def sigDistance(sa: Column, sb: Column): Column =
+    (0 until SigClasses.size).map { i =>
+      abs(shiftright(sa, 8 * i).bitwiseAND(lit(255L)) -
+        shiftright(sb, 8 * i).bitwiseAND(lit(255L)))
+    }.reduce(_ + _)
+
   /** Early-exit bounded distance: value in [0, maxDist], or -1 if above. */
   def boundedDistance(l: Column, r: Column, maxDist: Int): Column =
     levenshtein(l, r, maxDist)
@@ -114,28 +147,45 @@ object SimilarityJoin {
         (dl, dr) => blockedInnerJoin(dl, dr, leftKey, rightKey, maxDist,
           distCol))
     val band = "__graft_len_band"
-    require(!left.columns.contains(band) && !right.columns.contains(band),
-      s"input may not carry the internal working column '$band'")
+    val sigL = "__graft_sig_l"
+    val sigR = "__graft_sig_r"
+    locally {
+      val reserved = (left.columns ++ right.columns)
+        .filter(c => c == band || c == sigL || c == sigR)
+      require(reserved.isEmpty,
+        s"input may not carry internal working columns: ${reserved.mkString(", ")}")
+    }
     require(!left.columns.contains(distCol) &&
       !right.columns.contains(distCol),
       s"input already carries a column named '$distCol' — withColumn " +
         "would silently REPLACE it; pass a different distCol")
-    val l = left.withColumn(band, length(qc(leftKey))).alias("sj_l")
+    val l = left.withColumn(band, length(qc(leftKey)))
+      .withColumn(sigL, classCountSignature(qc(leftKey)))
+      .alias("sj_l")
+    // signature computed BEFORE the 2d+1 band explode — once per row,
+    // not once per replica
     val r = right
+      .withColumn(sigR, classCountSignature(qc(rightKey)))
       .withColumn(band,
         explode(sequence(length(qc(rightKey)) - maxDist,
                          length(qc(rightKey)) + maxDist)))
       .alias("sj_r")
     val lk = col(s"sj_l.${q(leftKey)}")
     val rk = col(s"sj_r.${q(rightKey)}")
-    // join purely on the band equality and verify AFTER — computing the
-    // bounded DP in the join condition and again in withColumn ran the
-    // O(d·min|a|,|b|) kernel twice per surviving pair (the chunked
-    // kernel already used this compute-once shape)
-    l.join(r, col(s"sj_l.$band") === col(s"sj_r.$band"))
+    // the verify is an EXPLICIT join condition with the conjuncts in
+    // cost order (r17, guide §1.2): the ~50-op signature bound runs
+    // first and provably eliminates pairs with lev > maxDist, so the
+    // O(d·len) bounded DP only runs on signature survivors. (The old
+    // shape joined on the band alone and filtered after; Catalyst
+    // pushed that filter into the join condition anyway, but with the
+    // DP as the FIRST conjunct.) The projection recomputes the DP for
+    // TRUE survivors only — a vanishing fraction of candidates.
+    l.join(r, col(s"sj_l.$band") === col(s"sj_r.$band") &&
+        sigDistance(col(s"sj_l.$sigL"), col(s"sj_r.$sigR")) <=
+          lit(2L * maxDist) &&
+        boundedDistance(lk, rk, maxDist) >= 0)
       .withColumn(distCol, boundedDistance(lk, rk, maxDist))
-      .filter(col(distCol) >= 0)
-      .drop(band)
+      .drop(band, sigL, sigR)
   }
 
   /** Left-join semantics on top of the blocked kernel: inner matches plus
@@ -358,14 +408,35 @@ object SimilarityJoin {
       .distinct()
     // re-attach payload rows by key hash; every row combination carrying a
     // matched (value_l, value_r) pair appears, exactly like the naive join
-    val lExp = left.withColumn("__ga", xxhash64(qc(leftKey))).alias("cj_a")
-    val rExp = right.withColumn("__gb", xxhash64(qc(rightKey))).alias("cj_b")
+    val lExp = left.withColumn("__ga", xxhash64(qc(leftKey)))
+      .withColumn("__gsa", classCountSignature(qc(leftKey))).alias("cj_a")
+    val rExp = right.withColumn("__gb", xxhash64(qc(rightKey)))
+      .withColumn("__gsb", classCountSignature(qc(rightKey))).alias("cj_b")
     val lk = col(s"cj_a.${q(leftKey)}")
     val rk = col(s"cj_b.${q(rightKey)}")
-    val verified = lExp.join(candidates, "__ga").join(rExp, "__gb")
+    // pin the verify join's partition count (r17, guide §2.5/§7.2): the
+    // candidate/re-attach shuffles are small in BYTES but each surviving
+    // row pays an O(d·len) DP, so AQE's byte-driven coalescing folded
+    // the verify stage to ONE task (measured 2×~2.2 s single-task stages
+    // at sf0.1 — the second via the caller's orderBy range-sampling
+    // re-execution). REPARTITION_BY_NUM is never coalesced, and the
+    // co-partitioning requirement holds the rExp side at the same count,
+    // so the DP runs at the session's configured shuffle parallelism.
+    val verifyParts = left.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").trim match {
+        case s if s.forall(_.isDigit) && s.nonEmpty => s.toInt
+        case _ => left.sparkSession.sparkContext.defaultParallelism
+      }
+    val verified = lExp.join(candidates, "__ga")
+      .repartition(verifyParts, col("__gb"))
+      .join(rExp, "__gb")
       .withColumn(distCol, boundedDistance(lk, rk, d))
-      .filter(col(distCol) >= 0)
-      .drop("__ga", "__gb")
+      // signature bound FIRST (sound — see [[classCountSignature]]), so
+      // the DP only runs on signature survivors; conjunct order is
+      // preserved through Catalyst's filter-into-join pushdown
+      .filter(sigDistance(col("__gsa"), col("__gsb")) <= lit(2L * d) &&
+        col(distCol) >= 0)
+      .drop("__ga", "__gb", "__gsa", "__gsb")
 
     // short lefts (< d+1 chars): length-band kernel on that slice. The
     // length collect above already proves whether any exist — when none
@@ -413,17 +484,22 @@ object SimilarityJoin {
     }
   }
 
-  /** Kernel decision from the two estimates. A blocked candidate pays one
-    * banded DP — O((2d+1) · len) cells with early exit, dozens-to-hundreds
-    * of char ops on realistic text — while a chunked substring pays one
-    * hash of ~len/(d+1) chars plus its share of the candidate/re-attach
-    * shuffles. A DP verify is therefore worth several substring hashes;
-    * [[DpVsHashCostRatio]] is that exchange rate, calibrated on the two
-    * measured corpus shapes (PERF.md): the r6-shaped spread corpus
-    * (pairs ≈ subs/20, blocked measured 3.6× faster) and the r7-shaped
-    * denser corpus (pairs ≈ subs/2.5, chunked measured 1.6× faster) —
-    * the observed wall-clock crossover sits at pairs ≈ subs/5. */
-  val DpVsHashCostRatio: Double = 5.0
+  /** Kernel decision from the two estimates. A blocked candidate now pays
+    * the ~50-op [[sigDistance]] check first and only signature SURVIVORS
+    * pay the banded DP (r17 prefilter), so a blocked candidate's expected
+    * cost fell from "one bounded DP" to "one signature compare plus a
+    * vanishing DP fraction" — about the cost of one chunked substring
+    * hash. [[DpVsHashCostRatio]] is that exchange rate. History: 5.0
+    * through r16, calibrated pre-prefilter on the r6-shaped spread corpus
+    * (pairs ≈ subs/20, blocked 3.6× faster) and the r7-shaped denser
+    * corpus (pairs ≈ subs/2.5, chunked 1.6× faster). Re-measured in r17
+    * WITH the prefilter on the denser corpus (the sf0.1 documents table,
+    * pairs ≈ subs/2.3): blocked 1.6 s vs chunked 3.3 s — blocked now wins
+    * the regime chunked used to win, so the crossover moves to
+    * pairs ≈ subs (ratio 1.0). The chunk filter still wins the
+    * length-skewed regime (pairs ≫ subs — its whole reason to exist),
+    * which is unreachable by any per-pair prefilter. */
+  val DpVsHashCostRatio: Double = 1.0
   def chooseChunked(histL: Map[Int, Long], histR: Map[Int, Long],
                     maxDist: Int): Boolean = {
     val pairs = estimateBlockedPairs(histL, histR, maxDist)

@@ -886,15 +886,34 @@ object SummaryMaintenance {
             // inference, one driver job per commit saved
             // (IngestJobProfile r16), the same discipline as the
             // gates' stored-index reads
-            val merged =
+            //
+            // ONE exchange, keyed by the PARTITION column (r17, guide
+            // §2.4 "two operations keyed the same way share one
+            // exchange"): hash(bucket) clusters every key's rows (a key
+            // lives in exactly one bucket), so the explicit
+            // repartition(buckets, bucket) satisfies the merge
+            // aggregation's distribution AND pre-aligns the dynamic-
+            // partition write — the old shape paid a second exchange
+            // (ENSURE hash(key,bucket) for the agg, then
+            // REPARTITION_BY_COL for the write) and, with the
+            // repartition at the session partition count, ran the write
+            // stage at 3× more tasks than buckets (48 tasks moving
+            // ~160 KB measured at sf0.1, each paying a parquet
+            // writer + committer rename). Task count now equals the
+            // bucket count — the natural unit of this commit at every
+            // scale. The delta-only first commit takes the same path
+            // (its re-aggregation is a per-key no-op sum).
+            val combined =
               if (curPaths.isEmpty) delta
               else spark.read.schema(leafSchema).parquet(curPaths: _*)
                 .withColumn("bucket", bucketOf)
                 .unionByName(delta)
-                .groupBy((keyCols.map(col) :+ col("bucket")): _*)
-                .agg(sum(col("n_events")).as("n_events"),
-                  sum(col("sum_value")).cast("decimal(38,6)")
-                    .as("sum_value"))
+            val merged = combined
+              .repartition(buckets, col("bucket"))
+              .groupBy((keyCols.map(col) :+ col("bucket")): _*)
+              .agg(sum(col("n_events")).as("n_events"),
+                sum(col("sum_value")).cast("decimal(38,6)")
+                  .as("sum_value"))
             // clear any crashed earlier attempt's dir FIRST: under
             // spark.sql.sources.partitionOverwriteMode=dynamic an
             // "overwrite" keeps partition leaves the new write doesn't
@@ -906,19 +925,16 @@ object SummaryMaintenance {
             // delete-then-write makes that true under ANY session conf.
             val partDir = new Path(root, s"part.v$batchId")
             if (fs.exists(partDir)) fs.delete(partDir, true)
-            // align files with buckets before the dynamic-partition
-            // write: without this every upstream task writes one file
-            // PER touched bucket (tasks × buckets small files per
-            // commit — measured 10× the whole commit's wall at sf0.1),
-            // and the next merge re-reads all those footers. One
-            // summary-sized shuffle by the partition column caps the
-            // commit at ~one file per touched bucket — the standard
-            // dynamic-partition write discipline, and the right trade
-            // at every scale: the shuffled rows are the touched
-            // buckets' keys (O(delta + touched) by construction), the
-            // file count drops by the task count.
-            merged.repartition(col("bucket"))
-              .write.mode("overwrite").partitionBy("bucket")
+            // file/bucket alignment is inherited from the merge's own
+            // repartition(buckets, bucket) above — the aggregation
+            // output is already clustered one-bucket-per-partition, so
+            // the dynamic-partition write emits ~one file per touched
+            // bucket with NO second shuffle (pre-r17 this line paid its
+            // own repartition(col("bucket")); without ANY alignment
+            // every upstream task writes one file per touched bucket —
+            // tasks × buckets small files, measured 10× the commit's
+            // wall at sf0.1)
+            merged.write.mode("overwrite").partitionBy("bucket")
               .parquet(partDir.toString)
             curMapping ++ touched.map(b => b -> s"part.v$batchId")
           }
@@ -1177,7 +1193,11 @@ object SummaryMaintenance {
       try {
         val partDir = new Path(toRoot, s"part.v$id")
         if (fs.exists(partDir)) fs.delete(partDir, true)
-        bucketed.repartition(col("bucket"))
+        // partition count = the bucket count (r17): a bare
+        // repartition(col) runs at the session shuffle-partition count
+        // — more tasks than buckets, each paying a parquet writer +
+        // committer rename; bucket count is the commit's natural unit
+        bucketed.repartition(buckets, col("bucket"))
           .write.mode("overwrite").partitionBy("bucket")
           .parquet(partDir.toString)
         // manifest maps only NON-EMPTY buckets (same contract as the
@@ -1287,7 +1307,10 @@ object SummaryMaintenance {
         }.reduce(_ unionByName _)
       val partDir = new Path(root, s"part.c$id")
       if (fs.exists(partDir)) fs.delete(partDir, true) // crashed rerun
-      image.repartition(col("bucket"))
+      // partition count = the live mapping's bucket count (r17): same
+      // task-per-bucket alignment as the incremental commit, instead of
+      // the session shuffle-partition count
+      image.repartition(mapping.size, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(partDir.toString)
       writeManifest(fs, new Path(root, s"manifest.c$id"),

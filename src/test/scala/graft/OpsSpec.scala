@@ -37,6 +37,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("classCountSignature expression bound is sound vs Spark's own " +
+      "levenshtein (mixed alphabet, r17 prefilter)") {
+    // the PropertySpec replica proves the MATH; this pins the Spark
+    // EXPRESSION (regex classes + packing + sigDistance arithmetic):
+    // any pair within lev <= d must satisfy sigDistance <= 2d, or the
+    // kernels' prefilter would silently drop true matches
+    val rnd = new scala.util.Random(23)
+    def randStr() = (0 until (2 + rnd.nextInt(12)))
+      .map(_ => "abcdefghijklmnopqrstuvwxyz XYZ019{".charAt(rnd.nextInt(34)))
+      .mkString
+    val pairs = Seq.fill(400)((randStr(), randStr())).toDF("a", "b")
+    val bad = pairs
+      .withColumn("lev", levenshtein(col("a"), col("b")))
+      .withColumn("sd", SimilarityJoin.sigDistance(
+        SimilarityJoin.classCountSignature(col("a")),
+        SimilarityJoin.classCountSignature(col("b"))))
+      .filter(col("sd") > col("lev") * 2)
+      .collect()
+    assert(bad.isEmpty,
+      s"signature bound violated: ${bad.take(3).mkString("; ")}")
+  }
+
   test("blocked similarity join == naive on random strings (soundness)") {
     val rnd = new scala.util.Random(7)
     def randStr() = (0 until (3 + rnd.nextInt(8)))

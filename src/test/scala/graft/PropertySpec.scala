@@ -199,4 +199,40 @@ class PropertySpec extends AnyFunSuite {
         s"WAV round-trip diverged at n=$n")
     }
   }
+
+  test("class-count signature bound never prunes a true Levenshtein " +
+      "match (20k samples, saturation + out-of-class chars included)") {
+    // JVM replica of SimilarityJoin.classCountSignature's class
+    // partition: [a-d] [e-h] [i-l] [m-p] [q-t] [u-x] [y-z] [^a-z],
+    // counts saturated at 255 — the packed-long layout is irrelevant to
+    // the bound, only the per-class saturated counts are
+    def sig(s: String): Array[Int] = {
+      val c = new Array[Int](8)
+      s.foreach { ch =>
+        val i = if (ch >= 'a' && ch <= 'x') (ch - 'a') / 4
+          else if (ch == 'y' || ch == 'z') 6 else 7
+        c(i) += 1
+      }
+      c.map(math.min(_, 255))
+    }
+    def l1(a: Array[Int], b: Array[Int]): Int =
+      a.zip(b).map { case (x, y) => math.abs(x - y) }.sum
+    // alphabet 30 spans several classes plus chars outside [a-z]
+    // ('a'+26..29 = '{' '|' '}' '~' land in the catch-all class)
+    (1 to 20000).foreach { _ =>
+      val (a, b) = (randStr(12, 30), randStr(12, 30))
+      val d = rnd.nextInt(6)
+      if (lev(a, b) <= d)
+        assert(l1(sig(a), sig(b)) <= 2 * d,
+          s"signature pruned true match: '$a' '$b' d=$d lev=${lev(a, b)}")
+    }
+    // saturation arm: long strings whose true counts exceed 255 — the
+    // saturated bound must still hold for near-identical pairs
+    (1 to 200).foreach { _ =>
+      val base = (1 to 600).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val edited = base.patch(rnd.nextInt(base.length), "e", 1)
+      assert(l1(sig(base), sig(edited)) <= 2,
+        "saturated signature bound broken on a 1-edit pair")
+    }
+  }
 }
