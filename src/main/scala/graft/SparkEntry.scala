@@ -1903,11 +1903,12 @@ object SparkEntry {
     // branch decoded every payload.
     "q_audio_windows_real" -> ((s, dir) => {
       import s.implicits._
-      // spread before the per-row WAV build/decode — same single-task
-      // reasoning as q_multimodal_resize_real above; row-local, so
-      // results are bit-identical
-      val media = spread(table(s, dir, "documents").select(col("doc_id")),
-          "doc_id").as[Long]
+      // deliberately NOT spread (r17): unlike the imageio arm, the WAV
+      // decode path hits javax.sound's synchronized provider discovery,
+      // and 32 concurrent tasks contend on that global lock — measured
+      // 0.84 s single-task vs 2.15 s spread across 32 tasks. The
+      // single-task shape is the faster one for this codec.
+      val media = table(s, dir, "documents").select(col("doc_id")).as[Long]
         .mapPartitions(_.map { d =>
           (d, Multimodal.syntheticWav(d, (d % 37 + 20).toInt))
         })
