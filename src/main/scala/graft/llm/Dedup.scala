@@ -52,6 +52,26 @@ object Dedup {
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 
+  /** [[jaccard]] over ASCENDING-SORTED distinct arrays (r17): the
+    * intersection size comes from the native zero-allocation two-pointer
+    * merge ([[graft.catalyst.SortedIntersectCount]]) instead of
+    * `array_intersect`'s per-pair hash set + result array — measured as
+    * the dominant CPU term of the prefix-filter verifies (75 CPU-seconds
+    * in q_dedup_incremental_exact at sf0.1; the count is all the Jaccard
+    * ratio needs). IDENTICAL results on sorted distinct inputs — every
+    * call site builds its sets with `array_sort(array_distinct(...))`
+    * (or reads such data back from a stored index); LlmSpec pins
+    * equality with the array_intersect form on random inputs. Built
+    * directly from the expression (no function registry), so it works
+    * on sessions without GraftExtensions. */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.GraftSql
+    val inter = GraftSql.column(graft.catalyst.SortedIntersectCount(
+      GraftSql.expression(a), GraftSql.expression(b))).cast("double")
+    val uni = (size(a) + size(b)).cast("double") - inter
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
   /** Distinct-word-set Jaccard pairs within an explicit group (blocking
     * key): self-equi-join on the group column (co-partitioned, no cross
     * product across groups), id-ordered to emit each pair once. */
@@ -78,7 +98,7 @@ object Dedup {
     a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
         sizeBand)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        jaccard(col("a.ws"), col("b.ws")).as("jac"))
+        jaccardSorted(col("a.ws"), col("b.ws")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
@@ -138,11 +158,19 @@ object Dedup {
         positionalFilter(threshold))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val da = docs.select(col("id").as("id_a"), col("ws").as("ws_a"))
-    val db = docs.select(col("id").as("id_b"), col("ws").as("ws_b"))
+    // `ws` is in RARE-FIRST order (the prefix total order); the native
+    // merge-count verify needs the standard ascending order, so re-sort
+    // once per doc in the projection (below the join, so per doc per
+    // side — not per pair) — set equality is order-independent, and the
+    // re-sorted copy costs O(n log n) per doc against the O(pairs)
+    // verify it accelerates
+    val da = docs.select(col("id").as("id_a"),
+      array_sort(col("ws")).as("ws_a"))
+    val db = docs.select(col("id").as("id_b"),
+      array_sort(col("ws")).as("ws_b"))
     val pairs = candidates.join(da, "id_a").join(db, "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccard(col("ws_a"), col("ws_b")).as("jac"))
+        jaccardSorted(col("ws_a"), col("ws_b")).as("jac"))
       .filter(col("jac") >= threshold)
     graft.Util.finishAndRelease(pairs, docs)
   }
@@ -186,7 +214,7 @@ object Dedup {
     val db = cd.select(col("id").as("corpus_id"), col("ws").as("ws_b"))
     val pairs = candidates.join(da, "new_id").join(db, "corpus_id")
       .select(col("new_id"), col("corpus_id"),
-        jaccard(col("ws_a"), col("ws_b")).as("jac"))
+        jaccardSorted(col("ws_a"), col("ws_b")).as("jac"))
       .filter(col("jac") >= threshold)
     timed("verify+checkpoint")(graft.Util.finishAndRelease(pairs, nd, cd))
   }
@@ -348,7 +376,7 @@ object Dedup {
       .join(broadcast(
         nd.select(col("id").as("new_id"), col("ws").as("ws_a"))), "new_id")
       .select(col("new_id"), col("corpus_id"),
-        jaccard(col("ws_a"), col("ws_b")).as("jac"))
+        jaccardSorted(col("ws_a"), col("ws_b")).as("jac"))
       .filter(col("jac") >= threshold)
     timed("verify+checkpoint")(graft.Util.finishAndRelease(pairs, nd))
   }
@@ -425,7 +453,7 @@ object Dedup {
     val db = docsB.select(col("id").as(outB), col("sh").as("sh_b"))
     candidates.join(da, outA).join(db, outB)
       .select(col(outA), col(outB),
-        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        jaccardSorted(col("sh_a"), col("sh_b")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 

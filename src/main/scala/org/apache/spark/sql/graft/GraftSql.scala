@@ -16,6 +16,14 @@ object GraftSql {
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** Inverse of [[column]] — the catalyst expression behind a Column
+    * (Spark 4 moved `Column.expr` behind the classic facade). Lets graft
+    * build native-expression Columns without the function registry, so
+    * library kernels work on sessions that never installed
+    * GraftExtensions. */
+  def expression(c: Column): Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Canonicalize -0.0/NaN inside a grouping expression (float/double,
     * including nested struct/array fields) — the normalization Spark's
     * own NormalizeFloatingNumbers rule applies to Window partition keys.

@@ -1969,4 +1969,36 @@ class LlmSpec extends SparkSpec {
     info(s"planted PQ+rerank top-1 recall: $recall")
     assert(recall >= 0.9, s"planted recall $recall < 0.9 — codebooks broken?")
   }
+
+  test("jaccardSorted == jaccard (array_intersect form) on random sorted " +
+      "sets — long and string elements, empties included (r17 verify kernel)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // small value domain forces real overlaps; sizes 0..20 cover empties
+    val rows = Seq.fill(400)((
+      Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong).distinct.sorted,
+      Seq.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong).distinct.sorted))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        Dedup.jaccard(col("a"), col("b")).as("j1"),
+        Dedup.jaccardSorted(col("a"), col("b")).as("j2"))
+      .filter(not(col("j1") <=> col("j2"))).collect()
+    assert(bad.isEmpty, s"long-element divergence: ${bad.take(3).mkString}")
+    val srows = Seq.fill(400)((
+      Seq.fill(rnd.nextInt(15))(s"w${rnd.nextInt(25)}").distinct.sorted,
+      Seq.fill(rnd.nextInt(15))(s"w${rnd.nextInt(25)}").distinct.sorted))
+    val sbad = srows.toDF("a", "b").select(
+        Dedup.jaccard(col("a"), col("b")).as("j1"),
+        Dedup.jaccardSorted(col("a"), col("b")).as("j2"))
+      .filter(not(col("j1") <=> col("j2"))).collect()
+    assert(sbad.isEmpty, s"string-element divergence: ${sbad.take(3).mkString}")
+    // null arrays propagate identically
+    val nrows = Seq((Some(Seq(1L, 2L)), None: Option[Seq[Long]]),
+      (None: Option[Seq[Long]], None: Option[Seq[Long]]))
+    val nbad = nrows.toDF("a", "b").select(
+        Dedup.jaccard(col("a"), col("b")).as("j1"),
+        Dedup.jaccardSorted(col("a"), col("b")).as("j2"))
+      .filter(not(col("j1") <=> col("j2"))).collect()
+    assert(nbad.isEmpty, "null-array divergence")
+  }
 }
