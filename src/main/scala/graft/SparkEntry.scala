@@ -547,8 +547,12 @@ object SparkEntry {
     // copies of a table (engine, cluster, or backup) by shipping 16 bytes
     // instead of the data; one map-side-combined aggregate pass
     "q_table_fingerprint" -> ((s, dir) =>
+      // spread (r17): the 600k-row single-row-group lineitem scan ran
+      // the per-row md5 on ≤3 tasks (1.2 s CPU-bound); the fingerprint
+      // is a partition-independent sum, so hashing at full parallelism
+      // is result-identical
       graft.quality.Expectations.tableFingerprint(
-        table(s, dir, "lineitem"),
+        spread(table(s, dir, "lineitem"), "l_orderkey"),
         Seq("l_orderkey", "l_linenumber", "l_quantity"))),
 
     // Exact per-group percentiles (the sketch queries' ground-truth twin):
@@ -2045,8 +2049,11 @@ object SparkEntry {
     // counts (total / distinct / top occurrence) from one sorted-array
     // fold; the duplicate- and top-n-gram fractions derive from these ints
     "q_text_repetition" -> ((s, dir) => {
+      // spread (r17): the per-row n-gram HOF ran single-task on the
+      // one-row-group scan, twice (orderBy range sampling re-executes
+      // the fused map) — 2×0.65 s; row-local, so results are identical
       val rep = TextFunctions.ngramRepetition(col("text"), 2)
-      table(s, dir, "documents").select(col("doc_id"),
+      spread(table(s, dir, "documents"), "doc_id").select(col("doc_id"),
           rep.getField("total").as("n_grams"),
           rep.getField("n_distinct").as("n_distinct"),
           rep.getField("top_count").as("top_count"))
