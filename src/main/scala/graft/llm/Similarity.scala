@@ -17,8 +17,14 @@ object Similarity {
   /** Cast an array<float> column to array<double> for stable arithmetic. */
   def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Dot product — native codegen expression since r17 (same rationale
+    * and bit-parity argument as [[sqDist]]; the HOF form ran interpreted
+    * per element, once per hyperplane per row on the LSH path). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.GraftSql.column(
+      graft.catalyst.DotProduct(
+        org.apache.spark.sql.graft.GraftSql.expression(a),
+        org.apache.spark.sql.graft.GraftSql.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -624,9 +630,22 @@ object Similarity {
 
   /** Squared L2 distance between two array columns (either may be a
     * lambda variable) — accumulates in ascending index order. */
+  /** Squared L2 distance — native codegen expression since r17 (the HOF
+    * composition `aggregate(zip_with(...))` ran the lambda interpreter
+    * per element and allocated the zipped array per evaluation; the IVF
+    * assignment and PQ encode evaluate nlist / m·ksub of these per
+    * corpus row). [[graft.catalyst.SqDistance]] accumulates in the same
+    * ascending-index left-fold order, so results are bit-identical —
+    * the ANN oracles bit-replay the fold, and LlmSpec pins the parity.
+    * Built directly from the expression (no function registry), so
+    * sessions without GraftExtensions still work — including inside
+    * `transform` lambdas (the typedLit regime), where the lambda
+    * variable binds as an ordinary child expression. */
   private def sqDist(s: Column, c: Column): Column =
-    aggregate(zip_with(s, c, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (a, x) => a + x)
+    org.apache.spark.sql.graft.GraftSql.column(
+      graft.catalyst.SqDistance(
+        org.apache.spark.sql.graft.GraftSql.expression(s),
+        org.apache.spark.sql.graft.GraftSql.expression(c)))
 
   /** Squared L2 distance from a vector column to a literal centroid —
     * shared by the IVF assignment and the PQ encode/ADC builds. */

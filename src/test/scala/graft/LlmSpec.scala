@@ -1970,6 +1970,45 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.9, s"planted recall $recall < 0.9 — codebooks broken?")
   }
 
+  test("native DotProduct/SqDistance == HOF aggregate(zip_with(...)) " +
+      "bit-for-bit, incl. ragged/null/empty edges (r17 kernels)") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.GraftSql
+    val rnd = new scala.util.Random(7)
+    def vec(n: Int) = Seq.fill(n)(rnd.nextDouble() * 4 - 2)
+    val rows: Seq[(Option[Seq[Option[Double]]], Option[Seq[Option[Double]]])] =
+      Seq.fill(300)((Some(vec(8).map(Option(_))), Some(vec(8).map(Option(_))))) ++
+      Seq(
+        (Some(vec(8).map(Option(_))), Some(vec(5).map(Option(_)))), // ragged
+        (Some(Seq(Option(1.0), None, Option(2.0))),
+          Some(vec(3).map(Option(_)))), // null element
+        (Some(Seq.empty), Some(Seq.empty)), // empty
+        (None, Some(vec(8).map(Option(_)))), // null array
+        (None, None))
+    val df = rows.toDF("a", "b")
+    def hofDot = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    def hofSq = aggregate(zip_with(col("a"), col("b"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val cmp = df.select(
+      hofDot.as("hd"),
+      GraftSql.column(graft.catalyst.DotProduct(
+        GraftSql.expression(col("a").cast("array<double>")),
+        GraftSql.expression(col("b").cast("array<double>")))).as("nd"),
+      hofSq.as("hs"),
+      GraftSql.column(graft.catalyst.SqDistance(
+        GraftSql.expression(col("a").cast("array<double>")),
+        GraftSql.expression(col("b").cast("array<double>")))).as("ns"))
+    // <=> is bit-agnostic for NaN/null equality; for finite doubles
+    // bit-identity additionally pinned via the raw bits
+    val bad = cmp.filter(not(col("hd") <=> col("nd")) ||
+        not(col("hs") <=> col("ns")) ||
+        (col("hd").isNotNull &&
+          expr("cast(hd as double)") =!= expr("cast(nd as double)")))
+      .collect()
+    assert(bad.isEmpty, s"native kernel diverged: ${bad.take(3).mkString}")
+  }
+
   test("jaccardSorted == jaccard (array_intersect form) on random sorted " +
       "sets — long and string elements, empties included (r17 verify kernel)") {
     import spark.implicits._
