@@ -31,5 +31,21 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // r18 (opt guide §2.2, measured): the bypass-merge shuffle writer
+  // creates ONE FILE PER REDUCE PARTITION PER MAP TASK — M×R file
+  // creates per shuffle (32×32 = 1024 here), and a CPU-weighted stack
+  // profile showed FileOutputStream.open0 under DiskBlockObjectWriter
+  // was 45% of the heavy dedup queries' executor CPU (29 of 63 s on
+  // q_dedup_incremental_exact ×3 runs) — the direct cause of the
+  // driver-measured 32-core anti-scaling (8 cores ⇒ 8×8 files, 16×
+  // fewer creates). Threshold 0 routes small-R shuffles to the
+  // serialized (unsafe) writer: one spill file + one data/index pair
+  // per MAP TASK regardless of R. Scale-safe, not a local[32] tune: at
+  // production partition counts (R > 200) bypass-merge never fires, so
+  // the setting is inert there — it only removes the small-R syscall
+  // storm. Static conf (read at shuffle registration), hence set JVM-
+  // wide here and not per session; override via SPARK_GRAFT_BYPASS_T.
+  s"-Dspark.shuffle.sort.bypassMergeThreshold=${
+    sys.env.getOrElse("SPARK_GRAFT_BYPASS_T", "0")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

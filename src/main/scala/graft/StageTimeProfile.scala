@@ -19,18 +19,23 @@ object StageTimeProfile {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val names = args.drop(1).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // dev knob: extra confs as "k=v;k=v" for A/B experiments
+    sys.env.get("GRAFT_EXTRA_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.catalyst.GraftExtensions.install(spark)
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
     case class St(id: Int, name: String, ms: Long, tasks: Int,
-                  execRunMs: Long, cpuMs: Long, wb: Long, rb: Long)
+                  execRunMs: Long, cpuMs: Long, wb: Long, rb: Long,
+                  inB: Long, inRows: Long)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -42,7 +47,8 @@ object StageTimeProfile {
           stages.add(St(i.stageId, i.name, dur, i.numTasks,
             m.executorRunTime, m.executorCpuTime / 1000000L,
             m.shuffleWriteMetrics.bytesWritten,
-            m.shuffleReadMetrics.totalBytesRead))
+            m.shuffleReadMetrics.totalBytesRead,
+            m.inputMetrics.bytesRead, m.inputMetrics.recordsRead))
       }
     })
 
@@ -69,7 +75,8 @@ object StageTimeProfile {
       all.take(12).foreach { s =>
         println(f"  stage ${s.id}%4d ${s.ms}%6d ms tasks=${s.tasks}%3d " +
           f"run=${s.execRunMs}%7d ms cpu=${s.cpuMs}%7d ms " +
-          f"wB=${s.wb}%9d rB=${s.rb}%9d  ${s.name.take(110)}")
+          f"wB=${s.wb}%9d rB=${s.rb}%9d inB=${s.inB}%10d " +
+          f"inR=${s.inRows}%8d  ${s.name.take(90)}")
       }
     }
     spark.stop()
