@@ -85,20 +85,26 @@ object IngestJobProfile {
     }
 
     try {
-      // q_similarity_ingest's exact 3-batch replay
+      // q_similarity_ingest's exact 3-batch replay — run TWICE (fresh
+      // state each time): the first pass pays one-time codegen, the
+      // second is the bench-comparable warm number
       val docs = Util.table(spark, sfDir, "documents")
         .select(col("doc_id"), col("text"))
-      val simState = java.nio.file.Files
-        .createTempDirectory("graft_jobprof_sim").toString
-      for (b <- 0L to 2L) {
-        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
-        measured(s"similarity batch $b") {
-          graft.streaming.SimilarityIngest.applyBatch(spark, simState,
-            batch, b, "doc_id", "text")
+      println(s"[jobs] batch input partitions = " +
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0L).rdd.getNumPartitions)
+      for (pass <- Seq("cold", "warm")) {
+        val simState = java.nio.file.Files
+          .createTempDirectory(s"graft_jobprof_sim_$pass").toString
+        for (b <- 0L to 2L) {
+          val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+          measured(s"similarity $pass batch $b") {
+            graft.streaming.SimilarityIngest.applyBatch(spark, simState,
+              batch, b, "doc_id", "text")
+          }
         }
-      }
-      measured("similarity compact") {
-        graft.streaming.SimilarityIngest.compactIndexes(spark, simState)
+        measured(s"similarity $pass compact") {
+          graft.streaming.SimilarityIngest.compactIndexes(spark, simState)
+        }
       }
 
       // q_embedding_ingest's 3-batch replay

@@ -97,6 +97,27 @@ object SparkEntry {
     java.nio.file.Paths.get("target", "tmp",
       tag + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
 
+  /** Materialize a SMALL result once before a global orderBy (r18, guide
+    * §2.4/§3.3): a global sort plans `Exchange rangepartitioning`, whose
+    * range-bounds SAMPLING job re-executes everything between the
+    * previous exchange and the sort — for the callers below that segment
+    * is the expensive verify / decode map work, measured running TWICE
+    * per invocation (e.g. q_audio_windows_real's single-task WAV decode;
+    * q_text_repetition's n-gram fold). One keyless round-robin exchange
+    * in between turns the heavy segment into a materialized shuffle
+    * stage both the sampler and the sort map then READ instead of
+    * recompute. An exchange (not a localCheckpoint): it shows in the
+    * explained plan, costs no block-manager residency, and the
+    * sort-before-repartition tax is trivial at these sizes. Use ONLY
+    * where the pre-sort result is small (these callers' outputs are
+    * 24–8000 rows); a large result should keep the plain sort, whose
+    * sampling re-execution amortizes at scale. */
+  private def materializedOrderBy(df: DataFrame,
+                                  cols: org.apache.spark.sql.Column*)
+      : DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .orderBy(cols: _*)
+
   /** Session-scoped fixture for `q_embed_ann_ivf_index` — the same
     * discipline as [[substringIndexFixture]]: the persisted IVF index is
     * the operator's stored INPUT ("build once, probe many"), so it is
@@ -260,7 +281,9 @@ object SparkEntry {
           dedupKeys = true)
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
-        .orderBy(col("id_a"), col("id_b"))
+        // materializedOrderBy (r18): the DP-verify map segment otherwise
+        // re-executes under the sort's range sampling (small pair result)
+        .transform(materializedOrderBy(_, col("id_a"), col("id_b")))
     }),
 
     // J1 scale path — length-banded (blocked) similarity join: the Spark
@@ -278,7 +301,9 @@ object SparkEntry {
           dedupKeys = true)
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
-        .orderBy(col("id_a"), col("id_b"))
+        // materializedOrderBy (r18): the DP-verify map segment otherwise
+        // re-executes under the sort's range sampling (small pair result)
+        .transform(materializedOrderBy(_, col("id_a"), col("id_b")))
     }),
 
     // J1 at realistic keys — the scale kernels over the FULL document text
@@ -296,7 +321,9 @@ object SparkEntry {
       SimilarityJoin.blockedInnerJoin(a, b, "ta", "tb", 4, "dist")
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
-        .orderBy(col("id_a"), col("id_b"))
+        // materializedOrderBy (r18): the DP-verify map segment otherwise
+        // re-executes under the sort's range sampling (small pair result)
+        .transform(materializedOrderBy(_, col("id_a"), col("id_b")))
     }),
 
     "q_similarity_chunked_full" -> ((s, dir) => {
@@ -307,7 +334,9 @@ object SparkEntry {
       SimilarityJoin.chunkedInnerJoin(a, b, "ta", "tb", 4, "dist")
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
-        .orderBy(col("id_a"), col("id_b"))
+        // materializedOrderBy (r18): the DP-verify map segment otherwise
+        // re-executes under the sort's range sampling (small pair result)
+        .transform(materializedOrderBy(_, col("id_a"), col("id_b")))
     }),
 
     // J1 cost-based kernel selection — the engine (not the caller) picks
@@ -324,7 +353,9 @@ object SparkEntry {
       SimilarityJoin.autoInnerJoin(a, b, "ta", "tb", 4, "dist")
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
-        .orderBy(col("id_a"), col("id_b"))
+        // materializedOrderBy (r18): the DP-verify map segment otherwise
+        // re-executes under the sort's range sampling (small pair result)
+        .transform(materializedOrderBy(_, col("id_a"), col("id_b")))
     }),
 
     // J3/U2/P6/F5 — coalescing left equi-join
@@ -1893,7 +1924,9 @@ object SparkEntry {
           (r.id, dw, dh, sum)
         }
         .toDF("id", "width", "height", "pix_sum")
-        .orderBy(col("id"))
+        // materializedOrderBy (r18): the imageio encode/decode/resize
+        // otherwise re-executes under the sort's range sampling
+        .transform(materializedOrderBy(_, col("id")))
     }),
 
     // LLM: the REAL javax.sound WAV arm, hash-checked end-to-end (r12 —
@@ -1924,7 +1957,10 @@ object SparkEntry {
       Multimodal.audioWindows(media, "doc_id")
         .toDF()
         .select(col("id"), col("win"), col("n_samples"), col("sum_abs"))
-        .orderBy(col("id"), col("win"))
+        // materializedOrderBy (r18): the single-task javax.sound decode
+        // otherwise runs TWICE (sort range sampling) — the decode is the
+        // whole query cost, so this halves it
+        .transform(materializedOrderBy(_, col("id"), col("win")))
     }),
 
     "q_frame_samples" -> ((s, dir) =>
@@ -2057,7 +2093,9 @@ object SparkEntry {
           rep.getField("total").as("n_grams"),
           rep.getField("n_distinct").as("n_distinct"),
           rep.getField("top_count").as("top_count"))
-        .orderBy(col("doc_id"))
+        // materializedOrderBy (r18): the HOF fold otherwise re-executes
+        // under the sort's range sampling (500-row result)
+        .transform(materializedOrderBy(_, col("doc_id")))
     }),
 
     // LLM: cleaning pass — normalization + PII redaction (the synthetic

@@ -293,14 +293,49 @@ object Util {
       s.conf.getOption("spark.graft.ingest.adaptive")
         .exists(_.trim.equalsIgnoreCase("true")))
     distinct.foldLeft(() => f) { (g, s) =>
-      val parts = s.conf
-        .getOption("spark.graft.ingest.shufflePartitions")
-        .map(_.trim).filter(v => v.nonEmpty && v.forall(_.isDigit))
-        .getOrElse("8")
+      val parts = microBatchPartitions(s).toString
       () => withSessionConf(s, "spark.sql.adaptive.enabled", "false") {
         withSessionConf(s, "spark.sql.shuffle.partitions", parts)(g())
       }
     }()
+  }
+
+  /** The micro-batch parallelism knob (`spark.graft.ingest.shufflePartitions`,
+    * default 8) as a validated positive Int — shared by
+    * [[withMicroBatchPlanning]]'s shuffle pin and [[spreadBatch]]. Validated
+    * HERE, loudly (r17 ADVICE): the old all-digits filter let "0" (or an
+    * over-Int value) through, failing deep inside Spark with an error that
+    * never names the misconfigured key. */
+  def microBatchPartitions(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("spark.graft.ingest.shufflePartitions")
+      .map(_.trim).filter(_.nonEmpty) match {
+      case None => 8
+      case Some(v) =>
+        val n = v.toIntOption.getOrElse(-1)
+        require(n >= 1,
+          s"spark.graft.ingest.shufflePartitions must be a positive " +
+            s"integer, got '$v'")
+        n
+    }
+
+  /** Spread one micro-batch to the gate's configured parallelism (r18,
+    * guide §2). A foreachBatch frame often arrives as ONE partition (a
+    * single file, a single-row-group parquet scan, one Kafka partition's
+    * slice) — and the gates' dominant per-batch cost is the narrow
+    * compute ABOVE their first shuffle (tokenize + shingle + numHashes
+    * hashes per doc, window hashing, cell hashing), which then runs on
+    * one core no matter how many the session has (measured: the whole
+    * signature pass of a 1667-doc batch single-task, most of the gates'
+    * probe-mat phase). One batch-sized hash shuffle buys the micro-batch
+    * parallelism back; the count is the SAME conf that sizes the gates'
+    * shuffles, so the O(batch) task-economy contract is unchanged, and
+    * results are partition-count-invariant (every gate aggregate/join is,
+    * pinned by the gates' oracles). A batch already AT the target count
+    * skips the shuffle. */
+  def spreadBatch(df: DataFrame, key: String): DataFrame = {
+    val parts = microBatchPartitions(df.sparkSession)
+    if (df.rdd.getNumPartitions == parts) df
+    else df.repartition(parts, qcol(key))
   }
 
   /** Run independent Spark actions CONCURRENTLY and wait for all of them

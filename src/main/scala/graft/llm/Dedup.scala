@@ -1191,10 +1191,15 @@ object Dedup {
                           broadcastNodeThreshold: Long = 2000000L)
       : DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // The routing probe runs on the RAW pair stream (r18, guide §2.4):
+    // union-find is insensitive to duplicate and directed edges, so the
+    // small-graph route — every gate micro-batch, every bench dedup
+    // query — needs neither the symmetrize union nor the distinct. The
+    // old shape paid that distinct's full shuffle plus a second persist
+    // per CC call just to count edges it then union-found locally; only
+    // the distributed loop (big graphs) benefits from deduplicated
+    // symmetric edges, so it alone builds them, below, from this cache.
     val fwd = pairs.select(col(idColA).as("src"), col(idColB).as("dst"))
-    val edges = fwd
-      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = pairs.sparkSession
     // Per-round materialization (see scaladoc): executor-local blocks by
@@ -1268,7 +1273,11 @@ object Dedup {
     }
     type Buf = (scala.collection.mutable.ArrayBuffer[
       org.apache.spark.sql.Row], Long)
-    val (nEdges, smallEdges) = edges.rdd.treeAggregate(
+    // nPairs counts RAW pair rows (pre-symmetrize, duplicates included):
+    // an upper bound on distinct edges, so the threshold routing is
+    // conservative — a graph under it in raw pairs is certainly
+    // union-findable
+    val (nPairs, smallEdges) = fwd.rdd.treeAggregate(
       (0L, Option((new scala.collection.mutable.ArrayBuffer[
         org.apache.spark.sql.Row](1024), 0L)): Option[Buf]))(
       seqOp = { case ((n, buf), row) =>
@@ -1286,8 +1295,8 @@ object Dedup {
       })
     // clean corpus: no pairs → no clustered ids; short-circuit before the
     // label build (whose sum-over-zero-rows convergence read would NPE)
-    if (nEdges == 0) {
-      edges.unpersist()
+    if (nPairs == 0) {
+      fwd.unpersist()
       return pairs.select(col(idColA).as("id"), col(idColA).as("comp"))
         .limit(0)
     }
@@ -1300,8 +1309,8 @@ object Dedup {
     // needs the id ordering; other types fall through); so does a graph
     // under the row threshold whose buffer was dropped by the BYTE cap
     // (wide string ids) — the loop is always correct, just slower.
-    if (nEdges <= localEdgeThreshold && smallEdges.isDefined) {
-      val srcField = edges.schema.fields(0)
+    if (nPairs <= localEdgeThreshold && smallEdges.isDefined) {
+      val srcField = fwd.schema.fields(0)
       val isIntegral = srcField.dataType match {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |
@@ -1331,9 +1340,11 @@ object Dedup {
           r
         }
         // union with the SMALLER id as root — the min-label contract.
-        // The edge rows were already buffered by the routing probe above
-        // (this branch requires the buffer survived the merge), so no
-        // second collect job runs.
+        // The raw pair rows were already buffered by the routing probe
+        // above (this branch requires the buffer survived the merge), so
+        // no second collect job runs; duplicates and direction are no-ops
+        // to union-find, so the raw stream yields the identical labels
+        // the symmetrized-distinct edges would.
         smallEdges.get._1.foreach { row =>
           val (a, b) = (row.get(0), row.get(1))
           parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
@@ -1342,7 +1353,7 @@ object Dedup {
             if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
           }
         }
-        edges.unpersist()
+        fwd.unpersist()
         val out = parent.keys.toSeq.map { id =>
           org.apache.spark.sql.Row(id, find(id))
         }
@@ -1364,8 +1375,17 @@ object Dedup {
     // its map-side partial-aggregate-before-shuffle shape, which the
     // explicit repartition would forfeit.
     val defaultPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // the distributed loop's input: symmetrized deduplicated edges, built
+    // once from the cached raw pairs (big graphs only — the small path
+    // above never pays this distinct)
+    val edges = fwd
+      .union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // sizing uses 2·nPairs, an upper bound on the distinct edge count —
+    // the same ~2M-rows-per-partition advisory heuristic
     val nPart = math.max(1L,
-      math.min(defaultPart.toLong, nEdges / 2000000L + 1L)).toInt
+      math.min(defaultPart.toLong, 2L * nPairs / 2000000L + 1L)).toInt
     def sized(df: DataFrame, key: String): DataFrame =
       if (nPart < defaultPart) df.repartition(nPart, col(key)) else df
     // Initial labels fuse the first propagation round into the label-table
@@ -1443,6 +1463,7 @@ object Dedup {
         iter += 1
       }
       edges.unpersist()
+      fwd.unpersist()
       // exhausting maxIter without the fixpoint must be LOUD (r12):
       // returning partially-propagated labels silently means members of
       // one true component carry different comp values, and dedupedCorpus

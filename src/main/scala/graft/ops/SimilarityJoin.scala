@@ -44,7 +44,23 @@ object SimilarityJoin {
   private val SigClasses = Seq(
     "[a-d]", "[e-h]", "[i-l]", "[m-p]", "[q-t]", "[u-x]", "[y-z]", "[^a-z]")
 
-  def classCountSignature(c: Column): Column =
+  /** r18: the signature is a NATIVE one-pass expression
+    * ([[graft.catalyst.ClassCountSig]]). The original 8-regexp
+    * composition compiled to eight `regexp_extract_all` passes per row,
+    * each materializing a match array just to count it — profiled at
+    * ~11 executor-CPU-seconds PER JOIN SIDE on q_similarity_blocked_full
+    * at sf0.1, dwarfing the DP verify it exists to guard. The native
+    * form is value-identical (OpsSpec pins equality on random unicode
+    * strings incl. saturation), so every soundness argument and the
+    * [[sigDistance]] bound carry over unchanged. */
+  def classCountSignature(c: Column): Column = {
+    import org.apache.spark.sql.graft.GraftSql
+    GraftSql.column(graft.catalyst.ClassCountSig(GraftSql.expression(c)))
+  }
+
+  /** The original regexp composition, kept as the test reference for
+    * the native expression's value-equality pin (OpsSpec). */
+  private[graft] def classCountSignatureRegexp(c: Column): Column =
     SigClasses.zipWithIndex.map { case (cls, i) =>
       shiftleft(least(regexp_count(c, lit(cls)), lit(255)).cast("long"),
         8 * i)

@@ -107,7 +107,10 @@ object EmbeddingIngest {
       val seeded = fs.exists(
         new org.apache.hadoop.fs.Path(s"$cellsDir/cells/batch=-1"))
       val bootstrapped = last >= 0L || seeded
-      val batch = batch0.persist()
+      // spread the batch to the gate's configured parallelism (r18 —
+      // see SimilarityIngest: a one-partition foreachBatch frame runs
+      // the cell/double-vector pass single-task otherwise)
+      val batch = graft.Util.spreadBatch(batch0, idCol).persist()
       val pinned = scala.collection.mutable.ListBuffer[DataFrame]()
       def pin(df: DataFrame): DataFrame = {
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

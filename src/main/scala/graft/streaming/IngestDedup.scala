@@ -141,7 +141,10 @@ object IngestDedup {
           "between its two writes; delete the index dir and re-seed")
       val seeded = seededDocs
       val bootstrapped = last >= 0L || seeded
-      val batch = batch0.persist()
+      // spread the batch to the gate's configured parallelism (r18 —
+      // see SimilarityIngest: a one-partition foreachBatch frame runs
+      // the whole signature pass single-task otherwise)
+      val batch = graft.Util.spreadBatch(batch0, idCol).persist()
       // ONE signature pass per batch (the SimilarityIngest fusion): the
       // pinned frames feed the index probe, the intra-batch self-dedup,
       // and the index write — pre-fusion each consumer re-shingled the

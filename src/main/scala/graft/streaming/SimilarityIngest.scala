@@ -228,7 +228,11 @@ object SimilarityIngest {
             "neither — the gate probes both")
         mhSeeded
       }
-      val batch = batch0.persist()
+      // spread the batch to the gate's configured parallelism BEFORE the
+      // feature passes (r18, guide §2): a one-partition foreachBatch frame
+      // otherwise runs the whole shingle/window/hash compute single-task
+      // (measured as the bulk of probe-mat at sf0.1)
+      val batch = graft.Util.spreadBatch(batch0, idCol).persist()
       // every frame persisted by the gate below lands here and is released
       // in ONE finally — a transient FS failure mid-commit must not leak
       // persists into the retry

@@ -59,6 +59,45 @@ class OpsSpec extends SparkSpec {
       s"signature bound violated: ${bad.take(3).mkString("; ")}")
   }
 
+  test("native class_count_sig == the 8-regexp composition " +
+      "(unicode, saturation, nulls — r18 kernel swap)") {
+    // the native one-pass expression replaced the regexp form in the
+    // kernels; value-identity on arbitrary strings is what carries every
+    // soundness argument (and the PropertySpec math pin) over unchanged
+    val rnd = new scala.util.Random(41)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz XYZ019{éλ好😀"
+    def randStr() = {
+      // sample by CODE POINT so surrogate pairs stay intact
+      val cps = alphabet.codePoints().toArray
+      new String((0 until rnd.nextInt(40))
+        .flatMap(_ => Character.toChars(cps(rnd.nextInt(cps.length))))
+        .toArray)
+    }
+    val rows = Seq.fill(300)(randStr()) ++
+      Seq("", "a" * 300, "{" * 300) // empty + saturation of both classes
+    val out = rows.toDF("s")
+      .select(
+        SimilarityJoin.classCountSignature(col("s")).as("native"),
+        SimilarityJoin.classCountSignatureRegexp(col("s")).as("regexp"))
+      .collect()
+    out.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1))
+      assert(r.getLong(0) === r.getLong(1))
+    }
+    // NULL input: the native form is properly NULL; the regexp form
+    // returned -1 (least() SKIPS nulls, so each class read 255). The
+    // difference is unobservable in the kernels — a null key never
+    // survives the band/equi-join to reach the signature conjunct, and
+    // null <= 2d and huge <= 2d both reject — but pin both behaviors so
+    // a change is loud.
+    val nullRow = Seq(Option.empty[String]).toDF("s")
+      .select(
+        SimilarityJoin.classCountSignature(col("s")).as("native"),
+        SimilarityJoin.classCountSignatureRegexp(col("s")).as("regexp"))
+      .collect()(0)
+    assert(nullRow.isNullAt(0) && nullRow.getLong(1) === -1L)
+  }
+
   test("blocked similarity join == naive on random strings (soundness)") {
     val rnd = new scala.util.Random(7)
     def randStr() = (0 until (3 + rnd.nextInt(8)))
