@@ -47,5 +47,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // wide here and not per session; override via SPARK_GRAFT_BYPASS_T.
   s"-Dspark.shuffle.sort.bypassMergeThreshold=${
     sys.env.getOrElse("SPARK_GRAFT_BYPASS_T", "0")}",
+  // r18 (measured): without libhadoop, RawLocalFileSystem.setPermission
+  // forks a `chmod` PROCESS per written file — one fork/exec+join per
+  // tiny parquet file in the micro-batch-heavy queries (wall-sampled as
+  // a top write-stage state on q_summary_bucketed). The graft subclass
+  // reroutes it through java.nio with identical semantics; local-FS
+  // only, other schemes untouched. Unset SPARK_GRAFT_NIO_FS=0 to fall
+  // back to the stock implementation.
+  s"-Dspark.hadoop.fs.file.impl=${
+    if (sys.env.get("SPARK_GRAFT_NIO_FS").contains("0"))
+      "org.apache.hadoop.fs.LocalFileSystem"
+    else "graft.io.NioLocalFileSystem"}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

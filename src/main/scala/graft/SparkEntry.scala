@@ -535,7 +535,12 @@ object SparkEntry {
 
     // Headline join+agg: revenue per region/nation, broadcast dims
     "q_join_agg_revenue" -> ((s, dir) => {
-      val li = table(s, dir, "lineitem")
+      // spread (r18): the single-row-group lineitem scan ran the whole
+      // 600k-row × 4-broadcast-probe × decimal pipeline on ≤3 tasks
+      // (measured 1.2 s CPU on a 3-task stage); the fact side is
+      // partition-independent through broadcast joins and partial
+      // aggregation, so hashing it wide is result-identical
+      val li = spread(table(s, dir, "lineitem"), "l_orderkey")
       val rev = (col("l_extendedprice").cast("decimal(12,2)") *
         (lit(BigDecimal(1)).cast("decimal(12,2)") -
           col("l_discount").cast("decimal(12,2)")))
@@ -1032,7 +1037,11 @@ object SparkEntry {
     // LLM: SimHash hamming<=3 near-dup pairs — HASH-CHECKED since r8
     // (bit-replay oracle, resources/oracles/q_dedup_simhash.sql)
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text", 3)
+      // spread (r18): the single-row-group scan ran the tokenize +
+      // 64-bit-vote signature aggregate single-task; row-local work, so
+      // results are identical
+      Dedup.simhashPairs(spread(table(s, dir, "documents"), "doc_id"),
+          "doc_id", "text", 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     // LLM: near-dup pairs → dedup clusters via min-label connected
@@ -1498,7 +1507,10 @@ object SparkEntry {
     "q_inverted_index" -> ((s, dir) =>
       Bm25.invertedIndex(spread(table(s, dir, "documents"), "doc_id"),
           "doc_id", "text", minDf = 3L)
-        .orderBy(col("term"))),
+        // materializedOrderBy (r18): the postings aggregate otherwise
+        // re-runs under the sort's range sampling (profiled as two
+        // ~0.5 CPU-s copies of the same agg stage)
+        .transform(materializedOrderBy(_, col("term")))),
 
     // LLM: brute-force cosine top-5 for 10 query vectors
     "q_embed_cosine_topk" -> ((s, dir) => {

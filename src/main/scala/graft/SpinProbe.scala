@@ -32,7 +32,9 @@ object SpinProbe {
           val cpu = mx.getThreadCpuTime(id)
           val prev = lastCpu.getOrDefault(id, cpu)
           lastCpu.put(id, cpu)
-          val delta = cpu - prev
+          val delta =
+            if (sys.env.get("GRAFT_SPIN_ALL").contains("1")) 5000000L
+            else cpu - prev
           val st = ti.getStackTrace
           if (delta > 0 && st.nonEmpty) {
             val sig = st.take(5).map(f => f.getClassName.replaceAll(

@@ -800,7 +800,13 @@ object Dedup {
     val simCol = (0 until 64).map { b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce((a, c) => a.bitwiseOR(c))
+    // persist the signature table (r18): it feeds BOTH sides of the
+    // chunk-bucket self-join plus the hot-bucket census — un-pinned, the
+    // tokenize + 64-vote aggregate ran three times per call (profiled as
+    // two identical signature map stages and a third under the census).
+    // Released via finishAndRelease below, the library persist contract.
     val sigs = votes.select(col("id"), simCol.as("sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkStructs = (0 until chunks).map { k =>
       struct(lit(k).as("chunk"),
         shiftright(col("sim"), k * bitsPerChunk)
@@ -824,7 +830,7 @@ object Dedup {
         banded0("ckey") === col("__graft_hk"), "left_anti")
     val a = banded.alias("a")
     val b = banded.alias("b")
-    a.join(b, col("a.chunk") === col("b.chunk") &&
+    val pairs = a.join(b, col("a.chunk") === col("b.chunk") &&
         col("a.ckey") === col("b.ckey") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
@@ -833,6 +839,7 @@ object Dedup {
       // carries only surviving pairs instead of every chunk collision
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    graft.Util.finishAndRelease(pairs, sigs)
   }
 
   /** Embedding near-duplicates: cosine >= threshold via the Similarity
